@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full materialization on
+executors, no driver collect — the honest measure of plan cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis_stream_video_project_spark.plans import registry
+from kinesis_stream_video_project_spark.session import get_spark
+
+# Headline set: one representative per operator family (scan/agg, star join,
+# top-k, sort+rank, window fns, gaps-and-islands, session/tumbling windows,
+# as-of join, dedup, similarity, text analysis).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "stream_health_60s",
+    "join_star_revenue",
+    "join_left_outer",
+    "topk_orders",
+    "sort_ranked",
+    "window_running_agg",
+    "consecutive_failures",
+    "session_windows",
+    "tumbling_hourly",
+    "asof_probe_metric",
+    "exact_dedup_docs",
+    "cosine_topk",
+    "token_stats",
+    "quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="kinesis-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = registry.all_queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = specs[name].fn
+        # Warm the plan (analysis + file listing) once, then time execution.
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"headline_query_set_total_sf{sf}",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""Cross-engine deterministic rounding.
+
+``ROUND(x, 4)`` is NOT portable between engines: Spark rounds through a
+shortest-decimal BigDecimal representation, DuckDB rounds the scaled double —
+they disagree on values that sit on a .00005 boundary after float error.
+``r4``/``sql_r4`` instead use ``floor(x * 10000 + 0.5) / 10000``: every step
+(multiply, add, floor, divide) is exact-identical IEEE arithmetic in both
+engines, so the rounded doubles are bit-identical by construction. (For
+negative inputs this is round-half-toward-+inf — also identical on both
+sides, which is the property that matters.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def r4(x: Column | str) -> Column:
+    """Deterministic 4-dp rounding of a double column (see module doc)."""
+    if isinstance(x, str):
+        x = F.col(x)
+    return F.floor(x * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+def sql_r4(expr: str) -> str:
+    """DuckDB twin of :func:`r4` for oracle SQL strings."""
+    return f"(floor(({expr}) * 10000.0 + 0.5) / 10000.0)"

@@ -1,0 +1,81 @@
+"""As-of (point-in-time) join — an operator Spark lacks as a primitive.
+
+The reference correlates a probe instant with the most recent metric window
+``[now-60s, now]`` (putmedia_check.sh:18-22); generalized, that is an as-of
+join: for each left row, the latest right row with ``right.ts <= left.ts``
+on the same key.
+
+Implementation: union-and-carry-forward, NOT a range self-join.
+
+* Tag right rows, union with left rows, window over (key) ordered by
+  (ts, side) and carry the last right payload forward with
+  ``last(..., ignorenulls=True)``.
+* Cost: ONE shuffle on the key and a sort — same asymptotics as a sort-merge
+  join, with no candidate-pair blowup. A naive ``l.ts >= r.ts`` theta join is
+  O(|L|·|R|) per key and collapses at 100 TB; this form scales linearly and
+  spills gracefully.
+
+Tie rule: right rows sort before left rows at equal ts (side 0 < 1), so an
+exactly-simultaneous right row is visible — matching ASOF JOIN (>=) semantics
+in DuckDB, which the oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    right_payload: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with ts <= left.ts.
+
+    ``right_payload`` columns come back prefixed ``asof_``; left rows with no
+    preceding right row keep nulls (left-outer as-of).
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in (key, ts_col)
+    ]
+    lcols = left.columns
+
+    r = right.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"asof_{c}") for c in right_payload],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in (key, ts_col)],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}") for c in right_payload],
+        *[F.col(c) for c in lcols if c not in (key, ts_col)],
+    )
+    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r.unionByName(l).select(
+        "*",
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
+            for c in right_payload
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col(key),
+        F.col(ts_col),
+        *[F.col(c) for c in lcols if c not in (key, ts_col)],
+        *[F.col(f"_carry_{c}").alias(f"asof_{c}") for c in right_payload],
+    )

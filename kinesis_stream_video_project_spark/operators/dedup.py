@@ -1,0 +1,184 @@
+"""Deduplication family for training-data pipelines (O-28/O-29).
+
+Tiers, cheapest first — the standard large-corpus dedup ladder:
+
+1. **Exact**: sha256 of the raw text, hash group-by. One shuffle on the
+   digest; at 100 TB the digest (32 B) shuffles instead of the document.
+2. **MinHash + LSH**: token shingles → k minhashes → banded bucket keys →
+   candidate pairs only within buckets → exact Jaccard verification of
+   candidates. Self-join happens per tiny bucket, never all-pairs.
+3. **N-gram Jaccard (blocked)**: exact Jaccard within coarse blocks
+   (source, lang) — the oracle-checkable exact tier.
+4. **Embedding near-dup**: cosine over embeddings within blocks
+   (operators/similarity.py).
+
+SimHash lives in operators/udfs.py as the vectorized-pandas showcase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark.functions.text import distinct_tokens, tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: sha256(text) → (hash, canonical id, count).
+
+    Canonical representative = min id (deterministic, unlike dropDuplicates).
+    """
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("text_sha256"), F.col(id_col)
+        )
+        .groupBy("text_sha256")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Token k-shingles (contiguous token windows joined by space)."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: for seed s, min over shingles of
+    xxhash64(shingle, seed). xxhash64 is a JVM built-in — 64-bit, seedable,
+    deterministic across runs and partitionings."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(s)))
+            )
+            for s in range(n_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(sig_col: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Band the signature: hash each contiguous band of the signature into one
+    bucket key. Docs sharing ANY band key become candidates."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at(sig_col, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return inter / union
+
+
+def minhash_lsh_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan shape (the scale story):
+      scan → shingle/signature (codegen, no shuffle)
+      → explode band keys → shuffle on bucket key (tiny: id + signature)
+      → per-bucket self-join (bucket cardinalities are near-1)
+      → distinct candidate pairs → join back to token sets → exact Jaccard.
+    Only candidate pairs ever materialize; the corpus is never self-joined.
+    """
+    rows_per_band = n_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        distinct_tokens(F.col(text_col)).alias("tok_set"),
+        minhash_signature(shingles(F.col(text_col), shingle_k), n_hashes).alias("sig"),
+    )
+    banded = base.select(
+        "doc_id",
+        "tok_set",
+        F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bucket"),
+    )
+    left = banded.select(
+        F.col("bucket"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("tok_set").alias("tok_a"),
+    )
+    right = banded.select(
+        F.col("bucket"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("tok_set").alias("tok_b"),
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "tok_a", "tok_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            r4(jaccard(F.col("tok_a"), F.col("tok_b"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def blocked_jaccard_near_dups(
+    df: DataFrame,
+    block_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard within coarse blocks (O-29 exact tier).
+
+    The block key bounds the self-join quadratically per block instead of per
+    corpus; block sizes stay O(corpus/|blocks|). Oracle-expressible, so this
+    tier also *verifies* the MinHash tier's recall in tests."""
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("doc_id"),
+        distinct_tokens(F.col(text_col)).alias("tok_set"),
+    )
+    a = base.select(
+        *block_cols,
+        F.col("doc_id").alias("doc_a"),
+        F.col("tok_set").alias("tok_a"),
+    )
+    b = base.select(
+        *block_cols,
+        F.col("doc_id").alias("doc_b"),
+        F.col("tok_set").alias("tok_b"),
+    )
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            r4(jaccard(F.col("tok_a"), F.col("tok_b"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (O-30).
+
+Two tiers:
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the corpus, cosine via JVM higher-order fns, per-query top-k via
+  window rank. Corpus-linear, query-broadcast: the right baseline when the
+  query set fits in a broadcast (the common batch-retrieval shape).
+* ``ivf_topk`` — IVF-style coarse quantization: corpus pre-bucketed by
+  centroid (here the fixture's cluster label stands in for a k-means
+  assignment); queries probe only the ``nprobe`` nearest centroids, so the
+  scan touches corpus/|cells|·nprobe rows. This is the 100 TB path: cells are
+  Parquet partitions and the probe becomes partition pruning.
+
+Ranking determinism: rank on (rounded cosine desc, vec_id asc) so Spark and
+the DuckDB oracle agree even when float summation differs at 1e-12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark.functions.vectors import cosine, dot, l2_norm
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (self excluded upstream)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id), F.col(vec).alias("_qvec")
+        )
+    )
+    scored = corpus.join(q, corpus[corpus_id] != q[query_id]).select(
+        query_id,
+        corpus_id,
+        r4(cosine(F.col("_qvec"), F.col(vec))).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def centroids_by_label(corpus: DataFrame, vec: str = "embedding", label: str = "label") -> DataFrame:
+    """Per-cell centroid = component-wise mean of member vectors.
+
+    Computed via posexplode + group-by (scales to any dimension; one shuffle
+    keyed by (label, dim) then a tiny shuffle by label to reassemble)."""
+    exploded = corpus.select(
+        F.col(label), F.posexplode(vec).alias("dim", "component")
+    )
+    per_dim = exploded.groupBy(label, "dim").agg(
+        F.avg(F.col("component").cast("double")).alias("mean_c")
+    )
+    return (
+        per_dim.groupBy(label)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("mean_c")))
+            ).alias("_pairs")
+        )
+        .select(
+            label,
+            F.transform(F.col("_pairs"), lambda p: p.getField("mean_c")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+    label: str = "label",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: probe the nprobe closest cells only."""
+    cents = centroids_by_label(corpus, vec=vec, label=label)
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
+    # Rank cells per query by centroid cosine; keep nprobe cells.
+    cell_scores = q.crossJoin(F.broadcast(cents)).select(
+        query_id,
+        "_qvec",
+        label,
+        cosine(F.col("_qvec"), F.col("centroid")).alias("_cell_cos"),
+    )
+    w_cell = Window.partitionBy(query_id).orderBy(
+        F.col("_cell_cos").desc(), F.col(label).asc()
+    )
+    probed = (
+        cell_scores.withColumn("_cr", F.row_number().over(w_cell))
+        .filter(F.col("_cr") <= nprobe)
+        .select(query_id, "_qvec", label)
+    )
+    # Search only within probed cells (join on the cell key = partition prune).
+    scored = probed.join(corpus, on=label).filter(
+        F.col(corpus_id) != F.col(query_id)
+    ).select(
+        query_id,
+        corpus_id,
+        r4(cosine(F.col("_qvec"), F.col(vec))).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    block: str = "label",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse blocks (O-29
+    embedding tier): the self-join is bounded per block, mirroring the
+    LSH/IVF bucketing strategy at scale."""
+    a = corpus.select(
+        F.col(block),
+        F.col(corpus_id).alias("vec_a"),
+        F.col(vec).alias("emb_a"),
+    )
+    b = corpus.select(
+        F.col(block),
+        F.col(corpus_id).alias("vec_b"),
+        F.col(vec).alias("emb_b"),
+    )
+    return (
+        a.join(b, block)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            r4(cosine(F.col("emb_a"), F.col("emb_b"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,506 @@
+"""LLM-training-data pipeline queries (north-star set: dedup, similarity
+search, text analysis, multimodal, UDF surface — BASELINE.json mandate).
+
+Oracle-checkable where the computation is engine-neutral; deterministic
+rows-only where it depends on engine-specific hash primitives (xxhash64,
+crc32) — those are cross-verified in pytest instead (tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.functions import text as T
+from kinesis_stream_video_project_spark.functions.vectors import cosine
+from kinesis_stream_video_project_spark.operators import dedup, multimodal, similarity, udfs
+from kinesis_stream_video_project_spark.plans.registry import register
+
+# DuckDB fragment: element-ordered cosine between two float lists, computed
+# dot/norm-by-fold exactly like functions/vectors.py (double promotion, left
+# fold) so both engines produce bit-identical doubles before rounding.
+def _dd_cosine(a: str, b: str) -> str:
+    def sq(v: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({v})), "
+            f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)))"
+        )
+
+    dot = (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"({dot} / (sqrt({sq(a)}) * sqrt({sq(b)})))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (O-28/O-29)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_docs",
+    tags=("O-28",),
+    oracle="""
+SELECT sha256(text) AS text_sha256,
+       MIN(doc_id)  AS canonical_doc_id,
+       COUNT(*)     AS dup_count
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (O-28): sha256 digest group-by with deterministic
+    canonical representative. At 100 TB only the 32-byte digest shuffles."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d)
+
+
+@register(
+    "dedup_survivors",
+    tags=("O-28",),
+    oracle="""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept-rows view of exact dedup (O-28): rank-1 per content hash —
+    deterministic, unlike dropDuplicates."""
+    from pyspark.sql import Window
+
+    d = io.load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "near_dup_jaccard",
+    tags=("O-29",),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+  FROM toks a
+  JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.lang = b.lang
+             AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       (floor((CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (floor((CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter)) * 10000.0 + 0.5) / 10000.0) >= 0.6
+""",
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact token-set Jaccard near-dup pairs (O-29 exact tier):
+    quadratic only within (source, lang) blocks. This oracle-checked tier
+    also validates the MinHash tier's candidates in pytest."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return dedup.blocked_jaccard_near_dups(d, threshold=0.6)
+
+
+@register("minhash_lsh_near_dup", tags=("O-29",))  # rows-only: xxhash64 is JVM-specific
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (O-29 scale tier): shingle → 16 minhashes →
+    4 LSH bands → per-bucket candidates → exact-Jaccard verification.
+    Rows-only (xxhash64 has no DuckDB twin); recall vs the exact tier is
+    asserted in tests/test_llm_ops.py."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_near_dups(d, threshold=0.5)
+
+
+@register("simhash_sketch", tags=("O-29", "O-32"))  # rows-only: crc32-based sketch
+def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash sketch per document (O-29 sketch tier) via a vectorized
+    pandas UDF (Arrow batches; numpy bit-votes). Hamming-close sketches =
+    near-dup candidates."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        udfs.pandas_simhash64(F.col("text")).alias("simhash64"),
+    )
+
+
+@register(
+    "embedding_near_dup",
+    tags=("O-29", "O-30"),
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         (floor(({_dd_cosine('a.embedding', 'b.embedding')}) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within label blocks (O-29
+    embedding tier). Cosine folds are element-ordered double arithmetic on
+    both engines → bit-identical before rounding."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(e, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (O-30)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cosine_topk",
+    tags=("O-30",),
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         (floor(({_dd_cosine('q.qvec', 'e.embedding')}) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (O-30 baseline): broadcast query set ×
+    corpus scan, JVM-side fold, per-query window rank. Deterministic rank:
+    (rounded cosine desc, vec_id asc)."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(q, e, k=10)
+
+
+@register("ivf_topk", tags=("O-30",))  # rows-only: approximate tier
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k (O-30 scale tier): probe the 2 nearest
+    label-cells only — at scale the cells are parquet partitions and probing
+    is partition pruning. Recall vs exact top-k asserted in pytest."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(q, e, k=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (O-31)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    tags=("O-31", "O-23"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+       (floor((CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(length(t) AS DOUBLE))) AS DOUBLE)
+             / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) AS avg_token_len,
+       (floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) AS type_token_ratio
+FROM documents
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (O-31): counts, uniques, mean token
+    length, lexical diversity — all JVM higher-order expressions."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.n_tokens("text").alias("n_tokens"),
+        T.n_unique_tokens("text").alias("n_unique"),
+        r4(T.avg_token_len("text")).alias("avg_token_len"),
+        r4(T.type_token_ratio("text")).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "lang_stats",
+    tags=("O-31", "O-08"),
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       (floor((AVG(CAST(n_chars AS DOUBLE))) * 10000.0 + 0.5) / 10000.0) AS avg_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, source
+""",
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition stats per (lang, source) (O-31)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r4(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        F.sum(T.n_tokens("text")).alias("total_tokens"),
+    )
+
+
+_STOP_SQL = "['" + "','".join(T.STOPWORDS) + "']"
+
+
+@register(
+    "quality_score",
+    tags=("O-31",),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         LEAST(n_chars, 400) / 400.0 AS length_score,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+         1.0 - abs(CAST(len(list_filter(toks, tok -> list_contains({_STOP_SQL}, tok))) AS DOUBLE)
+                   / len(toks) - 0.1) AS stop_balance
+  FROM t
+)
+SELECT doc_id,
+       (floor((length_score) * 10000.0 + 0.5) / 10000.0) AS length_score,
+       (floor((diversity) * 10000.0 + 0.5) / 10000.0) AS diversity,
+       (floor((stop_balance) * 10000.0 + 0.5) / 10000.0) AS stop_balance,
+       (floor(((length_score + diversity + stop_balance) / 3.0) * 10000.0 + 0.5) / 10000.0) AS quality
+FROM c
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality scoring (O-31): saturating length score,
+    lexical diversity, stopword balance — the filter stage of a training-data
+    pipeline, as pure arithmetic."""
+    d = io.load_table(spark, sf_dir, "documents")
+    length_score = F.least(F.col("n_chars"), F.lit(400)) / F.lit(400.0)
+    diversity = T.type_token_ratio("text")
+    stop_balance = F.lit(1.0) - F.abs(T.stopword_ratio("text") - F.lit(0.1))
+    return d.select(
+        "doc_id",
+        r4(length_score).alias("length_score"),
+        r4(diversity).alias("diversity"),
+        r4(stop_balance).alias("stop_balance"),
+        r4((length_score + diversity + stop_balance) / 3.0).alias("quality"),
+    )
+
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # marker tokens per language; the fixture corpus is an English-ish word
+    # soup, so non-en markers mostly score 0 — the *operator semantics*
+    # (argmax with first-wins ties over marker hit counts) is what's pinned.
+    "en": ("the", "and", "data", "fast"),
+    "es": ("el", "la", "los", "datos"),
+    "zh": ("de", "shi", "zhong"),
+    "de": ("der", "und", "daten"),
+    "fr": ("le", "les", "des"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    arr = "['" + "','".join(_LANG_MARKERS[lang]) + "']"
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"tok -> list_contains({arr}, tok))) AS BIGINT)"
+    )
+
+
+@register(
+    "lang_id_ngram",
+    tags=("O-31",),
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         {_marker_sql('en')} AS s_en,
+         {_marker_sql('es')} AS s_es,
+         {_marker_sql('zh')} AS s_zh,
+         {_marker_sql('de')} AS s_de,
+         {_marker_sql('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_en >= s_es AND s_en >= s_zh AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_zh AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_zh >= s_de AND s_zh >= s_fr THEN 'zh'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang,
+       s_en, s_es, s_zh, s_de, s_fr,
+       (CASE WHEN s_en >= s_es AND s_en >= s_zh AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_zh AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_zh >= s_de AND s_zh >= s_fr THEN 'zh'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END) = lang AS is_correct
+FROM scores
+""",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language identification heuristic (O-31): per-language
+    marker hit counts, argmax with first-wins tie-break (fixed priority
+    en>es>zh>de>fr) — deterministic on both engines."""
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+
+    def score(lang: str):
+        arr = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score("en").alias("s_en"),
+        score("es").alias("s_es"),
+        score("zh").alias("s_zh"),
+        score("de").alias("s_de"),
+        score("fr").alias("s_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_zh"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_zh"))
+            & (F.col("s_es") >= F.col("s_de"))
+            & (F.col("s_es") >= F.col("s_fr")),
+            "es",
+        )
+        .when((F.col("s_zh") >= F.col("s_de")) & (F.col("s_zh") >= F.col("s_fr")), "zh")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        "s_en",
+        "s_es",
+        "s_zh",
+        "s_de",
+        "s_fr",
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register("doc_fingerprint", tags=("O-31", "O-32"))  # rows-only: crc32-based
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint (O-31) via vectorized pandas
+    UDF — content identity robust to storage location; stability + collision
+    behavior asserted in pytest."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", udfs.pandas_rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF / UDAF / UDTF surface (O-32/O-33)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_udf_token_count",
+    tags=("O-32",),
+    oracle="""
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+)
+def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (O-32): Arrow-vectorized token count, oracle-checked
+    against the SQL equivalent — pins the Python boundary's correctness."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", udfs.pandas_token_count(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "grouped_pandas_stats",
+    tags=("O-33",),
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       (floor((AVG(CAST(n_chars AS DOUBLE))) * 10000.0 + 0.5) / 10000.0) AS avg_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (O-33): custom per-group aggregation through
+    Arrow, oracle-checked against plain GROUP BY."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return udfs.grouped_lang_stats(d)
+
+
+@register(
+    "udtf_explode_tokens",
+    tags=("O-32",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM t
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos] AS token FROM pos
+""",
+)
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (O-32, Spark ≥3.5): lateral table function emitting
+    position-stamped tokens; oracle rebuilds via list indexing."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return udfs.explode_tokens_udtf(spark, d, max_doc_id=20)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (north-star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    tags=("NS-multimodal", "O-32"),
+    oracle="""
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       CAST(doc_id % 640 + 64 AS INTEGER) AS width,
+       CAST(doc_id % 480 + 48 AS INTEGER) AS height
+FROM documents
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing (north-star): binary payload + typed
+    metadata streamed through Arrow-batched mapInPandas feature extraction.
+    The decode is a deterministic stub (no codecs in the container — see
+    operators/multimodal.py); the engine-checkable projection (sizes,
+    metadata) is oracle-verified, the stubbed features rows-only via pytest."""
+    d = io.load_table(spark, sf_dir, "documents")
+    feats = multimodal.decode_features(multimodal.media_manifest(d))
+    return feats.select(
+        "media_id", "media_type", "payload_bytes", "width", "height"
+    )
+
+
+@register("multimodal_decoded", tags=("NS-multimodal", "O-32"))  # rows-only: stub features
+def multimodal_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decoded-feature rows including the stubbed byte-statistics
+    features (rows-only; exact values pinned in pytest)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return multimodal.decode_features(multimodal.media_manifest(d))
