@@ -118,10 +118,10 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("minhash_lsh_near_dup", tags=("O-29",))  # rows-only: xxhash64 is JVM-specific
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (O-29 scale tier): shingle → 16 minhashes →
-    4 LSH bands → per-bucket candidates → exact-Jaccard verification.
-    Rows-only (xxhash64 has no DuckDB twin); recall vs the exact tier is
-    asserted in tests/test_llm_ops.py."""
+    """MinHash+LSH near-dup pairs (O-29 scale tier): token sets → 24
+    minhashes → 6 LSH bands → per-bucket candidates → exact-Jaccard
+    verification. Rows-only (xxhash64 has no DuckDB twin); recall vs the
+    exact tier is asserted in tests/test_llm_ops.py."""
     d = io.load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_near_dups(d, threshold=0.5)
 

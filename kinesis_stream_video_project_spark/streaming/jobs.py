@@ -1,0 +1,121 @@
+"""Streaming transformation jobs (O-18..O-22): the watchdog pipeline's
+streaming forms. Each takes a streaming DataFrame and returns a streaming
+DataFrame; sinks live in sinks.py.
+
+Every job here has an oracle-checked batch twin in plans/ (SURVEY.md §5.2.3):
+identical expressions over the same window operators, so the semantics the
+driver verifies in batch are the semantics these run incrementally.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from kinesis_stream_video_project_spark.config import METRIC_WINDOW_SECONDS
+from kinesis_stream_video_project_spark.operators.watchdog import (
+    WatchdogState,
+    replay_device,
+)
+
+
+def stream_health_60s(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming form of the flagship: per-stream 60 s tumbling-window health
+    (putmedia_check.sh:15,26-34 + restart.sh:57). Watermark bounds state
+    (O-20): windows older than the watermark are finalized and evicted —
+    the 100 TB requirement the batch twin doesn't exercise."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{METRIC_WINDOW_SECONDS} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.sum("value").alias("put_media_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("user_id"),
+            "put_media_sum",
+            "n_events",
+            "n_errors",
+            (F.col("put_media_sum") > 0).alias("healthy"),
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dedup on event id within the watermark horizon (O-21):
+    state holds one key per id and is evicted at the watermark — bounded
+    memory at any scale, unlike an unbounded dropDuplicates."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_ACTION_SCHEMA = (
+    StructType()
+    .add("device_id", "long")
+    .add("action_ts_us", "long")
+    .add("action", "string")
+)
+_STATE_SCHEMA = StructType().add("fail_cnt", "integer").add("escalation_level", "integer")
+
+
+def watchdog_actions(probes: DataFrame) -> DataFrame:
+    """O-22 streaming form: the escalation state machine via
+    applyInPandasWithState, keyed by device — per-key fault-tolerant state in
+    the RocksDB store replaces restart.sh's process-global counters.
+
+    The transition function is operators/watchdog.py::replay_device — the
+    very same code the batch twin runs, so batch-verified semantics carry
+    over to streaming by construction. Within a micro-batch rows are sorted
+    by event time (the gateway's probes are sequential per device;
+    cross-batch reordering is bounded by the upstream watermark).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (device_id,) = key
+        if state.exists:
+            fail_cnt, esc = state.get
+            st = WatchdogState(fail_cnt=fail_cnt, escalation_level=esc)
+        else:
+            st = WatchdogState()
+        out_ts: list[int] = []
+        out_action: list[str] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            actions, st = replay_device(
+                list(zip(ts_us, pdf["ok"].tolist())), st
+            )
+            out_ts.extend(a[0] for a in actions)
+            out_action.extend(a[1] for a in actions)
+        state.update(st.as_tuple())
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "device_id": [device_id] * len(out_ts),
+                    "action_ts_us": out_ts,
+                    "action": out_action,
+                }
+            )
+
+    return probes.groupBy("device_id").applyInPandasWithState(
+        update,
+        outputStructType=_ACTION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,138 @@
+"""Unit checks on the composite operators against hand-computed / pure-Python
+references (SURVEY.md §5.2.4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.operators.asof import asof_join
+from kinesis_stream_video_project_spark.operators.runs import consecutive_runs, sessionize
+from kinesis_stream_video_project_spark.operators.watchdog import (
+    WatchdogState,
+    replay_device,
+)
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_small_case(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:10"), 101),
+            (1, _ts("2024-01-01T00:00:20"), 102),
+            (2, _ts("2024-01-01T00:00:05"), 201),
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:05"), 1.0),
+            (1, _ts("2024-01-01T00:00:15"), 2.0),
+            (1, _ts("2024-01-01T00:00:20"), 3.0),  # simultaneous with left 102
+            (2, _ts("2024-01-01T00:00:30"), 9.0),  # after left's only row
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, key="user_id", right_payload=["value"]).collect()
+    }
+    assert got[101] == 1.0  # latest right <= 00:10 is 00:05
+    assert got[102] == 3.0  # ties included (>= semantics)
+    assert got[201] is None  # no preceding right row -> null
+
+
+def test_consecutive_runs_pure_python_fold(spark, sf_dir):
+    probes = io.probe_log(spark, sf_dir)
+    got = {
+        (r.device_id, r.run_start_us): r.run_len
+        for r in consecutive_runs(
+            probes, key="device_id", order=["ts", "event_id"], flag=~F.col("ok"), min_len=3
+        ).collect()
+    }
+    rows = probes.select("device_id", "ts", "event_id", "ok").collect()
+    by_dev: dict = {}
+    for r in sorted(rows, key=lambda r: (r.device_id, r.ts, r.event_id)):
+        by_dev.setdefault(r.device_id, []).append(r)
+    want = {}
+    for dev, seq in by_dev.items():
+        run = []
+        for r in seq + [None]:
+            if r is not None and not r.ok:
+                run.append(r)
+            else:
+                if len(run) >= 3:
+                    start_us = int(run[0].ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+                    want[(dev, start_us)] = len(run)
+                run = []
+    assert got == want
+
+
+def test_sessionize_matches_session_window(spark, sf_dir):
+    """Composite gaps-and-islands sessionize must equal the native
+    F.session_window assignment."""
+    e = io.load_table(spark, sf_dir, "events")
+    ours = sessionize(e, key="user_id", ts_col="ts", gap_seconds=300, order_tiebreak=["event_id"])
+    native = (
+        e.groupBy(F.session_window("ts", "300 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros("w.start").alias("session_start_us"),
+        )
+    )
+    a = {(r.user_id, r.session_start_us): r.n_events for r in ours.collect()}
+    b = {(r.user_id, r.session_start_us): r.n_events for r in native.collect()}
+    assert a == b
+
+
+def test_watchdog_replay_semantics():
+    # 3 consecutive failures -> first ladder action; healthy probe resets both
+    # counters; next trip starts at ladder bottom again.
+    probes = [(i, ok) for i, ok in enumerate([False, False, False, True, False, False, False])]
+    actions, st = replay_device(probes)
+    assert actions == [(2, "alert_email"), (6, "alert_email")]
+    # without an intervening success the ladder escalates
+    actions, st = replay_device([(i, False) for i in range(9)])
+    assert [a[1] for a in actions] == [
+        "alert_email",
+        "restart_network_mgr",
+        "restart_gateway",
+    ]
+    # resume from carried state: escalation continues where it left off
+    more, st = replay_device([(100 + i, False) for i in range(3)], st)
+    assert [a[1] for a in more] == ["reconnect_wifi"]
+    # ladder saturates at reboot
+    deep, _ = replay_device([(i, False) for i in range(3 * 10)])
+    assert deep[-1][1] == "reboot"
+
+
+def test_watchdog_batch_twin_consistent_with_gaps_islands(spark, sf_dir):
+    """Every action the state machine emits lies inside a >=3 failure run
+    found by the oracle-checked gaps-and-islands twin, and every such run
+    emits at least one action."""
+    from kinesis_stream_video_project_spark.plans.queries_streaming_twins import (
+        watchdog_state_machine,
+    )
+    from kinesis_stream_video_project_spark.plans.queries_watchdog import (
+        consecutive_failures,
+    )
+
+    actions = watchdog_state_machine(spark, sf_dir).collect()
+    runs = consecutive_failures(spark, sf_dir).collect()
+    run_spans = [(r.device_id, r.run_start_us, r.run_end_us) for r in runs]
+    for a in actions:
+        assert any(
+            d == a.device_id and s <= a.action_ts_us <= e for d, s, e in run_spans
+        ), f"action {a} outside every failure run"
+    emitted_devices_ts = {(a.device_id, a.action_ts_us) for a in actions}
+    for d, s, e in run_spans:
+        assert any(
+            dev == d and s <= ts <= e for dev, ts in emitted_devices_ts
+        ), f"run ({d},{s},{e}) produced no action"

@@ -1,0 +1,160 @@
+"""Structured Streaming tests: real micro-batch execution of the streaming
+jobs, cross-checked against their oracle-verified batch twins."""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.streaming import jobs, sinks, sources
+
+
+def _write_single_file(df, dest_dir: Path, name: str) -> None:
+    """Write df as exactly one parquet file named <name> inside dest_dir."""
+    staging = dest_dir / f"_stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    shutil.copy(part, dest_dir / name)
+    shutil.rmtree(staging)
+
+
+@pytest.fixture(scope="module")
+def events_df(spark, sf_dir):
+    return io.load_table(spark, sf_dir, "events")
+
+
+def test_stream_health_matches_batch_twin(spark, events_df, tmp_path):
+    src = tmp_path / "events_src"
+    _write_single_file(events_df, src, "events-00.parquet")
+
+    stream = sources.file_event_stream(spark, str(src))
+    health = jobs.stream_health_60s(stream, watermark="10 minutes")
+    q = (
+        health.writeStream.format("memory")
+        .queryName("health_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_health"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, unix_timestamp(window_start) AS ws, put_media_sum,"
+        " n_events, n_errors FROM health_out"
+    ).collect()
+    assert len(got) > 0
+
+    # Batch twin over the same data (same window operator). Append mode only
+    # emits windows finalized by the watermark, so restrict the twin to
+    # windows strictly older than (max_ts - watermark).
+    batch = (
+        events_df.groupBy(F.window("ts", "60 seconds").alias("w"), "user_id")
+        .agg(
+            F.sum("value").alias("put_media_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("ws"), "user_id", "put_media_sum", "n_events"
+        )
+    )
+    expected = {(r.user_id, r.ws): (r.put_media_sum, r.n_events) for r in batch.collect()}
+    for r in got:
+        exp = expected[(r.user_id, r.ws)]
+        assert abs(exp[0] - r.put_media_sum) < 1e-9
+        assert exp[1] == r.n_events
+    # Every emitted window is final → emitted set must be a prefix of the
+    # batch twin up to the watermark cutoff.
+    max_ts = events_df.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    finalized = {k for k in expected if k[1] + 60 <= max_ts - 600}
+    emitted = {(r.user_id, r.ws) for r in got}
+    assert finalized <= emitted
+
+
+def test_streaming_dedup_drops_duplicates(spark, events_df, tmp_path):
+    src = tmp_path / "dup_src"
+    doubled = events_df.unionByName(events_df)  # every event twice
+    _write_single_file(doubled, src, "events-00.parquet")
+
+    stream = sources.file_event_stream(spark, str(src))
+    deduped = jobs.streaming_dedup(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_out = spark.sql("SELECT COUNT(*) FROM dedup_out").collect()[0][0]
+    n_distinct = events_df.select("event_id").distinct().count()
+    assert n_out == n_distinct
+
+
+def test_watchdog_stream_matches_batch_twin(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState machine, fed in two micro-batches, must emit
+    exactly the actions the batch twin computes on the full log — state
+    carries across batches."""
+    probes = io.probe_log(spark, sf_dir).select("device_id", "ts", "event_id", "ok")
+    split_ts = probes.approxQuantile("event_id", [0.5], 0.01)[0]
+    first = probes.filter(F.col("event_id") <= split_ts)
+    second = probes.filter(F.col("event_id") > split_ts)
+
+    src = tmp_path / "probe_src"
+    _write_single_file(first, src, "probes-00.parquet")
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    _write_single_file(second, src, "probes-01.parquet")
+
+    stream = (
+        spark.readStream.schema(probes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    actions = jobs.watchdog_actions(stream)
+    store: list = []
+    q = (
+        actions.writeStream.foreachBatch(sinks.collecting_sink(store))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    from kinesis_stream_video_project_spark.plans.queries_streaming_twins import (
+        watchdog_state_machine,
+    )
+
+    # event_id split is not exactly time-ordered per device, so replay the
+    # same two-chunk order the stream saw: chunk order == event_id order here
+    # because the fixture assigns event_id monotonically with ts.
+    batch = watchdog_state_machine(spark, sf_dir).collect()
+    got = sorted((r.device_id, r.action_ts_us, r.action) for r in store)
+    want = sorted((r.device_id, r.action_ts_us, r.action) for r in batch)
+    assert got == want
+
+
+def test_alert_formatting(spark, sf_dir, tmp_path):
+    from kinesis_stream_video_project_spark.plans.queries_streaming_twins import (
+        watchdog_state_machine,
+    )
+
+    actions = watchdog_state_machine(spark, sf_dir)
+    alerts = sinks.format_alerts(actions)
+    rows = alerts.collect()
+    if rows:
+        r = rows[0]
+        assert "@" in r.to
+        assert r.alert_iso.endswith("Z")
+        assert r.action in set(
+            __import__(
+                "kinesis_stream_video_project_spark.config", fromlist=["ESCALATION_LADDER"]
+            ).ESCALATION_LADDER
+        )
+        assert str(r.device_id) in r.message
