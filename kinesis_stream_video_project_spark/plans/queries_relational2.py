@@ -1,0 +1,340 @@
+"""Second relational breadth module: reshaping (pivot/unpivot), ordered
+statistics, argmax, explode+rank, extended scalar-function families, and
+JSON roundtrip (SURVEY.md §2B O-02, O-08, O-10, O-16, O-23..O-26)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.functions.numeric import r4, sql_r4
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.plans.registry import register
+
+_PRIORITIES = [
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+]
+_PRIO_ALIASES = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+@register(
+    "pivot_priority_counts",
+    tags=("O-10",),
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS p1_urgent,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS p2_high,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS p3_medium,
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS p5_low
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (O-10): order counts per status × priority, with the pivot value
+    list given explicitly — at scale an implicit pivot would need an extra
+    distinct pass over the data to discover values."""
+    o = io.load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=[f"`{p}`" for p in _PRIORITIES])
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[
+            F.col(f"`{p}`").alias(a)
+            for p, a in zip(_PRIORITIES, _PRIO_ALIASES)
+        ],
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    tags=("O-10", "O-15"),
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (O-10): wide metric columns to long (metric, val) rows —
+    Spark plans a single Expand, not three scans (unlike the oracle's
+    UNION ALL formulation)."""
+    l = io.load_table(spark, sf_dir, "lineitem")
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@register(
+    "percentiles_by_status",
+    tags=("O-08",),
+    oracle=f"""
+SELECT o_orderstatus,
+       {sql_r4("quantile_cont(o_totalprice, 0.25)")} AS p25,
+       {sql_r4("quantile_cont(o_totalprice, 0.50)")} AS p50,
+       {sql_r4("quantile_cont(o_totalprice, 0.75)")} AS p75
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (O-08 ordered statistics).
+    (The 100 TB variant is approx_percentile — a t-digest sketch that avoids
+    the per-group sort; exact here so the oracle can agree bit-for-bit.)"""
+    o = io.load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        r4(F.expr("percentile(o_totalprice, 0.25)")).alias("p25"),
+        r4(F.expr("percentile(o_totalprice, 0.50)")).alias("p50"),
+        r4(F.expr("percentile(o_totalprice, 0.75)")).alias("p75"),
+    )
+
+
+@register(
+    "stats_agg",
+    tags=("O-08", "O-25"),
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_r4("stddev_samp(l_extendedprice)")} AS price_stddev,
+       {sql_r4("var_samp(l_quantity)")}         AS qty_var,
+       {sql_r4("corr(l_quantity, l_extendedprice)")} AS qty_price_corr,
+       {sql_r4("covar_samp(l_quantity, l_extendedprice)")} AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (O-08): sample stddev/variance, correlation,
+    covariance per group."""
+    l = io.load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_extendedprice")).alias("price_stddev"),
+        r4(F.var_samp("l_quantity")).alias("qty_var"),
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("qty_price_covar"),
+    )
+
+
+@register(
+    "argmax_order_per_customer",
+    tags=("O-08", "O-16"),
+    oracle="""
+SELECT o_custkey, o_totalprice AS best_price, o_orderkey AS best_order
+FROM (
+  SELECT o_custkey, o_totalprice, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax via struct-max (O-08): max(struct(price, orderkey)) picks the
+    priciest order per customer in ONE aggregation pass (deterministic
+    tie-break on orderkey) — no window, no second shuffle; the oracle states
+    the same semantics with rank-1."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_totalprice", "o_orderkey")).alias("m"))
+        .select(
+            "o_custkey",
+            F.col("m.o_totalprice").alias("best_price"),
+            F.col("m.o_orderkey").alias("best_order"),
+        )
+    )
+
+
+@register(
+    "top_terms_per_lang",
+    tags=("O-26", "O-31", "O-16"),
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token
+)
+SELECT lang, token, n,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rnk
+FROM counts
+QUALIFY rnk <= 5
+""",
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + aggregate + rank (O-26/O-31): 5 most frequent tokens per
+    language with deterministic tie-break. The explode stays JVM-side; the
+    shuffle key is (lang, token) so the count is partial-aggregated before
+    exchange."""
+    d = io.load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "string_funcs2",
+    tags=("O-23",),
+    oracle="""
+SELECT p_partkey,
+       replace(p_type, 'ECONOMY', 'ECO')  AS type_replaced,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       reverse(p_brand)                   AS brand_rev,
+       repeat(p_brand || '|', 2)          AS brand_twice,
+       split_part(p_brand, '#', 2)        AS brand_num,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+       p_type LIKE 'PROMO%'               AS is_promo,
+       p_name LIKE '%s'                   AS ends_s
+FROM part
+""",
+)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string functions (O-23): replace, pad, reverse, repeat,
+    split_part, position, prefix/suffix predicates."""
+    p = io.load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias(
+            "type_replaced"
+        ),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.concat(F.col("p_brand"), F.lit("|")), 2).alias("brand_twice"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+        F.col("p_name").endswith("s").alias("ends_s"),
+    )
+
+
+@register(
+    "datetime_funcs2",
+    tags=("O-24",),
+    oracle="""
+SELECT o_orderkey,
+       CAST(quarter(o_orderdate) AS BIGINT)            AS order_quarter,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT)      AS dow,
+       CAST(weekofyear(o_orderdate) AS BIGINT)         AS iso_week,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+       CAST(CAST(o_orderdate AS DATE) - INTERVAL 90 DAY AS DATE)::VARCHAR AS minus90d
+FROM orders
+""",
+)
+def datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date/time functions (O-24): quarter, day-of-week (aligned to
+    Spark's 1=Sunday numbering), ISO week, month end, month/day interval
+    arithmetic. Dates are emitted as strings to keep the comparison
+    type-stable across engines."""
+    o = io.load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("string").alias("plus3m"),
+        F.date_sub(F.to_date("o_orderdate"), 90).cast("string").alias("minus90d"),
+    )
+
+
+@register(
+    "null_funcs",
+    tags=("O-04", "F5", "O-25"),
+    oracle="""
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING')       AS seg_or_null,
+       ifnull(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_defaulted,
+       GREATEST(c_acctbal, 0.0)               AS bal_floor0,
+       LEAST(c_acctbal, 1000.0)               AS bal_cap1000,
+       c_acctbal IS NULL                      AS bal_is_null,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END                   AS bal_band
+FROM customer
+""",
+)
+def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling breadth (F5 generalized): nullif/ifnull round-trip the
+    reference's "null"/"None" sentinel discipline (restart.sh:52,
+    putmedia_check2.sh:48); greatest/least and CASE banding."""
+    c = io.load_table(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        F.ifnull(seg_or_null, F.lit("DEFAULT")).alias("seg_defaulted"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1000"),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+    )
+
+
+@register(
+    "catalog_json_roundtrip",
+    tags=("O-02", "J1", "P1"),
+    oracle="""
+WITH stream_catalog AS (
+  SELECT 'stream-' || CAST(s_suppkey AS VARCHAR)  AS stream_name,
+         'device-' || CAST(s_nationkey AS VARCHAR) AS device_name,
+         CASE WHEN s_acctbal < 0 THEN 'CREATING' ELSE 'ACTIVE' END AS status
+  FROM supplier
+),
+js AS (
+  SELECT stream_name,
+         to_json({'stream_name': stream_name,
+                  'device_name': device_name,
+                  'status': status}) AS payload
+  FROM stream_catalog
+)
+SELECT stream_name,
+       json_extract_string(payload, '$.device_name') AS rt_device,
+       json_extract_string(payload, '$.status')      AS rt_status,
+       json_extract_string(payload, '$.missing') IS NULL AS missing_is_null
+FROM js
+""",
+)
+def catalog_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON encode/decode roundtrip of the stream catalog (O-02/J1): the
+    reference's `list-streams` JSON → jq chain (putmedia_check.sh:6) both
+    directions — to_json of a struct, then path extraction, including the
+    missing-path → null case that drives the reference's "null" sentinel."""
+    cat = io.stream_catalog(spark, sf_dir)
+    js = cat.select(
+        "stream_name",
+        F.to_json(
+            F.struct(
+                F.col("stream_name"), F.col("device_name"), F.col("status")
+            )
+        ).alias("payload"),
+    )
+    return js.select(
+        "stream_name",
+        F.get_json_object("payload", "$.device_name").alias("rt_device"),
+        F.get_json_object("payload", "$.status").alias("rt_status"),
+        F.isnull(F.get_json_object("payload", "$.missing")).alias("missing_is_null"),
+    )

@@ -85,6 +85,7 @@ def _load_all() -> None:
     from kinesis_stream_video_project_spark.plans import (  # noqa: F401
         queries_watchdog,
         queries_relational,
+        queries_relational2,
         queries_windows,
         queries_llm,
         queries_streaming_twins,
