@@ -1,0 +1,196 @@
+"""Third relational breadth module: explicit GROUPING SETS, multi-join
+analytical classics (TPC-H Q3/Q5 shapes), and a correlated-average subquery —
+the shapes a star-schema workload runs all day at 100 TB.
+
+Scale notes baked into each plan:
+
+* dimension sides (`region`, `nation`, `customer` filtered) are broadcast —
+  no shuffle of the fact table for dim joins;
+* filters are applied *before* joins so Catalyst pushes them into the
+  parquet scans (verify: `PushedFilters` in `.explain("formatted")`);
+* top-k always rides an explicit total order (TakeOrderedAndProject — no
+  global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return io.load_table(spark, sf_dir, name)
+
+
+@register(
+    "grouping_sets_agg",
+    tags=("O-10",),
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       (floor((SUM(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (O-10) — the general form of rollup/cube: three
+    named groupings in ONE Expand + hash-aggregate pass over the scan (vs 3
+    scans if written as a UNION ALL of group-bys)."""
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               (floor((SUM(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "shipping_priority_top10",
+    tags=("O-06", "O-08", "O-11"),
+    oracle="""
+SELECT l_orderkey,
+       (floor((SUM(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) AS revenue,
+       CAST(o_orderdate AS VARCHAR) AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
+
+    The customer side shrinks to one market segment before joining, so it is
+    broadcast (no shuffle of orders/lineitem for that join); the limit rides
+    the ORDER BY as TakeOrderedAndProject.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        l.join(
+            o.join(
+                F.broadcast(c.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    tags=("O-08", "O-11"),
+    oracle="""
+SELECT n_name,
+       (floor((SUM(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) AS revenue
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with a same-nation constraint.
+
+    All four dimension sides (customer, supplier, nation, region) broadcast;
+    only orders><lineitem — the two fact tables — shuffle, on the order key.
+    The region filter prunes nations *before* the fact join via the broadcast
+    chain, so 4/5 of the data never moves.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    tags=("O-35", "O-08"),
+    oracle="""
+SELECT (floor((SUM(l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0) AS avg_yearly
+FROM lineitem l1
+WHERE l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+)
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) gating
+    the outer scan. Catalyst decorrelates it into one aggregate + join — at
+    scale that is a single extra shuffle on l_partkey, not a per-row probe."""
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT (floor((SUM(l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0) AS avg_yearly
+        FROM lineitem l1
+        WHERE l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+        )
+        """
+    )

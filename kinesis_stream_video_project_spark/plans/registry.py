@@ -86,6 +86,7 @@ def _load_all() -> None:
         queries_watchdog,
         queries_relational,
         queries_relational2,
+        queries_relational3,
         queries_windows,
         queries_llm,
         queries_streaming_twins,
