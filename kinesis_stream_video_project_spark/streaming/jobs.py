@@ -53,6 +53,72 @@ def stream_health_60s(
     )
 
 
+def enrich_with_catalog(events: DataFrame, catalog: DataFrame) -> DataFrame:
+    """Stream-static join (SURVEY.md §3.4): enrich the metric/probe stream
+    with the stream-catalog dimension (the `list-streams` registry,
+    putmedia_check.sh:6), keeping only ACTIVE streams (check_wf.sh:13).
+
+    The static side is broadcast — each executor joins its micro-batch
+    locally with zero shuffle of the stream, which is what makes this viable
+    when the stream side is 100 TB/day: the catalog (thousands of rows) moves
+    once per executor, the events never move at all.
+    """
+    dim = F.broadcast(
+        catalog.filter(F.col("status") == "ACTIVE").select(
+            "stream_key", "stream_name", "device_name"
+        )
+    )
+    return events.join(dim, events["user_id"] == dim["stream_key"], "inner").drop(
+        "stream_key"
+    )
+
+
+def sliding_error_rate(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+) -> DataFrame:
+    """Sliding-window error rate (O-19): each event lands in window/slide
+    overlapping windows — the streaming form of the batch `sliding_windows`
+    twin. Watermark bounds the open-window state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "n_errors",
+            (F.col("n_errors") / F.col("n_events")).alias("error_rate"),
+        )
+    )
+
+
+def session_activity(
+    events: DataFrame, watermark: str = "10 minutes", gap: str = "5 minutes"
+) -> DataFrame:
+    """Session-window activity per device (O-19): dynamic-length windows that
+    close after `gap` of silence — the streaming form of the reference's
+    probe-batch + cooldown grouping (restart.sh:18-19,76-82)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming dedup on event id within the watermark horizon (O-21):
     state holds one key per id and is evicted at the watermark — bounded

@@ -158,3 +158,68 @@ def test_alert_formatting(spark, sf_dir, tmp_path):
             ).ESCALATION_LADDER
         )
         assert str(r.device_id) in r.message
+
+
+def test_stream_static_join_enriches_and_filters(spark, sf_dir, events_df, tmp_path):
+    src = tmp_path / "enrich_src"
+    _write_single_file(events_df, src, "events-00.parquet")
+
+    catalog = io.stream_catalog(spark, sf_dir)
+    stream = sources.file_event_stream(spark, str(src))
+    enriched = jobs.enrich_with_catalog(stream, catalog)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_id, stream_name, device_name FROM enriched_out"
+    ).collect()
+
+    # Batch twin: same broadcast join over the static frames.
+    active = catalog.filter(F.col("status") == "ACTIVE")
+    want = (
+        events_df.join(active, events_df["user_id"] == active["stream_key"])
+        .select("event_id", "stream_name", "device_name")
+        .collect()
+    )
+    assert len(got) == len(want) > 0
+    assert {(r.event_id, r.stream_name) for r in got} == {
+        (r.event_id, r.stream_name) for r in want
+    }
+    # Only ACTIVE streams survive (check_wf.sh:13 semantics).
+    statuses = {r.stream_name: r.status for r in catalog.collect()}
+    assert all(statuses[r.stream_name] == "ACTIVE" for r in got)
+
+
+def test_sliding_and_session_windows_run_incrementally(spark, events_df, tmp_path):
+    src = tmp_path / "win_src"
+    _write_single_file(events_df, src, "events-00.parquet")
+
+    for name, job in (
+        ("sliding_out", jobs.sliding_error_rate),
+        ("session_out", jobs.session_activity),
+    ):
+        stream = sources.file_event_stream(spark, str(src))
+        q = (
+            job(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()[0].n
+        assert rows > 0
+
+    # Sliding-window invariant: every event lands in window/slide = 5 windows,
+    # so summed n_events across windows = 5x the event count (up to watermark
+    # truncation at the stream tail; assert on fully-covered events only).
+    total = spark.sql("SELECT SUM(n_events) AS s FROM sliding_out").collect()[0].s
+    assert total > events_df.count()  # strictly more than 1x => overlap happened
