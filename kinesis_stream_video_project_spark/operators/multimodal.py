@@ -85,3 +85,91 @@ def decode_features(manifest: DataFrame) -> DataFrame:
             )
 
     return manifest.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+# Schema of resized media rows: payload transformed, metadata updated in place.
+RESIZED_SCHEMA = (
+    "media_id bigint, media_type string, payload binary, "
+    "width int, height int, orig_width int, orig_height int"
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize: real deployments decode → scale → re-encode. The stub
+    deterministically truncates/tiles bytes to w*h so output size reflects
+    target dimensions and tests can assert exact lengths."""
+    target = max(1, w * h)
+    reps = -(-target // max(1, len(payload))) if payload else 1
+    return ((payload or b"\x00") * reps)[:target]
+
+
+def resize_media(manifest: DataFrame, width: int, height: int) -> DataFrame:
+    """Batch resize over the binary column (north-star resize step).
+
+    Binary-in/binary-out through mapInPandas: Arrow moves the payload bytes
+    in record batches, the Python worker never holds more than one batch
+    (`spark.sql.execution.arrow.maxRecordsPerBatch`). On a cluster this is
+    CPU-bound and embarrassingly parallel — no shuffle, partition-preserving.
+    """
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [
+                        _fake_resize(b, width, height) for b in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                    "orig_width": [m["width"] for m in pdf["meta"]],
+                    "orig_height": [m["height"] for m in pdf["meta"]],
+                }
+            )
+
+    return manifest.mapInPandas(transform, RESIZED_SCHEMA)
+
+
+# Schema of sampled-frame rows: one row per sampled frame (1:N explode).
+FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, n_frames int, frame binary, frame_bytes bigint"
+)
+
+
+def sample_frames(
+    manifest: DataFrame, every_n: int = 10, frame_size: int = 256
+) -> DataFrame:
+    """Frame sampling for video payloads (north-star frame-sample step).
+
+    1:N row expansion inside mapInPandas — the output iterator yields one
+    DataFrame per input batch with a row per sampled frame, so expansion
+    never builds the full frame list for a partition in memory. The STUB
+    treats the payload as a flat concatenation of `frame_size`-byte frames;
+    a real deployment replaces the slicing with an ffmpeg keyframe iterator.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, frames = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_size)
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    totals.append(n_frames)
+                    frames.append(payload[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                    "frame": frames,
+                    "frame_bytes": pd.Series(
+                        [len(f) for f in frames], dtype="int64"
+                    ),
+                }
+            )
+
+    videos = manifest.filter(F.col("media_type") == "video")
+    return videos.mapInPandas(sample, FRAME_SCHEMA)

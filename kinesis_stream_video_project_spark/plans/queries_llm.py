@@ -504,3 +504,65 @@ def multimodal_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     features (rows-only; exact values pinned in pytest)."""
     d = io.load_table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.media_manifest(d))
+
+
+@register(
+    "multimodal_resized",
+    tags=("NS-multimodal", "O-32"),
+    oracle="""
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3) + 1] AS media_type,
+       CAST(64 AS INTEGER) AS width,
+       CAST(48 AS INTEGER) AS height,
+       CAST(doc_id % 640 + 64 AS INTEGER) AS orig_width,
+       CAST(doc_id % 480 + 48 AS INTEGER) AS orig_height,
+       CAST(64 * 48 AS BIGINT) AS payload_bytes
+FROM documents
+""",
+)
+def multimodal_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (north-star): binary-in/binary-out mapInPandas, no
+    shuffle, partition-preserving. The stub resize truncates/tiles payload to
+    exactly width*height bytes, so the byte accounting is oracle-checkable
+    even though the pixel math is stubbed (operators/multimodal.py)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    resized = multimodal.resize_media(multimodal.media_manifest(d), 64, 48)
+    return resized.select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        "orig_width",
+        "orig_height",
+        F.octet_length("payload").cast("bigint").alias("payload_bytes"),
+    )
+
+
+@register(
+    "frame_sample",
+    tags=("NS-multimodal", "O-32"),
+    oracle="""
+WITH vids AS (
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS nbytes,
+           GREATEST(octet_length(encode(text)) // 256, 1) AS n_frames
+    FROM documents
+    WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST(UNNEST(generate_series(0, n_frames - 1, 10)) AS INTEGER) AS frame_idx,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(CASE WHEN nbytes < 256 THEN nbytes ELSE 256 END AS BIGINT) AS frame_bytes
+FROM vids
+""",
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (north-star): 1:N row expansion inside
+    mapInPandas, one row per 10th frame of each video payload. Sampled frame
+    indices/counts/byte-lengths are deterministic given the stub's
+    fixed-size-frame model, so the expansion logic is oracle-checkable."""
+    d = io.load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(
+        multimodal.media_manifest(d), every_n=10, frame_size=256
+    )
+    return frames.select("media_id", "frame_idx", "n_frames", "frame_bytes")

@@ -128,3 +128,31 @@ def test_approx_distinct_error_bounded(spark, sf_dir):
     exact_orders = l.select("l_orderkey").distinct().count()
     assert abs(approx.approx_parts - exact_parts) / exact_parts < 0.1
     assert abs(approx.approx_orders - exact_orders) / exact_orders < 0.1
+
+
+def test_multimodal_resize_exact_bytes(spark, sf_dir):
+    d = io.load_table(spark, sf_dir, "documents")
+    out = multimodal.resize_media(multimodal.media_manifest(d), 32, 16).collect()
+    assert len(out) > 0
+    for r in out:
+        assert len(r.payload) == 32 * 16
+        assert (r.width, r.height) == (32, 16)
+        # Stub tiles the source bytes: prefix must equal the original text bytes.
+        assert r.orig_width >= 64 and r.orig_height >= 48
+
+
+def test_frame_sampling_indices_and_memory_shape(spark, sf_dir):
+    d = io.load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(
+        multimodal.media_manifest(d), every_n=5, frame_size=128
+    ).collect()
+    assert len(frames) > 0
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        idxs = sorted(r.frame_idx for r in rows)
+        n = rows[0].n_frames
+        assert idxs == list(range(0, n, 5))
+        for r in rows:
+            assert 0 < r.frame_bytes <= 128
