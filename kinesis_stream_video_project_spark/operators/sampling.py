@@ -1,0 +1,67 @@
+"""Dataset sampling & splitting — the curation ops a training-data pipeline
+runs before anything else at 100 TB.
+
+The core primitive is **content-hash bucketing** (md5 of a stable key →
+bucket in [0,100)): unlike `df.sample()`, the assignment is a pure function
+of the row's key, so it is
+
+* reproducible across runs, engines, Spark versions and partitionings
+  (md5 is identical everywhere; `rand()`-based sampling is not);
+* stable under re-ingestion — a document keeps its split when the corpus is
+  rebuilt, which is what keeps eval sets uncontaminated over time;
+* embarrassingly parallel — a narrow projection, no shuffle, no state.
+
+`pmod`-style arithmetic on the first 8 hex chars gives 2^32 buckets folded
+to 100; the skew between buckets is O(2^-32), irrelevant at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5 of the key's string
+    form. Portable: DuckDB's ``md5`` produces the identical hex, so
+    bucket-based queries stay oracle-checkable."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, percent: int, n_buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose hash bucket < percent — a stable `percent`% sample."""
+    return df.filter(hash_bucket(F.col(key), n_buckets) < percent)
+
+
+def train_test_split(
+    df: DataFrame,
+    key: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign each row a split label (train/val/test) by hash bucket.
+
+    Returned as a column rather than three DataFrames so one pass writes a
+    partitioned layout (`partitionBy("split")`) instead of scanning thrice.
+    """
+    b = hash_bucket(F.col(key))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum sampling via ``sampleBy`` (e.g. downweight a dominant
+    language). Seeded => deterministic within Spark, but engine-specific —
+    verified by property tests (per-stratum rates), not the SQL oracle."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

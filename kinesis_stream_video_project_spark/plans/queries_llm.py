@@ -15,7 +15,13 @@ from kinesis_stream_video_project_spark.functions.numeric import r4
 from kinesis_stream_video_project_spark import io
 from kinesis_stream_video_project_spark.functions import text as T
 from kinesis_stream_video_project_spark.functions.vectors import cosine
-from kinesis_stream_video_project_spark.operators import dedup, multimodal, similarity, udfs
+from kinesis_stream_video_project_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    udfs,
+)
 from kinesis_stream_video_project_spark.plans.registry import register
 
 # DuckDB fragment: element-ordered cosine between two float lists, computed
@@ -566,3 +572,67 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.media_manifest(d), every_n=10, frame_size=256
     )
     return frames.select("media_id", "frame_idx", "n_frames", "frame_bytes")
+
+
+# DuckDB twin of operators/sampling.py::hash_bucket (verified bit-identical:
+# both engines md5 the decimal string form and fold the first 8 hex chars).
+_DD_BUCKET = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100)"
+)
+
+
+@register(
+    "deterministic_sample_docs",
+    tags=("NS-sampling", "O-04"),
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_DD_BUCKET} < 10
+""",
+)
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 10% corpus sample by content-hash bucketing (north-star
+    curation op): assignment is a pure function of doc_id — reproducible
+    across engines/runs/partitionings, no shuffle, unlike rand()-based
+    sample(). operators/sampling.py::deterministic_sample."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return sampling.deterministic_sample(d, "doc_id", 10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "train_test_split_counts",
+    tags=("NS-sampling", "O-08"),
+    oracle=f"""
+SELECT lang,
+       CASE WHEN {_DD_BUCKET} < 80 THEN 'train'
+            WHEN {_DD_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang, split
+""",
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed 80/10/10 train/val/test assignment (north-star): a doc
+    keeps its split across corpus rebuilds, keeping eval sets uncontaminated.
+    One narrow pass — written out with partitionBy('split') at scale."""
+    d = io.load_table(spark, sf_dir, "documents")
+    return (
+        sampling.train_test_split(d, "doc_id", 80, 10)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register("stratified_sample_docs", tags=("NS-sampling",))  # rows-only: sampleBy is engine-specific
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified downsampling via seeded sampleBy (e.g. rebalance
+    a corpus dominated by one language). Deterministic under a fixed seed but
+    engine-specific; per-stratum rates verified by property test."""
+    d = io.load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 1.0, "zh": 1.0, "de": 1.0, "fr": 1.0}
+    return sampling.stratified_sample(d, "lang", fractions).select(
+        "doc_id", "lang", "source"
+    )

@@ -156,3 +156,30 @@ def test_frame_sampling_indices_and_memory_shape(spark, sf_dir):
         assert idxs == list(range(0, n, 5))
         for r in rows:
             assert 0 < r.frame_bytes <= 128
+
+
+def test_sampling_stability_and_rates(spark, sf_dir):
+    from kinesis_stream_video_project_spark.operators import sampling
+
+    d = io.load_table(spark, sf_dir, "documents")
+    n = d.count()
+    s1 = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 10).collect()}
+    s2 = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 10).collect()}
+    assert s1 == s2  # pure function of key: identical across runs
+    assert 0.02 * n <= len(s1) <= 0.25 * n  # ~10% +- hash noise at small n
+    # Monotone: a 50% sample contains the 10% sample (bucket < 10 => < 50).
+    s50 = {r.doc_id for r in sampling.deterministic_sample(d, "doc_id", 50).collect()}
+    assert s1 <= s50
+
+    split = sampling.train_test_split(d, "doc_id", 80, 10)
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # Disjoint and exhaustive by construction.
+    assert sum(counts.values()) == n
+
+    strat = sampling.stratified_sample(d, "lang", {"en": 0.5, "es": 1.0, "zh": 1.0, "de": 1.0, "fr": 1.0})
+    kept = {r.lang: r.n for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert kept["es"] == full["es"]  # fraction 1.0 keeps everything
+    assert kept["en"] < full["en"]  # fraction 0.5 drops some
