@@ -636,3 +636,53 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(d, "lang", fractions).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "fuzzy_pairs_levenshtein",
+    tags=("O-29", "O-23"),
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS edit_dist
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE abs(a.n_chars - b.n_chars) <= 5
+  AND levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 10
+""",
+)
+def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with blocking (O-29 family).
+
+    Scale shape: the quadratic candidate space is pruned BEFORE the expensive
+    distance — equi-join on blocking keys (source, lang) makes it a hash
+    join, the length band cuts survivors, and levenshtein runs JVM-side on a
+    60-char prefix only for candidates. At 100 TB the blocking key becomes an
+    LSH band (minhash_lsh_near_dup); the pair-pruning shape is identical.
+    """
+    d = io.load_table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.substring("text", 1, 60).alias("pfx_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.substring("text", 1, 60).alias("pfx_b"),
+    )
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return (
+        a.join(
+            b,
+            (F.col("src_a") == F.col("src_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(F.abs(F.col("nc_a") - F.col("nc_b")) <= 5)
+        .filter(dist <= 10)
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+    )
