@@ -57,8 +57,14 @@ def bench_streaming(spark, sf_dir: str) -> float:
 
     staging = tempfile.mkdtemp(prefix="bench_stream_")
     ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         eio.load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staging)
+        # Stateful-stream partition count should track STATE size, not core
+        # count: each shuffle partition owns a state store whose open/commit
+        # cost is fixed per micro-batch. sf0.1's window state fits in 8; at
+        # 100 TB-scale state you raise it (and RocksDB shards accordingly).
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         stream = sources.file_event_stream(spark, staging)
         health = jobs.stream_health_60s(stream)
         t0 = time.perf_counter()
@@ -72,6 +78,7 @@ def bench_streaming(spark, sf_dir: str) -> float:
         q.awaitTermination()
         return round(time.perf_counter() - t0, 3)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
