@@ -120,32 +120,36 @@ def minhash_lsh_near_dups(
         distinct_tokens(F.col(text_col)).alias("tok_set"),
         minhash_signature(shingles(F.col(text_col), shingle_k), n_hashes).alias("sig"),
     )
-    banded = base.select(
-        "doc_id",
-        "tok_set",
-        F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bucket"),
-    )
-    left = banded.select(
-        F.col("bucket"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("tok_set").alias("tok_a"),
-    )
-    right = banded.select(
-        F.col("bucket"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("tok_set").alias("tok_b"),
+    # Bucket rows carry ONLY (bucket, id): a duplicate cluster of size m in
+    # one bucket yields m^2 candidate id-pairs, but each is 16 bytes, not two
+    # token arrays. Token sets join back AFTER the pair set is deduped —
+    # without this, dup-heavy corpora blow the shuffle up by |tokens| * bands.
+    banded = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(lsh_band_keys(F.col("sig"), n_bands, rows_per_band))
+            ).alias("bucket"),
+        )
+        .distinct()
     )
     pairs = (
-        left.join(right, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "tok_a", "tok_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        banded.alias("l")
+        .join(banded.alias("r"), "bucket")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
+    toks = base.select("doc_id", "tok_set")
     return (
-        pairs.select(
+        pairs.join(toks.alias("ta"), pairs["doc_a"] == F.col("ta.doc_id"))
+        .join(toks.alias("tb"), pairs["doc_b"] == F.col("tb.doc_id"))
+        .select(
             "doc_a",
             "doc_b",
-            r4(jaccard(F.col("tok_a"), F.col("tok_b"))).alias("jaccard"),
+            r4(jaccard(F.col("ta.tok_set"), F.col("tb.tok_set"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -249,7 +249,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
-       (floor((SUM(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -261,7 +261,12 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            r4(F.sum("o_totalprice")).alias("sum_price"),
+            # Exact decimal sum: at sf>=0.1 the global cell sums ~1e10 where
+            # 4-dp double rounding is no longer tie-stable across engines;
+            # DECIMAL(18,2) is exact and identical everywhere (cents < 2^53).
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(

@@ -32,7 +32,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
 SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
-       (floor((SUM(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -47,7 +47,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
-               (floor((SUM(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())

@@ -51,9 +51,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cores))
         )
 
+    # local[...] runs executors inside the driver JVM, whose default 1g heap
+    # OOMs on array-heavy sf0.1 workloads; static conf, effective only if this
+    # call creates the JVM (a pre-existing session keeps its heap).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
