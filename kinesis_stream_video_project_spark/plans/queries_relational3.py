@@ -194,3 +194,132 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "salted_agg_events",
+    tags=("O-08", "NS-skew"),
+    oracle="""
+SELECT user_id,
+       (floor((SUM(value)) * 10000.0 + 0.5) / 10000.0) AS total_value,
+       COUNT(event_id) AS n_events,
+       (floor((MIN(value)) * 10000.0 + 0.5) / 10000.0) AS min_value,
+       (floor((MAX(value)) * 10000.0 + 0.5) / 10000.0) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation (operators/skew.py::salted_agg): each
+    hot key's rows spread over 16 reducers as (key, salt) partials, then
+    recombine per key. The oracle is the PLAIN group-by — the salt is
+    invisible in the result by construction, which is exactly the property
+    this query certifies."""
+    from kinesis_stream_video_project_spark.operators import skew
+
+    e = io.load_table(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        e,
+        ["user_id"],
+        {
+            "total_value": ("value", "sum"),
+            "n_events": ("event_id", "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "user_id",
+        r4(F.col("total_value")).alias("total_value"),
+        "n_events",
+        r4(F.col("min_value")).alias("min_value"),
+        r4(F.col("max_value")).alias("max_value"),
+    )
+
+
+@register(
+    "table_profile",
+    tags=("O-08", "NS-quality"),
+    oracle="""
+SELECT 'o_totalprice' AS col_name, COUNT(*) AS n_rows,
+       COUNT(o_totalprice) AS n_non_null,
+       COUNT(DISTINCT o_totalprice) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey)
+FROM orders
+""",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (ingestion-quality audit a training pipeline runs
+    on every new shard): per-column row/non-null/distinct counts. One scan —
+    the three profiles share it via a single multi-aggregate projection, then
+    unpivot; at 100 TB this is one pass, not one per column."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+            'o_totalprice', n_rows, nn_price, nd_price,
+            'o_orderstatus', n_rows, nn_status, nd_status,
+            'o_custkey', n_rows, nn_cust, nd_cust
+        ) AS (col_name, n_rows, n_non_null, n_distinct)"""
+    )
+
+
+@register(
+    "value_outliers",
+    tags=("O-16", "NS-quality"),
+    oracle="""
+SELECT event_id, user_id,
+       (floor((value) * 10000.0 + 0.5) / 10000.0) AS value,
+       (floor(((value - mu) / sd) * 10000.0 + 0.5) / 10000.0) AS zscore
+FROM (
+    SELECT event_id, user_id, value,
+           AVG(value) OVER (PARTITION BY user_id) AS mu,
+           STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
+    FROM events
+)
+WHERE sd > 0 AND abs((value - mu) / sd) > 3
+""",
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score outlier detection (quality gate for metric feeds):
+    windowed mean/stddev per user, flag |z| > 3. One shuffle on user_id;
+    the same expressions run streaming over a sliding window for live
+    anomaly alerts."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            mu.alias("mu"),
+            sd.alias("sd"),
+            z.alias("z"),
+        )
+        .filter((F.col("sd") > 0) & (F.abs("z") > 3))
+        .select(
+            "event_id",
+            "user_id",
+            r4(F.col("value")).alias("value"),
+            r4(F.col("z")).alias("zscore"),
+        )
+    )
