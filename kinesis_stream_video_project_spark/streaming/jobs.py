@@ -119,6 +119,48 @@ def session_activity(
     )
 
 
+def correlate_probe_metric(
+    probes: DataFrame,
+    metrics: DataFrame,
+    watermark: str = "10 minutes",
+    max_lag: str = "60 seconds",
+) -> DataFrame:
+    """Stream-stream interval join (O-14 streaming form): pair each probe
+    with metric observations for the same device from the preceding
+    ``max_lag`` — the reference's probe-vs-`[now-60s, now]`-window
+    correlation (putmedia_check.sh:21-22) as a native join.
+
+    Both sides carry watermarks and the join condition bounds metric_ts to
+    [probe_ts - max_lag, probe_ts], so Spark derives state-eviction bounds
+    for BOTH buffers — state is (rate x lag)-bounded, not unbounded.
+    Input column contract: probes(device_id, ts, ok), metrics(user_id, ts,
+    value).
+    """
+    p = probes.select(
+        F.col("device_id").alias("p_device"),
+        F.col("ts").alias("probe_ts"),
+        F.col("ok").alias("probe_ok"),
+    ).withWatermark("probe_ts", watermark)
+    m = metrics.select(
+        F.col("user_id").alias("m_device"),
+        F.col("ts").alias("metric_ts"),
+        F.col("value").alias("metric_value"),
+    ).withWatermark("metric_ts", watermark)
+    return p.join(
+        m,
+        (F.col("p_device") == F.col("m_device"))
+        & (F.col("metric_ts") >= F.col("probe_ts") - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col("metric_ts") <= F.col("probe_ts")),
+        "inner",
+    ).select(
+        F.col("p_device").alias("device_id"),
+        "probe_ts",
+        "probe_ok",
+        "metric_ts",
+        "metric_value",
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming dedup on event id within the watermark horizon (O-21):
     state holds one key per id and is evicted at the watermark — bounded

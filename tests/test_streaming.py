@@ -223,3 +223,56 @@ def test_sliding_and_session_windows_run_incrementally(spark, events_df, tmp_pat
     # truncation at the stream tail; assert on fully-covered events only).
     total = spark.sql("SELECT SUM(n_events) AS s FROM sliding_out").collect()[0].s
     assert total > events_df.count()  # strictly more than 1x => overlap happened
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_df, tmp_path):
+    # Probes = error/ok observations; metrics = the same events' values.
+    probes_batch = io.probe_log(spark, sf_dir)
+    psrc, msrc = tmp_path / "ss_probes", tmp_path / "ss_metrics"
+    _write_single_file(probes_batch, psrc, "probes-00.parquet")
+    _write_single_file(events_df, msrc, "metrics-00.parquet")
+
+    probes = sources.file_event_stream(spark, str(psrc))
+    metrics = sources.file_event_stream(spark, str(msrc))
+    joined = jobs.correlate_probe_metric(probes, metrics, max_lag="60 seconds")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "SELECT device_id, unix_timestamp(probe_ts) AS pt,"
+        " unix_timestamp(metric_ts) AS mt, metric_value FROM ss_join_out"
+    ).collect()
+    assert len(got) > 0
+
+    # Batch twin: identical interval-join condition on the static frames.
+    p = probes_batch.select(
+        F.col("device_id").alias("d"), F.col("ts").alias("probe_ts")
+    )
+    m = events_df.select(
+        F.col("user_id").alias("u"), F.col("ts").alias("metric_ts"), "value"
+    )
+    want = (
+        p.join(
+            m,
+            (F.col("d") == F.col("u"))
+            & (F.col("metric_ts") >= F.col("probe_ts") - F.expr("INTERVAL 60 seconds"))
+            & (F.col("metric_ts") <= F.col("probe_ts")),
+        )
+        .select(
+            F.col("d"),
+            F.unix_timestamp("probe_ts").alias("pt"),
+            F.unix_timestamp("metric_ts").alias("mt"),
+        )
+        .collect()
+    )
+    # Streaming (single batch, all data before watermark advance) must emit
+    # exactly the batch join result.
+    assert {(r.device_id, r.pt, r.mt) for r in got} == {
+        (r.d, r.pt, r.mt) for r in want
+    }
