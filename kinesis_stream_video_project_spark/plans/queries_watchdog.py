@@ -324,3 +324,65 @@ def asof_probe_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_micros(F.col("ts")).alias("ts_us"),
         F.col("asof_value"),
     )
+
+
+@register(
+    "gap_filled_windows",
+    tags=("O-18", "O-26", "F5"),
+    oracle="""
+WITH b AS (
+    SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1
+    FROM events
+),
+cal AS (SELECT UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ws FROM b),
+streams AS (SELECT DISTINCT user_id FROM events WHERE user_id < 8),
+obs AS (
+    SELECT user_id, date_trunc('hour', ts) AS ws, SUM(value) AS s
+    FROM events WHERE user_id < 8
+    GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT st.user_id,
+       CAST(epoch(c.ws) AS BIGINT) AS window_start_s,
+       (floor((COALESCE(o.s, 0)) * 10000.0 + 0.5) / 10000.0) AS hour_sum,
+       (COALESCE(o.s, 0) > 0) AS active
+FROM streams st CROSS JOIN cal c
+LEFT JOIN obs o ON o.user_id = st.user_id AND o.ws = c.ws
+""",
+)
+def gap_filled_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling on the time axis (SURVEY §7 watch-list 4): an
+    idle stream produces NO aggregate row, but the reference treats "no
+    datapoint" as unhealthy (putmedia_check2.sh:48-53) — so absent windows
+    must exist as rows. Generate the full hourly calendar (sequence +
+    explode), cross join the (small) stream dim, left-join observed sums,
+    coalesce null→0. At scale the calendar is dim-sized (hours x streams),
+    broadcast against the fact-side aggregate."""
+    all_metrics = io.metric_datapoints(spark, sf_dir).withColumn(
+        "user_id", F.col("stream_name").substr(F.lit(8), F.lit(99)).cast("long")
+    )
+    e = all_metrics.filter(F.col("user_id") < 8)
+    # Calendar spans the FULL observation period (all streams), matching the
+    # oracle: an early/late event on any stream defines the monitoring range.
+    bounds = all_metrics.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("ws")
+    )
+    streams = e.select("user_id").distinct()
+    obs = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("ws"))
+        .agg(F.sum("value").alias("s"))
+    )
+    filled = (
+        streams.crossJoin(cal)
+        .join(obs, ["user_id", "ws"], "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("ws").alias("window_start_s"),
+            r4(F.coalesce(F.col("s"), F.lit(0.0))).alias("hour_sum"),
+            (F.coalesce(F.col("s"), F.lit(0.0)) > 0).alias("active"),
+        )
+    )
+    return filled
