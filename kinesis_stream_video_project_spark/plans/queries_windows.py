@@ -225,3 +225,42 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
         )
     )
+
+
+@register(
+    "window_distribution_funcs",
+    tags=("O-16",),
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       (floor((percent_rank() OVER w) * 10000.0 + 0.5) / 10000.0) AS pct_rank,
+       (floor((cume_dist() OVER w) * 10000.0 + 0.5) / 10000.0)    AS cume,
+       (floor((nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0)
+           AS third_highest_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-family window functions (O-16): percent_rank, cume_dist,
+    nth_value over a deterministic total order per status partition. One
+    shuffle on the partition key; all three share the same sort."""
+    from pyspark.sql import Window
+
+    o = io.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+        r4(
+            F.nth_value("o_totalprice", 3).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("third_highest_price"),
+    )
