@@ -686,3 +686,40 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 10)
         .select("doc_a", "doc_b", dist.alias("edit_dist"))
     )
+
+
+@register(
+    "normalized_dedup_docs",
+    tags=("O-28", "O-23"),
+    oracle="""
+WITH n AS (
+    SELECT doc_id,
+           sha256(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+)
+SELECT norm_hash, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_docs
+FROM n
+GROUP BY norm_hash
+HAVING COUNT(*) >= 2
+""",
+)
+def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-tier dedup (O-28): case-fold, strip punctuation,
+    collapse whitespace, THEN content-hash — catches trivially-reformatted
+    duplicates exact dedup misses, far cheaper than MinHash. Shuffles only
+    32-byte digests; normalization runs in codegen at the scan."""
+    d = io.load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select(F.col("doc_id"), F.sha2(norm, 256).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
