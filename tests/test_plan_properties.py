@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the scale properties ARCHITECTURE.md
+claims must hold in the actual plans, not just in prose. A refactor that
+silently drops a broadcast hint or adds a shuffle fails here, long before a
+100 TB run would reveal it."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_stream_video_project_spark.plans import registry
+
+SPECS = registry.all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return SPECS[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(plan: str) -> int:
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+
+
+def test_aggregates_shuffle_once(spark, sf_dir):
+    # Partial aggregation must shuffle partials, not rows: exactly 1 exchange.
+    for name in ("q1_pricing_summary", "stream_health_60s", "salted_agg_events"):
+        plan = plan_of(spark, sf_dir, name)
+        n = 2 if name == "salted_agg_events" else 1  # salted = 2-stage by design
+        assert count_exchanges(plan) <= n, f"{name}: extra shuffle\n{plan}"
+        assert plan.count("HashAggregate") >= 2, f"{name}: no partial agg"
+
+
+def test_star_joins_broadcast_dimensions(spark, sf_dir):
+    for name, min_bhj in (
+        ("local_supplier_volume", 5),
+        ("join_star_revenue", 3),
+        ("shipping_priority_top10", 2),
+        ("disjunctive_predicate_join", 1),
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= min_bhj, (
+            f"{name}: dimension join lost its broadcast\n{plan}"
+        )
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    for name in ("topk_orders", "shipping_priority_top10"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k became a full sort"
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: unused wide column never read.
+    assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_relational_paths_stay_jvm_side(spark, sf_dir):
+    # No Python eval in relational/window/dedup hot paths (pandas UDF ops
+    # are exercised elsewhere by design).
+    for name in (
+        "q1_pricing_summary",
+        "join_star_revenue",
+        "window_running_agg",
+        "consecutive_failures",
+        "exact_dedup_docs",
+        "normalized_dedup_docs",
+        "cosine_topk",
+        "deterministic_sample_docs",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{name}: Python boundary in hot path ({node})"
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "priority_late_shipment_counts")
+    assert "LeftSemi" in plan, f"EXISTS did not decorrelate:\n{plan}"
