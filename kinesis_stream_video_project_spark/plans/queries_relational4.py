@@ -1,0 +1,395 @@
+"""Fourth relational breadth module: the remaining TPC-H query shapes the
+star schema can express — nation-pair trade (Q7), market share (Q8),
+outer-join count distribution (Q13), HAVING-gated IN subquery (Q18),
+multi-condition "only late supplier" analysis (Q21 adapted), and a
+scalar-subquery + anti-join dormant-customer report (Q22 adapted).
+
+Adaptation notes (the fixture schema lacks partsupp, l_commitdate /
+l_receiptdate, c_phone — FIXTURES.md):
+
+* Q21's "kept orders waiting" predicate becomes ``l_shipdate >
+  o_orderdate + 60 days`` and is expressed as derived per-order aggregates
+  (distinct suppliers / distinct late suppliers) instead of nested
+  EXISTS/NOT EXISTS — the plan is ONE extra aggregate on the already-shuffled
+  order key rather than two correlated probes, which is also the formulation
+  that scales (Catalyst would decorrelate the EXISTS pair into much the same
+  shape, but the window/agg form makes the single-shuffle property explicit).
+* Q22's "customers who never ordered" is empty on this data (every customer
+  has orders), so the anti-condition becomes "no URGENT order", keeping the
+  NOT EXISTS → left-anti-join shape non-degenerate.
+
+Scale notes: every dimension side broadcasts; the only shuffles are on the
+fact keys (o_orderkey / l_orderkey / c_custkey), each used by at most one
+exchange per query. Year extraction and CASE run in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return io.load_table(spark, sf_dir, name)
+
+
+@register(
+    "nation_pair_trade",
+    tags=("O-11", "O-24", "O-08"),
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       (floor((SUM(volume)) * 10000.0 + 0.5) / 10000.0) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+       OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship year.
+
+    The nation dimension joins TWICE under different roles (supplier's vs
+    customer's nation) — both broadcast, and the OR-of-pairs predicate
+    evaluates post-join in codegen. Only lineitem><orders shuffles.
+    Re-expresses the reference's device-scoped catalog filter
+    (putmedia_check.sh:6) generalized to a two-sided entity filter.
+    """
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.filter(F.col("n_name").isin("NATION_9", "NATION_6")).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin("NATION_9", "NATION_6")).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey", "cust_nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6"))
+            | ((F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_9"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "market_share_by_year",
+    tags=("O-11", "O-08", "O-25"),
+    oracle="""
+SELECT o_year,
+       (floor((SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0 END) / SUM(volume)) * 10000.0 + 0.5) / 10000.0) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+)
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one part
+    type, per order year. The numerator is a conditional sum over the same
+    rows as the denominator — one aggregate pass, no second scan. Customer
+    side is pre-shrunk to the ASIA region through the broadcast nation→region
+    chain before it ever meets the facts.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            r4(
+                F.sum(F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    tags=("O-11", "O-08"),
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts, with the
+    priority filter in the JOIN CONDITION (not WHERE) so customers whose
+    orders are all urgent still appear with count 0 — the outer-join
+    semantics WHERE-placement would silently destroy. Two aggregations, but
+    the second groups ~200 distinct counts: its shuffle is negligible; only
+    the c_custkey aggregation moves real data.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "large_volume_customers",
+    tags=("O-35", "O-08", "O-06"),
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS orderdate,
+       (floor((o_totalprice) * 10000.0 + 0.5) / 10000.0) AS o_totalprice,
+       (floor((SUM(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery gated by a HAVING aggregate. The
+    qualifying-order set (46 keys at sf0.01) re-joins as a semi-join; Spark
+    plans the aggregate once and AQE converts the tiny qualifying side to a
+    broadcast at runtime. Top-100 rides TakeOrderedAndProject.
+    """
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS orderdate,
+               floor(o_totalprice * 10000.0 + 0.5) / 10000.0 AS o_totalprice,
+               floor(SUM(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "waiting_suppliers",
+    tags=("O-11", "O-08", "O-16"),
+    oracle="""
+WITH ol AS (
+    SELECT l_orderkey, l_suppkey,
+           CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+),
+st AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+    FROM ol GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(DISTINCT ol.l_orderkey) AS numwait
+FROM ol
+JOIN st ON ol.l_orderkey = st.l_orderkey
+JOIN supplier ON s_suppkey = ol.l_suppkey
+WHERE ol.late = 1 AND st.n_supp > 1 AND st.n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""",
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted — FIXTURES.md has no commit/receipt dates):
+    suppliers who were the SOLE late shipper on multi-supplier finalized
+    orders. The classic EXISTS + NOT-EXISTS pair is expressed as per-order
+    distinct/conditional-distinct aggregates joined back on the order key:
+    the fact data shuffles once on l_orderkey and the per-order stats reuse
+    that partitioning; supplier broadcasts.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    ol = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    st = ol.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ol.join(st, F.col("l_orderkey") == F.col("k"))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )
+
+
+@register(
+    "dormant_rich_customers",
+    tags=("O-35", "O-12", "O-23"),
+    oracle="""
+SELECT substring(c_name, length(c_name), 1) AS tail_digit,
+       COUNT(*) AS numcust,
+       (floor((SUM(c_acctbal)) * 10000.0 + 0.5) / 10000.0) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY tail_digit
+ORDER BY tail_digit
+""",
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted — every customer here has orders, so the
+    anti-condition is "no URGENT order"): above-average-balance customers
+    with no urgent activity, bucketed by the last digit of the customer name
+    (the fixture has no phone column). Scalar subquery folds to a literal
+    broadcast; NOT EXISTS becomes a left-anti join on c_custkey.
+    """
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT substring(c_name, length(c_name), 1) AS tail_digit,
+               COUNT(*) AS numcust,
+               floor(SUM(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+          )
+        GROUP BY tail_digit
+        ORDER BY tail_digit
+        """
+    )
+
+
+@register(
+    "salted_join_orders",
+    tags=("O-11", "NS-skew"),
+    oracle="""
+SELECT o_orderkey, c_name,
+       (floor((o_totalprice) * 10000.0 + 0.5) / 10000.0) AS o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted join certification (operators/skew.py::salted_join):
+    the hot-key side is salted across 8 reducers, the other side exploded to
+    all salts, and the oracle is the PLAIN join — the salt must be invisible
+    in the result, which is the correctness property that lets you deploy it
+    under a skewed 100 TB fact join when AQE's skew split isn't enough
+    (e.g. a single device key dominating the reference's probe log)."""
+    from kinesis_stream_video_project_spark.operators import skew
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = skew.salted_join(o, c, "o_custkey", "c_custkey", n_salts=8)
+    return j.select(
+        "o_orderkey", "c_name", r4(F.col("o_totalprice")).alias("o_totalprice")
+    )

@@ -264,3 +264,41 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("third_highest_price"),
     )
+
+
+@register(
+    "time_range_moving_window",
+    tags=("O-16", "O-24"),
+    oracle="""
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       COUNT(*) OVER w AS n_prev_hour,
+       (floor((SUM(value) OVER w) * 10000.0 + 0.5) / 10000.0) AS sum_prev_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def time_range_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (O-16): per user, count and sum of activity in
+    the trailing hour *measured in event time*, not row counts — the frame
+    each row sees is `[ts - 1h, ts]`, exactly the reference's trailing
+    `[now-60s, now]` metric window (putmedia_check.sh:18-22) generalized to
+    every row at once. Ordering key is epoch microseconds (BIGINT) so the
+    range arithmetic is integer-exact and identical across engines; one
+    shuffle on user_id, sort within partitions, no self-join (the naive
+    formulation is an O(n²) range self-join)."""
+    e = io.load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        r4(F.sum("value").over(w)).alias("sum_prev_hour"),
+    )

@@ -87,6 +87,7 @@ def _load_all() -> None:
         queries_relational,
         queries_relational2,
         queries_relational3,
+        queries_relational4,
         queries_windows,
         queries_llm,
         queries_streaming_twins,

@@ -140,6 +140,7 @@ def write_partitioned_parquet(
     *,
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
+    compression: str = "zstd",
 ) -> None:
     """Date/key-partitioned parquet layout — the 100 TB default for `events`.
 
@@ -147,8 +148,13 @@ def write_partitioned_parquet(
     time-range predicates prune whole directories before any IO (the native
     form of the reference's ``[now-60s, now]`` windowing,
     putmedia_check.sh:18-22).
+
+    Default codec is zstd: ~30% smaller than snappy on text-heavy columns at
+    comparable scan speed — at 100 TB that difference is ~30 TB of storage
+    and network per full scan. Pass ``compression="snappy"`` for
+    CPU-bound-write workloads.
     """
-    writer = df.write.mode(mode)
+    writer = df.write.mode(mode).option("compression", compression)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_by).parquet(path)

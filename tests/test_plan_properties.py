@@ -39,6 +39,9 @@ def test_star_joins_broadcast_dimensions(spark, sf_dir):
         ("join_star_revenue", 3),
         ("shipping_priority_top10", 2),
         ("disjunctive_predicate_join", 1),
+        ("nation_pair_trade", 4),
+        ("market_share_by_year", 6),
+        ("waiting_suppliers", 3),
     ):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("BroadcastHashJoin") >= min_bhj, (
@@ -48,7 +51,7 @@ def test_star_joins_broadcast_dimensions(spark, sf_dir):
 
 
 def test_topk_avoids_global_sort(spark, sf_dir):
-    for name in ("topk_orders", "shipping_priority_top10"):
+    for name in ("topk_orders", "shipping_priority_top10", "large_volume_customers"):
         plan = plan_of(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in plan, f"{name}: top-k became a full sort"
 
