@@ -723,3 +723,33 @@ def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("canonical_doc"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "bpe_regex_tokens",
+    tags=("O-31", "O-23"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       (floor((CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) * 10000.0 + 0.5) / 10000.0) AS chars_per_token
+FROM documents
+""",
+)
+def bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenizer count (O-31): the GPT-2 pretokenizer's
+    letter-run / digit-run / punctuation-run split (lookaheads dropped so the
+    pattern is valid in both Java and RE2 regex engines), next to the
+    whitespace count — the pair a data pipeline uses to estimate token budget
+    and chars/token compression before any real BPE merge table exists. Pure
+    JVM `regexp_extract_all` + `size`: no Python, fully codegen'd, scales as
+    a map-only pass."""
+    d = io.load_table(spark, sf_dir, "documents")
+    pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+    return d.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        r4(F.length("text").cast("double") / n_bpe).alias("chars_per_token"),
+    )

@@ -393,3 +393,61 @@ def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "o_orderkey", "c_name", r4(F.col("o_totalprice")).alias("o_totalprice")
     )
+
+
+@register(
+    "returned_item_customers",
+    tags=("O-11", "O-08", "O-06"),
+    oracle="""
+SELECT c_custkey, c_name,
+       (floor((SUM(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) AS lost_revenue,
+       n_name,
+       (floor((c_acctbal) * 10000.0 + 0.5) / 10000.0) AS c_acctbal
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    half-year window. The return-flag and date filters are pushed to the two
+    fact scans before their join; customer and nation broadcast; the top-20
+    rides TakeOrderedAndProject — at 100 TB the only heavy movement is the
+    lineitem('R')><orders(semester) join on the order key."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "lost_revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "lost_revenue",
+            "n_name",
+            r4(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -227,3 +227,65 @@ def watchdog_actions(probes: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def watchdog_actions_tws(probes: DataFrame) -> DataFrame:
+    """O-22 streaming form on the Spark 4 arbitrary-state API
+    (``transformWithStateInPandas``): same per-device escalation machine as
+    :func:`watchdog_actions`, with the state in a typed ValueState handle.
+
+    Versus ``applyInPandasWithState`` this is the forward path: composable
+    state variables (value/list/map), timers for the cooldown semantics
+    (restart.sh:76-82) without sentinel rows, and schema-evolvable state in
+    the RocksDB store — the API Spark is converging on for 100 TB stateful
+    jobs. Requires the RocksDB state-store provider (set by session.py;
+    the HDFS-backed provider does not support transformWithState) AND the
+    ``protobuf`` Python package (the driver-worker's state-server wire
+    protocol) — without protobuf the query fails at start, so the test suite
+    skips it and :func:`watchdog_actions` remains the portable form.
+
+    The transition function is the same operators/watchdog.py::replay_device
+    the batch twin and the applyInPandasWithState form use, so all three
+    surfaces share one verified semantics.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class WatchdogProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("watchdog", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (device_id,) = key
+            held = self._state.get()
+            st = (
+                WatchdogState(fail_cnt=held[0], escalation_level=held[1])
+                if held is not None
+                else WatchdogState()
+            )
+            out_ts: list[int] = []
+            out_action: list[str] = []
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+                actions, st = replay_device(list(zip(ts_us, pdf["ok"].tolist())), st)
+                out_ts.extend(a[0] for a in actions)
+                out_action.extend(a[1] for a in actions)
+            self._state.update(st.as_tuple())
+            if out_ts:
+                yield pd.DataFrame(
+                    {
+                        "device_id": [device_id] * len(out_ts),
+                        "action_ts_us": out_ts,
+                        "action": out_action,
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return probes.groupBy("device_id").transformWithStateInPandas(
+        statefulProcessor=WatchdogProcessor(),
+        outputStructType=_ACTION_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -276,3 +276,47 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_df, tmp
     assert {(r.device_id, r.pt, r.mt) for r in got} == {
         (r.d, r.pt, r.mt) for r in want
     }
+
+
+def test_watchdog_tws_matches_batch_twin(spark, sf_dir, tmp_path):
+    """The transformWithStateInPandas machine (Spark 4 arbitrary-state API)
+    must emit exactly what the batch twin and the applyInPandasWithState form
+    emit — all three share operators/watchdog.py::replay_device."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    probes = io.probe_log(spark, sf_dir).select("device_id", "ts", "event_id", "ok")
+    split_id = probes.approxQuantile("event_id", [0.5], 0.01)[0]
+    first = probes.filter(F.col("event_id") <= split_id)
+    second = probes.filter(F.col("event_id") > split_id)
+
+    src = tmp_path / "probe_src_tws"
+    _write_single_file(first, src, "probes-00.parquet")
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    _write_single_file(second, src, "probes-01.parquet")
+
+    stream = (
+        spark.readStream.schema(probes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    actions = jobs.watchdog_actions_tws(stream)
+    store: list = []
+    q = (
+        actions.writeStream.foreachBatch(sinks.collecting_sink(store))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    from kinesis_stream_video_project_spark.plans.queries_streaming_twins import (
+        watchdog_state_machine,
+    )
+
+    batch = watchdog_state_machine(spark, sf_dir).collect()
+    got = sorted((r.device_id, r.action_ts_us, r.action) for r in store)
+    want = sorted((r.device_id, r.action_ts_us, r.action) for r in batch)
+    assert got == want
