@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "token_stats",
     "quality_score",
+    "curation_pipeline",
     "shipping_priority_top10",
     "local_supplier_volume",
 ]

@@ -753,3 +753,133 @@ def bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
         r4(F.length("text").cast("double") / n_bpe).alias("chars_per_token"),
     )
+
+
+@register(
+    "curation_pipeline",
+    tags=("O-28", "O-31", "NS-sampling", "O-08"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text, n_chars, string_split(text, ' ') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, source, text, len(toks) AS n_toks,
+         (LEAST(n_chars, 400) / 400.0
+          + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+          + 1.0 - abs(CAST(len(list_filter(toks, tok -> list_contains({_STOP_SQL}, tok))) AS DOUBLE)
+                      / len(toks) - 0.1)) / 3.0 AS quality
+  FROM t
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE (floor(quality * 10000.0 + 0.5) / 10000.0) >= 0.70 AND lang <> 'zh'
+),
+deduped AS (
+  SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+         arg_min(source, doc_id) AS source, arg_min(n_toks, doc_id) AS n_toks
+  FROM gated GROUP BY text
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100) < 50
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+FROM sampled
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation (the engine's north-star composite):
+    quality gate -> language filter -> exact dedup (min-id survivor per
+    content) -> deterministic 50% sample -> per-(lang, source) doc/token
+    budget. This is the query a 100 TB corpus runs nightly; every stage is a
+    narrow map or a single keyed shuffle:
+
+    * scoring is pure per-row arithmetic (codegen, no shuffle);
+    * the dedup groups by the text content itself here for oracle parity —
+      at scale you group by ``sha2(text)`` (operators/dedup.py) so the
+      shuffle carries 32-byte digests, not documents;
+    * the sample is a pure function of doc_id (md5 bucket), so it neither
+      shuffles nor breaks reproducibility across engines/runs;
+    * only two aggregations total: the dedup group-by and the final rollup
+      (whose key space is ~100 rows).
+    """
+    d = io.load_table(spark, sf_dir, "documents")
+    length_score = F.least(F.col("n_chars"), F.lit(400)) / F.lit(400.0)
+    diversity = T.type_token_ratio("text")
+    stop_balance = F.lit(1.0) - F.abs(T.stopword_ratio("text") - F.lit(0.1))
+    quality = (length_score + diversity + stop_balance) / 3.0
+    gated = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        T.n_tokens("text").alias("n_toks"),
+        quality.alias("quality"),
+        # Gate on the 4-dp portable rounding: raw doubles differ by 1 ulp
+        # between engines for docs sitting exactly on the 0.70 boundary.
+    ).filter((r4(F.col("quality")) >= 0.70) & (F.col("lang") != "zh"))
+    # Survivor attributes come from the min-doc_id row (min_by / arg_min):
+    # ANY_VALUE would be engine- and partitioning-nondeterministic when a
+    # text's copies disagree on lang/source, which the dup clusters do.
+    deduped = gated.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_toks", "doc_id").alias("n_toks"),
+    )
+    sampled = sampling.deterministic_sample(deduped, "doc_id", 50)
+    return (
+        sampled.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register("ann_recall_eval", tags=("O-30",))  # rows-only: evaluates the approximate tier
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF approximate tier against the exact brute-force
+    tier, computed entirely in Spark (O-30 quality instrumentation): the
+    number every ANN deployment must publish before trading exactness for
+    the ~nprobe/ncells scan reduction. Per query: |IVF∩exact| / k via a
+    left-semi join of the two top-k sets; then one global mean row union'd
+    under query_id = -1. Both top-k sets come from the same operators the
+    ivf_topk / cosine_topk queries export, so this measures what ships.
+
+    On this synthetic corpus it reports ~0.3: the label column used as IVF
+    cells carries little geometric signal on near-random vectors, so recall
+    degrades toward nprobe/ncells — exactly the failure mode this metric
+    exists to expose before an ANN index ships (on real clustered embeddings
+    the cells are learned by k-means and recall lands near 1.0)."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(q, e, k=10).select("query_id", "vec_id")
+    approx = similarity.ivf_topk(q, e, k=10, nprobe=2).select("query_id", "vec_id")
+    hits = approx.join(exact, ["query_id", "vec_id"], "left_semi")
+    per_query = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left_outer",
+        )
+        .select(
+            "query_id",
+            r4(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k")).alias("recall_at_10"),
+        )
+    )
+    overall = per_query.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        r4(F.avg("recall_at_10")).alias("recall_at_10"),
+    )
+    return per_query.unionByName(overall).orderBy("query_id")
