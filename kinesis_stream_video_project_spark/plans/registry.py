@@ -89,6 +89,7 @@ def _load_all() -> None:
         queries_relational3,
         queries_relational4,
         queries_windows,
+        queries_events,
         queries_llm,
         queries_streaming_twins,
     )
