@@ -451,3 +451,42 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "unsupplied_parts",
+    tags=("O-12", "O-35", "O-08"),
+    oracle="""
+SELECT p_brand, p_type, COUNT(*) AS n_parts
+FROM part
+WHERE p_partkey NOT IN (
+    SELECT l_partkey
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey = 9
+)
+GROUP BY p_brand, p_type
+ORDER BY n_parts DESC, p_brand, p_type
+""",
+)
+def unsupplied_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery -> Catalyst's null-aware anti join.
+    NOT IN is the subtlest subquery form (one NULL in the subquery result
+    empties the whole output under SQL three-valued logic); expressing it as
+    NOT IN rather than a hand-rolled left-anti join delegates that semantics
+    to the planner. The subquery side shrinks to one nation's supplied part
+    keys before the anti join; the final aggregate groups ~brand x type.
+    """
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, COUNT(*) AS n_parts
+        FROM part
+        WHERE p_partkey NOT IN (
+            SELECT l_partkey
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey = 9
+        )
+        GROUP BY p_brand, p_type
+        ORDER BY n_parts DESC, p_brand, p_type
+        """
+    )
