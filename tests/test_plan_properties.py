@@ -84,3 +84,26 @@ def test_relational_paths_stay_jvm_side(spark, sf_dir):
 def test_exists_decorrelates_to_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "priority_late_shipment_counts")
     assert "LeftSemi" in plan, f"EXISTS did not decorrelate:\n{plan}"
+
+
+def test_analytics_shuffle_budget(spark, sf_dir):
+    # Funnel: user_id exchange + final 1-row reduction — nothing else.
+    # Curation: dedup exchange + rollup exchange + output sort — nothing else.
+    # Transitions: window sort exchange + bigram agg + output sort.
+    for name, max_exchanges in (
+        ("conversion_funnel", 2),
+        ("curation_pipeline", 3),
+        ("event_transitions", 3),
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert count_exchanges(plan) <= max_exchanges, (
+            f"{name}: shuffle budget exceeded\n{plan}"
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in plan, f"{name}: Python in hot path"
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "unsupplied_parts")
+    assert "LeftAnti" in plan, f"NOT IN did not plan an anti join:\n{plan}"
+    assert "CartesianProduct" not in plan
