@@ -128,6 +128,22 @@ def read_json(
     )
 
 
+def read_orc(spark: SparkSession, path: str, *columns: str) -> DataFrame:
+    """ORC scan (column pruning + predicate pushdown, like parquet).
+
+    ORC is the interchange format for Hive-era warehouses; supporting it
+    means a migration can read existing tables in place instead of
+    rewriting 100 TB before the first query.
+    """
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC writer (zstd): the export path back into Hive-era consumers."""
+    df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
 # ---------------------------------------------------------------------------
 # Writers
 # ---------------------------------------------------------------------------

@@ -119,3 +119,17 @@ def test_compact_targets_file_count(spark, events, tmp_path):
     batch.compact(events.limit(500), path, target_file_mb=1)
     files = glob.glob(f"{path}/part-*.parquet")
     assert len(files) == 1
+
+
+def test_orc_roundtrip_with_pruning(spark, sf_dir, tmp_path):
+    """ORC write -> read back equal; column pruning reaches the ORC scan."""
+    orders = batch.read_parquet(spark, f"{sf_dir}/orders.parquet")
+    dest = str(tmp_path / "orders_orc")
+    batch.write_orc(orders, dest)
+    back = batch.read_orc(spark, dest, "o_orderkey", "o_totalprice")
+    assert back.count() == orders.count()
+    got = sorted(r.o_orderkey for r in back.collect())
+    want = sorted(r.o_orderkey for r in orders.select("o_orderkey").collect())
+    assert got == want
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
