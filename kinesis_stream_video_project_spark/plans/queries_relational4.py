@@ -490,3 +490,19 @@ def unsupplied_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_parts DESC, p_brand, p_type
         """
     )
+
+
+@register("approx_percentiles_value", tags=("O-08", "O-09"))  # rows-only: sketch-based
+def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest sketch) of event values per type — the
+    100 TB form of ordered statistics: mergeable fixed-size sketches instead
+    of a full sort, so the shuffle carries kilobytes per group regardless of
+    row count. Rows-only (sketch internals are engine-specific); accuracy vs
+    the exact percentile operator is asserted within tolerance in
+    tests/test_operators.py."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        r4(F.expr("approx_percentile(value, 0.5, 1000)")).alias("p50_approx"),
+        r4(F.expr("approx_percentile(value, 0.95, 1000)")).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

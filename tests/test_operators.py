@@ -165,3 +165,38 @@ def test_curation_pipeline_idempotent(spark, sf_dir):
     total2 = out2.agg(F.sum("n_docs")).collect()[0][0]
     assert total1 == total2
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """The sketch's p95 must sit at rank ~0.95 of its group: the empirical
+    CDF at the returned value brackets the target quantile. (Comparing raw
+    values against the exact interpolated percentile is the wrong check on
+    small groups — the sketch returns an actual data point, interpolation
+    does not, and the value gap between adjacent order statistics at the
+    tail can be large even when the rank is perfect.)"""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_video_project_spark import io
+
+    e = io.load_table(spark, sf_dir, "events")
+    approx = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("approx")
+    )
+    cdf = (
+        e.join(approx, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.count(F.when(F.col("value") <= F.col("approx"), 1))
+                / F.count(F.lit(1))
+            ).alias("cdf_at_approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    for r in cdf.collect():
+        slack = max(0.02, 2.0 / r.n)  # rank resolution on small groups
+        assert 0.95 - slack <= r.cdf_at_approx <= 0.95 + slack, (
+            r.event_type,
+            r.cdf_at_approx,
+            r.n,
+        )
