@@ -506,3 +506,159 @@ def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.expr("approx_percentile(value, 0.95, 1000)")).alias("p95_approx"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "forecast_revenue_change",
+    tags=("O-04", "O-08", "O-25"),
+    oracle="""
+SELECT (floor((SUM(l_extendedprice * l_discount)) * 10000.0 + 0.5) / 10000.0) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical predicate-pushdown benchmark — pure
+    scan + range filters + one aggregate, no join, no group-by. Both range
+    predicates must reach the parquet scan (PushedFilters) and the whole
+    query is a single map-side-partial + 1-exchange reduction; at 100 TB
+    this is the query whose cost IS the scan cost."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "min_cost_supplier",
+    tags=("O-35", "O-11"),
+    oracle="""
+SELECT p_partkey, p_name, s_name,
+       (floor((l_extendedprice / l_quantity) * 10000.0 + 0.5) / 10000.0) AS unit_price
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size >= 45
+  AND l_extendedprice / l_quantity = (
+      SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+ORDER BY p_partkey, s_name
+""",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp table; unit price from
+    lineitem): per large part, the supplier(s) achieving the minimum unit
+    price, via a correlated MIN subquery. Catalyst decorrelates to one
+    aggregate on l_partkey joined back — the equality compares each row's
+    unit price against a MIN over the same doubles, so it is exact and
+    engine-portable (no arithmetic happens after the MIN)."""
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, s_name,
+               floor((l_extendedprice / l_quantity) * 10000.0 + 0.5) / 10000.0 AS unit_price
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_size >= 45
+          AND l_extendedprice / l_quantity = (
+              SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        ORDER BY p_partkey, s_name
+        """
+    )
+
+
+@register(
+    "important_part_shares",
+    tags=("O-35", "O-08"),
+    oracle="""
+WITH pr AS (
+    SELECT l_partkey,
+           SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS v_cents
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey,
+       (floor((v_cents / 100.0) * 10000.0 + 0.5) / 10000.0) AS part_value
+FROM pr
+WHERE v_cents > (
+    SELECT SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) * 0.0005
+    FROM lineitem
+)
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def important_part_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted to lineitem revenue): parts whose revenue
+    exceeds a fraction of the global total — HAVING against a scalar
+    subquery. Both sums accumulate portable integer cents
+    (floor(x*100+0.5) as BIGINT): per-row DECIMAL casts round half-up in
+    Spark but half-even in DuckDB, and raw double sums at 1e9+ magnitude
+    are order-sensitive — integer cents make the threshold comparison
+    bit-stable between engines; the scalar total folds to a literal
+    broadcast."""
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH pr AS (
+            SELECT l_partkey,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS v_cents
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey,
+               floor((v_cents / 100.0) * 10000.0 + 0.5) / 10000.0 AS part_value
+        FROM pr
+        WHERE v_cents > (
+            SELECT SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) * 0.0005
+            FROM lineitem
+        )
+        ORDER BY part_value DESC, l_partkey
+        """
+    )
+
+
+@register(
+    "brand_volume_suppliers",
+    tags=("O-35", "O-12", "O-08"),
+    oracle="""
+SELECT s_name,
+       (floor((s_acctbal) * 10000.0 + 0.5) / 10000.0) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 500
+)
+ORDER BY s_name
+""",
+)
+def brand_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers who moved real volume of one
+    brand — an IN subquery whose inner query is itself a join + group-by +
+    HAVING. The qualifying supplier set is tiny, so the outer IN becomes a
+    broadcast semi-join; the inner aggregate shuffles only (suppkey, qty)."""
+    io.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name,
+               floor(s_acctbal * 10000.0 + 0.5) / 10000.0 AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#1'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 500
+        )
+        ORDER BY s_name
+        """
+    )
