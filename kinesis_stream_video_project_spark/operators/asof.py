@@ -44,18 +44,25 @@ def asof_join(
     ]
     lcols = left.columns
 
+    # The whole right payload travels as ONE struct so the carry-forward is
+    # all-or-nothing per right row: carrying each column independently with
+    # last(..., ignorenulls=True) would fill a NULL payload column from an
+    # OLDER right row, stitching two right rows into one match.
+    right_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    struct_type = right.select(right_struct.alias("s")).schema["s"].dataType
+
     r = right.select(
         F.col(key),
         F.col(ts_col),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"asof_{c}") for c in right_payload],
+        right_struct.alias("_asof_payload"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in (key, ts_col)],
     )
     l = left.select(
         F.col(key),
         F.col(ts_col),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"asof_{c}") for c in right_payload],
+        F.lit(None).cast(struct_type).alias("_asof_payload"),
         *[F.col(c) for c in lcols if c not in (key, ts_col)],
     )
     order = [F.col(ts_col).asc(), F.col("_side").asc()]
@@ -68,14 +75,11 @@ def asof_join(
     )
     carried = r.unionByName(l).select(
         "*",
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
-            for c in right_payload
-        ],
+        F.last("_asof_payload", ignorenulls=True).over(w).alias("_carry"),
     )
     return carried.filter(F.col("_side") == 1).select(
         F.col(key),
         F.col(ts_col),
         *[F.col(c) for c in lcols if c not in (key, ts_col)],
-        *[F.col(f"_carry_{c}").alias(f"asof_{c}") for c in right_payload],
+        *[F.col(f"_carry.{c}").alias(f"asof_{c}") for c in right_payload],
     )

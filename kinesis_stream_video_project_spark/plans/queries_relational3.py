@@ -173,7 +173,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "small_quantity_revenue",
     tags=("O-35", "O-08"),
     oracle="""
-SELECT (floor((SUM(l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0) AS avg_yearly
+SELECT CAST(floor((SUM(l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS avg_yearly
 FROM lineitem l1
 WHERE l_quantity < (
     SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
@@ -183,11 +183,16 @@ WHERE l_quantity < (
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part average) gating
     the outer scan. Catalyst decorrelates it into one aggregate + join — at
-    scale that is a single extra shuffle on l_partkey, not a per-row probe."""
+    scale that is a single extra shuffle on l_partkey, not a per-row probe.
+
+    The output is CAST to DOUBLE on both sides: Spark's `/ 7.0` over a
+    decimal-typed sum yields DECIMAL whose rendered value ('...1871000')
+    hash-mismatches DuckDB's DOUBLE ('...1871') even when numerically equal.
+    """
     io.register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT (floor((SUM(l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0) AS avg_yearly
+        SELECT CAST(floor((SUM(l_extendedprice) / 7.0) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS avg_yearly
         FROM lineitem l1
         WHERE l_quantity < (
             SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey

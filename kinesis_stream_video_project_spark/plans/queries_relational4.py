@@ -248,8 +248,8 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_name, c_custkey, o_orderkey,
                date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS orderdate,
-               floor(o_totalprice * 10000.0 + 0.5) / 10000.0 AS o_totalprice,
-               floor(SUM(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty
+               CAST(floor(o_totalprice * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS o_totalprice,
+               CAST(floor(SUM(l_quantity) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS sum_qty
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -356,7 +356,7 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT substring(c_name, length(c_name), 1) AS tail_digit,
                COUNT(*) AS numcust,
-               floor(SUM(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS totacctbal
+               CAST(floor(SUM(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS totacctbal
         FROM customer
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (
@@ -562,7 +562,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT p_partkey, p_name, s_name,
-               floor((l_extendedprice / l_quantity) * 10000.0 + 0.5) / 10000.0 AS unit_price
+               CAST(floor((l_extendedprice / l_quantity) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS unit_price
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -613,7 +613,7 @@ def important_part_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem GROUP BY l_partkey
         )
         SELECT l_partkey,
-               floor((v_cents / 100.0) * 10000.0 + 0.5) / 10000.0 AS part_value
+               CAST(floor((v_cents / 100.0) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS part_value
         FROM pr
         WHERE v_cents > (
             SELECT SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) * 0.0005
@@ -650,7 +650,7 @@ def brand_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT s_name,
-               floor(s_acctbal * 10000.0 + 0.5) / 10000.0 AS s_acctbal
+               CAST(floor(s_acctbal * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS s_acctbal
         FROM supplier
         WHERE s_suppkey IN (
             SELECT l_suppkey

@@ -57,27 +57,58 @@ SELECT o_custkey, o_orderkey,
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0) AS running_spend,
        (floor((AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0) AS moving_avg_3,
-       CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile
-FROM orders
+       CAST(CASE WHEN o_totalprice >= q75 THEN 1
+                 WHEN o_totalprice >= q50 THEN 2
+                 WHEN o_totalprice >= q25 THEN 3
+                 ELSE 4 END AS BIGINT) AS price_quartile
+FROM orders,
+     (SELECT (floor((quantile_cont(o_totalprice, 0.25)) * 10000.0 + 0.5) / 10000.0) AS q25,
+             (floor((quantile_cont(o_totalprice, 0.50)) * 10000.0 + 0.5) / 10000.0) AS q50,
+             (floor((quantile_cont(o_totalprice, 0.75)) * 10000.0 + 0.5) / 10000.0) AS q75
+      FROM orders)
 """,
 )
 def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregates over frames (O-16): running sum, 3-row moving average,
-    global ntile quartiles (deterministic via total order)."""
+    price quartiles.
+
+    Quartiles are assigned by comparison against three precomputed cut
+    points (exact interpolated percentiles, rounded to 4 decimals on both
+    engines), NOT by a global ``ntile(4)``: an unpartitioned window is a
+    single-partition global sort — every orders row funneling through one
+    task — which is a scale-killer at 100 TB. The cut-point aggregate
+    reduces map-side partials to one 1-row result that broadcasts back, so
+    no row-level data ever converges on a single task.
+    """
     o = io.load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.expr("percentile(o_totalprice, array(0.25D, 0.50D, 0.75D))").alias("qs")
+    ).select(
+        r4(F.col("qs")[0]).alias("q25"),
+        r4(F.col("qs")[1]).alias("q50"),
+        r4(F.col("qs")[2]).alias("q75"),
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        r4(
-            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias("running_spend"),
-        r4(F.avg("o_totalprice").over(w.rowsBetween(-2, 0))).alias(
-            "moving_avg_3"
-        ),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
-        .cast("long")
-        .alias("price_quartile"),
+    return (
+        o.join(F.broadcast(cuts))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            r4(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).alias("running_spend"),
+            r4(F.avg("o_totalprice").over(w.rowsBetween(-2, 0))).alias(
+                "moving_avg_3"
+            ),
+            F.when(F.col("o_totalprice") >= F.col("q75"), 1)
+            .when(F.col("o_totalprice") >= F.col("q50"), 2)
+            .when(F.col("o_totalprice") >= F.col("q25"), 3)
+            .otherwise(4)
+            .cast("long")
+            .alias("price_quartile"),
+        )
     )
 
 

@@ -47,6 +47,27 @@ def test_asof_join_small_case(spark):
     assert got[201] is None  # no preceding right row -> null
 
 
+def test_asof_join_null_payload_is_all_or_nothing(spark):
+    # The LATEST right row wins wholesale: a NULL payload column in it must
+    # come through as NULL, never backfilled from an older right row.
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:30"), 500)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:10"), 1.0, "old"),
+            (1, _ts("2024-01-01T00:00:20"), None, "new"),  # latest: NULL value
+        ],
+        "user_id long, ts timestamp, value double, label string",
+    )
+    row = asof_join(
+        left, right, key="user_id", right_payload=["value", "label"]
+    ).collect()[0]
+    assert row.asof_label == "new"
+    assert row.asof_value is None  # not 1.0 from the older row
+
+
 def test_consecutive_runs_pure_python_fold(spark, sf_dir):
     probes = io.probe_log(spark, sf_dir)
     got = {

@@ -107,3 +107,40 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "unsupplied_parts")
     assert "LeftAnti" in plan, f"NOT IN did not plan an anti join:\n{plan}"
     assert "CartesianProduct" not in plan
+
+
+def test_no_decimal_or_timestamp_outputs(spark, sf_dir):
+    """Driver-hash portability: Spark DECIMAL renders '...1871000' where
+    DuckDB DOUBLE renders '...1871' — numerically equal, hash-different.
+    (Spark SQL strings are the risk path: floor() returns BIGINT and
+    BIGINT / 10000.0 is DECIMAL division; the Python API's F.lit(10000.0)
+    is a double, so DataFrame queries are immune.) Raw timestamps are
+    banned for the same reason (printable precision differs); emit epoch
+    ints or ISO strings."""
+    from pyspark.sql.types import DecimalType, TimestampType, TimestampNTZType
+
+    offenders = []
+    for name, spec in SPECS.items():
+        if spec.oracle is None:
+            continue
+        schema = spec.fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (DecimalType, TimestampType, TimestampNTZType)):
+                offenders.append((name, f.name, str(f.dataType)))
+    assert not offenders, f"decimal/timestamp output columns: {offenders}"
+
+
+def test_no_unpartitioned_windows(spark, sf_dir):
+    """A Window with no partitionBy is a single-partition global sort —
+    every row funnels through one task at 100 TB. The physical signature is
+    a Window node over a Sort over Exchange SinglePartition."""
+    import re
+
+    pat = re.compile(
+        r"Window .*\n.*?Sort .*\n.*?Exchange SinglePartition", re.MULTILINE
+    )
+    for name, spec in SPECS.items():
+        if "O-16" not in spec.tags and "O-19" not in spec.tags and "O-21" not in spec.tags:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        assert not pat.search(plan), f"{name}: unpartitioned window\n{plan}"
