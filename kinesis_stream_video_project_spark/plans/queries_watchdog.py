@@ -278,7 +278,13 @@ def escalation_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the escalation ladder (restart.sh:104-156): the deeper a
     failure run, the further remediation escalates (email → NetworkManager →
     gateway restart → Wi-Fi → USB power-cycle → reboot). Decisions are data
-    (an actions table); executing them is sink territory (K3)."""
+    (an actions table); executing them is sink territory (K3).
+
+    This is the pure counter ladder (SQL-expressible, oracle-checked). The
+    reference's loop_time=300 s cooldown suppression is inherently
+    sequential — it lives in the state-machine form
+    (``watchdog_state_machine`` + both streaming forms, rows-only for the
+    driver, property-tested in test_watchdog_properties.py)."""
     runs = consecutive_failures(spark, sf_dir)
     ladder = F.array(*[F.lit(a) for a in ESCALATION_LADDER])
     step = F.least(

@@ -176,7 +176,12 @@ _ACTION_SCHEMA = (
     .add("action_ts_us", "long")
     .add("action", "string")
 )
-_STATE_SCHEMA = StructType().add("fail_cnt", "integer").add("escalation_level", "integer")
+_STATE_SCHEMA = (
+    StructType()
+    .add("fail_cnt", "integer")
+    .add("escalation_level", "integer")
+    .add("last_action_ts_us", "long")
+)
 
 
 def watchdog_actions(probes: DataFrame) -> DataFrame:
@@ -186,8 +191,10 @@ def watchdog_actions(probes: DataFrame) -> DataFrame:
 
     The transition function is operators/watchdog.py::replay_device — the
     very same code the batch twin runs, so batch-verified semantics carry
-    over to streaming by construction. Within a micro-batch rows are sorted
-    by event time (the gateway's probes are sequential per device;
+    over to streaming by construction (including the loop_time=300 s
+    cooldown: ``last_action_ts_us`` rides the state row, so suppression
+    windows span micro-batch boundaries). Within a micro-batch rows are
+    sorted by event time (the gateway's probes are sequential per device;
     cross-batch reordering is bounded by the upstream watermark).
     """
 
@@ -196,8 +203,12 @@ def watchdog_actions(probes: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (device_id,) = key
         if state.exists:
-            fail_cnt, esc = state.get
-            st = WatchdogState(fail_cnt=fail_cnt, escalation_level=esc)
+            fail_cnt, esc, last_ts = state.get
+            st = WatchdogState(
+                fail_cnt=fail_cnt,
+                escalation_level=esc,
+                last_action_ts_us=last_ts,
+            )
         else:
             st = WatchdogState()
         out_ts: list[int] = []
@@ -244,21 +255,38 @@ def watchdog_actions_tws(probes: DataFrame) -> DataFrame:
     protocol) — without protobuf the query fails at start, so the test suite
     skips it and :func:`watchdog_actions` remains the portable form.
 
+    Timer use (the capability applyInPandasWithState lacks): after each
+    emitted action the processor registers a processing-time timer at
+    ``now + LOOP_COOLDOWN_SECONDS``; when it fires on a device whose
+    incident is over (counters at rest, cooldown elapsed), the state row is
+    deleted — keys that recovered stop occupying the state store, which is
+    what bounds state under 100 TB of device churn. The cooldown
+    *correctness* does not depend on the timer (last_action_ts_us rides the
+    state and suppresses by event time, identically to the other two
+    forms); the timer is pure state hygiene.
+
     The transition function is the same operators/watchdog.py::replay_device
     the batch twin and the applyInPandasWithState form use, so all three
     surfaces share one verified semantics.
     """
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
+    from kinesis_stream_video_project_spark.config import LOOP_COOLDOWN_SECONDS
+
     class WatchdogProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
             self._state = handle.getValueState("watchdog", _STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             (device_id,) = key
             held = self._state.get()
             st = (
-                WatchdogState(fail_cnt=held[0], escalation_level=held[1])
+                WatchdogState(
+                    fail_cnt=held[0],
+                    escalation_level=held[1],
+                    last_action_ts_us=held[2],
+                )
                 if held is not None
                 else WatchdogState()
             )
@@ -272,6 +300,11 @@ def watchdog_actions_tws(probes: DataFrame) -> DataFrame:
                 out_action.extend(a[1] for a in actions)
             self._state.update(st.as_tuple())
             if out_ts:
+                # State-hygiene timer: revisit this key after the cooldown.
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs()
+                    + LOOP_COOLDOWN_SECONDS * 1000
+                )
                 yield pd.DataFrame(
                     {
                         "device_id": [device_id] * len(out_ts),
@@ -280,6 +313,16 @@ def watchdog_actions_tws(probes: DataFrame) -> DataFrame:
                     }
                 )
 
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            held = self._state.get()
+            if held is not None and held[0] == 0 and held[1] == 0:
+                # Incident over and cooldown elapsed: drop the state row so
+                # recovered devices cost nothing in the store.
+                self._state.clear()
+            yield from ()
+
         def close(self) -> None:
             pass
 
@@ -287,5 +330,5 @@ def watchdog_actions_tws(probes: DataFrame) -> DataFrame:
         statefulProcessor=WatchdogProcessor(),
         outputStructType=_ACTION_SCHEMA,
         outputMode="Append",
-        timeMode="None",
+        timeMode="ProcessingTime",
     )

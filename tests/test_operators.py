@@ -114,30 +114,57 @@ def test_sessionize_matches_session_window(spark, sf_dir):
 
 
 def test_watchdog_replay_semantics():
-    # 3 consecutive failures -> first ladder action; healthy probe resets both
-    # counters; next trip starts at ladder bottom again.
+    # Pure counter ladder (cooldown off): 3 consecutive failures -> first
+    # ladder action; healthy probe resets both counters; next trip starts at
+    # ladder bottom again.
     probes = [(i, ok) for i, ok in enumerate([False, False, False, True, False, False, False])]
-    actions, st = replay_device(probes)
+    actions, st = replay_device(probes, cooldown_us=0)
     assert actions == [(2, "alert_email"), (6, "alert_email")]
     # without an intervening success the ladder escalates
-    actions, st = replay_device([(i, False) for i in range(9)])
+    actions, st = replay_device([(i, False) for i in range(9)], cooldown_us=0)
     assert [a[1] for a in actions] == [
         "alert_email",
         "restart_network_mgr",
         "restart_gateway",
     ]
     # resume from carried state: escalation continues where it left off
-    more, st = replay_device([(100 + i, False) for i in range(3)], st)
+    more, st = replay_device([(100 + i, False) for i in range(3)], st, cooldown_us=0)
     assert [a[1] for a in more] == ["reconnect_wifi"]
     # ladder saturates at reboot
-    deep, _ = replay_device([(i, False) for i in range(3 * 10)])
+    deep, _ = replay_device([(i, False) for i in range(3 * 10)], cooldown_us=0)
     assert deep[-1][1] == "reboot"
 
 
+def test_watchdog_cooldown_suppresses_reemission():
+    """restart.sh:12,76-82,157: after a remediation the process sleeps
+    loop_time=300 s — probes inside the window are unobserved, so a failure
+    flood emits one action per cooldown window, not one per 3 failures."""
+    sec = 1_000_000
+    # failing probe every 10 s for 1000 s
+    probes = [(t * 10 * sec, False) for t in range(101)]
+    actions, st = replay_device(probes, cooldown_us=300 * sec)
+    # first action at the 3rd failure (t=20s); next observable probe at
+    # t>=320s, so next action at t=340s; then 660s; then 980s.
+    assert [a[0] // sec for a in actions] == [20, 340, 660, 980]
+    # ladder still escalates across windows
+    assert [a[1] for a in actions] == [
+        "alert_email",
+        "restart_network_mgr",
+        "restart_gateway",
+        "reconnect_wifi",
+    ]
+    # an ok probe during cooldown is ALSO unobserved: counters unchanged
+    st2 = replay_device([(0, False)] * 3, cooldown_us=300 * sec)[1]
+    level_before = st2.escalation_level
+    _, st2 = replay_device([(5 * sec, True)], st2, cooldown_us=300 * sec)
+    assert st2.escalation_level == level_before
+
+
 def test_watchdog_batch_twin_consistent_with_gaps_islands(spark, sf_dir):
-    """Every action the state machine emits lies inside a >=3 failure run
-    found by the oracle-checked gaps-and-islands twin, and every such run
-    emits at least one action."""
+    """The Spark applyInPandas replay must equal a pure-Python replay of the
+    ordered probe log exactly, and every emitted action must lie inside a
+    >=3 failure run found by the oracle-checked gaps-and-islands twin (a
+    suppressed run may emit nothing — that's the cooldown working)."""
     from kinesis_stream_video_project_spark.plans.queries_streaming_twins import (
         watchdog_state_machine,
     )
@@ -146,17 +173,30 @@ def test_watchdog_batch_twin_consistent_with_gaps_islands(spark, sf_dir):
     )
 
     actions = watchdog_state_machine(spark, sf_dir).collect()
-    runs = consecutive_failures(spark, sf_dir).collect()
-    run_spans = [(r.device_id, r.run_start_us, r.run_end_us) for r in runs]
-    for a in actions:
+    got = sorted((a.device_id, a.action_ts_us, a.action) for a in actions)
+
+    pdf = (
+        io.probe_log(spark, sf_dir)
+        .select("device_id", "ts", "event_id", "ok")
+        .toPandas()
+        .sort_values(["device_id", "ts", "event_id"])
+    )
+    pdf["ts_us"] = pdf["ts"].astype("int64") // 1000  # same conversion as the UDF
+    want = sorted(
+        (dev, ts, act)
+        for dev, g in pdf.groupby("device_id")
+        for ts, act in replay_device(list(zip(g["ts_us"], g["ok"])))[0]
+    )
+    assert got == want
+
+    run_spans = [
+        (r.device_id, r.run_start_us, r.run_end_us)
+        for r in consecutive_failures(spark, sf_dir).collect()
+    ]
+    for d, ts, act in got:
         assert any(
-            d == a.device_id and s <= a.action_ts_us <= e for d, s, e in run_spans
-        ), f"action {a} outside every failure run"
-    emitted_devices_ts = {(a.device_id, a.action_ts_us) for a in actions}
-    for d, s, e in run_spans:
-        assert any(
-            dev == d and s <= ts <= e for dev, ts in emitted_devices_ts
-        ), f"run ({d},{s},{e}) produced no action"
+            dd == d and s <= ts <= e for dd, s, e in run_spans
+        ), f"action ({d},{ts},{act}) outside every failure run"
 
 
 def test_funnel_invariants(spark, sf_dir):
