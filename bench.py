@@ -36,10 +36,13 @@ BENCH_QUERIES = [
     "tumbling_hourly",
     "asof_probe_metric",
     "exact_dedup_docs",
+    "minhash_lsh_near_dup",
     "cosine_topk",
+    "ivf_topk",
     "token_stats",
     "quality_score",
     "curation_pipeline",
+    "weekly_retention",
     "shipping_priority_top10",
     "local_supplier_volume",
 ]

@@ -96,29 +96,43 @@ def minhash_lsh_near_dups(
     id_col: str = "doc_id",
     n_hashes: int = 24,
     n_bands: int = 6,
-    shingle_k: int = 1,
+    shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
-    The MinHash item set MUST match the verification granularity: both use
-    token k-shingles (default k=1 — unigram token sets, the right granularity
-    for bag-of-words similarity; raise k for order-sensitive corpora where
-    verification should also be over shingles). 6 bands × 4 rows → collision
-    probability ≈ 0.96 at Jaccard 0.8, ≈ 0.43 at 0.6.
+    The MinHash item set MUST match the verification granularity: both the
+    signature AND the verification Jaccard run over the same distinct token
+    k-shingle sets. Default k=3: contiguous 3-token shingles. k=1 (bag of
+    words) is the WRONG granularity for generated/templated corpora — on
+    this fixture random document pairs average unigram Jaccard 0.62 (shared
+    vocabulary), so unigram LSH buckets degenerate toward all-pairs (~7M
+    candidates from 5k docs), while 3-shingle baseline similarity is ~0.001
+    and only genuinely near-identical texts collide. 6 bands × 4 rows →
+    collision probability ≈ 0.96 at Jaccard 0.8, ≈ 0.43 at 0.6.
 
     Plan shape (the scale story):
       scan → shingle/signature (codegen, no shuffle)
       → explode band keys → shuffle on bucket key (tiny: id + signature)
       → per-bucket self-join (bucket cardinalities are near-1)
-      → distinct candidate pairs → join back to token sets → exact Jaccard.
+      → distinct candidate pairs → join back to shingle sets → exact Jaccard.
     Only candidate pairs ever materialize; the corpus is never self-joined.
     """
     rows_per_band = n_hashes // n_bands
-    base = df.select(
+    # Two-step projection ON PURPOSE: the signature references the shingle
+    # set n_hashes times, so inlining the shingling expression would make
+    # codegen re-tokenize/re-shingle the document once per hash function
+    # (measured 25× cost at sf0.1). Referencing a materialized column keeps
+    # CollapseProject from re-substituting (it refuses to duplicate a
+    # multiply-referenced non-cheap alias).
+    shingled = df.select(
         F.col(id_col).alias("doc_id"),
-        distinct_tokens(F.col(text_col)).alias("tok_set"),
-        minhash_signature(shingles(F.col(text_col), shingle_k), n_hashes).alias("sig"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("tok_set"),
+    )
+    base = shingled.select(
+        "doc_id",
+        "tok_set",
+        minhash_signature(F.col("tok_set"), n_hashes).alias("sig"),
     )
     # Bucket rows carry ONLY (bucket, id): a duplicate cluster of size m in
     # one bucket yields m^2 candidate id-pairs, but each is 16 bytes, not two
@@ -142,7 +156,10 @@ def minhash_lsh_near_dups(
         )
         .distinct()
     )
-    toks = base.select("doc_id", "tok_set")
+    # Join candidates back to `shingled`, not `base`: the pair verification
+    # needs only the shingle sets, and reusing `base` would recompute the
+    # 24-hash signatures a second time just to drop them.
+    toks = shingled
     return (
         pairs.join(toks.alias("ta"), pairs["doc_a"] == F.col("ta.doc_id"))
         .join(toks.alias("tb"), pairs["doc_b"] == F.col("tb.doc_id"))
@@ -161,16 +178,23 @@ def blocked_jaccard_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    shingle_k: int = 1,
 ) -> DataFrame:
     """Exact n-gram (token-set) Jaccard within coarse blocks (O-29 exact tier).
 
     The block key bounds the self-join quadratically per block instead of per
     corpus; block sizes stay O(corpus/|blocks|). Oracle-expressible, so this
-    tier also *verifies* the MinHash tier's recall in tests."""
+    tier also *verifies* the MinHash tier's recall in tests (pass the same
+    ``shingle_k`` as the LSH tier — k=1 is unigram token sets)."""
+    item_set = (
+        distinct_tokens(F.col(text_col))
+        if shingle_k == 1
+        else F.array_distinct(shingles(F.col(text_col), shingle_k))
+    )
     base = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("doc_id"),
-        distinct_tokens(F.col(text_col)).alias("tok_set"),
+        item_set.alias("tok_set"),
     )
     a = base.select(
         *block_cols,

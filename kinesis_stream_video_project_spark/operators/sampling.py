@@ -63,5 +63,34 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum sampling via ``sampleBy`` (e.g. downweight a dominant
     language). Seeded => deterministic within Spark, but engine-specific —
-    verified by property tests (per-stratum rates), not the SQL oracle."""
+    verified by property tests (per-stratum rates), not the SQL oracle.
+    Prefer :func:`stratified_sample_hashed` in pipelines: same rates, but
+    reproducible across engines and corpus rebuilds."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def stratified_sample_hashed(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key: str,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum sampling by content-hash bucket: keep a row when its
+    key's bucket falls below ``fraction * n_buckets`` for its stratum.
+
+    Same reproducibility contract as :func:`deterministic_sample` (pure
+    function of the key — stable across engines, runs and re-ingestion),
+    which ``sampleBy``'s seeded Bernoulli draw cannot give. Strata missing
+    from ``fractions`` are dropped, matching ``sampleBy``.
+    """
+    b = hash_bucket(F.col(key), n_buckets)
+    threshold = None
+    for stratum, frac in fractions.items():
+        cut = int(round(frac * n_buckets))
+        cond = F.col(strata_col) == stratum
+        threshold = (
+            F.when(cond, cut) if threshold is None else threshold.when(cond, cut)
+        )
+    threshold = threshold.otherwise(0) if threshold is not None else F.lit(0)
+    return df.filter(b < threshold)

@@ -8,7 +8,7 @@ crc32) — those are cross-verified in pytest instead (tests/test_llm_ops.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_stream_video_project_spark.functions.numeric import r4
@@ -404,14 +404,44 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_fingerprint", tags=("O-31", "O-32"))  # rows-only: crc32-based
+@register(
+    "doc_fingerprint",
+    tags=("O-31", "O-32"),
+    oracle="""
+SELECT doc_id,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS n_same_content,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS content_rep,
+       TRUE AS fp_consistent
+FROM documents
+""",
+)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial document fingerprint (O-31) via vectorized pandas
-    UDF — content identity robust to storage location; stability + collision
-    behavior asserted in pytest."""
+    UDF — content identity robust to storage location.
+
+    The fingerprint value itself is engine-specific, so the hashable output
+    is its correctness claim: the identity classes the fingerprint induces
+    must equal the exact content classes (md5 of the text) — same group
+    size, same representative, for every document. The oracle computes the
+    md5 classes and emits literal TRUE; a fingerprint collision or
+    instability flips ``fp_consistent`` and fails the driver hash.
+    Collision behavior is additionally asserted in pytest."""
     d = io.load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", udfs.pandas_rolling_fingerprint(F.col("text")).alias("fingerprint")
+    fp = d.select(
+        "doc_id",
+        udfs.pandas_rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        F.md5("text").alias("content_key"),
+    )
+    w_fp = Window.partitionBy("fingerprint")
+    w_md5 = Window.partitionBy("content_key")
+    return fp.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w_md5).alias("n_same_content"),
+        F.min("doc_id").over(w_md5).alias("content_rep"),
+        (
+            (F.count(F.lit(1)).over(w_fp) == F.count(F.lit(1)).over(w_md5))
+            & (F.min("doc_id").over(w_fp) == F.min("doc_id").over(w_md5))
+        ).alias("fp_consistent"),
     )
 
 
@@ -626,14 +656,25 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stratified_sample_docs", tags=("NS-sampling",))  # rows-only: sampleBy is engine-specific
+@register(
+    "stratified_sample_docs",
+    tags=("NS-sampling",),
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_DD_BUCKET} < CASE lang WHEN 'en' THEN 50 ELSE 100 END
+""",
+)
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language stratified downsampling via seeded sampleBy (e.g. rebalance
-    a corpus dominated by one language). Deterministic under a fixed seed but
-    engine-specific; per-stratum rates verified by property test."""
+    """Per-language stratified downsampling by content-hash bucket (e.g.
+    rebalance a corpus dominated by one language): keep 50% of 'en', all of
+    the rest. Unlike seeded sampleBy (kept as
+    operators/sampling.py::stratified_sample for the native-API surface),
+    the hash-bucket assignment is a pure function of doc_id — identical
+    across engines (oracle-checkable) and stable across corpus rebuilds."""
     d = io.load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "es": 1.0, "zh": 1.0, "de": 1.0, "fr": 1.0}
-    return sampling.stratified_sample(d, "lang", fractions).select(
+    return sampling.stratified_sample_hashed(d, "lang", fractions, key="doc_id").select(
         "doc_id", "lang", "source"
     )
 

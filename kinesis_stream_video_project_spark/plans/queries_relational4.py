@@ -492,19 +492,49 @@ def unsupplied_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentiles_value", tags=("O-08", "O-09"))  # rows-only: sketch-based
+@register(
+    "approx_percentiles_value",
+    tags=("O-08", "O-09"),
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       TRUE AS p50_in_bracket,
+       TRUE AS p95_in_bracket
+FROM events
+GROUP BY event_type
+""",
+)
 def approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest sketch) of event values per type — the
+    """approx_percentile (quantile sketch) of event values per type — the
     100 TB form of ordered statistics: mergeable fixed-size sketches instead
     of a full sort, so the shuffle carries kilobytes per group regardless of
-    row count. Rows-only (sketch internals are engine-specific); accuracy vs
-    the exact percentile operator is asserted within tolerance in
-    tests/test_operators.py."""
+    row count.
+
+    Sketch outputs are engine-specific, so the accuracy claim IS the
+    hashable output: with accuracy=1000 the rank error is bounded by n/1000,
+    so the approximate p50/p95 must lie inside the exact [p49, p51] /
+    [p94, p96] value brackets (computed with Spark's exact percentile in the
+    same pass). The oracle emits literal TRUE per group — a sketch outside
+    its guaranteed bracket flips the boolean and fails the driver hash."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        r4(F.expr("approx_percentile(value, 0.5, 1000)")).alias("p50_approx"),
-        r4(F.expr("approx_percentile(value, 0.95, 1000)")).alias("p95_approx"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("approx_percentile(value, 0.5, 1000)").alias("_a50"),
+            F.expr("approx_percentile(value, 0.95, 1000)").alias("_a95"),
+            F.expr("percentile(value, array(0.49D, 0.51D, 0.94D, 0.96D))").alias("_ex"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            ((F.col("_a50") >= F.col("_ex")[0]) & (F.col("_a50") <= F.col("_ex")[1])).alias(
+                "p50_in_bracket"
+            ),
+            ((F.col("_a95") >= F.col("_ex")[2]) & (F.col("_a95") <= F.col("_ex")[3])).alias(
+                "p95_in_bracket"
+            ),
+        )
     )
 
 

@@ -15,15 +15,18 @@ SPECS = registry.all_queries()
 
 
 def test_minhash_lsh_finds_strong_near_dups(spark, sf_dir):
-    """High-Jaccard pairs (>=0.8) from the exact blocked tier must be
-    recalled by MinHash-LSH (6 bands × 4 rows → collision prob
-    1-(1-0.8^4)^6 ≈ 0.96 at j=0.8, higher above). xxhash64 is deterministic,
-    so the measured recall is a fixed property of the fixture; assert a
-    margin below the expected ~0.96."""
+    """High-Jaccard pairs (>=0.8, 3-shingle granularity) from the exact
+    blocked tier must be recalled by MinHash-LSH at the SAME granularity
+    (6 bands × 4 rows → collision prob 1-(1-0.8^4)^6 ≈ 0.96 at j=0.8,
+    higher above). xxhash64 is deterministic, so the measured recall is a
+    fixed property of the fixture; assert a margin below the expected
+    ~0.96."""
     d = io.load_table(spark, sf_dir, "documents")
     exact = {
         (r.doc_a, r.doc_b)
-        for r in dedup.blocked_jaccard_near_dups(d, threshold=0.8).collect()
+        for r in dedup.blocked_jaccard_near_dups(
+            d, threshold=0.8, shingle_k=3
+        ).collect()
     }
     lsh = {
         (r.doc_a, r.doc_b)
@@ -37,10 +40,11 @@ def test_minhash_lsh_finds_strong_near_dups(spark, sf_dir):
 
 def test_minhash_jaccard_estimates_match_exact(spark, sf_dir):
     """For verified LSH pairs the reported jaccard is the exact one (the LSH
-    tier verifies candidates with exact Jaccard — no estimation error)."""
+    tier verifies candidates with exact Jaccard at the same 3-shingle
+    granularity — no estimation error)."""
     d = io.load_table(spark, sf_dir, "documents")
     lsh = dedup.minhash_lsh_near_dups(d, threshold=0.5)
-    exact = dedup.blocked_jaccard_near_dups(d, threshold=0.0)
+    exact = dedup.blocked_jaccard_near_dups(d, threshold=0.0, shingle_k=3)
     j = (
         lsh.alias("l")
         .join(exact.alias("e"), ["doc_a", "doc_b"])
@@ -96,13 +100,22 @@ def test_fingerprint_equals_pure_python(spark, sf_dir):
             acc = (acc * 31 + zlib.crc32(t.encode())) % MOD
         return acc
 
-    rows = SPECS["doc_fingerprint"].fn(spark, sf_dir).collect()
+    from kinesis_stream_video_project_spark.operators import udfs
+
+    d = io.load_table(spark, sf_dir, "documents")
+    rows = d.select(
+        "doc_id", udfs.pandas_rolling_fingerprint(F.col("text")).alias("fingerprint")
+    ).collect()
     docs = {
         r.doc_id: r.text
-        for r in io.load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        for r in d.select("doc_id", "text").collect()
     }
     for r in rows[:50]:
         assert r.fingerprint == fp(docs[r.doc_id])
+    # registered query asserts consistency with exact content classes
+    assert all(
+        r.fp_consistent for r in SPECS["doc_fingerprint"].fn(spark, sf_dir).collect()
+    )
 
 
 def test_multimodal_decode_deterministic(spark, sf_dir):
@@ -123,11 +136,11 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
 
 def test_approx_distinct_error_bounded(spark, sf_dir):
     l = io.load_table(spark, sf_dir, "lineitem")
-    approx = SPECS["approx_distinct"].fn(spark, sf_dir).collect()[0]
-    exact_parts = l.select("l_partkey").distinct().count()
-    exact_orders = l.select("l_orderkey").distinct().count()
-    assert abs(approx.approx_parts - exact_parts) / exact_parts < 0.1
-    assert abs(approx.approx_orders - exact_orders) / exact_orders < 0.1
+    row = SPECS["approx_distinct"].fn(spark, sf_dir).collect()[0]
+    assert row.exact_parts == l.select("l_partkey").distinct().count()
+    assert row.exact_orders == l.select("l_orderkey").distinct().count()
+    # the tolerance claim is the output itself (driver hashes it vs TRUE)
+    assert row.parts_within_2pct and row.orders_within_2pct
 
 
 def test_multimodal_resize_exact_bytes(spark, sf_dir):
@@ -178,8 +191,21 @@ def test_sampling_stability_and_rates(spark, sf_dir):
     # Disjoint and exhaustive by construction.
     assert sum(counts.values()) == n
 
-    strat = sampling.stratified_sample(d, "lang", {"en": 0.5, "es": 1.0, "zh": 1.0, "de": 1.0, "fr": 1.0})
-    kept = {r.lang: r.n for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    fracs = {"en": 0.5, "es": 1.0, "zh": 1.0, "de": 1.0, "fr": 1.0}
     full = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    strat = sampling.stratified_sample(d, "lang", fracs)
+    kept = {r.lang: r.n for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert kept["es"] == full["es"]  # fraction 1.0 keeps everything
     assert kept["en"] < full["en"]  # fraction 0.5 drops some
+
+    hashed = sampling.stratified_sample_hashed(d, "lang", fracs, key="doc_id")
+    kept_h = {r.lang: r.n for r in hashed.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert kept_h["es"] == full["es"]
+    assert kept_h["en"] < full["en"]
+    # pure function of key: identical sets across runs, and a stratum absent
+    # from fractions is dropped entirely
+    ids1 = {r.doc_id for r in hashed.collect()}
+    ids2 = {r.doc_id for r in sampling.stratified_sample_hashed(d, "lang", fracs, key="doc_id").collect()}
+    assert ids1 == ids2
+    none_kept = sampling.stratified_sample_hashed(d, "lang", {"en": 0.5}, key="doc_id")
+    assert none_kept.filter(F.col("lang") != "en").count() == 0
