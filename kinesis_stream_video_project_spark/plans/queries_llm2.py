@@ -1,0 +1,279 @@
+"""Training-data curation operators, round 2 (north-star extensions beyond
+SURVEY.md §2's r1 LLM set): the checks a 100 TB pretraining pipeline runs
+between raw corpus and tokenizer.
+
+* eval-set decontamination (n-gram collision against a held-out set),
+* train/test split leakage (exact content hash crossing splits),
+* PII detection / redaction accounting (JVM regex, no Python),
+* intra-document repetition scoring (the classic low-quality signal),
+* fixed-size token chunking with stride (sequence prep).
+
+All five are pure DataFrame expressions (codegen, zero Python) with DuckDB
+oracles; scale notes per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark.functions.text import tokens
+from kinesis_stream_video_project_spark.operators.dedup import shingles
+from kinesis_stream_video_project_spark.operators.sampling import hash_bucket
+from kinesis_stream_video_project_spark.plans.registry import register
+
+# DuckDB twins of the Spark-side building blocks (kept textually adjacent so
+# the two stay in lockstep):
+#   hash_bucket(doc_id)        -> _DD_BUCKET (see queries_llm.py)
+#   shingles(text, k)          -> _dd_ngrams(k)
+_DD_BUCKET = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100)"
+
+
+def _dd_ngrams(k: int, toks: str = "string_split(text, ' ')") -> str:
+    """DuckDB n-gram list matching operators/dedup.py::shingles: one shingle
+    per start position 1..max(len-k+1, 1); trailing short shingles join the
+    remaining tokens (array_to_string == concat_ws null-skipping)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {k - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))"
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    tags=("NS-curation", "O-29", "O-31"),
+    oracle=f"""
+WITH eval_grams AS (
+    SELECT DISTINCT UNNEST({_dd_ngrams(5)}) AS g
+    FROM documents WHERE {_DD_BUCKET} >= 90
+),
+train_grams AS (
+    SELECT doc_id, UNNEST(list_distinct({_dd_ngrams(5)})) AS g
+    FROM documents WHERE {_DD_BUCKET} < 80
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM train_grams t JOIN eval_grams e USING (g)
+GROUP BY t.doc_id
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (north-star): training documents whose
+    5-gram sets collide with the held-out eval split (hash-bucket >= 90,
+    the same split train_test_split_counts assigns), with the distinct
+    collision count — the standard n-gram contamination check run before
+    any benchmark number is trusted.
+
+    Scale shape: an eval/benchmark set is tiny relative to a 100 TB corpus,
+    so its distinct 5-gram set BROADCASTS; training documents explode to
+    distinct (doc_id, gram) pairs that hash-join the broadcast set locally
+    — no corpus shuffle at all, and the per-doc count aggregates on the
+    already-colocated doc_id. Contaminated-doc output is a tiny fraction of
+    the corpus by construction."""
+    d = io.load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    grams5 = F.array_distinct(shingles(F.col("text"), 5))
+    eval_grams = (
+        d.filter(b >= 90)
+        .select(F.explode(grams5).alias("g"))
+        .distinct()
+    )
+    train_grams = d.filter(b < 80).select(
+        "doc_id", F.explode(grams5).alias("g")
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+@register(
+    "split_leakage_check",
+    tags=("NS-curation", "O-28", "O-12"),
+    oracle=f"""
+WITH train AS (
+    SELECT md5(text) AS h, MIN(doc_id) AS train_rep, COUNT(*) AS n_train_copies
+    FROM documents WHERE {_DD_BUCKET} < 80
+    GROUP BY md5(text)
+)
+SELECT d.doc_id AS test_doc_id, t.train_rep, CAST(t.n_train_copies AS BIGINT) AS n_train_copies
+FROM documents d JOIN train t ON md5(d.text) = t.h
+WHERE {_DD_BUCKET} >= 90
+""",
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content leakage across the train/test split (north-star): the
+    hash-bucket split is keyed on doc_id, so two IDENTICAL texts ingested
+    under different ids can land on opposite sides — exactly the leak that
+    silently inflates eval numbers. Detected by joining content hashes of
+    the test split against the train split.
+
+    Scale shape: both sides reduce to (md5, id) — 16-byte digests shuffle,
+    never documents; the train side pre-aggregates one row per distinct
+    text before the join."""
+    d = io.load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    train = (
+        d.filter(b < 80)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("train_rep"),
+            F.count(F.lit(1)).alias("n_train_copies"),
+        )
+    )
+    test = d.filter(b >= 90).select(
+        F.col("doc_id").alias("test_doc_id"), F.md5("text").alias("h")
+    )
+    return test.join(train, "h").select(
+        "test_doc_id", "train_rep", "n_train_copies"
+    )
+
+
+# PII patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically: explicit classes, bounded repetition, no lookaround.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+_PHONE_RE = "[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+_IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+@register(
+    "pii_scrub",
+    tags=("NS-curation", "O-23"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS BIGINT)  AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '{_EMAIL_RE}', '<EMAIL>', 'g'),
+            '{_PHONE_RE}', '<PHONE>', 'g'),
+            '{_IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+FROM documents
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting (north-star): per-document
+    counts of email/phone/IPv4 matches and the md5 of the redacted text
+    (placeholders substituted) — the audit artifact a curation run logs
+    before the scrubbed corpus ships. All three patterns are JVM
+    `regexp_*` expressions inside codegen; the md5 keeps the output narrow
+    (the scrubbed text itself would be written to the output table, not
+    returned to a driver).
+
+    Scale: embarrassingly parallel scan — no shuffle, no Python."""
+    d = io.load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IPV4_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PHONE_RE}', 0)"))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_IPV4_RE}', 0)"))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "repetition_score",
+    tags=("NS-curation", "O-31"),
+    oracle=f"""
+SELECT doc_id,
+       (floor((1.0 - CAST(len(list_distinct({_dd_ngrams(2)})) AS DOUBLE)
+                   / len({_dd_ngrams(2)})) * 10000.0 + 0.5) / 10000.0) AS bigram_rep_ratio,
+       (floor((CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                    t -> len(list_filter(string_split(text, ' '), x -> x = t)))) AS DOUBLE)
+                   / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) AS top_token_ratio
+FROM documents
+""",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (north-star quality gate): the
+    fraction of repeated bigrams (1 - distinct/total) and the frequency
+    share of the single most common token — the two cheapest detectors of
+    degenerate/boilerplate text, thresholded upstream of training.
+
+    Scale: per-row expression evaluation only (no explode, no shuffle).
+    The top-token scan is O(unique x total) per document — bounded by
+    document length, the right trade against an explode + double shuffle
+    per corpus."""
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = shingles(F.col("text"), 2)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        r4(
+            1.0
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / F.size(bigrams).cast("double")
+        ).alias("bigram_rep_ratio"),
+        r4(top_count.cast("double") / F.size(toks).cast("double")).alias(
+            "top_token_ratio"
+        ),
+    )
+
+
+@register(
+    "chunk_documents",
+    tags=("NS-curation", "O-26"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(toks, s, s + 63)) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, s, s + 63), ' ')) AS chunk_md5
+FROM t, UNNEST(generate_series(1, greatest(len(toks) - 63, 1) + 47, 48)) AS u(s)
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with stride (north-star sequence prep):
+    64-token chunks every 48 tokens (16-token overlap), the final chunk
+    clipped at the document end — the standard pre-tokenizer windowing.
+    Emits chunk index/start/length plus the chunk md5 (the chunk text
+    itself ships to the output table at scale, not through the driver).
+
+    Scale: explode of an arithmetic sequence — output rows ~= corpus
+    tokens / stride, no shuffle; the chunk boundary math is identical
+    integer arithmetic in both engines."""
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - 63, F.lit(1)) + 47,
+        F.lit(48),
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / 48).cast("long").alias("chunk_idx"),
+            F.col("s").cast("long").alias("chunk_start"),
+            F.size(F.slice(F.col("toks"), F.col("s"), 64))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), 64))).alias(
+                "chunk_md5"
+            ),
+        )
+    )

@@ -180,6 +180,7 @@ def _load_all() -> None:
         queries_windows,
         queries_events,
         queries_llm,
+        queries_llm2,
         queries_streaming_twins,
     )
 

@@ -75,6 +75,11 @@ def test_relational_paths_stay_jvm_side(spark, sf_dir):
         "normalized_dedup_docs",
         "cosine_topk",
         "deterministic_sample_docs",
+        "decontaminate_ngram_overlap",
+        "split_leakage_check",
+        "pii_scrub",
+        "repetition_score",
+        "chunk_documents",
     ):
         plan = plan_of(spark, sf_dir, name)
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
