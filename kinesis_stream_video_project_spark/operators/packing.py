@@ -1,0 +1,79 @@
+"""Greedy sequence packing — the step between chunking and the tokenizer in
+a pretraining pipeline: concatenate documents/chunks into fixed-budget
+sequences (e.g. 512 tokens) so padding waste stays low.
+
+Packing is an inherently sequential fold (bin boundaries depend on every
+prior row), so it cannot be a window/aggregate expression; the Spark form is
+``applyInPandas`` per pack group with an explicitly ordered walk — the same
+grouped-Arrow pattern as the watchdog batch twin (O-22/O-33). Groups are the
+parallelism unit: pack within (source) — or (source, shard) at 100 TB — and
+every group folds independently on its executor; no state crosses groups.
+
+``greedy_fill`` is the single source of truth for the fold; the pandas path
+and the pytest pure-Python twin both call it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def greedy_fill(sizes: list[int], budget: int) -> list[tuple[int, int]]:
+    """Greedy first-fit-in-order packing: walk items in order, open a new
+    bin when the current one cannot take the next item. Oversized items
+    (> budget) get a bin of their own.
+
+    Returns [(bin_idx, bin_fill_after_item), ...] aligned with ``sizes``.
+    """
+    out: list[tuple[int, int]] = []
+    bin_idx, fill = 0, 0
+    for s in sizes:
+        if fill > 0 and fill + s > budget:
+            bin_idx += 1
+            fill = 0
+        fill += s
+        out.append((bin_idx, fill))
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign each row a ``bin_idx`` (and running ``bin_fill``) such that
+    consecutive rows (by ``order_col``, within ``group_col``) sharing a bin
+    sum to at most ``budget`` in ``size_col`` (single oversize rows get
+    their own bin)."""
+    out_schema = (
+        StructType()
+        .add(group_col, df.schema[group_col].dataType)
+        .add(order_col, df.schema[order_col].dataType)
+        .add(size_col, "long")
+        .add("bin_idx", "long")
+        .add("bin_fill", "long")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        assignment = greedy_fill(pdf[size_col].tolist(), budget)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].values,
+                order_col: pdf[order_col].values,
+                size_col: pdf[size_col].astype("int64").values,
+                "bin_idx": [b for b, _ in assignment],
+                "bin_fill": [f for _, f in assignment],
+            }
+        )
+
+    return (
+        df.select(group_col, order_col, F.col(size_col).cast("long").alias(size_col))
+        .groupBy(group_col)
+        .applyInPandas(pack, out_schema)
+    )

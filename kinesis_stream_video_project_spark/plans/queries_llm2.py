@@ -14,7 +14,7 @@ oracles; scale notes per query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_stream_video_project_spark import io
@@ -230,6 +230,109 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(top_count.cast("double") / F.size(toks).cast("double")).alias(
             "top_token_ratio"
         ),
+    )
+
+
+@register(
+    "tfidf_topk",
+    tags=("NS-curation", "O-30", "O-31"),
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           UNNEST(string_split(text, ' ')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+    FROM tok GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+q AS (
+    SELECT term, df FROM df ORDER BY df DESC, term LIMIT 5
+),
+scored AS (
+    SELECT tf.doc_id,
+           SUM((CAST(tf.tf AS DOUBLE) / tf.dl)
+               * ((n.n_docs - q.df + 0.5) / (q.df + 0.5))) AS raw
+    FROM tf JOIN q USING (term) CROSS JOIN n
+    GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (floor((raw) * 10000.0 + 0.5) / 10000.0) AS score,
+       CAST(row_number() OVER (
+            ORDER BY (floor((raw) * 10000.0 + 0.5) / 10000.0) DESC, doc_id
+       ) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 20
+""",
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF retrieval top-k (north-star: the lexical tier of similarity
+    search, next to cosine_topk's embedding tier): score every document
+    against a query — here the corpus's 5 highest-document-frequency terms,
+    derived identically in both engines — and return the top 20.
+
+    The idf is the RATIONAL BM25 idf core (N - df + 0.5)/(df + 0.5)
+    *without* the log: log implementations differ across libm builds by
+    ulps, which a hash check cannot tolerate, while +,*,/ are IEEE-exact in
+    both engines; the ranking is the same monotone order per term. Ranking
+    runs over the ROUNDED score (4 dp) with doc_id tiebreak so cross-engine
+    summation-order noise (~1e-16) cannot flip ranks.
+
+    Scale shape: postings (doc_id, term, tf) shuffle once on term for the
+    df aggregate; the 5-term query set and the 1-row corpus count broadcast
+    back onto the postings; top-20 rides TakeOrderedAndProject. At 100 TB
+    the postings table is the materialized inverted index."""
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tok = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    q = df_.orderBy(F.col("df").desc(), F.col("term")).limit(5)
+    contrib = (F.col("tf").cast("double") / F.col("dl")) * (
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("raw"))
+        .select("doc_id", r4(F.col("raw")).alias("score"))
+    )
+    # Top-k FIRST (sort+limit => TakeOrderedAndProject, no global sort
+    # materialization), THEN rank the 20 survivors — ranking the full corpus
+    # with an unpartitioned window would funnel every doc through one task.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@register("seq_pack_docs", tags=("NS-curation", "O-33"))  # rows-only: sequential fold
+def seq_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (north-star): concatenate documents into
+    512-token training sequences per source, in doc_id order — the padding-
+    waste killer between chunking and tokenization. A sequential fold (bin
+    boundaries depend on all prior rows), so it runs as applyInPandas per
+    source (operators/packing.py), the grouped-Arrow pattern; rows-only for
+    the driver, greedy-fold equality + budget invariants in pytest."""
+    from kinesis_stream_video_project_spark.operators.packing import pack_sequences
+
+    d = io.load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences(
+        sized, group_col="source", order_col="doc_id", size_col="n_tokens", budget=512
     )
 
 

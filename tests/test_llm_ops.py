@@ -209,3 +209,40 @@ def test_sampling_stability_and_rates(spark, sf_dir):
     assert ids1 == ids2
     none_kept = sampling.stratified_sample_hashed(d, "lang", {"en": 0.5}, key="doc_id")
     assert none_kept.filter(F.col("lang") != "en").count() == 0
+
+
+def test_seq_packing_matches_pure_python_and_budget(spark, sf_dir):
+    """Spark applyInPandas packing == the greedy_fill pure fold per source;
+    every bin fits the budget unless it holds a single oversize item; bin
+    indices are consecutive from 0 in doc_id order."""
+    from kinesis_stream_video_project_spark.operators.packing import greedy_fill
+
+    BUDGET = 512
+    rows = SPECS["seq_pack_docs"].fn(spark, sf_dir).collect()
+    by_source: dict = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for source, rs in by_source.items():
+        want = greedy_fill([r.n_tokens for r in rs], BUDGET)
+        got = [(r.bin_idx, r.bin_fill) for r in rs]
+        assert got == want, f"{source}: packing diverges from pure fold"
+        fills: dict = {}
+        counts: dict = {}
+        for r in rs:
+            fills[r.bin_idx] = max(fills.get(r.bin_idx, 0), r.bin_fill)
+            counts[r.bin_idx] = counts.get(r.bin_idx, 0) + 1
+        assert sorted(fills) == list(range(len(fills)))  # consecutive bins
+        for b, fill in fills.items():
+            assert fill <= BUDGET or counts[b] == 1, f"{source} bin {b} overflows"
+
+
+def test_greedy_fill_properties():
+    from kinesis_stream_video_project_spark.operators.packing import greedy_fill
+
+    assert greedy_fill([], 10) == []
+    assert greedy_fill([3, 3, 3, 3], 6) == [(0, 3), (0, 6), (1, 3), (1, 6)]
+    # oversize item gets its own bin; packing continues after it
+    assert greedy_fill([4, 20, 4, 4], 8) == [(0, 4), (1, 20), (2, 4), (2, 8)]
+    # order is respected: no lookahead/reordering (first-fit-in-order)
+    assert greedy_fill([5, 4, 1], 5) == [(0, 5), (1, 4), (1, 5)]
