@@ -127,6 +127,108 @@ def ivf_topk(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    n_cells: int = 10,
+    n_iters: int = 2,
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means cell assignment, entirely as DataFrame ops —
+    the learned replacement for :func:`centroids_by_label`'s label proxy.
+
+    * init: cell = vec_id % n_cells (deterministic, no RNG — reproducible
+      across runs/engines, which sampled init is not);
+    * each Lloyd iteration: broadcast the K centroids, assign every vector
+      to its max-cosine centroid (deterministic tiebreak on cell id),
+      recompute centroids via posexplode + (cell, dim) aggregation.
+
+    Cost per iteration: one broadcast (K x dim doubles), one corpus-linear
+    assignment (no shuffle), one (cell, dim)-keyed aggregation whose input
+    is corpus x dim rows with map-side partial means — at 100 TB this is
+    the standard distributed Lloyd step. n_iters is a fixed small constant
+    (the plan unrolls; no driver-side collect anywhere).
+
+    Returns (corpus_id, cell)."""
+    assigned = corpus.select(
+        F.col(corpus_id), F.col(vec), (F.col(corpus_id) % n_cells).alias("cell")
+    )
+    for _ in range(n_iters):
+        cents = (
+            assigned.select(F.col("cell"), F.posexplode(vec).alias("dim", "c"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("c").cast("double")).alias("mean_c"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mean_c")))
+                ).alias("_pairs")
+            )
+            .select(
+                F.col("cell").alias("_ccell"),
+                F.transform(F.col("_pairs"), lambda p: p.getField("mean_c")).alias(
+                    "centroid"
+                ),
+            )
+        )
+        # Nearest centroid via max_by with a (cos, -cell) ordering struct:
+        # deterministic tiebreak (smaller cell wins), and the K candidate
+        # rows per vector reduce MAP-SIDE (partial max_by) — the shuffle
+        # carries one row per vector, not K.
+        assigned = (
+            assigned.drop("cell")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                corpus_id,
+                F.col(vec),
+                F.col("_ccell"),
+                cosine(F.col(vec), F.col("centroid")).alias("_cos"),
+            )
+            .groupBy(corpus_id)
+            .agg(
+                F.any_value(F.col(vec)).alias(vec),  # constant per vec_id
+                F.max_by(
+                    F.col("_ccell"),
+                    F.struct(F.col("_cos").alias("c"), (-F.col("_ccell")).alias("t")),
+                ).alias("cell"),
+            )
+        )
+    return assigned.select(corpus_id, "cell")
+
+
+def ivf_topk_kmeans(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    n_cells: int = 10,
+    n_iters: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over LEARNED k-means cells: same probe shape as
+    :func:`ivf_topk`, but the cells come from :func:`kmeans_assign` instead
+    of the fixture label — directional clusters instead of an arbitrary
+    proxy, which is what lifts recall@k at a fixed nprobe. At 100 TB the
+    assignment is a one-off index build written out as the partition
+    column."""
+    cells = kmeans_assign(
+        corpus, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
+    )
+    indexed = corpus.join(cells, corpus_id)
+    return ivf_topk(
+        queries,
+        indexed,
+        k=k,
+        nprobe=nprobe,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec=vec,
+        label="cell",
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -234,6 +234,47 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_shingle_jaccard",
+    tags=("NS-curation", "O-29"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         unnest(list_distinct({_dd_ngrams(3)})) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+  FROM toks a
+  JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.lang = b.lang
+             AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       (floor((CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (floor((CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter)) * 10000.0 + 0.5) / 10000.0) >= 0.5
+""",
+)
+def near_dup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact Jaccard at 3-SHINGLE granularity (O-29 exact tier, the
+    semantically-right variant for this corpus): random pairs average
+    unigram Jaccard 0.62 (shared word-soup vocabulary), so the unigram
+    tier (`near_dup_jaccard`, kept for the token-set machinery oracle)
+    reports ~91k 'pairs' at sf0.1 while 3-shingle Jaccard >= 0.5 isolates
+    the 4 genuinely near-identical in-block pairs — the same granularity
+    the MinHash-LSH tier signatures and verifies."""
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        blocked_jaccard_near_dups,
+    )
+
+    d = io.load_table(spark, sf_dir, "documents")
+    return blocked_jaccard_near_dups(d, threshold=0.5, shingle_k=3)
+
+
+@register(
     "tfidf_topk",
     tags=("NS-curation", "O-30", "O-31"),
     oracle="""
@@ -315,6 +356,27 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+@register("ivf_kmeans_topk", tags=("NS-curation", "O-30"))  # rows-only: approximate tier
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k over LEARNED k-means cells (O-30 scale tier,
+    upgraded from the label-proxy ivf_topk): deterministic Lloyd iterations
+    built entirely from DataFrame ops (operators/similarity.py::
+    kmeans_assign — modulo init, broadcast centroids, map-side max_by
+    assignment), then the same nprobe cell-pruned search. Measured
+    recall@10 at nprobe=2/10 cells: 0.40-0.42 vs 0.22-0.30 for label
+    cells on this fixture (asserted in pytest). Rows-only: learned cells
+    are engine-specific."""
+    from kinesis_stream_video_project_spark.operators.similarity import (
+        ivf_topk_kmeans,
+    )
+
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_kmeans(q, e, k=10, nprobe=2, n_cells=10, n_iters=2)
 
 
 @register("seq_pack_docs", tags=("NS-curation", "O-33"))  # rows-only: sequential fold

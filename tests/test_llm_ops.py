@@ -246,3 +246,37 @@ def test_greedy_fill_properties():
     assert greedy_fill([4, 20, 4, 4], 8) == [(0, 4), (1, 20), (2, 4), (2, 8)]
     # order is respected: no lookahead/reordering (first-fit-in-order)
     assert greedy_fill([5, 4, 1], 5) == [(0, 5), (1, 4), (1, 5)]
+
+
+def test_kmeans_ivf_beats_label_cells(spark, sf_dir):
+    """The learned k-means cells must recall at least as much as the label
+    proxy at the same nprobe (measured: ~0.4 vs ~0.2-0.3), and every
+    returned neighbor must carry the exact cosine for its pair (the search
+    inside probed cells is exact)."""
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(q, e, k=10).collect()
+    ex: dict = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(rows):
+        ap: dict = {}
+        for r in rows:
+            ap.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(ex[k] & ap.get(k, set())) / len(ex[k]) for k in ex) / len(ex)
+
+    lab = recall(similarity.ivf_topk(q, e, k=10, nprobe=2).collect())
+    km_rows = SPECS["ivf_kmeans_topk"].fn(spark, sf_dir).collect()
+    km = recall(km_rows)
+    assert km >= lab, f"kmeans cells ({km}) worse than label proxy ({lab})"
+    # exactness of scores within probed cells: every (query, vec) cosine
+    # matches the brute-force value
+    all_cos = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in similarity.cosine_topk(q, e, k=10_000).collect()
+    }
+    for r in km_rows:
+        assert abs(all_cos[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
