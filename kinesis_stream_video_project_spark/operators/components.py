@@ -1,0 +1,71 @@
+"""Connected components over a pair list — the consolidation step of a
+dedup pipeline: near-dup PAIRS (from any tier: exact, MinHash-LSH, shingle
+Jaccard, embedding cosine) become dup CLUSTERS, each keeping one canonical
+survivor. Pairwise output alone under-deletes: if A~B and B~C but A!~C,
+pair-based removal can keep two of the three.
+
+Algorithm: iterative min-label propagation (the DataFrame form of
+Hash-to-Min): every node starts labeled with itself; each round, a node
+adopts the minimum label among itself and its neighbors; converged when no
+label changes. Rounds = O(component diameter) — near-dup clusters are
+dense and shallow (diameter 2-3 in practice), so a handful of rounds
+suffices; each round is one join + one min-aggregate, both keyed on the
+node id so AQE reuses the partitioning. The driver-side loop only checks a
+1-row convergence count per round (no data collected).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Min-label connected components of the undirected graph given by
+    (a_col, b_col) pairs. Returns (node, component) where component is the
+    minimum node id reachable from the node; only nodes appearing in pairs
+    are returned (everything else is its own singleton by definition)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # Break lineage each round: without this, round k recomputes rounds
+        # 1..k-1 for both the convergence probe and the next join, and the
+        # plan grows without bound (at scale you would persist/checkpoint
+        # exactly the same way).
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -275,6 +275,90 @@ def near_dup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_clusters",
+    tags=("NS-curation", "O-28", "O-29"),
+    oracle=f"""
+WITH RECURSIVE
+raw_pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM documents a JOIN documents b
+      ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    UNION
+    SELECT doc_a, doc_b FROM (
+        WITH toks AS (
+          SELECT doc_id, source, lang,
+                 unnest(list_distinct({_dd_ngrams(3)})) AS tok
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+          FROM toks a
+          JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.lang = b.lang
+                     AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE (floor((CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter)) * 10000.0 + 0.5) / 10000.0) >= 0.5
+    )
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM raw_pairs
+    UNION
+    SELECT doc_b, doc_a FROM raw_pairs
+),
+reach(node, label) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT c.node AS doc_id,
+       c.component AS cluster_rep,
+       CAST(s.n AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS n FROM comp GROUP BY component) s
+  USING (component)
+""",
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster consolidation (north-star): union the exact-dup
+    pairs (content-hash self-join) with the 3-shingle near-dup pairs, take
+    CONNECTED COMPONENTS (operators/components.py — iterative min-label
+    propagation, the DataFrame Hash-to-Min), and emit each clustered doc
+    with its canonical representative (min doc_id) and cluster size.
+    Pairwise dedup under-deletes on transitive chains (A~B, B~C, A!~C);
+    components are what an actual curation run keeps/drops by. The oracle
+    replays the same edges through a recursive CTE."""
+    from kinesis_stream_video_project_spark.operators.components import (
+        connected_components,
+    )
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        blocked_jaccard_near_dups,
+    )
+
+    d = io.load_table(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.md5("text").alias("h"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.md5("text").alias("h"))
+    exact_pairs = (
+        a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    )
+    near_pairs = blocked_jaccard_near_dups(d, threshold=0.5, shingle_k=3).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(exact_pairs.union(near_pairs).distinct())
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_rep"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+@register(
     "tfidf_topk",
     tags=("NS-curation", "O-30", "O-31"),
     oracle="""

@@ -280,3 +280,37 @@ def test_kmeans_ivf_beats_label_cells(spark, sf_dir):
     }
     for r in km_rows:
         assert abs(all_cos[(r.query_id, r.vec_id)] - r.cos_sim) < 1e-9
+
+
+def test_connected_components_transitive_and_minimal(spark):
+    """Chains collapse to one component labeled by the minimum node; disjoint
+    cliques stay separate; convergence beats max_iters on a path graph
+    (diameter > 2)."""
+    from kinesis_stream_video_project_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # path 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dup_clusters_cover_exact_groups(spark, sf_dir):
+    """Every multi-member exact-dup group must appear inside one cluster
+    with a size at least the group's size (near-dup edges can only merge
+    clusters, never split them)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    groups = dedup.exact_dedup_groups(d).filter(F.col("dup_count") > 1).collect()
+    clusters = SPECS["dup_clusters"].fn(spark, sf_dir).collect()
+    by_doc = {r.doc_id: (r.cluster_rep, r.cluster_size) for r in clusters}
+    for g in groups:
+        rep, size = by_doc[g.canonical_doc_id]
+        assert size >= g.dup_count
