@@ -482,6 +482,151 @@ def seq_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_V2_ORACLE = f"""
+WITH RECURSIVE
+train AS (
+    SELECT doc_id, lang, source, text,
+           len(string_split(text, ' ')) AS n_toks
+    FROM documents WHERE {_DD_BUCKET} < 80
+),
+rep AS (
+    SELECT doc_id,
+           (floor((1.0 - CAST(len(list_distinct({_dd_ngrams(2)})) AS DOUBLE)
+                       / len({_dd_ngrams(2)})) * 10000.0 + 0.5) / 10000.0) AS bigram_rep_ratio,
+           (floor((CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                        t -> len(list_filter(string_split(text, ' '), x -> x = t)))) AS DOUBLE)
+                       / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) AS top_token_ratio
+    FROM documents
+),
+pii AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))
+         + len(regexp_extract_all(text, '{_PHONE_RE}'))
+         + len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_pii
+    FROM documents
+),
+eval_grams AS (
+    SELECT DISTINCT UNNEST({_dd_ngrams(5)}) AS g
+    FROM documents WHERE {_DD_BUCKET} >= 90
+),
+contaminated AS (
+    SELECT DISTINCT t.doc_id
+    FROM (SELECT doc_id, UNNEST(list_distinct({_dd_ngrams(5)})) AS g
+          FROM documents WHERE {_DD_BUCKET} < 80) t
+    JOIN eval_grams e USING (g)
+),
+raw_pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM documents a JOIN documents b
+      ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    UNION
+    SELECT doc_a, doc_b FROM (
+        WITH toks AS (
+          SELECT doc_id, source, lang,
+                 unnest(list_distinct({_dd_ngrams(3)})) AS tok
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+          FROM toks a
+          JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.lang = b.lang
+                     AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE (floor((CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter)) * 10000.0 + 0.5) / 10000.0) >= 0.5
+    )
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM raw_pairs
+    UNION
+    SELECT doc_b, doc_a FROM raw_pairs
+),
+reach(node, label) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+),
+non_reps AS (
+    SELECT node AS doc_id FROM (
+        SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ) WHERE node != component
+)
+SELECT t.lang, t.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(t.n_toks) AS BIGINT) AS total_tokens
+FROM train t
+JOIN rep USING (doc_id)
+JOIN pii USING (doc_id)
+WHERE rep.bigram_rep_ratio <= 0.1
+  AND rep.top_token_ratio <= 0.2
+  AND pii.n_pii = 0
+  AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND t.doc_id NOT IN (SELECT doc_id FROM non_reps)
+GROUP BY t.lang, t.source
+ORDER BY t.lang, t.source
+"""
+
+
+@register(
+    "curation_pipeline_v2",
+    tags=("NS-curation", "O-28", "O-29", "O-31"),
+    oracle=_V2_ORACLE,
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation over the round-2 operators, composed from the
+    SAME registered stages a user would run individually (north-star): the
+    train split, gated on repetition (bigram repeat <= 0.1, top-token
+    share <= 0.2, thresholds on the 4-dp portable rounding), PII-free,
+    decontaminated against the eval split's 5-grams, and reduced to
+    dup-cluster representatives — then the per-(lang, source) doc/token
+    budget a tokenizer run would consume.
+
+    Scale shape: every stage join is keyed on doc_id (one partitioning
+    reused end-to-end); the contamination and non-rep sides arrive as
+    anti-joins of SMALL sets (contaminated docs and non-representative
+    cluster members are tiny fractions of a corpus by construction), so
+    the train scan flows through without re-shuffling on anything else."""
+    d = io.load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    train = d.filter(b < 80).select(
+        "doc_id", "lang", "source", F.size(tokens(F.col("text"))).alias("n_toks")
+    )
+    rep = repetition_score(spark, sf_dir)
+    pii = pii_scrub(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ipv4")).alias("n_pii"),
+    )
+    contaminated = decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
+    non_reps = (
+        dup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_rep"))
+        .select("doc_id")
+    )
+    gated = (
+        train.join(rep, "doc_id")
+        .filter(
+            (F.col("bigram_rep_ratio") <= 0.1) & (F.col("top_token_ratio") <= 0.2)
+        )
+        .join(pii, "doc_id")
+        .filter(F.col("n_pii") == 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .join(non_reps, "doc_id", "left_anti")
+    )
+    return (
+        gated.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 @register(
     "chunk_documents",
     tags=("NS-curation", "O-26"),
