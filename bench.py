@@ -42,10 +42,18 @@ BENCH_QUERIES = [
     "token_stats",
     "quality_score",
     "curation_pipeline",
+    "curation_pipeline_v2",
+    "tfidf_topk",
     "weekly_retention",
     "shipping_priority_top10",
     "local_supplier_volume",
 ]
+# NOT benched: dup_clusters — its connected-components iterations execute
+# eagerly at query-construction time (per-round localCheckpoint +
+# convergence probes), so the timed noop write would only measure the final
+# join and report a misleading ~0.1 s. curation_pipeline_v2 includes the
+# same eager cluster build (also untimed) but its timed portion covers the
+# full lazy recompute of every other stage.
 
 
 def bench_streaming(spark, sf_dir: str) -> float:

@@ -149,3 +149,25 @@ def test_no_unpartitioned_windows(spark, sf_dir):
             continue
         plan = plan_of(spark, sf_dir, name)
         assert not pat.search(plan), f"{name}: unpartitioned window\n{plan}"
+
+
+def test_round2_curation_plan_shapes(spark, sf_dir):
+    """The round-2 curation queries must keep their scale shapes: TF-IDF's
+    top-k rides TakeOrderedAndProject (no global sort materialization) with
+    the query-term set broadcast; decontamination broadcasts the eval-gram
+    set and stays within its 2-exchange budget (eval distinct + per-doc
+    count); leakage is a digest join with a single exchange."""
+    plan = plan_of(spark, sf_dir, "tfidf_topk")
+    assert "TakeOrderedAndProject" in plan, f"tfidf_topk: global sort\n{plan}"
+    assert plan.count("BroadcastHashJoin") >= 1
+
+    plan = plan_of(spark, sf_dir, "decontaminate_ngram_overlap")
+    assert plan.count("BroadcastHashJoin") >= 1, f"eval grams not broadcast\n{plan}"
+    assert count_exchanges(plan) <= 2, f"decontamination shuffle budget\n{plan}"
+
+    plan = plan_of(spark, sf_dir, "split_leakage_check")
+    assert count_exchanges(plan) <= 2, f"leakage shuffle budget\n{plan}"
+    for name in ("tfidf_topk", "decontaminate_ngram_overlap", "split_leakage_check"):
+        p = plan_of(spark, sf_dir, name)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in p, f"{name}: Python in hot path"
