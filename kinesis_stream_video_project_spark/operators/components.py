@@ -25,11 +25,20 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Min-label connected components of the undirected graph given by
     (a_col, b_col) pairs. Returns (node, component) where component is the
     minimum node id reachable from the node; only nodes appearing in pairs
-    are returned (everything else is its own singleton by definition)."""
+    are returned (everything else is its own singleton by definition).
+
+    ``reliable_checkpoint=False`` breaks lineage with ``localCheckpoint``
+    (executor-local blocks — fine for tests and short jobs, lost on executor
+    failure and pinning executor storage). At 100 TB run with
+    ``reliable_checkpoint=True`` and a configured
+    ``spark.sparkContext.setCheckpointDir`` (HDFS/S3): each round's labels
+    are written to the checkpoint dir, so a lost executor replays from the
+    last round, not from round 0."""
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -55,9 +64,11 @@ def connected_components(
         )
         # Break lineage each round: without this, round k recomputes rounds
         # 1..k-1 for both the convergence probe and the next join, and the
-        # plan grows without bound (at scale you would persist/checkpoint
-        # exactly the same way).
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # plan grows without bound.
+        if reliable_checkpoint:
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -6,8 +6,12 @@ Packing is an inherently sequential fold (bin boundaries depend on every
 prior row), so it cannot be a window/aggregate expression; the Spark form is
 ``applyInPandas`` per pack group with an explicitly ordered walk — the same
 grouped-Arrow pattern as the watchdog batch twin (O-22/O-33). Groups are the
-parallelism unit: pack within (source) — or (source, shard) at 100 TB — and
-every group folds independently on its executor; no state crosses groups.
+parallelism unit, and a whole-``source`` group is a parallelism CEILING: with
+a handful of sources at 100 TB, packing degenerates to a few giant sequential
+tasks. ``pack_sequences`` therefore folds within ``(group, shard)`` where
+``shard = hash_bucket(order_col) % n_shards`` — packing is an order-dependent
+heuristic, so per-shard bin boundaries are an acceptable semantic (each shard
+wastes at most one partial bin), and parallelism scales as sources × shards.
 
 ``greedy_fill`` is the single source of truth for the fold; the pandas path
 and the pytest pure-Python twin both call it.
@@ -19,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from kinesis_stream_video_project_spark.operators.sampling import hash_bucket
 
 
 def greedy_fill(sizes: list[int], budget: int) -> list[tuple[int, int]]:
@@ -45,14 +51,24 @@ def pack_sequences(
     order_col: str,
     size_col: str,
     budget: int,
+    n_shards: int = 8,
 ) -> DataFrame:
-    """Assign each row a ``bin_idx`` (and running ``bin_fill``) such that
-    consecutive rows (by ``order_col``, within ``group_col``) sharing a bin
-    sum to at most ``budget`` in ``size_col`` (single oversize rows get
-    their own bin)."""
+    """Assign each row a ``shard`` and a ``bin_idx`` (plus running
+    ``bin_fill``) such that consecutive rows (by ``order_col``, within
+    ``(group_col, shard)``) sharing a bin sum to at most ``budget`` in
+    ``size_col`` (single oversize rows get their own bin).
+
+    ``shard = hash_bucket(order_col, n_shards)`` — the portable md5 bucket
+    (operators/sampling.py), so the shard assignment, like the fold itself,
+    is a pure function of the row and reproducible across engines. Bins are
+    namespaced per (group, shard); downstream consumers treat (group_col,
+    shard, bin_idx) as the sequence key. ``n_shards=1`` recovers the
+    whole-group fold.
+    """
     out_schema = (
         StructType()
         .add(group_col, df.schema[group_col].dataType)
+        .add("shard", "long")
         .add(order_col, df.schema[order_col].dataType)
         .add(size_col, "long")
         .add("bin_idx", "long")
@@ -65,6 +81,7 @@ def pack_sequences(
         return pd.DataFrame(
             {
                 group_col: pdf[group_col].values,
+                "shard": pdf["shard"].astype("int64").values,
                 order_col: pdf[order_col].values,
                 size_col: pdf[size_col].astype("int64").values,
                 "bin_idx": [b for b, _ in assignment],
@@ -73,7 +90,12 @@ def pack_sequences(
         )
 
     return (
-        df.select(group_col, order_col, F.col(size_col).cast("long").alias(size_col))
-        .groupBy(group_col)
+        df.select(
+            group_col,
+            hash_bucket(F.col(order_col), n_shards).alias("shard"),
+            order_col,
+            F.col(size_col).cast("long").alias(size_col),
+        )
+        .groupBy(group_col, "shard")
         .applyInPandas(pack, out_schema)
     )

@@ -509,11 +509,13 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("seq_pack_docs", tags=("NS-curation", "O-33"))  # rows-only: sequential fold
 def seq_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (north-star): concatenate documents into
-    512-token training sequences per source, in doc_id order — the padding-
-    waste killer between chunking and tokenization. A sequential fold (bin
-    boundaries depend on all prior rows), so it runs as applyInPandas per
-    source (operators/packing.py), the grouped-Arrow pattern; rows-only for
-    the driver, greedy-fold equality + budget invariants in pytest."""
+    512-token training sequences per (source, shard), in doc_id order — the
+    padding-waste killer between chunking and tokenization. A sequential
+    fold (bin boundaries depend on all prior rows), so it runs as
+    applyInPandas per (source, md5-bucket(doc_id) % 8) shard
+    (operators/packing.py) — sharding restores linear parallelism when a
+    corpus has few sources; rows-only for the driver, greedy-fold equality +
+    budget invariants in pytest."""
     from kinesis_stream_video_project_spark.operators.packing import pack_sequences
 
     d = io.load_table(spark, sf_dir, "documents")

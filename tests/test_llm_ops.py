@@ -212,21 +212,31 @@ def test_sampling_stability_and_rates(spark, sf_dir):
 
 
 def test_seq_packing_matches_pure_python_and_budget(spark, sf_dir):
-    """Spark applyInPandas packing == the greedy_fill pure fold per source;
-    every bin fits the budget unless it holds a single oversize item; bin
-    indices are consecutive from 0 in doc_id order."""
+    """Spark applyInPandas packing == the greedy_fill pure fold per
+    (source, shard); the shard is the portable md5 bucket of doc_id (same
+    fold as DuckDB would compute); every bin fits the budget unless it
+    holds a single oversize item; bin indices are consecutive from 0 in
+    doc_id order within each shard."""
+    import hashlib
+
     from kinesis_stream_video_project_spark.operators.packing import greedy_fill
+
+    def md5_shard(key, n=8):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % n
 
     BUDGET = 512
     rows = SPECS["seq_pack_docs"].fn(spark, sf_dir).collect()
-    by_source: dict = {}
-    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
-        by_source.setdefault(r.source, []).append(r)
-    assert by_source
-    for source, rs in by_source.items():
+    by_group: dict = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.shard, r.doc_id)):
+        assert r.shard == md5_shard(r.doc_id), "shard is not the md5 bucket"
+        by_group.setdefault((r.source, r.shard), []).append(r)
+    assert len(by_group) > len({s for s, _ in by_group}), (
+        "sharding did not split any source into multiple fold groups"
+    )
+    for (source, shard), rs in by_group.items():
         want = greedy_fill([r.n_tokens for r in rs], BUDGET)
         got = [(r.bin_idx, r.bin_fill) for r in rs]
-        assert got == want, f"{source}: packing diverges from pure fold"
+        assert got == want, f"{source}/{shard}: packing diverges from pure fold"
         fills: dict = {}
         counts: dict = {}
         for r in rs:
@@ -234,7 +244,7 @@ def test_seq_packing_matches_pure_python_and_budget(spark, sf_dir):
             counts[r.bin_idx] = counts.get(r.bin_idx, 0) + 1
         assert sorted(fills) == list(range(len(fills)))  # consecutive bins
         for b, fill in fills.items():
-            assert fill <= BUDGET or counts[b] == 1, f"{source} bin {b} overflows"
+            assert fill <= BUDGET or counts[b] == 1, f"{source}/{shard} bin {b} overflows"
 
 
 def test_greedy_fill_properties():
@@ -296,6 +306,30 @@ def test_connected_components_transitive_and_minimal(spark):
         "doc_a long, doc_b long",
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The 100 TB path: reliable checkpoint() per round (survives executor
+    loss, no executor-storage pinning) must produce identical labels to the
+    localCheckpoint default."""
+    from kinesis_stream_video_project_spark.operators.components import (
+        connected_components,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(pairs, reliable_checkpoint=True).collect()
+    }
     assert got == {
         1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
         10: 10, 11: 10, 12: 10,
