@@ -1,0 +1,423 @@
+"""Round-3 query surface: boolean-claim oracles for the sketch tiers plus
+new relational/curation operators.
+
+Claims (the X-22 pattern from approx_distinct): engine-specific sketches
+(MinHash-LSH, SimHash) cannot hash-match a DuckDB oracle directly, but their
+*correctness contracts* can — emit the contract as boolean columns, verified
+in Spark against Spark's own exact tier, and let the oracle emit literal
+TRUE. A broken sketch flips the boolean and fails the driver's hash check.
+
+New operators:
+
+* ``rare_token_ratio``     — per-doc share of low-document-frequency tokens
+  (the "weird vocabulary" quality signal a pretraining filter uses);
+* ``corpus_vocab_topk``    — document-frequency head of the corpus vocab
+  (the tokenizer-training input);
+* ``doc_length_histogram`` — fixed-width token-length histogram (dataset
+  profiling before choosing a packing/chunk budget);
+* ``pivot_priority_revenue`` / ``unpivot_part_metrics`` — wide<->long
+  reshaping (PIVOT with an explicit value list plans one pass of
+  conditional aggregates, no per-value scans; UNPIVOT is Spark's melt);
+* ``exact_group_percentiles`` — exact interpolated quartiles per group
+  (the exact twin of approx_percentiles_value);
+* ``fill_forward_last_purchase`` — per-user forward-fill of the most
+  recent purchase value (IGNORE NULLS running carry — the attribution /
+  gap-fill shape for ordered event logs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.functions.numeric import r4, sql_r4
+from kinesis_stream_video_project_spark.functions.text import tokens
+from kinesis_stream_video_project_spark.operators import udfs
+from kinesis_stream_video_project_spark.operators.dedup import (
+    blocked_jaccard_near_dups,
+    minhash_lsh_near_dups,
+)
+from kinesis_stream_video_project_spark.plans.queries_llm2 import _dd_ngrams
+from kinesis_stream_video_project_spark.plans.registry import register
+
+# DuckDB twin of the blocked 3-shingle exact pair set (kept textually in
+# lockstep with near_dup_shingle_jaccard's oracle in queries_llm2.py).
+_EXACT_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         unnest(list_distinct({_dd_ngrams(3)})) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+  FROM toks a
+  JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.lang = b.lang
+             AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact_pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE (floor((CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter)) * 10000.0 + 0.5) / 10000.0) >= 0.5
+)
+"""
+
+
+@register(
+    "lsh_tier_consistency",
+    tags=("NS-curation", "O-29"),
+    oracle=_EXACT_PAIRS_SQL
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS lsh_within_block_subset_of_exact,
+       TRUE AS exact_pairs_recalled_by_lsh
+FROM exact_pairs
+""",
+)
+def lsh_tier_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH tier contract as a hash-checked claim (O-29).
+
+    Two invariants tie the sketch tier to the exact tier at the same
+    (3-shingle, threshold 0.5) granularity:
+
+    * every LSH pair whose two docs share a (source, lang) block appears in
+      the blocked exact-Jaccard pair set — provably TRUE, because the LSH
+      candidate verification computes the same exact Jaccard the blocked
+      tier does (the LSH tier also finds cross-block pairs the blocked tier
+      cannot see; those are excluded from the subset claim);
+    * every blocked exact pair is recalled by LSH — deterministic for fixed
+      data (xxhash64 signatures are reproducible), measured TRUE at
+      sf0.001/0.01/0.1; a band-hash regression flips it.
+
+    The oracle independently recomputes ``n_exact_pairs`` and emits literal
+    TRUE for both claims.
+    """
+    d = io.load_table(spark, sf_dir, "documents")
+    exact = blocked_jaccard_near_dups(d, threshold=0.5, shingle_k=3).select(
+        "doc_a", "doc_b"
+    )
+    lsh = minhash_lsh_near_dups(d, threshold=0.5).select("doc_a", "doc_b")
+    blocks = d.select("doc_id", "source", "lang")
+    within_block = (
+        lsh.join(blocks.alias("ba"), lsh["doc_a"] == F.col("ba.doc_id"))
+        .join(blocks.alias("bb"), lsh["doc_b"] == F.col("bb.doc_id"))
+        .filter(
+            (F.col("ba.source") == F.col("bb.source"))
+            & (F.col("ba.lang") == F.col("bb.lang"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_stray = within_block.join(exact, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("_n_stray")
+    )
+    n_missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("_n_missed")
+    )
+    return (
+        n_exact.crossJoin(n_stray)
+        .crossJoin(n_missed)
+        .select(
+            "n_exact_pairs",
+            (F.col("_n_stray") == 0).alias("lsh_within_block_subset_of_exact"),
+            (F.col("_n_missed") == 0).alias("exact_pairs_recalled_by_lsh"),
+        )
+    )
+
+
+@register(
+    "simhash_dup_consistency",
+    tags=("NS-curation", "O-29", "O-32"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_text_groups,
+       TRUE AS simhash_consistent
+FROM (
+  SELECT md5(text) AS h FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2
+)
+""",
+)
+def simhash_dup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint-class consistency claim (O-29 sketch tier):
+    byte-identical texts MUST produce byte-identical 64-bit fingerprints —
+    the sketch is a pure function of the text. The oracle recomputes the
+    number of exact-duplicate text groups (md5 classes with >= 2 members)
+    and emits literal TRUE for the consistency bit; a nondeterministic or
+    batch-dependent sketch would flip it."""
+    d = io.load_table(spark, sf_dir, "documents")
+    groups = (
+        d.select(
+            F.md5("text").alias("h"),
+            udfs.pandas_simhash64(F.col("text")).alias("sh"),
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("sh").alias("nsh"))
+        .filter(F.col("n") >= 2)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_dup_text_groups"),
+        F.coalesce(F.sum((F.col("nsh") > 1).cast("bigint")), F.lit(0)).alias("_bad"),
+    ).select(
+        "n_dup_text_groups",
+        (F.col("_bad") == 0).alias("simhash_consistent"),
+    )
+
+
+@register(
+    "rare_token_ratio",
+    tags=("NS-curation", "O-31"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       {sql_r4("CAST(SUM(CASE WHEN df < 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS rare_ratio
+FROM toks JOIN dfreq USING (tok)
+GROUP BY doc_id
+""",
+)
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of rare-vocabulary tokens (document frequency < 5)
+    — the "weird vocabulary" pretraining quality signal: gibberish, OCR
+    noise and boilerplate-free spam all spike it.
+
+    Plan: one vocab-sized doc-frequency aggregate (map-side combined), one
+    token-keyed join back to the exploded corpus, one doc-keyed aggregate.
+    At 100 TB the token-keyed shuffle is Zipf-skewed (stopwords); AQE skew
+    splitting handles it — the alternative (broadcasting the df>=5 'common'
+    set and counting misses) bounds the broadcast by the Zipf head and is
+    the fallback if AQE ever isn't enough."""
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # Document frequency with ONE shuffle: dedup tokens per doc map-side
+    # (array_distinct before explode) so the groupBy(tok) count IS the doc
+    # count — no (doc_id, tok) distinct exchange first.
+    dfreq = (
+        d.select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("df") < 5, 1).otherwise(0)).alias("_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            r4(F.col("_rare").cast("double") / F.col("n_tokens")).alias("rare_ratio"),
+        )
+    )
+
+
+@register(
+    "corpus_vocab_topk",
+    tags=("NS-curation", "O-31", "O-06"),
+    oracle="""
+WITH dfreq AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+)
+SELECT tok, doc_freq FROM dfreq ORDER BY doc_freq DESC, tok LIMIT 50
+""",
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency head of the corpus vocabulary (top 50) — the
+    input a tokenizer-training / stopword-list step consumes. Total order
+    (doc_freq DESC, tok) before the limit, so the top-k set is
+    engine-deterministic; Spark plans TakeOrderedAndProject (per-partition
+    heaps + single merge, no global sort materialization). One shuffle:
+    per-doc tokens are deduped map-side (array_distinct before explode), so
+    the tok-keyed count IS the document frequency."""
+    d = io.load_table(spark, sf_dir, "documents")
+    dfreq = (
+        d.select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    return dfreq.orderBy(F.col("doc_freq").desc(), F.col("tok")).limit(50)
+
+
+@register(
+    "doc_length_histogram",
+    tags=("NS-curation", "O-31", "O-08"),
+    oracle=f"""
+SELECT CAST((len(string_split(text, ' ')) // 16) * 16 AS BIGINT) AS len_bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {sql_r4("AVG(CAST(n_chars AS DOUBLE))")} AS avg_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (bin width 16) with mean char count per bin —
+    the profiling pass run before choosing chunk/packing budgets. Binning is
+    integer arithmetic (portable); one scan, one tiny aggregate."""
+    d = io.load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text"))).cast("long")
+    return (
+        d.select(
+            (F.floor(n / F.lit(16)) * F.lit(16)).cast("bigint").alias("len_bin_lo"),
+            F.col("n_chars"),
+        )
+        .groupBy("len_bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r4(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        )
+    )
+
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@register(
+    "pivot_priority_revenue",
+    tags=("O-10", "O-11"),
+    oracle=f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       {sql_r4("SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)")} AS rev_urgent,
+       {sql_r4("SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)")} AS rev_high,
+       {sql_r4("SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)")} AS rev_medium,
+       {sql_r4("SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)")} AS rev_notspec,
+       {sql_r4("SUM(CASE WHEN o_orderpriority = '5-LOW' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)")} AS rev_low
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+)
+def pivot_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshaping: revenue by order year, one column per order priority,
+    via DataFrame ``pivot`` with an EXPLICIT value list (O-10). The explicit
+    list matters twice: no extra distinct-values job, and the plan is a
+    single pass of conditional aggregates over the join — exactly the
+    oracle's CASE formulation, not five scans."""
+    l = io.load_table(spark, sf_dir, "lineitem")
+    o = io.load_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    piv = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            "o_orderpriority",
+            rev.alias("_rev"),
+        )
+        .groupBy("order_year")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .agg(F.sum(F.coalesce(F.col("_rev"), F.lit(0.0))))
+    )
+    return piv.select(
+        "order_year",
+        r4(F.coalesce(F.col("`1-URGENT`"), F.lit(0.0))).alias("rev_urgent"),
+        r4(F.coalesce(F.col("`2-HIGH`"), F.lit(0.0))).alias("rev_high"),
+        r4(F.coalesce(F.col("`3-MEDIUM`"), F.lit(0.0))).alias("rev_medium"),
+        r4(F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0.0))).alias("rev_notspec"),
+        r4(F.coalesce(F.col("`5-LOW`"), F.lit(0.0))).alias("rev_low"),
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    tags=("O-10", "O-27"),
+    oracle=f"""
+SELECT p_partkey, 'p_retailprice' AS metric, {sql_r4("p_retailprice")} AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS metric, {sql_r4("CAST(p_size AS DOUBLE)")} AS value
+FROM part
+""",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long reshaping (melt): part's numeric metrics into (key, metric,
+    value) rows via DataFrame ``unpivot`` — one scan producing 2x|part|
+    rows, no join and no shuffle (the oracle's UNION ALL form would scan
+    twice; Spark's unpivot is a single-pass Expand)."""
+    p = io.load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_retailprice", "p_size"],
+            variableColumnName="metric",
+            valueColumnName="_v",
+        )
+        .select("p_partkey", "metric", r4(F.col("_v")).alias("value"))
+    )
+
+
+@register(
+    "exact_group_percentiles",
+    tags=("O-09", "O-08"),
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_r4("quantile_cont(l_extendedprice, 0.25)")} AS p25,
+       {sql_r4("quantile_cont(l_extendedprice, 0.5)")}  AS p50,
+       {sql_r4("quantile_cont(l_extendedprice, 0.75)")} AS p75
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def exact_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per return flag (the exact twin of the
+    approx_percentiles sketch): Spark's ``percentile`` == DuckDB's
+    ``quantile_cont`` (both linear interpolation at p*(n-1)). Exact
+    percentiles sort within each group — affordable per group; the 100 TB
+    default remains the approx sketch, this is the audit path."""
+    l = io.load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        r4(F.percentile(F.col("l_extendedprice"), F.lit(0.25))).alias("p25"),
+        r4(F.percentile(F.col("l_extendedprice"), F.lit(0.5))).alias("p50"),
+        r4(F.percentile(F.col("l_extendedprice"), F.lit(0.75))).alias("p75"),
+    )
+
+
+@register(
+    "fill_forward_last_purchase",
+    tags=("O-16", "O-24"),
+    oracle="""
+SELECT user_id, event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       event_type,
+       (floor((last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0)
+           AS last_purchase_value
+FROM events
+""",
+)
+def fill_forward_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user forward fill (O-16): carry the most recent purchase value
+    onto every subsequent event — the IGNORE-NULLS running carry used for
+    attribution and sensor gap-fill. Window is partitioned by user_id with
+    a (ts, event_id) total order (ties broken by the unique event_id), so
+    no single-partition sort and the result is engine-reproducible; NULL
+    before a user's first purchase on both sides."""
+    e = io.load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        r4(carried).alias("last_purchase_value"),
+    )

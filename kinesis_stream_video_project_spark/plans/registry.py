@@ -181,6 +181,7 @@ def _load_all() -> None:
         queries_events,
         queries_llm,
         queries_llm2,
+        queries_round3,
         queries_streaming_twins,
     )
 

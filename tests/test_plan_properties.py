@@ -171,3 +171,41 @@ def test_round2_curation_plan_shapes(spark, sf_dir):
         p = plan_of(spark, sf_dir, name)
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in p, f"{name}: Python in hot path"
+
+
+def test_round3_plan_shapes(spark, sf_dir):
+    """Round-3 queries keep their scale shapes: vocab top-k is ONE shuffle
+    (map-side array_distinct dedup) ending in TakeOrderedAndProject; the
+    unpivot is a shuffle-free single-pass Expand; the histogram is a single
+    aggregate exchange; fill-forward's window is user-partitioned (no
+    SinglePartition sort); the pivot is one conditional-aggregate pass over
+    a broadcast join, not five scans."""
+    plan = plan_of(spark, sf_dir, "corpus_vocab_topk")
+    assert "TakeOrderedAndProject" in plan, f"vocab topk: full sort\n{plan}"
+    assert count_exchanges(plan) <= 1, f"vocab topk: extra shuffle\n{plan}"
+
+    plan = plan_of(spark, sf_dir, "unpivot_part_metrics")
+    assert "Expand" in plan, f"unpivot lost its Expand\n{plan}"
+    assert count_exchanges(plan) == 0, f"unpivot shuffles\n{plan}"
+
+    plan = plan_of(spark, sf_dir, "doc_length_histogram")
+    assert count_exchanges(plan) <= 1, f"histogram: extra shuffle\n{plan}"
+
+    plan = plan_of(spark, sf_dir, "fill_forward_last_purchase")
+    assert "Exchange SinglePartition" not in plan, f"fill-forward global sort\n{plan}"
+
+    plan = plan_of(spark, sf_dir, "pivot_priority_revenue")
+    assert plan.count("Scan parquet") == 2, f"pivot re-scans inputs\n{plan}"
+
+    for name in (
+        "corpus_vocab_topk",
+        "rare_token_ratio",
+        "doc_length_histogram",
+        "pivot_priority_revenue",
+        "unpivot_part_metrics",
+        "exact_group_percentiles",
+        "fill_forward_last_purchase",
+    ):
+        p = plan_of(spark, sf_dir, name)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert node not in p, f"{name}: Python in hot path"
