@@ -692,3 +692,93 @@ def brand_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_name
         """
     )
+
+
+@register(
+    "product_type_profit",
+    tags=("O-08", "O-11", "O-24"),
+    oracle="""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       (floor((SUM(l_extendedprice * (1 - l_discount)
+                   - 0.5 * p_retailprice * l_quantity)) * 10000.0 + 0.5) / 10000.0)
+           AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+""",
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — no partsupp; supply cost proxied as 50% of
+    p_retailprice, FIXTURES.md): profit on 'widget' parts by supplier
+    nation and order year. Plan: the p_name filter prunes part BEFORE its
+    broadcast; part/supplier/nation all broadcast into the lineitem scan,
+    so the only row-level shuffle is the lineitem-orders fact-fact join on
+    the order key, followed by one (nation, year) aggregate whose
+    cardinality is |nations| x |years|."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit_term = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(r4(F.sum(profit_term)).alias("profit"))
+    )
+
+
+@register(
+    "top_revenue_supplier",
+    tags=("O-08", "O-35", "O-11"),
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           (floor((SUM(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0)
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top supplier(s) by Q1-1996 lineitem revenue via
+    a scalar-subquery max over a derived revenue view. The revenue CTE is
+    computed once (Spark reuses the subquery result for both the join input
+    and the scalar max); equality against the max is on the 4-dp-rounded
+    revenue so the tie set is engine-deterministic. Supplier is
+    broadcast-joined onto the one-shuffle revenue aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(r4(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue["total_revenue"] == F.col("_max"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -102,15 +102,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "unpivot_part_metrics",
     "exact_group_percentiles",
     "fill_forward_last_purchase",
-    # --- spot re-checks across operator families (18) ---
+    "product_type_profit",
+    "top_revenue_supplier",
+    # --- spot re-checks across operator families (16) ---
     "q1_pricing_summary",
     "json_extract",
     "range_join_shipping",
     "asof_probe_metric",
     "set_ops_nations",
     "exists_correlated",
-    "cube_agg",
-    "join_full_outer",
     "anti_join_customers",
     "consecutive_failures",
     "stream_health_60s",
