@@ -421,3 +421,76 @@ def fill_forward_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         r4(carried).alias("last_purchase_value"),
     )
+
+
+@register(
+    "near_dup_split_leakage",
+    tags=("NS-curation", "O-28", "O-29", "O-12"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         unnest(list_distinct({_dd_ngrams(3)})) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+  FROM toks a
+  JOIN toks b ON a.tok = b.tok AND a.source = b.source AND a.lang = b.lang
+             AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         (floor((CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE (floor((CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter)) * 10000.0 + 0.5) / 10000.0) >= 0.5
+),
+labeled AS (
+  SELECT doc_a, doc_b, jaccard,
+         CASE WHEN (('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8))::UBIGINT % 100) < 80 THEN 'train'
+              WHEN (('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8))::UBIGINT % 100) < 90 THEN 'val'
+              ELSE 'test' END AS split_a,
+         CASE WHEN (('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8))::UBIGINT % 100) < 80 THEN 'train'
+              WHEN (('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8))::UBIGINT % 100) < 90 THEN 'val'
+              ELSE 'test' END AS split_b
+  FROM pairs
+)
+SELECT doc_a, doc_b, jaccard, split_a, split_b
+FROM labeled
+WHERE split_a <> split_b
+""",
+)
+def near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate leakage across the train/val/test split — the harder
+    sibling of split_leakage_check (which catches only byte-identical
+    texts): a test document that is a 3-shingle-Jaccard >= 0.5 near-copy of
+    a train document inflates eval numbers just as surely. Pairs come from
+    the blocked exact tier (the oracle-checkable granularity LSH verifies
+    against); the split label is the portable md5 bucket of doc_id, so the
+    whole check is reproducible across engines and corpus rebuilds. At
+    100 TB the pair input swaps to the LSH tier's output — same shape, the
+    downstream labeling and filter are unchanged."""
+    from kinesis_stream_video_project_spark.operators.sampling import hash_bucket
+
+    d = io.load_table(spark, sf_dir, "documents")
+    pairs = blocked_jaccard_near_dups(d, threshold=0.5, shingle_k=3)
+
+    def split_of(col):
+        b = hash_bucket(col)
+        return (
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    labeled = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        split_of(F.col("doc_a")).alias("split_a"),
+        split_of(F.col("doc_b")).alias("split_b"),
+    )
+    return labeled.filter(F.col("split_a") != F.col("split_b"))
