@@ -336,7 +336,7 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS n_orders
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1994-04-01'
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
   AND EXISTS (
       SELECT 1 FROM lineitem
       WHERE l_orderkey = o_orderkey
@@ -347,6 +347,8 @@ GROUP BY o_orderpriority
 )
 def priority_late_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS subquery with a correlated date comparison.
+    (Quarter window set inside the fixture's 1995-2001 order-date range —
+    the original 1994-Q1 constant returned zero rows at every SF.)
     Catalyst rewrites the EXISTS into a left-semi join on the order key, so
     lineitem is touched once (shuffled as key+dates only), never row-probed."""
     io.register_views(spark, sf_dir)
@@ -354,7 +356,7 @@ def priority_late_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         """
         SELECT o_orderpriority, COUNT(*) AS n_orders
         FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1994-04-01'
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
           AND EXISTS (
               SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey
