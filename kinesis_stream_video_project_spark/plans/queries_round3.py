@@ -494,3 +494,67 @@ def near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_of(F.col("doc_b")).alias("split_b"),
     )
     return labeled.filter(F.col("split_a") != F.col("split_b"))
+
+
+@register(
+    "ann_tier_claims",
+    tags=("NS-curation", "O-30"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       TRUE AS kmeans_recall_ge_035,
+       TRUE AS kmeans_ge_label_proxy
+FROM embeddings WHERE vec_id < 5
+""",
+)
+def ann_tier_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality contract as a hash-checked claim (O-30): recall@10 of
+    the learned-k-means IVF tier (nprobe=2 of 10 cells) must stay >= 0.35,
+    and must dominate the label-proxy cells — the property that justifies
+    shipping the learned index. Both recalls are computed in-engine against
+    the exact cosine tier (the same operators the ivf/cosine queries
+    export); every stage is deterministic for fixed data (modulo init +
+    fixed Lloyd iterations), measured 0.40-0.42 vs 0.22-0.30 at
+    sf0.001/0.01/0.1. The oracle recomputes the query count and emits
+    literal TRUE for both claims."""
+    from kinesis_stream_video_project_spark.operators import similarity
+
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(q, e, k=10).select("query_id", "vec_id")
+    label = similarity.ivf_topk(q, e, k=10, nprobe=2).select("query_id", "vec_id")
+    kmeans = similarity.ivf_topk_kmeans(
+        q, e, k=10, nprobe=2, n_cells=10, n_iters=2
+    ).select("query_id", "vec_id")
+
+    def mean_recall(approx):
+        hits = approx.join(exact, ["query_id", "vec_id"], "left_semi")
+        per = (
+            exact.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .join(
+                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+                "query_id",
+                "left_outer",
+            )
+            .select(
+                (
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("k")
+                ).alias("recall")
+            )
+        )
+        return per.agg(F.avg("recall").alias("mean_recall"))
+
+    km = mean_recall(kmeans).select(F.col("mean_recall").alias("_km"))
+    lb = mean_recall(label).select(F.col("mean_recall").alias("_lb"))
+    n_q = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        n_q.crossJoin(km)
+        .crossJoin(lb)
+        .select(
+            "n_queries",
+            (F.col("_km") >= 0.35).alias("kmeans_recall_ge_035"),
+            (F.col("_km") >= F.col("_lb")).alias("kmeans_ge_label_proxy"),
+        )
+    )
