@@ -104,13 +104,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fill_forward_last_purchase",
     "product_type_profit",
     "top_revenue_supplier",
-    # --- spot re-checks across operator families (16) ---
+    "near_dup_split_leakage",
+    "ann_tier_claims",
+    # --- spot re-checks across operator families (14) ---
     "q1_pricing_summary",
     "json_extract",
     "range_join_shipping",
     "asof_probe_metric",
-    "set_ops_nations",
-    "exists_correlated",
     "anti_join_customers",
     "consecutive_failures",
     "stream_health_60s",
