@@ -558,3 +558,56 @@ def ann_tier_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_km") >= F.col("_lb")).alias("kmeans_ge_label_proxy"),
         )
     )
+
+
+@register(
+    "domain_mixture_weights",
+    tags=("NS-curation", "O-08", "O-31"),
+    oracle=f"""
+WITH domains AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source, lang
+),
+shared AS (
+  SELECT *, CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share
+  FROM domains
+)
+SELECT source, lang, n_docs, n_tokens,
+       {sql_r4("share")} AS token_share,
+       {sql_r4("sqrt(share) / SUM(sqrt(share)) OVER ()")} AS mixture_weight
+FROM shared
+""",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture weighting (alpha = 0.5) — the data
+    mixing step before pretraining: raw token share per (source, lang)
+    domain is flattened by sqrt and renormalized, upweighting small domains
+    without letting any dominate. One corpus scan reduces to a domain-count
+    table (|sources| x |langs| rows); the share/weight arithmetic runs on
+    that tiny table with broadcast 1-row totals. sqrt is IEEE
+    correctly-rounded in both engines, so the 4-dp outputs are
+    hash-stable."""
+    d = io.load_table(spark, sf_dir, "documents")
+    domains = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    total = domains.agg(F.sum("n_tokens").alias("_total"))
+    shared = domains.crossJoin(F.broadcast(total)).withColumn(
+        "_share", F.col("n_tokens").cast("double") / F.col("_total")
+    )
+    wtotal = shared.agg(F.sum(F.sqrt(F.col("_share"))).alias("_wtotal"))
+    return (
+        shared.crossJoin(F.broadcast(wtotal))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            r4(F.col("_share")).alias("token_share"),
+            r4(F.sqrt(F.col("_share")) / F.col("_wtotal")).alias("mixture_weight"),
+        )
+    )

@@ -63,9 +63,10 @@ def register(
 # round so the r1∪r2∪r3 union gives every registered query a driver row.
 # Round-3 window: (a) the 12 r1-era TPC-H/profiling shapes and 11 round-2
 # curation queries that never had a driver row (rotated out by the r2
-# window), (b) the 9 new round-3 queries, (c) 18 cross-family spot
+# window), (b) the 14 new round-3 queries, (c) 13 cross-family spot
 # re-checks of r1/r2-green queries. Queries not listed keep registration
-# order after these; every operator they cover has a green r1/r2 row.
+# order after these; every one has a green r1/r2 row, so after r3 every
+# registered query has a driver row across the round union.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- never-driver-checked r1-era TPC-H / profiling shapes (12) ---
     "table_profile",
@@ -92,7 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_pipeline_v2",
     "ivf_kmeans_topk",
     "seq_pack_docs",
-    # --- new round-3 queries (9) ---
+    # --- new round-3 queries (14) ---
     "lsh_tier_consistency",
     "simhash_dup_consistency",
     "rare_token_ratio",
@@ -106,7 +107,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_revenue_supplier",
     "near_dup_split_leakage",
     "ann_tier_claims",
-    # --- spot re-checks across operator families (14) ---
+    "domain_mixture_weights",
+    # --- spot re-checks across operator families (13) ---
     "q1_pricing_summary",
     "json_extract",
     "range_join_shipping",
@@ -114,7 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "anti_join_customers",
     "consecutive_failures",
     "stream_health_60s",
-    "escalation_actions",
     "window_rank_lag",
     "session_windows",
     "dedup_first_event",
