@@ -348,3 +348,28 @@ def test_dup_clusters_cover_exact_groups(spark, sf_dir):
     for g in groups:
         rep, size = by_doc[g.canonical_doc_id]
         assert size >= g.dup_count
+
+
+def test_pack_sequences_single_shard_recovers_whole_group_fold(spark):
+    """n_shards=1 must reproduce the unsharded per-group fold exactly
+    (every row in shard 0, bin indices equal to the pure fold over the
+    whole group)."""
+    from kinesis_stream_video_project_spark.operators.packing import (
+        greedy_fill,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, 200 + (i * 37) % 300) for i in range(20)],
+        "source string, doc_id long, n_tokens long",
+    )
+    rows = sorted(
+        pack_sequences(
+            df, group_col="source", order_col="doc_id", size_col="n_tokens",
+            budget=512, n_shards=1,
+        ).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert all(r.shard == 0 for r in rows)
+    want = greedy_fill([r.n_tokens for r in rows], 512)
+    assert [(r.bin_idx, r.bin_fill) for r in rows] == want
