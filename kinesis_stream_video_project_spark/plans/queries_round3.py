@@ -611,3 +611,83 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sqrt(F.col("_share")) / F.col("_wtotal")).alias("mixture_weight"),
         )
     )
+
+
+@register(
+    "topn_orders_per_nation",
+    tags=("O-16", "O-11", "O-06"),
+    oracle="""
+WITH ranked AS (
+  SELECT n_name AS nation, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+SELECT nation, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+       (floor((o_totalprice) * 10000.0 + 0.5) / 10000.0) AS o_totalprice
+FROM ranked WHERE rnk <= 3
+""",
+)
+def topn_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (N=3 highest-value orders per customer nation) — the
+    classic windowed-rank shape. The window partitions by nation (25
+    groups), so no SinglePartition sort; the rank filter prunes to 3 rows
+    per group before anything else touches them; ties broken by o_orderkey
+    for an engine-deterministic total order. customer/nation broadcast into
+    the orders scan."""
+    o = io.load_table(spark, sf_dir, "orders")
+    c = io.load_table(spark, sf_dir, "customer")
+    n = io.load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("nation", "rnk", "o_orderkey", r4(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+@register(
+    "heavy_hitters_claim",
+    tags=("O-09", "NS-curation"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_langs_above_20pct,
+       TRUE AS heavy_hitters_all_found
+FROM (
+  SELECT lang FROM documents GROUP BY lang
+  HAVING CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) >= 0.2
+)
+""",
+)
+def heavy_hitters_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters as a hash-checked claim (O-09 approx
+    tier): single-pass frequent-items (Karp/Misra-Gries via
+    ``df.stat.freqItems`` at support 0.05) GUARANTEES every item with true
+    support above the threshold appears among its candidates — candidates
+    are engine-specific (false positives allowed), the guarantee is not.
+    The claim verifies every language with exact support >= 20% (computed
+    in-engine) is in the candidate set; the oracle recomputes the exact
+    heavy-hitter count and emits literal TRUE. The 100 TB point: freqItems
+    is one scan with a bounded (1/support)-size sketch per partition — no
+    shuffle of the data, only sketch merges."""
+    d = io.load_table(spark, sf_dir, "documents")
+    candidates = d.stat.freqItems(["lang"], support=0.05).collect()[0][0]
+    exact = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("_total"))))
+        .filter(F.col("n").cast("double") / F.col("_total") >= 0.2)
+        .select("lang")
+    )
+    return exact.agg(
+        F.count(F.lit(1)).alias("n_langs_above_20pct"),
+        F.coalesce(
+            F.min(F.col("lang").isin([str(x) for x in candidates])), F.lit(True)
+        ).alias("heavy_hitters_all_found"),
+    )

@@ -63,7 +63,7 @@ def register(
 # round so the r1∪r2∪r3 union gives every registered query a driver row.
 # Round-3 window: (a) the 12 r1-era TPC-H/profiling shapes and 11 round-2
 # curation queries that never had a driver row (rotated out by the r2
-# window), (b) the 14 new round-3 queries, (c) 13 cross-family spot
+# window), (b) the 16 new round-3 queries, (c) 11 cross-family spot
 # re-checks of r1/r2-green queries. Queries not listed keep registration
 # order after these; every one has a green r1/r2 row, so after r3 every
 # registered query has a driver row across the round union.
@@ -93,7 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_pipeline_v2",
     "ivf_kmeans_topk",
     "seq_pack_docs",
-    # --- new round-3 queries (14) ---
+    # --- new round-3 queries (16) ---
     "lsh_tier_consistency",
     "simhash_dup_consistency",
     "rare_token_ratio",
@@ -108,7 +108,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "near_dup_split_leakage",
     "ann_tier_claims",
     "domain_mixture_weights",
-    # --- spot re-checks across operator families (13) ---
+    "topn_orders_per_nation",
+    "heavy_hitters_claim",
+    # --- spot re-checks across operator families (11) ---
     "q1_pricing_summary",
     "json_extract",
     "range_join_shipping",
@@ -119,8 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_rank_lag",
     "session_windows",
     "dedup_first_event",
-    "exact_dedup_docs",
-    "cosine_topk",
     "conversion_funnel",
 )
 
