@@ -691,3 +691,55 @@ def heavy_hitters_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("lang").isin([str(x) for x in candidates])), F.lit(True)
         ).alias("heavy_hitters_all_found"),
     )
+
+
+@register(
+    "trending_event_types",
+    tags=("O-18", "O-16", "O-06"),
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS hour_epoch,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_epoch
+                               ORDER BY n_events DESC, event_type) AS rnk
+  FROM hourly
+)
+SELECT hour_epoch, CAST(rnk AS BIGINT) AS rnk, event_type, n_events
+FROM ranked WHERE rnk <= 3
+""",
+)
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly trending top-3 event types — the tumbling-window top-k shape
+    every event dashboard runs (and the batch twin of a streaming
+    windowed-rank job). One events scan → (hour, type) count (map-side
+    combined, tiny cardinality) → per-hour rank over the counts table. The
+    rank window partitions by hour, so row-level data never converges;
+    ties break on event_type for an engine-deterministic top-k set."""
+    e = io.load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts")))
+            .cast("bigint")
+            .alias("_hour_us"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            (F.col("_hour_us") / F.lit(1000000)).cast("bigint").alias("hour_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("hour_epoch").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("hour_epoch", "rnk", "event_type", "n_events")
+    )
