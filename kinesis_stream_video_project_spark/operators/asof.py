@@ -33,12 +33,21 @@ def asof_join(
     ts_col: str = "ts",
     right_payload: list[str] | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with ts <= left.ts.
+    """For each left row, attach the matching right row in ``direction``:
+
+    * ``backward`` (default) — latest right row with ``right.ts <= left.ts``
+      (pandas ``merge_asof`` default; DuckDB ``ASOF ... ON l.ts >= r.ts``);
+    * ``forward`` — earliest right row with ``right.ts >= left.ts``
+      (DuckDB ``ASOF ... ON l.ts <= r.ts``): the same one-shuffle
+      union-and-carry plan walked in descending ts order.
 
     ``right_payload`` columns come back prefixed ``asof_``; left rows with no
-    preceding right row keep nulls (left-outer as-of).
+    matching right row keep nulls (left-outer as-of).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_payload = right_payload or [
         c for c in right.columns if c not in (key, ts_col)
     ]
@@ -65,7 +74,12 @@ def asof_join(
         F.lit(None).cast(struct_type).alias("_asof_payload"),
         *[F.col(c) for c in lcols if c not in (key, ts_col)],
     )
-    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    # Both directions keep _side ASC at equal ts so an exactly-simultaneous
+    # right row is visible to the left row (>= / <= semantics, matching
+    # DuckDB's ASOF). Forward simply walks ts descending, so "last right
+    # seen" is the earliest right row at-or-after the left row.
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    order = [ts_order, F.col("_side").asc()]
     if tiebreak:
         order.append(F.col(tiebreak).asc_nulls_first())
     w = (

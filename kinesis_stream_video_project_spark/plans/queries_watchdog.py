@@ -333,6 +333,43 @@ def asof_probe_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_forward_metric",
+    tags=("O-14",),
+    oracle="""
+SELECT l.event_id, l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       r.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+""",
+)
+def asof_forward_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (O-14, direction='forward'): for each failed
+    probe, the EARLIEST subsequent metric observation on the same key — the
+    "next reading after the incident" correlation (recovery analysis). Same
+    one-shuffle union-and-carry plan as the backward form, walked in
+    descending event time; checked against DuckDB's native forward ASOF
+    (l.ts <= r.ts)."""
+    e = io.load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    joined = asof_join(
+        left, right, key="user_id", right_payload=["value"], direction="forward"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_micros(F.col("ts")).alias("ts_us"),
+        F.col("asof_value"),
+    )
+
+
+@register(
     "gap_filled_windows",
     tags=("O-18", "O-26", "F5"),
     oracle="""
