@@ -177,3 +177,75 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    tags=("O-08", "O-24", "O-16"),
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+wk AS (
+    SELECT f.cohort_week,
+           CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT) AS week_offset,
+           SUM(e.value) AS rev
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT CAST(epoch(cohort_week) AS BIGINT) AS cohort_week_start,
+           week_offset,
+           (floor((rev) * 10000.0 + 0.5) / 10000.0) AS week_revenue
+    FROM wk WHERE week_offset <= 8
+)
+SELECT cohort_week_start, week_offset, week_revenue,
+       (floor((SUM(week_revenue) OVER (PARTITION BY cohort_week_start
+                                       ORDER BY week_offset)) * 10000.0 + 0.5) / 10000.0)
+           AS cum_revenue
+FROM r
+""",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: purchase revenue per (first-seen week, week
+    offset) with the cumulative lifetime value running sum — the companion
+    to weekly_retention every growth dashboard pairs it with. Same
+    plan skeleton (one user_id shuffle, broadcast-back of the tiny firsts
+    table, aggregate to a weeks x offsets grid); the cumulative window
+    runs over the tiny grid, partitioned per cohort. The running sum
+    accumulates the ALREADY-4dp-ROUNDED weekly values in week_offset
+    order, so both engines add identical doubles in an identical sequence
+    — bit-stable without a decimal cast."""
+    e = io.load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    wk = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            F.unix_timestamp("cohort_week").alias("cohort_week_start"),
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / (7 * 86400)
+            ).alias("week_offset"),
+        )
+        .agg(r4(F.sum("value")).alias("week_revenue"))
+        .filter(F.col("week_offset") <= 8)
+    )
+    w = (
+        Window.partitionBy("cohort_week_start")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wk.select(
+        "cohort_week_start",
+        "week_offset",
+        "week_revenue",
+        r4(F.sum("week_revenue").over(w)).alias("cum_revenue"),
+    )

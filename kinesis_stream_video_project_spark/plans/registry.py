@@ -63,7 +63,7 @@ def register(
 # round so the r1∪r2∪r3 union gives every registered query a driver row.
 # Round-3 window: (a) the 12 r1-era TPC-H/profiling shapes and 11 round-2
 # curation queries that never had a driver row (rotated out by the r2
-# window), (b) the 18 new round-3 queries, (c) 9 cross-family spot
+# window), (b) the 19 new round-3 queries, (c) 8 cross-family spot
 # re-checks of r1/r2-green queries. Queries not listed keep registration
 # order after these; every one has a green r1/r2 row, so after r3 every
 # registered query has a driver row across the round union.
@@ -93,7 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_pipeline_v2",
     "ivf_kmeans_topk",
     "seq_pack_docs",
-    # --- new round-3 queries (18) ---
+    # --- new round-3 queries (19) ---
     "lsh_tier_consistency",
     "simhash_dup_consistency",
     "rare_token_ratio",
@@ -112,7 +112,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitters_claim",
     "trending_event_types",
     "asof_forward_metric",
-    # --- spot re-checks across operator families (9) ---
+    "cohort_ltv_curve",
+    # --- spot re-checks across operator families (8) ---
     "q1_pricing_summary",
     "json_extract",
     "range_join_shipping",
@@ -121,7 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_health_60s",
     "window_rank_lag",
     "dedup_first_event",
-    "conversion_funnel",
 )
 
 
