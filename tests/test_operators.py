@@ -47,6 +47,40 @@ def test_asof_join_small_case(spark):
     assert got[201] is None  # no preceding right row -> null
 
 
+def test_asof_join_forward_direction(spark):
+    """direction='forward' attaches the EARLIEST right row at-or-after each
+    left row: simultaneous rows match (<= semantics), left rows after the
+    last right row get null."""
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:10"), 101),
+            (1, _ts("2024-01-01T00:00:15"), 102),  # simultaneous with a right row
+            (1, _ts("2024-01-01T00:00:30"), 103),  # after all right rows
+            (2, _ts("2024-01-01T00:00:05"), 201),
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:05"), 1.0),
+            (1, _ts("2024-01-01T00:00:15"), 2.0),
+            (1, _ts("2024-01-01T00:00:20"), 3.0),
+            (2, _ts("2024-01-01T00:00:30"), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: r.asof_value
+        for r in asof_join(
+            left, right, key="user_id", right_payload=["value"], direction="forward"
+        ).collect()
+    }
+    assert got[101] == 2.0  # earliest right >= 00:10 is 00:15
+    assert got[102] == 2.0  # ties included (<= semantics)
+    assert got[103] is None  # nothing after 00:30 -> null
+    assert got[201] == 9.0
+
+
 def test_asof_join_null_payload_is_all_or_nothing(spark):
     # The LATEST right row wins wholesale: a NULL payload column in it must
     # come through as NULL, never backfilled from an older right row.
