@@ -79,8 +79,18 @@ def decode_features(manifest: DataFrame) -> DataFrame:
                     "payload_bytes": pdf["payload"].str.len().astype("int64"),
                     "width": [m["width"] for m in pdf["meta"]],
                     "height": [m["height"] for m in pdf["meta"]],
-                    "byte_mean": np.round([f[0] for f in feats], 4),
-                    "byte_entropy": np.round([f[1] for f in feats], 4),
+                    # Portable 4-dp rounding (functions/numeric.py::r4 twin):
+                    # floor(x*1e4+0.5) — np.round's half-to-EVEN disagrees with
+                    # the engine-wide convention exactly at representable ties
+                    # (mean = odd/32 etc.), which the DuckDB oracle exposed.
+                    "byte_mean": np.floor(
+                        np.array([f[0] for f in feats]) * 1e4 + 0.5
+                    )
+                    / 1e4,
+                    "byte_entropy": np.floor(
+                        np.array([f[1] for f in feats]) * 1e4 + 0.5
+                    )
+                    / 1e4,
                 }
             )
 

@@ -506,7 +506,34 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_kmeans(q, e, k=10, nprobe=2, n_cells=10, n_iters=2)
 
 
-@register("seq_pack_docs", tags=("NS-curation", "O-33"))  # rows-only: sequential fold
+@register(
+    "seq_pack_docs",
+    tags=("NS-curation", "O-33"),
+    oracle="""
+WITH RECURSIVE sized AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+         doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+  FROM sized
+),
+fold AS (
+  SELECT source, shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_idx, n_tokens AS bin_fill
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.shard, s.doc_id, s.n_tokens, s.rn,
+         CASE WHEN f.bin_fill + s.n_tokens > 512 THEN f.bin_idx + 1 ELSE f.bin_idx END,
+         CASE WHEN f.bin_fill + s.n_tokens > 512 THEN s.n_tokens ELSE f.bin_fill + s.n_tokens END
+  FROM fold f JOIN ranked s ON s.source = f.source AND s.shard = f.shard AND s.rn = f.rn + 1
+)
+SELECT source, shard, doc_id, n_tokens, bin_idx, bin_fill FROM fold
+""",
+)
 def seq_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing (north-star): concatenate documents into
     512-token training sequences per (source, shard), in doc_id order — the
@@ -514,8 +541,14 @@ def seq_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold (bin boundaries depend on all prior rows), so it runs as
     applyInPandas per (source, md5-bucket(doc_id) % 8) shard
     (operators/packing.py) — sharding restores linear parallelism when a
-    corpus has few sources; rows-only for the driver, greedy-fold equality +
-    budget invariants in pytest."""
+    corpus has few sources.
+
+    Hash-checked since r4: the oracle replays the exact greedy fold as a
+    DuckDB recursive CTE stepping one rank per (source, shard) — every step
+    is integer arithmetic, so the two engines agree bit-for-bit (recursion
+    depth = max rows per shard, ≤ corpus/(sources·shards); fine for the
+    sf0.01 driver gate). The pytest pure-Python twin (greedy_fill) stays as
+    the third implementation of the same spec."""
     from kinesis_stream_video_project_spark.operators.packing import pack_sequences
 
     d = io.load_table(spark, sf_dir, "documents")

@@ -130,7 +130,10 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
         payload = doc.text.encode()
         assert r.payload_bytes == len(payload)
         arr = np.frombuffer(payload, dtype=np.uint8)
-        assert abs(r.byte_mean - round(float(arr.mean()), 4)) < 1e-6
+        # engine-wide portable rounding: floor(x*1e4+0.5)/1e4, not half-even
+        import math
+
+        assert abs(r.byte_mean - math.floor(float(arr.mean()) * 1e4 + 0.5) / 1e4) < 1e-9
         assert r.media_type in ("image", "audio", "video")
 
 
