@@ -56,10 +56,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream logic and the DuckDB oracle see identical instants.
     """
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # Integer division, NOT `/1000` + cast: ns epochs exceed 2^53, so a
-        # double roundtrip corrupts the low microsecond digit.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) fixture generation read under nanosAsLong.
+            # Integer division, NOT `/1000` + cast: ns epochs exceed 2^53, so
+            # a double roundtrip corrupts the low microsecond digit.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture generation:
+            # Spark reads NTZ; DuckDB reads the same wall-clock digits as its
+            # naive TIMESTAMP. Sessions here run with timeZone=UTC, so the
+            # NTZ→instant cast is the identity on those digits and both
+            # engines agree on epoch_us.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -25,15 +25,74 @@ _ACTIONS_SCHEMA = (
 )
 
 
-@register("watchdog_state_machine", tags=("O-22", "ST1-ST4"))  # rows-only: stateful
+@register(
+    "watchdog_state_machine",
+    tags=("O-22", "ST1-ST4"),
+    oracle="""
+WITH RECURSIVE probes AS (
+  SELECT user_id AS device_id,
+         epoch_us(ts) AS ts_us,
+         (event_type <> 'error') AS ok,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+fold AS (
+  SELECT device_id, CAST(0 AS BIGINT) AS rn,
+         CAST(0 AS BIGINT) AS fail_cnt, CAST(0 AS BIGINT) AS esc,
+         CAST(-1 AS BIGINT) AS last_us, CAST(NULL AS VARCHAR) AS action,
+         CAST(NULL AS BIGINT) AS action_ts_us
+  FROM (SELECT DISTINCT user_id AS device_id FROM events)
+  UNION ALL
+  SELECT p.device_id, p.rn,
+         CASE
+           WHEN f.last_us >= 0 AND p.ts_us < f.last_us + 300000000 THEN f.fail_cnt
+           WHEN p.ok THEN 0
+           WHEN f.fail_cnt + 1 >= 3 THEN 0
+           ELSE f.fail_cnt + 1
+         END AS fail_cnt,
+         CASE
+           WHEN f.last_us >= 0 AND p.ts_us < f.last_us + 300000000 THEN f.esc
+           WHEN p.ok THEN 0
+           WHEN f.fail_cnt + 1 >= 3 THEN f.esc + 1
+           ELSE f.esc
+         END AS esc,
+         CASE
+           WHEN f.last_us >= 0 AND p.ts_us < f.last_us + 300000000 THEN f.last_us
+           WHEN NOT p.ok AND f.fail_cnt + 1 >= 3 THEN p.ts_us
+           ELSE f.last_us
+         END AS last_us,
+         CASE
+           WHEN f.last_us >= 0 AND p.ts_us < f.last_us + 300000000 THEN NULL
+           WHEN NOT p.ok AND f.fail_cnt + 1 >= 3 THEN
+             (['alert_email','restart_network_mgr','restart_gateway',
+               'reconnect_wifi','usb_power_cycle','reboot'])[least(f.esc, 5) + 1]
+           ELSE NULL
+         END AS action,
+         CASE
+           WHEN f.last_us >= 0 AND p.ts_us < f.last_us + 300000000 THEN NULL
+           WHEN NOT p.ok AND f.fail_cnt + 1 >= 3 THEN p.ts_us
+           ELSE NULL
+         END AS action_ts_us
+  FROM fold f
+  JOIN probes p ON p.device_id = f.device_id AND p.rn = f.rn + 1
+)
+SELECT device_id, action_ts_us, action
+FROM fold WHERE action IS NOT NULL
+""",
+)
 def watchdog_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-22 batch form: replay the escalation state machine per device over
     the probe log via applyInPandas (grouped Arrow batches). The transition
     function is shared verbatim with the streaming applyInPandasWithState
     form (operators/watchdog.py) — one spec, two execution modes.
 
-    Rows-only for the driver; pytest cross-checks the emitted actions against
-    a pure-Python fold and against the oracle-checked ``escalation_actions``
+    Hash-checked since r4: the oracle is a THIRD independent implementation
+    of the spec — a DuckDB recursive CTE stepping the per-device fold one
+    probe-rank at a time, carrying (fail_cnt, escalation level, cooldown
+    last-action timestamp) and emitting the same escalation-ladder action
+    names; every transition is integer arithmetic on epoch-µs, so the
+    engines agree exactly. pytest additionally cross-checks against the
+    pure-Python fold and the oracle-checked ``escalation_actions``
     gaps-and-islands twin."""
     probes = io.probe_log(spark, sf_dir)
 
