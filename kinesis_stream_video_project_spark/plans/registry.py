@@ -60,68 +60,68 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round so the r1∪r2∪r3 union gives every registered query a driver row.
-# Round-3 window: (a) the 12 r1-era TPC-H/profiling shapes and 11 round-2
-# curation queries that never had a driver row (rotated out by the r2
-# window), (b) the 19 new round-3 queries, (c) 8 cross-family spot
-# re-checks of r1/r2-green queries. Queries not listed keep registration
-# order after these; every one has a green r1/r2 row, so after r3 every
-# registered query has a driver row across the round union.
+# round. After r3 every registered query has a driver row; the r4 rotation
+# targets STALENESS (VERDICT r3 item 2): (a) the 5 queries whose brand-new
+# r4 oracles have never produced a hash row (they were rows-only through
+# r3), (b) all 42 queries whose only green row dates from r1, (c) the 3
+# alphabetically-first r2-era queries as fill to exactly 50. Queries not
+# listed keep registration order after these; each has a green r2/r3 row
+# and its module is unchanged since, so every query's latest green row
+# stays ≤2 rounds old with the oldest cohort fully refreshed.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- never-driver-checked r1-era TPC-H / profiling shapes (12) ---
-    "table_profile",
-    "value_outliers",
-    "priority_late_shipment_counts",
-    "disjunctive_predicate_join",
-    "promo_revenue_share",
-    "nation_pair_trade",
-    "market_share_by_year",
-    "customer_order_distribution",
-    "waiting_suppliers",
-    "returned_item_customers",
-    "unsupplied_parts",
-    "forecast_revenue_change",
-    # --- never-driver-checked round-2 curation queries (11) ---
-    "decontaminate_ngram_overlap",
-    "split_leakage_check",
-    "pii_scrub",
-    "repetition_score",
-    "near_dup_shingle_jaccard",
-    "dup_clusters",
-    "tfidf_topk",
-    "chunk_documents",
-    "curation_pipeline_v2",
-    "ivf_kmeans_topk",
+    # --- newly oracle-paired in r4: first-ever hash rows (5) ---
     "seq_pack_docs",
-    # --- new round-3 queries (19) ---
-    "lsh_tier_consistency",
-    "simhash_dup_consistency",
-    "rare_token_ratio",
-    "corpus_vocab_topk",
-    "doc_length_histogram",
-    "pivot_priority_revenue",
-    "unpivot_part_metrics",
-    "exact_group_percentiles",
-    "fill_forward_last_purchase",
-    "product_type_profit",
-    "top_revenue_supplier",
-    "near_dup_split_leakage",
-    "ann_tier_claims",
-    "domain_mixture_weights",
-    "topn_orders_per_nation",
-    "heavy_hitters_claim",
-    "trending_event_types",
-    "asof_forward_metric",
-    "cohort_ltv_curve",
-    # --- spot re-checks across operator families (8) ---
-    "q1_pricing_summary",
-    "json_extract",
-    "range_join_shipping",
-    "anti_join_customers",
-    "consecutive_failures",
-    "stream_health_60s",
-    "window_rank_lag",
-    "dedup_first_event",
+    "watchdog_state_machine",
+    "multimodal_decoded",
+    "ivf_topk",
+    "ann_recall_eval",
+    # --- r1-era greens due for re-verification (42) ---
+    "argmax_order_per_customer",
+    "array_funcs",
+    "asof_probe_metric",
+    "cast_truncate",
+    "catalog_filter_project",
+    "catalog_json_roundtrip",
+    "computed_projection",
+    "cube_agg",
+    "datetime_funcs",
+    "datetime_funcs2",
+    "distinct_ops",
+    "escalation_actions",
+    "exists_correlated",
+    "filter_predicates",
+    "gap_filled_windows",
+    "grouping_sets_agg",
+    "in_subquery",
+    "iso8601_format",
+    "join_full_outer",
+    "join_left_outer",
+    "join_star_revenue",
+    "local_supplier_volume",
+    "math_funcs",
+    "null_funcs",
+    "percentiles_by_status",
+    "pivot_priority_counts",
+    "point_lookup_status",
+    "rollup_agg",
+    "salted_agg_events",
+    "scalar_subquery",
+    "semi_join_customers",
+    "set_ops_nations",
+    "shipping_priority_top10",
+    "sort_ranked",
+    "stats_agg",
+    "string_funcs",
+    "string_funcs2",
+    "struct_map_funcs",
+    "top_terms_per_lang",
+    "topk_orders",
+    "unpivot_lineitem_metrics",
+    "watchdog_null_guard",
+    # --- oldest r2-era fill to exactly 50 (3) ---
+    "approx_distinct",
+    "approx_percentiles_value",
+    "bpe_regex_tokens",
 )
 
 
