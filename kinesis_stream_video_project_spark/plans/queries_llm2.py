@@ -77,16 +77,22 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/dedup.py::shingles_of on why inlining re-tokenizes per
     # shingle position (measured ~5x on this query).
     grams5 = F.array_distinct(shingles_of(F.col("_toks"), 5))
+    # explode_outer + isNotNull (not plain explode): see
+    # operators/dedup.py::blocked_jaccard_near_dups — a non-outer Generate
+    # gets a `size(...) > 0` filter inferred and pushed below the staged
+    # projection with the whole 5-gram expression inlined (double work).
     eval_grams = (
         d.filter(b >= 90)
         .select(tokens(F.col("text")).alias("_toks"))
-        .select(F.explode(grams5).alias("g"))
+        .select(F.explode_outer(grams5).alias("g"))
+        .filter(F.col("g").isNotNull())
         .distinct()
     )
     train_grams = (
         d.filter(b < 80)
         .select("doc_id", tokens(F.col("text")).alias("_toks"))
-        .select("doc_id", F.explode(grams5).alias("g"))
+        .select("doc_id", F.explode_outer(grams5).alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     return (
         train_grams.join(F.broadcast(eval_grams), "g")
@@ -456,11 +462,13 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the postings table is the materialized inverted index."""
     d = io.load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
+    # explode_outer + isNotNull: avoids the inferred size(tokens(text))>0
+    # filter re-tokenizing every row (operators/dedup.py rationale).
     tok = d.select(
         "doc_id",
         F.size(toks).alias("dl"),
-        F.explode(toks).alias("term"),
-    )
+        F.explode_outer(toks).alias("term"),
+    ).filter(F.col("term").isNotNull())
     tf = tok.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
     )
@@ -743,8 +751,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.size(toks) - 63, F.lit(1)) + 47,
         F.lit(48),
     )
+    # explode_outer: `starts` is structurally non-empty (sequence from 1),
+    # but a non-outer explode still gets a size()>0 filter inferred and
+    # pushed down with the token expression inlined (dedup.py rationale).
     return (
-        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
+        d.select("doc_id", toks.alias("toks"), F.explode_outer(starts).alias("s"))
         .select(
             "doc_id",
             ((F.col("s") - 1) / 48).cast("long").alias("chunk_idx"),

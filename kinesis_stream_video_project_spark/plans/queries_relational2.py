@@ -180,8 +180,11 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key is (lang, token) so the count is partial-aggregated before
     exchange."""
     d = io.load_table(spark, sf_dir, "documents")
+    # explode_outer + isNotNull: avoids the inferred size(split(text))>0
+    # filter re-splitting every row (operators/dedup.py rationale).
     counts = (
-        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        d.select("lang", F.explode_outer(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )

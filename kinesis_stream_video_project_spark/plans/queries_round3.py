@@ -195,12 +195,20 @@ def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     set and counting misses) bounds the broadcast by the Zipf head and is
     the fallback if AQE ever isn't enough."""
     d = io.load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # explode_outer + isNotNull everywhere below: a non-outer explode gets a
+    # size(tokens(text))>0 filter inferred and pushed down with the token
+    # expression inlined — every row tokenizes twice (dedup.py rationale).
+    toks = d.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
     # Document frequency with ONE shuffle: dedup tokens per doc map-side
     # (array_distinct before explode) so the groupBy(tok) count IS the doc
     # count — no (doc_id, tok) distinct exchange first.
     dfreq = (
-        d.select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+        d.select(
+            F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok")
+        )
+        .filter(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -240,8 +248,12 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc tokens are deduped map-side (array_distinct before explode), so
     the tok-keyed count IS the document frequency."""
     d = io.load_table(spark, sf_dir, "documents")
+    # explode_outer + isNotNull: dedup.py rationale (inferred-filter inlining).
     dfreq = (
-        d.select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+        d.select(
+            F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok")
+        )
+        .filter(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
