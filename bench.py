@@ -58,6 +58,45 @@ BENCH_QUERIES = [
 # sub-pipelines of curation_pipeline_v2; benching them separately makes a
 # regression inside the composition attributable.
 
+# Rotating window (r4): the headline set above stays FIXED for
+# round-over-round comparison; this window gives the other query families a
+# timed row and rotates every round (like registry.DRIVER_PRIORITY rotates
+# correctness coverage). Totals are reported separately — "value" remains
+# the stable headline total, "rotation_total" the window's — so BENCH_rN
+# "value" stays comparable across rounds. Rotation entries are timed
+# construction+materialization in one span (several are applyInPandas /
+# claim queries whose build step does real work).
+BENCH_ROTATION = [
+    # dedup / similarity tiers never timed before
+    "near_dup_shingle_jaccard",
+    "lsh_tier_consistency",
+    "simhash_sketch",
+    "ivf_kmeans_topk",
+    "ann_recall_eval",
+    # north-star curation ops
+    "seq_pack_docs",
+    "chunk_documents",
+    "pii_scrub",
+    "repetition_score",
+    "split_leakage_check",
+    "domain_mixture_weights",
+    "rare_token_ratio",
+    "corpus_vocab_topk",
+    "doc_length_histogram",
+    # stateful / multimodal Arrow paths
+    "watchdog_state_machine",
+    "multimodal_decoded",
+    # relational families without a timed row
+    "range_join_shipping",
+    "market_share_by_year",
+    "cube_agg",
+    "window_rank_lag",
+    "conversion_funnel",
+    "trending_event_types",
+    "cohort_ltv_curve",
+    "salted_agg_events",
+]
+
 
 def bench_streaming(spark, sf_dir: str) -> float:
     """Time the flagship streaming pipeline end-to-end: the events table
@@ -146,13 +185,26 @@ def main() -> None:
     timings["stream_health_streaming"] = bench_streaming(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
+
+    rotation: dict[str, float] = {}
+    for name in BENCH_ROTATION:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        rotation[name] = round(best, 3)
+
     print(
         json.dumps(
             {
                 "metric": f"headline_query_set_total_sf{sf}",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **rotation},
+                "rotation_total": round(sum(rotation.values()), 3),
                 "sf": float(sf),
             }
         )
