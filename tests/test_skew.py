@@ -67,3 +67,92 @@ def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
         assert "non-algebraic" in str(e)
     else:
         raise AssertionError("avg must be rejected (compose sum+count instead)")
+
+
+def _with_conf(spark, overrides):
+    """Set conf keys, returning the previous values for restore."""
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    return saved
+
+
+def _restore_conf(spark, saved):
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split_kicks_in(spark):
+    """Prove the 100 TB skew story instead of asserting it (VERDICT r3 #6):
+    build a deliberately skewed fact→dim join at sf0.1 (90 % of lineitem
+    collapsed onto one join key) and assert AQE's OptimizeSkewedJoin
+    actually splits the hot partition — the executed adaptive plan must
+    carry ``SortMergeJoin(skew=true)``.
+
+    The load-bearing subtlety (negative control below): AQE splits a skewed
+    REDUCE partition along MAP-output block boundaries. The sf0.1 fixture
+    parquet is a single file with a single row group → one effective map
+    task → nothing to split, and the rule silently no-ops no matter how
+    aggressive the thresholds. On a production cluster the fact side always
+    has many mappers; locally we model that with an upstream
+    ``repartition(16)``. The writer-side corollary at 100 TB: emit multiple
+    files/row groups per partition or downstream AQE loses its skew lever.
+    """
+    sf_dir = "/root/testdata/sf0.1"
+    saved = _with_conf(
+        spark,
+        {
+            # No broadcast: force the shuffled sort-merge path AQE splits.
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            # Scale detection thresholds down to sf0.1 sizes (defaults are
+            # 256 MB-class, tuned for real clusters).
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+        },
+    )
+    try:
+        li = io.load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        dim = io.load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("k"), "p_name"
+        )
+        hot = F.when(F.col("l_orderkey") % 10 != 0, F.lit(1)).otherwise(
+            F.col("l_partkey")
+        )
+
+        # Negative control: single-row-group parquet = one mapper = the
+        # skewed partition has no block boundaries to split along.
+        single_mapper = li.withColumn("k", hot).join(dim, "k")
+        single_mapper.collect()
+        plan = single_mapper._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" not in plan, (
+            "single-mapper input unexpectedly split; fixture layout changed "
+            "(multiple row groups?) — update the comment above"
+        )
+
+        # Real shape: multiple mappers upstream, split must kick in.
+        fact = li.withColumn("k", hot).repartition(16)
+        joined = fact.join(dim, "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE skew-join split did not fire on a 90%-hot key with "
+            "16 mappers:\n" + plan[:4000]
+        )
+        # And the result is still correct: every fact row matches exactly
+        # one dim row, so the join preserves the fact row count.
+        assert joined.count() == li.count()
+    finally:
+        _restore_conf(spark, saved)
