@@ -78,20 +78,112 @@ KINESIS_DEFAULTS = {
     "awsUseInstanceProfile": "true",
 }
 
+# Record schema the open-source spark-sql-kinesis-connector delivers: the
+# payload is opaque bytes plus per-record Kinesis metadata (shard, sequence
+# number, arrival time). The contract tests replay THIS shape from fixtures,
+# so everything below the connector boundary is exercised without AWS.
+KINESIS_RAW_SCHEMA = StructType(
+    [
+        StructField("data", StringType()),  # binary on the wire; cast-equivalent
+        StructField("streamName", StringType()),
+        StructField("partitionKey", StringType()),
+        StructField("sequenceNumber", StringType()),
+        StructField("approximateArrivalTimestamp", LongType()),  # epoch ms
+        StructField("shardId", StringType()),
+    ]
+)
+
+_STARTING_POSITIONS = ("LATEST", "TRIM_HORIZON", "AT_TIMESTAMP")
+
+# The JSON event payload shape inside `data` (what the fleet's publisher
+# emits per probe; mirrors the events fixture columns).
+KINESIS_EVENT_PAYLOAD_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def kinesis_reader_options(
+    stream_name: str,
+    region: str = "us-east-1",
+    starting_position: str = "LATEST",
+    at_timestamp_ms: int | None = None,
+) -> dict[str, str]:
+    """Validated option map for the Kinesis DSv2 reader.
+
+    Pure function — the testable half of the connector contract: Kinesis
+    stream-name charset/length rules (the same rules `aws kinesisvideo
+    list-streams` enforces on StreamName, check_wf.sh:3), region shape, and
+    the shard-iterator type (`startingposition`), which must be one of
+    LATEST / TRIM_HORIZON / AT_TIMESTAMP — AT_TIMESTAMP additionally
+    requires the epoch-ms timestamp the iterator starts at.
+    """
+    import re
+
+    if not stream_name or not re.fullmatch(r"[a-zA-Z0-9_.-]{1,128}", stream_name):
+        raise ValueError(
+            f"invalid Kinesis stream name {stream_name!r}: 1-128 chars of "
+            "[a-zA-Z0-9_.-]"
+        )
+    if not re.fullmatch(r"[a-z]{2}(-[a-z]+)+-\d", region):
+        raise ValueError(f"invalid AWS region {region!r}")
+    pos = starting_position.upper()
+    if pos not in _STARTING_POSITIONS:
+        raise ValueError(
+            f"startingposition must be one of {_STARTING_POSITIONS}, got "
+            f"{starting_position!r}"
+        )
+    opts = {
+        "streamName": stream_name,
+        "endpointUrl": f"https://kinesis.{region}.amazonaws.com",
+        "startingposition": pos,
+        "awsUseInstanceProfile": "true",
+    }
+    if pos == "AT_TIMESTAMP":
+        if at_timestamp_ms is None:
+            raise ValueError("AT_TIMESTAMP requires at_timestamp_ms")
+        opts["startingtimestamp"] = str(at_timestamp_ms)
+    elif at_timestamp_ms is not None:
+        raise ValueError("at_timestamp_ms only valid with AT_TIMESTAMP")
+    return opts
+
+
+def decode_kinesis_records(raw: DataFrame) -> DataFrame:
+    """Decode connector-shaped records (KINESIS_RAW_SCHEMA) into event rows.
+
+    Works identically on a real connector stream, a fixture-replay file
+    stream, or a batch DataFrame — it is pure column logic. Malformed JSON
+    payloads decode to all-null structs; they are kept (null event_id) so a
+    downstream quality gate can count them rather than losing them silently.
+    """
+    return raw.select(
+        F.from_json(F.col("data").cast("string"), KINESIS_EVENT_PAYLOAD_DDL).alias(
+            "e"
+        ),
+        F.col("streamName").alias("_stream"),
+        F.col("shardId").alias("_shard"),
+        F.col("sequenceNumber").alias("_seq"),
+    ).select("e.*", "_stream", "_shard", "_seq")
+
 
 def kinesis_stream(
-    spark: SparkSession, stream_name: str, region: str = "us-east-1"
+    spark: SparkSession,
+    stream_name: str,
+    region: str = "us-east-1",
+    starting_position: str = "LATEST",
 ) -> DataFrame:
     """Production Kinesis source (O-03). Requires the Kinesis DSv2 connector
     jar on the cluster (--packages spark-sql-kinesis-connector); raises a
-    clear error locally where the connector is absent."""
+    clear error locally where the connector is absent. Config validation and
+    payload decoding are the pure halves (`kinesis_reader_options`,
+    `decode_kinesis_records`) exercised by the contract tests."""
+    opts = kinesis_reader_options(
+        stream_name, region=region, starting_position=starting_position
+    )
     try:
-        reader = (
-            spark.readStream.format("aws-kinesis")
-            .option("streamName", stream_name)
-            .option("endpointUrl", f"https://kinesis.{region}.amazonaws.com")
-            .option("startingposition", "LATEST")
-        )
+        reader = spark.readStream.format("aws-kinesis")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
         raw = reader.load()
     except Exception as exc:  # pragma: no cover - connector not in container
         raise RuntimeError(
@@ -99,11 +191,4 @@ def kinesis_stream(
             "spark-sql-kinesis-connector package on the cluster. Use "
             "file_event_stream/rate_probe_stream locally."
         ) from exc
-    # Kinesis delivers opaque bytes; decode JSON payloads into the event shape.
-    return raw.select(
-        F.from_json(
-            F.col("data").cast("string"),
-            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
-            "event_type STRING, value DOUBLE, props STRING",
-        ).alias("e")
-    ).select("e.*")
+    return decode_kinesis_records(raw)
