@@ -137,6 +137,41 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
         assert r.media_type in ("image", "audio", "video")
 
 
+def test_multimodal_decoder_hook_dispatch_and_fallback(spark, sf_dir):
+    """The optional real-codec hook (PIL when importable) is honored when it
+    accepts a payload and falls back to the deterministic stub when it
+    declines — pinned by injecting decoders, so the contract is tested even
+    in this codec-less container."""
+    d = io.load_table(spark, sf_dir, "documents").limit(20)
+    m = multimodal.media_manifest(d)
+
+    # Closures (not module-level functions): executors can't import the test
+    # module, so the decoder must pickle by value.
+    def _accepting_decoder(payload: bytes):
+        return (111.0, 2.5)
+
+    def _declining_decoder(payload: bytes):
+        return None
+
+    used = multimodal.decode_features(m, decoder=_accepting_decoder).collect()
+    assert all(r.byte_mean == 111.0 and r.byte_entropy == 2.5 for r in used)
+
+    declined = multimodal.decode_features(m, decoder=_declining_decoder).collect()
+    stub = multimodal.decode_features(m, decoder=None).collect()
+    key = lambda r: r.media_id  # noqa: E731
+    assert sorted(declined, key=key) == sorted(stub, key=key)
+
+    # In this container PIL is absent, so the default path IS the stub path
+    # (keeps the multimodal_decoded oracle bit-stable). With PIL installed,
+    # DEFAULT_DECODER flips to the real decode, which still declines the
+    # text-bytes fixture payloads — same rows either way.
+    if multimodal._PILImage is None:
+        assert multimodal.DEFAULT_DECODER is None
+    else:
+        assert multimodal.DEFAULT_DECODER is multimodal._pil_decode
+        assert multimodal._pil_decode(b"not an image") is None
+
+
 def test_approx_distinct_error_bounded(spark, sf_dir):
     l = io.load_table(spark, sf_dir, "lineitem")
     row = SPECS["approx_distinct"].fn(spark, sf_dir).collect()[0]
