@@ -67,31 +67,71 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return shingles_of(tokens(text), k)
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature: for seed s, min over shingles of
-    xxhash64(shingle, seed). xxhash64 is a JVM built-in — 64-bit, seedable,
-    deterministic across runs and partitionings."""
+# Prime modulus for the Kirsch-Mitzenmacher hash family below (~2^41).
+# h1, h2 are 44-bit, so h1 + i*h2 stays < 2^49 for i < 32: no 64-bit
+# overflow in EITHER engine (DuckDB errors on BIGINT overflow; Spark wraps —
+# staying far from the edge keeps the engines bit-identical).
+MINHASH_PRIME = 2199023255531
+
+
+def shingle_hash_pair(shingle: Column) -> Column:
+    """Portable 2-hash basis per shingle: (h1, h2) = two 44-bit integers cut
+    from md5(shingle). md5 is identical in Spark and DuckDB (unlike
+    xxhash64, which is JVM-only), so every signature derived from this pair
+    is replayable by the DuckDB oracle bit-for-bit."""
+    hx = F.md5(shingle)
+    h1 = F.conv(F.substring(hx, 1, 11), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(hx, 12, 11), 16, 10).cast("bigint")
+    return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+
+def minhash_signature_from_pairs(pairs_col: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature from an ALREADY-MATERIALIZED (h1, h2) pair-array
+    column: h_i(s) = (h1 + i*h2) mod P (Kirsch-Mitzenmacher family) —
+    n_hashes cheap integer mins over the basis. The pair array must be its
+    own projected column (like shingles_of's token-array contract): this
+    expression references it n_hashes times, and an inlined md5 transform
+    would re-hash every shingle once per hash function."""
     return F.array(
         *[
             F.array_min(
-                F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(s)))
+                F.transform(
+                    pairs_col,
+                    lambda p: (p["h1"] + F.lit(i) * p["h2"]) % F.lit(MINHASH_PRIME),
+                )
             )
-            for s in range(n_hashes)
+            for i in range(n_hashes)
         ]
     )
 
 
+def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
+    """Convenience form hashing shingles inline — fine for tests/small
+    inputs; hot paths should project ``F.transform(tok_set,
+    shingle_hash_pair)`` into its own column and use
+    :func:`minhash_signature_from_pairs` (see its warning)."""
+    return minhash_signature_from_pairs(
+        F.transform(shingle_col, shingle_hash_pair), n_hashes
+    )
+
+
 def lsh_band_keys(sig_col: Column, n_bands: int, rows_per_band: int) -> Column:
-    """Band the signature: hash each contiguous band of the signature into one
-    bucket key. Docs sharing ANY band key become candidates."""
+    """Band the signature: each contiguous band of rows_per_band signature
+    values becomes one bucket key — md5 over the ':'-joined band (portable;
+    docs sharing ANY band key become candidates)."""
     return F.array(
         *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.element_at(sig_col, b * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ],
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    *[
+                        F.element_at(sig_col, b * rows_per_band + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(rows_per_band)
+                    ],
+                )
             )
             for b in range(n_bands)
         ]
@@ -134,13 +174,15 @@ def minhash_lsh_near_dups(
     Only candidate pairs ever materialize; the corpus is never self-joined.
     """
     rows_per_band = n_hashes // n_bands
-    # Three-step projection ON PURPOSE (same reasoning as shingles_of's
+    # Four-step projection ON PURPOSE (same reasoning as shingles_of's
     # warning): tokens materialize once, then the shingle set (whose lambda
-    # references the token array k times per position), then the signature
-    # (which references the shingle set n_hashes times — inlining it would
-    # re-shingle once per hash function; measured 25× cost at sf0.1).
-    # Materialized columns keep CollapseProject from re-substituting (it
-    # refuses to duplicate a multiply-referenced non-cheap alias).
+    # references the token array k times per position), then the md5 basis
+    # pairs (one md5 per shingle), then the signature (which references the
+    # pair array n_hashes times — inlining the md5 transform would re-hash
+    # every shingle once per hash function; same 25×-class trap measured on
+    # the xxhash64 predecessor). Materialized columns keep CollapseProject
+    # from re-substituting (it refuses to duplicate a multiply-referenced
+    # non-cheap alias).
     tokenized = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_toks"),
@@ -149,10 +191,15 @@ def minhash_lsh_near_dups(
         "doc_id",
         F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("tok_set"),
     )
-    base = shingled.select(
+    paired = shingled.select(
         "doc_id",
         "tok_set",
-        minhash_signature(F.col("tok_set"), n_hashes).alias("sig"),
+        F.transform(F.col("tok_set"), shingle_hash_pair).alias("_hs"),
+    )
+    base = paired.select(
+        "doc_id",
+        "tok_set",
+        minhash_signature_from_pairs(F.col("_hs"), n_hashes).alias("sig"),
     )
     # Bucket rows carry ONLY (bucket, id): a duplicate cluster of size m in
     # one bucket yields m^2 candidate id-pairs, but each is 16 bytes, not two

@@ -31,13 +31,17 @@ def pandas_token_count(text: pd.Series) -> pd.Series:
 
 @F.pandas_udf(LongType())
 def pandas_simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens.
+    """60-bit SimHash over whitespace tokens (still named *64 for the
+    registered column contract; the value fits a SQL BIGINT with headroom).
 
-    Token hash = crc32(token) folded to 64 bits by pairing with
-    crc32(reversed token) — deterministic, dependency-free. Bit votes are
-    accumulated in a numpy matrix per Arrow batch (vectorized across the
-    64 bit positions).
+    Token hash = the top 15 hex chars of md5(token) — portable since r4:
+    DuckDB computes the identical integer (('0x'||substr(md5(t),1,15))::
+    BIGINT), so the sketch itself is oracle-replayable, unlike the crc32
+    pairing it replaces (duplicate tokens still vote with multiplicity).
+    Bit votes are accumulated in a numpy matrix per Arrow batch
+    (vectorized across the 60 bit positions).
     """
+    import hashlib
 
     def simhash(s: str) -> int:
         toks = s.split(" ")
@@ -45,20 +49,20 @@ def pandas_simhash64(text: pd.Series) -> pd.Series:
             return 0
         hashes = np.fromiter(
             (
-                (zlib.crc32(t.encode()) << 32) | zlib.crc32(t[::-1].encode())
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
                 for t in toks
             ),
             dtype=np.uint64,
             count=len(toks),
         )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+        bits = ((hashes[:, None] >> np.arange(60, dtype=np.uint64)) & 1).astype(
             np.int64
         )
         votes = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
+        out = 0
         for b in np.nonzero(votes > 0)[0]:
-            out |= np.uint64(1) << np.uint64(b)
-        return int(out.astype(np.int64))  # two's complement into a SQL BIGINT
+            out |= 1 << int(b)
+        return out
 
     return text.map(simhash).astype("int64")
 

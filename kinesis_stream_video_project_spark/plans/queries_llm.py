@@ -1,9 +1,11 @@
 """LLM-training-data pipeline queries (north-star set: dedup, similarity
 search, text analysis, multimodal, UDF surface — BASELINE.json mandate).
 
-Oracle-checkable where the computation is engine-neutral; deterministic
-rows-only where it depends on engine-specific hash primitives (xxhash64,
-crc32) — those are cross-verified in pytest instead (tests/test_llm_ops.py).
+Every query here is oracle-checkable since r4: the sketch tiers (MinHash,
+SimHash) run on portable md5-derived hash families both engines compute
+identically, and the IVF tiers are deterministic, so even the approximate
+operators carry full hash-checked DuckDB twins (plus pytest recall/
+consistency cross-checks in tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -122,21 +124,108 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.blocked_jaccard_near_dups(d, threshold=0.6)
 
 
-@register("minhash_lsh_near_dup", tags=("O-29",))  # rows-only: xxhash64 is JVM-specific
+def _minhash_lsh_oracle_sql() -> str:
+    """DuckDB replay of the FULL MinHash-LSH pipeline — possible since r4's
+    portable hash family (operators/dedup.py::shingle_hash_pair): shingles →
+    md5-derived (h1, h2) basis → 24 Kirsch-Mitzenmacher minhashes mod the
+    shared prime → 6 md5 band buckets → candidate pairs → exact-Jaccard
+    verification. Every step is integer/md5 arithmetic both engines compute
+    identically (validated exact at sf0.001/0.01/0.1)."""
+    from kinesis_stream_video_project_spark.operators.dedup import MINHASH_PRIME
+    from kinesis_stream_video_project_spark.plans.queries_llm2 import _dd_ngrams
+
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, list_distinct({_dd_ngrams(3)}) AS tok_set FROM documents
+),
+posts AS (
+  SELECT DISTINCT doc_id, UNNEST(tok_set) AS tok FROM shingled
+),
+hashed AS (
+  SELECT doc_id, tok,
+         ('0x' || substr(md5(tok), 1, 11))::BIGINT AS h1,
+         ('0x' || substr(md5(tok), 12, 11))::BIGINT AS h2
+  FROM posts
+),
+sig AS (
+  SELECT doc_id, i.i, MIN((h1 + i.i * h2) % {MINHASH_PRIME}) AS minh
+  FROM hashed CROSS JOIN (SELECT UNNEST(generate_series(0, 23)) AS i) i
+  GROUP BY doc_id, i.i
+),
+sigl AS (
+  SELECT doc_id, list(minh ORDER BY i) AS s FROM sig GROUP BY doc_id
+),
+banded AS (
+  SELECT DISTINCT doc_id,
+         md5(b.b::VARCHAR || ':' || s[4*b.b + 1]::VARCHAR || ':' || s[4*b.b + 2]::VARCHAR
+             || ':' || s[4*b.b + 3]::VARCHAR || ':' || s[4*b.b + 4]::VARCHAR) AS bucket
+  FROM sigl CROSS JOIN (SELECT UNNEST(generate_series(0, 5)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(tok_set) AS n FROM shingled),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
+  FROM cand c
+  JOIN posts pa ON pa.doc_id = c.doc_a
+  JOIN posts pb ON pb.doc_id = c.doc_b AND pb.tok = pa.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       (floor((CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE (floor((CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter)) * 10000.0 + 0.5) / 10000.0) >= 0.5
+"""
+
+
+@register("minhash_lsh_near_dup", tags=("O-29",), oracle=_minhash_lsh_oracle_sql())
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (O-29 scale tier): token sets → 24
     minhashes → 6 LSH bands → per-bucket candidates → exact-Jaccard
-    verification. Rows-only (xxhash64 has no DuckDB twin); recall vs the
-    exact tier is asserted in tests/test_llm_ops.py."""
+    verification.
+
+    Hash-checked since r4: the hash family is the portable md5-derived
+    Kirsch-Mitzenmacher construction (operators/dedup.py), so the oracle
+    replays signatures, banding, candidate generation AND verification —
+    the whole approximate tier, not just its consistency claims. Recall vs
+    the exact tier additionally asserted in tests/test_llm_ops.py."""
     d = io.load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_near_dups(d, threshold=0.5)
 
 
-@register("simhash_sketch", tags=("O-29", "O-32"))  # rows-only: crc32-based sketch
+@register(
+    "simhash_sketch",
+    tags=("O-29", "O-32"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id, CAST(COALESCE(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) END), 0) AS BIGINT) AS simhash64
+FROM votes GROUP BY doc_id
+""",
+)
 def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash sketch per document (O-29 sketch tier) via a vectorized
+    """SimHash sketch per document (O-29 sketch tier) via a vectorized
     pandas UDF (Arrow batches; numpy bit-votes). Hamming-close sketches =
-    near-dup candidates."""
+    near-dup candidates.
+
+    Hash-checked since r4: token hashes are the portable md5-top-60-bit
+    integers (operators/udfs.py), so the oracle replays the full bit-vote
+    fold in SQL — the Arrow UDF surface itself is now under the hash gate,
+    not just its consistency claims."""
     d = io.load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

@@ -493,7 +493,81 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
-@register("ivf_kmeans_topk", tags=("NS-curation", "O-30"))  # rows-only: approximate tier
+def _kmeans_ivf_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE learned-IVF tier: the deterministic Lloyd
+    loop (modulo init, 2 unrolled iterations of per-(cell,dim) mean
+    centroids + argmax-cosine assignment with the same smaller-cell
+    tiebreak as kmeans_assign's max_by struct), then the nprobe=2 probe and
+    ranked member cosine. Every step is the same double arithmetic as the
+    Spark side, so the learned cells — and therefore the approximate
+    result set — agree exactly."""
+    from kinesis_stream_video_project_spark.plans.queries_llm import _dd_cosine
+
+    def centroids(src: str) -> str:
+        return f"""
+  SELECT cell, list(mean_c ORDER BY dim) AS centroid
+  FROM (
+    SELECT cell, dim, AVG(c) AS mean_c
+    FROM (
+      SELECT cell, UNNEST(generate_series(1, len(embedding))) AS dim,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS c
+      FROM {src}
+    )
+    GROUP BY cell, dim
+  )
+  GROUP BY cell
+"""
+
+    def assign(cents: str) -> str:
+        return f"""
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_dd_cosine('e.embedding', 'c.centroid')} DESC, c.cell
+           ) AS rn
+    FROM embeddings e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+"""
+
+    return f"""
+WITH
+a0 AS (SELECT vec_id, embedding, vec_id % 10 AS cell FROM embeddings),
+c1 AS ({centroids('a0')}),
+a1 AS ({assign('c1')}),
+c2 AS ({centroids('a1')}),
+a2 AS ({assign('c2')}),
+c3 AS ({centroids('a2')}),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+cell_scores AS (
+  SELECT q.query_id, q.qvec, c.cell,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_dd_cosine('q.qvec', 'c.centroid')} DESC, c.cell
+         ) AS cr
+  FROM q CROSS JOIN c3 c
+),
+probed AS (SELECT query_id, qvec, cell FROM cell_scores WHERE cr <= 2),
+scored AS (
+  SELECT p.query_id, m.vec_id,
+         (floor(({_dd_cosine('p.qvec', 'm.embedding')}) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+  FROM probed p JOIN a2 m USING (cell)
+  WHERE m.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "ivf_kmeans_topk",
+    tags=("NS-curation", "O-30"),
+    oracle=_kmeans_ivf_oracle_sql(),
+)
 def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k over LEARNED k-means cells (O-30 scale tier,
     upgraded from the label-proxy ivf_topk): deterministic Lloyd iterations
@@ -501,8 +575,12 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_assign — modulo init, broadcast centroids, map-side max_by
     assignment), then the same nprobe cell-pruned search. Measured
     recall@10 at nprobe=2/10 cells: 0.40-0.42 vs 0.22-0.30 for label
-    cells on this fixture (asserted in pytest). Rows-only: learned cells
-    are engine-specific."""
+    cells on this fixture (asserted in pytest).
+
+    Hash-checked since r4: deterministic init + argmax tiebreaks make the
+    whole learned tier replayable — the oracle unrolls the two Lloyd
+    iterations in SQL (``_kmeans_ivf_oracle_sql``), validated exact at
+    sf0.001/0.01/0.1."""
     from kinesis_stream_video_project_spark.operators.similarity import (
         ivf_topk_kmeans,
     )

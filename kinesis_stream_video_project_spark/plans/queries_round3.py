@@ -90,8 +90,8 @@ def lsh_tier_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
       tier does (the LSH tier also finds cross-block pairs the blocked tier
       cannot see; those are excluded from the subset claim);
     * every blocked exact pair is recalled by LSH — deterministic for fixed
-      data (xxhash64 signatures are reproducible), measured TRUE at
-      sf0.001/0.01/0.1; a band-hash regression flips it.
+      data (the portable md5-family signatures are reproducible), measured
+      TRUE at sf0.001/0.01/0.1; a band-hash regression flips it.
 
     The oracle independently recomputes ``n_exact_pairs`` and emits literal
     TRUE for both claims.

