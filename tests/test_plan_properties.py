@@ -209,3 +209,40 @@ def test_round3_plan_shapes(spark, sf_dir):
         p = plan_of(spark, sf_dir, name)
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert node not in p, f"{name}: Python in hot path"
+
+
+def test_no_inferred_generate_filter_inlining(spark, sf_dir):
+    """Guard the round-4 Generate fix: a non-outer explode over a token/
+    shingle/signature expression makes the optimizer infer `size(expr) > 0`
+    and push it below the staged projections with the WHOLE expression
+    inlined — the pipeline then runs twice per row (measured 5-8x on the
+    postings scans). Hot exploders must use explode_outer + isNotNull on
+    the generated column; this asserts no optimized plan regrows a pushed
+    size-filter over a split/transform expression."""
+    import re
+
+    for name in (
+        "minhash_lsh_near_dup",
+        "near_dup_shingle_jaccard",
+        "decontaminate_ngram_overlap",
+        "tfidf_topk",
+        "chunk_documents",
+        "rare_token_ratio",
+        "corpus_vocab_topk",
+        "top_terms_per_lang",
+        "simhash_dup_consistency",
+        "lsh_tier_consistency",
+    ):
+        plan = (
+            SPECS[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        bad = re.findall(r"Filter \(size\((?:array_distinct|transform|split)", plan)
+        assert not bad, (
+            f"{name}: inferred size()-filter re-inlines the token pipeline "
+            f"below the projections ({len(bad)} hit(s)) — use explode_outer "
+            f"+ isNotNull (see operators/dedup.py)\n{plan[:2000]}"
+        )
