@@ -219,6 +219,11 @@ def minhash_lsh_near_dups(
         .filter(F.col("bucket").isNotNull())
         .distinct()
     )
+    # Explicit bucket repartition = shared exchange subtree: BOTH sides of
+    # the bucket self-join read the same ReusedExchange, so the signature
+    # pipeline (md5 basis + 24 minhashes + banding) runs once per query,
+    # not once per join side. The join would shuffle on bucket regardless.
+    banded = banded.repartition("bucket")
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), "bucket")
@@ -230,8 +235,10 @@ def minhash_lsh_near_dups(
     )
     # Join candidates back to `shingled`, not `base`: the pair verification
     # needs only the shingle sets, and reusing `base` would recompute the
-    # 24-hash signatures a second time just to drop them.
-    toks = shingled
+    # 24-hash signatures a second time just to drop them. Same shared-
+    # exchange trick: repartition on doc_id so ta/tb read one computation
+    # of the tokenize+shingle pipeline.
+    toks = shingled.repartition("doc_id")
     return (
         pairs.join(toks.alias("ta"), pairs["doc_a"] == F.col("ta.doc_id"))
         .join(toks.alias("tb"), pairs["doc_b"] == F.col("tb.doc_id"))
@@ -296,10 +303,20 @@ def blocked_jaccard_near_dups(
     # the text per element reference (measured 5.3 s → 0.65 s warm for the
     # sf0.1 postings scan). The null filter on the GENERATED column cannot
     # be pushed below the Generate, so the staged projections survive.
+    #
+    # The explicit repartition on the JOIN key makes the postings exchange a
+    # shared subtree: the pair-join's two sides AND the sizes aggregate all
+    # read the SAME ReusedExchange, so the corpus is tokenized+shingled
+    # exactly once per query instead of three times (the join would have
+    # shuffled on (block, tok) anyway — this just hoists that shuffle above
+    # one computation instead of two).
     posts = base.select(
         *block_cols, "doc_id", F.explode_outer("tok_set").alias("tok")
     ).filter(F.col("tok").isNotNull())
-    sizes = base.select("doc_id", F.size("tok_set").alias("n_set"))
+    posts = posts.repartition(*block_cols, "tok")
+    # n_set = postings count per doc (tok_set is distinct); docs with zero
+    # shingles are absent here AND from the pair join, so nothing is lost.
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_set"))
     inter = (
         posts.select(
             *block_cols, F.col("doc_id").alias("doc_a"), "tok"
