@@ -93,25 +93,46 @@ def watchdog_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     names; every transition is integer arithmetic on epoch-µs, so the
     engines agree exactly. pytest additionally cross-checks against the
     pure-Python fold and the oracle-checked ``escalation_actions``
-    gaps-and-islands twin."""
+    gaps-and-islands twin.
+
+    Sharded grouping (r4 perf): grouping by ``device_id % 64`` instead of
+    raw device_id cuts the Arrow/pandas invocation count from one per
+    device (1500 at sf0.1 — per-call overhead dominated the 5.5 s bench
+    row) to one per shard; the fold loops the shard's devices in-process
+    on the ordered frame. Fold semantics are untouched — the state machine
+    still replays strictly per device in (ts, event_id) order. At 100 TB
+    the shard count is the parallelism knob, exactly like seq_pack_docs'
+    md5 shards."""
     probes = io.probe_log(spark, sf_dir)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-        actions, _ = replay_device(list(zip(ts_us, pdf["ok"].tolist())))
-        dev = pdf["device_id"].iloc[0]
+        pdf = pdf.sort_values(["device_id", "ts", "event_id"])
+        ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
+        devs = pdf["device_id"].to_numpy()
+        oks = pdf["ok"].to_numpy()
+        out_dev: list[int] = []
+        out_ts: list[int] = []
+        out_act: list[str] = []
+        start = 0
+        n = len(pdf)
+        for i in range(1, n + 1):
+            if i == n or devs[i] != devs[start]:
+                actions, _ = replay_device(
+                    list(zip(ts_us[start:i].tolist(), oks[start:i].tolist()))
+                )
+                out_dev.extend([int(devs[start])] * len(actions))
+                out_ts.extend(a[0] for a in actions)
+                out_act.extend(a[1] for a in actions)
+                start = i
         return pd.DataFrame(
-            {
-                "device_id": [dev] * len(actions),
-                "action_ts_us": [a[0] for a in actions],
-                "action": [a[1] for a in actions],
-            }
+            {"device_id": out_dev, "action_ts_us": out_ts, "action": out_act}
         )
 
     return (
-        probes.select("device_id", "ts", "event_id", "ok")
-        .groupBy("device_id")
+        probes.select(
+            "device_id", "ts", "event_id", "ok", (F.col("device_id") % 64).alias("_shard")
+        )
+        .groupBy("_shard")
         .applyInPandas(run, _ACTIONS_SCHEMA)
     )
 
