@@ -1,0 +1,143 @@
+"""Round-4 additions: curation + temporal-modeling operators.
+
+Both are built for exact cross-engine agreement: the surprisal score
+accumulates SCALED-INTEGER terms (floor-division is identical in Spark and
+DuckDB, and integer addition is order-insensitive — no float summation-
+order hazard), and the SCD2 build is pure window arithmetic over a total
+order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark.functions.text import tokens
+from kinesis_stream_video_project_spark.plans.registry import register
+
+
+@register(
+    "surprisal_score",
+    tags=("NS-curation", "O-31"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dfreq AS (
+  SELECT tok, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks)
+  GROUP BY tok
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(1000000000000 // d.df) AS s
+  FROM toks t JOIN dfreq d USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       (floor((CAST(s AS DOUBLE) / n_tokens / 1000000000000.0) * 10000.0 + 0.5) / 10000.0) AS surprisal
+FROM scored
+""",
+)
+def surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal proxy per document (north-star quality gate):
+    mean token rarity, where a token's rarity is 1/document-frequency —
+    documents full of corpus-rare tokens score high (gibberish, boilerplate
+    IDs, wrong-language shards), stopword-heavy text scores ~0. The real
+    curation signal this proxies is mean negative logprob under a unigram
+    LM; the rational 1/df form is used INSTEAD of log so both engines
+    agree bit-for-bit.
+
+    Numeric strategy: each term is the scaled integer 10^12 // df
+    (floor-division — identical in both engines), summed as BIGINT
+    (order-insensitive, unlike float sums), divided out and rounded only
+    at the very end. Plan: one doc-frequency aggregate (map-side distinct),
+    token join back (Zipf-skew handled by AQE, same story as
+    rare_token_ratio), one per-doc aggregate."""
+    d = io.load_table(spark, sf_dir, "documents")
+    # explode_outer + isNotNull: dedup.py rationale (inferred-filter inlining).
+    toks = d.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    dfreq = (
+        d.select(
+            F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok")
+        )
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("1000000000000 DIV df")).alias("_s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        r4(
+            F.col("_s").cast("double") / F.col("n_tokens") / F.lit(1000000000000.0)
+        ).alias("surprisal"),
+    )
+
+
+@register(
+    "scd2_user_status",
+    tags=("O-16", "O-24", "NS-quality"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS status, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER w AS prev_status
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, status, ts_us
+  FROM ordered
+  WHERE prev_status IS NULL OR status <> prev_status
+)
+SELECT user_id, status,
+       ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) - 1 AS valid_to_us,
+       (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL) AS is_current
+FROM changes
+""",
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the event log: collapse
+    each user's event-type stream into validity intervals
+    [valid_from_us, valid_to_us] with an is_current flag — the standard
+    dimension-table build every warehouse needs when history must be
+    queryable as-of any instant (pairs with the as-of join operators:
+    `asof_probe_metric` probes exactly this interval shape).
+
+    Plan: ONE shuffle on user_id; both windows (change detection via lag,
+    interval close via lead) and the change filter reuse the same
+    partitioning — Catalyst plans a single Exchange followed by two Window
+    operators. Total order (ts, event_id) makes the intervals
+    deterministic; epoch-µs integer arithmetic keeps both engines exact."""
+    e = io.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev_status"),
+    )
+    changes = ordered.filter(
+        F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us")
+    return changes.select(
+        "user_id",
+        "status",
+        F.col("ts_us").alias("valid_from_us"),
+        (F.lead("ts_us").over(w2) - 1).alias("valid_to_us"),
+        F.lead("ts_us").over(w2).isNull().alias("is_current"),
+    )

@@ -63,8 +63,10 @@ def register(
 # round. After r3 every registered query has a driver row; the r4 rotation
 # targets STALENESS (VERDICT r3 item 2): (a) the 8 queries whose brand-new
 # r4 oracles have never produced a hash row (rows-only through r3 — ZERO
-# rows-only remain after r4), (b) all 42 queries whose only green row
-# dates from r1. Queries not listed keep registration order after these;
+# rows-only remain after r4), (b) the 2 brand-new round-4 queries, then
+# (c) 40 of the 42 queries whose only green row dates from r1 (the two
+# *_funcs2 siblings yield their slots; their families are still covered).
+# Queries not listed keep registration order after these;
 # each has a green r2/r3 row and its module is unchanged since (or its
 # family is re-checked via the r4-oracled entry), so every query's latest
 # green row stays ≤2 rounds old with the oldest cohort fully refreshed.
@@ -78,6 +80,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_lsh_near_dup",
     "simhash_sketch",
     "ivf_kmeans_topk",
+    # --- new round-4 queries: never driver-checked (2) ---
+    "surprisal_score",
+    "scd2_user_status",
     # --- r1-era greens due for re-verification (42) ---
     "argmax_order_per_customer",
     "array_funcs",
@@ -88,7 +93,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "computed_projection",
     "cube_agg",
     "datetime_funcs",
-    "datetime_funcs2",
     "distinct_ops",
     "escalation_actions",
     "exists_correlated",
@@ -115,7 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_ranked",
     "stats_agg",
     "string_funcs",
-    "string_funcs2",
     "struct_map_funcs",
     "top_terms_per_lang",
     "topk_orders",
@@ -165,6 +168,7 @@ def _load_all() -> None:
         queries_llm,
         queries_llm2,
         queries_round3,
+        queries_round4,
         queries_streaming_twins,
     )
 
