@@ -86,6 +86,9 @@ BENCH_ROTATION = [
     # stateful / multimodal Arrow paths
     "watchdog_state_machine",
     "multimodal_decoded",
+    # new round-4 queries
+    "surprisal_score",
+    "scd2_user_status",
     # relational families without a timed row
     "range_join_shipping",
     "market_share_by_year",
