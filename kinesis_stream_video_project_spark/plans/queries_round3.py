@@ -97,10 +97,21 @@ def lsh_tier_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE for both claims.
     """
     d = io.load_table(spark, sf_dir, "documents")
-    exact = blocked_jaccard_near_dups(d, threshold=0.5, shingle_k=3).select(
-        "doc_a", "doc_b"
+    # Both pair sets feed 2-3 consumers (counts + anti-joins); the explicit
+    # pair-key repartition turns each into ONE shared exchange subtree
+    # (ReusedExchange), so each tier's full pipeline runs once per query
+    # instead of once per consumer (operators/dedup.py established the
+    # pattern inside the tiers; this applies it across the claim).
+    exact = (
+        blocked_jaccard_near_dups(d, threshold=0.5, shingle_k=3)
+        .select("doc_a", "doc_b")
+        .repartition("doc_a", "doc_b")
     )
-    lsh = minhash_lsh_near_dups(d, threshold=0.5).select("doc_a", "doc_b")
+    lsh = (
+        minhash_lsh_near_dups(d, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .repartition("doc_a", "doc_b")
+    )
     blocks = d.select("doc_id", "source", "lang")
     within_block = (
         lsh.join(blocks.alias("ba"), lsh["doc_a"] == F.col("ba.doc_id"))
