@@ -1,0 +1,38 @@
+"""Registry/driver-contract hygiene (verify skill, r3/r4 lessons): the
+driver hash-checks only the first 50 exported queries, so window structure
+is load-bearing — and every registered query must carry an oracle (zero
+rows-only since r4)."""
+
+from __future__ import annotations
+
+from kinesis_stream_video_project_spark.plans import registry
+
+
+def test_driver_window_is_exactly_the_export_prefix():
+    qs = registry.all_queries()
+    win = registry.DRIVER_PRIORITY
+    assert len(win) == 50, "driver verifies a prefix of exactly 50"
+    assert len(set(win)) == 50, "duplicate names waste verification budget"
+    missing = [n for n in win if n not in qs]
+    assert not missing, f"window names not in registry: {missing}"
+    assert list(qs)[:50] == list(win), "export order must start with the window"
+
+
+def test_every_query_is_oracle_paired():
+    qs = registry.all_queries()
+    rows_only = [n for n, s in qs.items() if not s.oracle]
+    assert not rows_only, (
+        f"rows-only queries reappeared: {rows_only} — since r4 every "
+        "registered query must ship a DuckDB oracle (portable hashes / "
+        "deterministic tiers / recursive-CTE folds; see queries_llm.py)"
+    )
+
+
+def test_entry_contract_exports_registry():
+    import __spark_entry__ as E
+
+    qs = registry.all_queries()
+    assert set(E.queries().keys()) == set(qs.keys())
+    oracles = E.oracle_sql()
+    assert set(oracles.keys()) == set(qs.keys())
+    assert all(isinstance(v, str) and v.strip() for v in oracles.values())
