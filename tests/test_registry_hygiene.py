@@ -36,3 +36,27 @@ def test_entry_contract_exports_registry():
     oracles = E.oracle_sql()
     assert set(oracles.keys()) == set(qs.keys())
     assert all(isinstance(v, str) and v.strip() for v in oracles.values())
+
+
+def test_temp_view_queries_survive_sf_switch(spark):
+    """Queries that register temp views (io.register_views + spark.sql) must
+    stay correct when one session switches sf_dirs between calls — views
+    are re-registered per call, and a stale registration would silently
+    serve the previous scale factor's data (verify-skill gotcha)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.plans import registry as reg
+
+    spec = next(
+        s
+        for s in reg.all_queries().values()
+        if "register_views" in __import__("inspect").getsource(s.fn)
+    )
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = spec.fn(spark, sf_dir).count()
+        con = duckdb.connect()
+        for t in ("region","nation","customer","supplier","part","orders",
+                  "lineitem","events","documents","embeddings"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        want = len(con.sql(spec.oracle).df())
+        assert got == want, f"{spec.name}@{sf_dir}: {got} vs {want} (stale views?)"
