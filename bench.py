@@ -89,6 +89,8 @@ BENCH_ROTATION = [
     # new round-4 queries
     "surprisal_score",
     "scd2_user_status",
+    "corpus_shuffle",
+    "boilerplate_prefixes",
     # relational families without a timed row
     "range_join_shipping",
     "market_share_by_year",

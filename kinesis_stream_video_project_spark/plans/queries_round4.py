@@ -141,3 +141,86 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lead("ts_us").over(w2) - 1).alias("valid_to_us"),
         F.lead("ts_us").over(w2).isNull().alias("is_current"),
     )
+
+
+@register(
+    "corpus_shuffle",
+    tags=("NS-curation", "O-07", "O-23"),
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank
+FROM documents
+""",
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle (north-star sequence prep): the
+    global training order is ORDER BY md5(seed || doc_id) — reproducible
+    across runs/engines/partitionings (unlike rand()), re-shufflable by
+    changing the seed, and stable under corpus append (existing docs keep
+    their relative order per seed).
+
+    The global rank is computed by TWO-PHASE DISTRIBUTED RANKING, not an
+    unpartitioned window (which would funnel the corpus through one task —
+    the exact anti-pattern test_no_unpartitioned_windows bans): bucket each
+    doc by the first byte of its shuffle key (256 buckets), rank within
+    buckets in parallel, and add per-bucket offsets from a broadcast
+    256-row cumulative count. The only unpartitioned window runs over
+    those 256 bucket-count rows — dimension-sized, never corpus-sized."""
+    d = io.load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id",
+        key.alias("_key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("_bucket"),
+    )
+    w_in = Window.partitionBy("_bucket").orderBy("_key", "doc_id")
+    within = keyed.withColumn("_r", F.row_number().over(w_in))
+    counts = keyed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_bucket", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return within.join(F.broadcast(offsets), "_bucket").select(
+        "doc_id", (F.col("_off") + F.col("_r")).cast("long").alias("shuffle_rank")
+    )
+
+
+@register(
+    "boilerplate_prefixes",
+    tags=("NS-curation", "O-31", "O-06"),
+    oracle="""
+WITH prefixes AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS prefix
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM prefixes
+GROUP BY prefix
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, prefix
+LIMIT 20
+""",
+)
+def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix boilerplate detection (north-star curation signal):
+    the most repeated 8-token document prefixes — templated headers,
+    scraped navigation, license banners — which a curation pass strips
+    before dedup so boilerplate doesn't glue unrelated documents into one
+    near-dup cluster. One aggregation on the 8-token prefix string (no
+    explode — the prefix is a single `slice` + `concat_ws` per doc),
+    total-ordered before the limit (TakeOrderedAndProject)."""
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    prefixed = d.select(
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("prefix"),
+        F.size(toks).alias("_n"),
+    ).filter(F.col("_n") >= 8)
+    counts = prefixed.groupBy("prefix").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+        .limit(20)
+    )

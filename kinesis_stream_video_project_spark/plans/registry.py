@@ -63,9 +63,10 @@ def register(
 # round. After r3 every registered query has a driver row; the r4 rotation
 # targets STALENESS (VERDICT r3 item 2): (a) the 8 queries whose brand-new
 # r4 oracles have never produced a hash row (rows-only through r3 — ZERO
-# rows-only remain after r4), (b) the 2 brand-new round-4 queries, then
-# (c) 40 of the 42 queries whose only green row dates from r1 (the two
-# *_funcs2 siblings yield their slots; their families are still covered).
+# rows-only remain after r4), (b) the 4 brand-new round-4 queries, then
+# (c) 38 of the 42 queries whose only green row dates from r1 (the
+# *_funcs2 siblings and the simple-projection pair cast_truncate /
+# computed_projection yield their slots; their families stay covered).
 # Queries not listed keep registration order after these;
 # each has a green r2/r3 row and its module is unchanged since (or its
 # family is re-checked via the r4-oracled entry), so every query's latest
@@ -80,17 +81,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_lsh_near_dup",
     "simhash_sketch",
     "ivf_kmeans_topk",
-    # --- new round-4 queries: never driver-checked (2) ---
+    # --- new round-4 queries: never driver-checked (4) ---
     "surprisal_score",
     "scd2_user_status",
+    "corpus_shuffle",
+    "boilerplate_prefixes",
     # --- r1-era greens due for re-verification (42) ---
     "argmax_order_per_customer",
     "array_funcs",
     "asof_probe_metric",
-    "cast_truncate",
     "catalog_filter_project",
     "catalog_json_roundtrip",
-    "computed_projection",
     "cube_agg",
     "datetime_funcs",
     "distinct_ops",
