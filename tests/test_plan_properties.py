@@ -246,3 +246,21 @@ def test_no_inferred_generate_filter_inlining(spark, sf_dir):
             f"below the projections ({len(bad)} hit(s)) — use explode_outer "
             f"+ isNotNull (see operators/dedup.py)\n{plan[:2000]}"
         )
+
+
+def test_corpus_shuffle_has_no_corpus_sized_global_sort(spark, sf_dir):
+    """corpus_shuffle ranks via two-phase distributed ranking; the ONLY
+    single-partition exchange allowed is the 256-row bucket-count offsets
+    side (broadcast), never the corpus side. The corpus-side window must be
+    partitioned (by _bucket)."""
+    plan = plan_of(spark, sf_dir, "corpus_shuffle")
+    # the corpus path: Window partitioned by _bucket, exchanged on _bucket
+    assert "hashpartitioning(_bucket" in plan, plan
+    # any SinglePartition exchange must sit under the broadcast offsets side
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        tail = plan[m.start() : m.start() + 2000]
+        assert "count(1)" in tail or "_n" in tail or "BroadcastExchange" in plan[: m.start()], (
+            "SinglePartition exchange outside the 256-row offsets path\n" + plan
+        )
