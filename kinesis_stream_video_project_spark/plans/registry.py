@@ -64,9 +64,13 @@ def register(
 # targets STALENESS (VERDICT r3 item 2): (a) the 8 queries whose brand-new
 # r4 oracles have never produced a hash row (rows-only through r3 — ZERO
 # rows-only remain after r4), (b) the 4 brand-new round-4 queries, then
-# (c) 38 of the 42 queries whose only green row dates from r1 (the
-# *_funcs2 siblings and the simple-projection pair cast_truncate /
-# computed_projection yield their slots; their families stay covered).
+# (c) the 10 r3-green queries whose source modules CHANGED in r4 (the
+# dedup postings/exchange-reuse and explode_outer rewrites) — their r3
+# rows no longer certify the shipped code, so they outrank merely-stale
+# entries; then (d) 28 of the 42 queries whose only green row dates from
+# r1 (unchanged modules; overlapping-family representatives — the
+# *_funcs2 siblings, simple projections, one each of the grouping/join/
+# datetime/sort twins — yield their slots; every family stays covered).
 # Queries not listed keep registration order after these;
 # each has a green r2/r3 row and its module is unchanged since (or its
 # family is re-checked via the r4-oracled entry), so every query's latest
@@ -86,7 +90,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_user_status",
     "corpus_shuffle",
     "boilerplate_prefixes",
-    # --- r1-era greens due for re-verification (42) ---
+    # --- r3-green queries whose source modules CHANGED in r4 (10):
+    # the dedup/explode rewrites touched these, so their r3 rows no longer
+    # certify the shipped code — higher re-check priority than stale-but-
+    # unchanged r1 entries ---
+    "dup_clusters",
+    "near_dup_shingle_jaccard",
+    "lsh_tier_consistency",
+    "near_dup_split_leakage",
+    "curation_pipeline_v2",
+    "decontaminate_ngram_overlap",
+    "tfidf_topk",
+    "chunk_documents",
+    "rare_token_ratio",
+    "corpus_vocab_topk",
+    # --- r1-era greens due for re-verification (28; unchanged modules,
+    # one representative per overlapping family yields its slot) ---
     "argmax_order_per_customer",
     "array_funcs",
     "asof_probe_metric",
@@ -99,26 +118,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "exists_correlated",
     "filter_predicates",
     "gap_filled_windows",
-    "grouping_sets_agg",
-    "in_subquery",
-    "iso8601_format",
-    "join_full_outer",
     "join_left_outer",
     "join_star_revenue",
     "local_supplier_volume",
     "math_funcs",
     "null_funcs",
     "percentiles_by_status",
-    "pivot_priority_counts",
-    "point_lookup_status",
-    "rollup_agg",
     "salted_agg_events",
-    "scalar_subquery",
     "semi_join_customers",
     "set_ops_nations",
     "shipping_priority_top10",
-    "sort_ranked",
-    "stats_agg",
     "string_funcs",
     "struct_map_funcs",
     "top_terms_per_lang",
