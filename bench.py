@@ -91,6 +91,7 @@ BENCH_ROTATION = [
     "scd2_user_status",
     "corpus_shuffle",
     "boilerplate_prefixes",
+    "filtered_cosine_topk",
     # relational families without a timed row
     "range_join_shipping",
     "market_share_by_year",

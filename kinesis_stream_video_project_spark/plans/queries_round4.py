@@ -17,6 +17,11 @@ from kinesis_stream_video_project_spark.functions.numeric import r4
 from kinesis_stream_video_project_spark.functions.text import tokens
 from kinesis_stream_video_project_spark.plans.registry import register
 
+# DuckDB cosine fragment shared with queries_llm (same double fold).
+from kinesis_stream_video_project_spark.plans.queries_llm import (  # noqa: E402
+    _dd_cosine as _dd_cosine_r4,
+)
+
 
 @register(
     "surprisal_score",
@@ -223,4 +228,52 @@ def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), "prefix")
         .limit(20)
+    )
+
+
+@register(
+    "filtered_cosine_topk",
+    tags=("NS-curation", "O-30", "O-04"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+cand AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE label % 2 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         (floor(({_dd_cosine_r4('q.qvec', 'c.embedding')}) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+  FROM q JOIN cand c ON c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, label, cos_sim,
+       CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+""",
+)
+def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the retrieval shape every RAG /
+    curation system actually runs: "nearest neighbors WHERE tenant/lang/
+    source = X"). Strategy = PRE-filter: the predicate prunes the corpus
+    BEFORE any cosine work — pushed to the parquet scan, so at 100 TB with
+    the corpus partitioned on the filter column this is partition pruning,
+    and recall is exact by construction (post-filtering an ANN top-k
+    under-returns when the filter is selective). The label%2 predicate
+    stands in for the metadata clause; the filter reaches the scan as a
+    PushedFilter when expressed on a raw column."""
+    from kinesis_stream_video_project_spark.operators import similarity
+
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = e.filter(F.col("label") % 2 == 0)
+    topk = similarity.cosine_topk(q, cand, k=10)
+    labels = cand.select("vec_id", "label")
+    return topk.join(F.broadcast(labels), "vec_id").select(
+        "query_id", "vec_id", "label", "cos_sim", "rank"
     )

@@ -63,12 +63,13 @@ def register(
 # round. After r3 every registered query has a driver row; the r4 rotation
 # targets STALENESS (VERDICT r3 item 2): (a) the 8 queries whose brand-new
 # r4 oracles have never produced a hash row (rows-only through r3 — ZERO
-# rows-only remain after r4), (b) the 4 brand-new round-4 queries, then
+# rows-only remain after r4), (b) the 5 brand-new round-4 queries, then
 # (c) the 10 r3-green queries whose source modules CHANGED in r4 (the
 # dedup postings/exchange-reuse and explode_outer rewrites) — their r3
 # rows no longer certify the shipped code, so they outrank merely-stale
 # entries; then (d) 28 of the 42 queries whose only green row dates from
 # r1 (unchanged modules; overlapping-family representatives — the
+# semi-join twin,
 # *_funcs2 siblings, simple projections, one each of the grouping/join/
 # datetime/sort twins — yield their slots; every family stays covered).
 # Queries not listed keep registration order after these;
@@ -90,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_user_status",
     "corpus_shuffle",
     "boilerplate_prefixes",
+    "filtered_cosine_topk",
     # --- r3-green queries whose source modules CHANGED in r4 (10):
     # the dedup/explode rewrites touched these, so their r3 rows no longer
     # certify the shipped code — higher re-check priority than stale-but-
@@ -125,7 +127,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "null_funcs",
     "percentiles_by_status",
     "salted_agg_events",
-    "semi_join_customers",
     "set_ops_nations",
     "shipping_priority_top10",
     "string_funcs",
