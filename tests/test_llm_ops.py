@@ -411,3 +411,28 @@ def test_pack_sequences_single_shard_recovers_whole_group_fold(spark):
     assert all(r.shard == 0 for r in rows)
     want = greedy_fill([r.n_tokens for r in rows], 512)
     assert [(r.bin_idx, r.bin_fill) for r in rows] == want
+
+
+def test_corpus_shuffle_rank_is_partitioning_invariant(spark, sf_dir):
+    """The two-phase distributed rank must be a pure function of the data —
+    identical no matter how the input is partitioned (the property rand()
+    or zipWithIndex-style ranking would violate)."""
+    from kinesis_stream_video_project_spark.plans import registry
+
+    fn = registry.all_queries()["corpus_shuffle"].fn
+    base = {r.doc_id: r.shuffle_rank for r in fn(spark, sf_dir).collect()}
+    # Same query over a deliberately re-partitioned copy of the table.
+    d = io.load_table(spark, sf_dir, "documents").repartition(7)
+    d.createOrReplaceTempView("_shuffled_docs")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(0).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{t}.parquet")
+        again = {r.doc_id: r.shuffle_rank for r in fn(spark, tmp).collect()}
+    assert base == again
+    assert sorted(base.values()) == list(range(1, len(base) + 1))
