@@ -332,3 +332,72 @@ def watchdog_actions_tws(probes: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="ProcessingTime",
     )
+
+
+_SCD2_OUT_SCHEMA = (
+    StructType()
+    .add("user_id", "long")
+    .add("status", "string")
+    .add("valid_from_us", "long")
+    .add("valid_to_us", "long")
+)
+_SCD2_STATE_SCHEMA = (
+    StructType().add("status", "string").add("valid_from_us", "long")
+)
+
+
+def scd2_status_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD2 build (the incremental form of
+    plans/queries_round4.py::scd2_user_status): emit a CLOSED validity
+    interval whenever a user's status changes; the OPEN interval rides
+    per-user state across micro-batches (that is what makes it incremental
+    — the batch twin re-derives open intervals per run, the stream carries
+    them in the store and emits only deltas). Append-mode output therefore
+    equals the batch twin's ``is_current = false`` rows — exactly the
+    watermark-finalized subset, the same relationship every other
+    batch/stream twin pair here has.
+
+    State = (current status, its start epoch-µs); transition logic is the
+    same change-detection the batch twin expresses with lag(), applied
+    row-at-a-time per user in event order."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            cur_status, cur_from = state.get
+        else:
+            cur_status, cur_from = None, None
+        c_status: list[str] = []
+        c_from: list[int] = []
+        c_to: list[int] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            for t, s in zip(ts_us, pdf["event_type"].tolist()):
+                if cur_status is None:
+                    cur_status, cur_from = s, t
+                elif s != cur_status:
+                    c_status.append(cur_status)
+                    c_from.append(cur_from)
+                    c_to.append(t - 1)
+                    cur_status, cur_from = s, t
+        state.update((cur_status, cur_from))
+        if c_status:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(c_status),
+                    "status": c_status,
+                    "valid_from_us": c_from,
+                    "valid_to_us": c_to,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -320,3 +320,36 @@ def test_watchdog_tws_matches_batch_twin(spark, sf_dir, tmp_path):
     got = sorted((r.device_id, r.action_ts_us, r.action) for r in store)
     want = sorted((r.device_id, r.action_ts_us, r.action) for r in batch)
     assert got == want
+
+
+def test_scd2_stream_matches_batch_twin(spark, sf_dir, events_df, tmp_path):
+    """Streaming SCD2 (closed intervals via per-user state) must equal the
+    batch twin's is_current = false rows when the whole log is drained."""
+    from kinesis_stream_video_project_spark.plans.queries_round4 import (
+        scd2_user_status,
+    )
+
+    src = tmp_path / "scd2_src"
+    _write_single_file(events_df, src, "events-00.parquet")
+    stream = sources.file_event_stream(spark, str(src))
+    out = jobs.scd2_status_stream(
+        stream.select("user_id", "ts", "event_id", "event_type")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.status, r.valid_from_us, r.valid_to_us)
+        for r in spark.sql("SELECT * FROM scd2_out").collect()
+    }
+    want = {
+        (r.user_id, r.status, r.valid_from_us, r.valid_to_us)
+        for r in scd2_user_status(spark, sf_dir).filter("NOT is_current").collect()
+    }
+    assert got == want and len(got) > 0
