@@ -728,9 +728,16 @@ def multimodal_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     same mean/entropy with the engine-wide portable 4-dp rounding
     (floor(x*1e4+0.5)). This pins the whole Arrow ``mapInPandas`` plumbing —
     schema, batch shape, per-row feature math — not just row counts; the
-    exact values are additionally pinned in pytest."""
+    exact values are additionally pinned in pytest.
+
+    ``decoder=None`` ON PURPOSE: an oracle-paired query must not inherit
+    the import-dependent PIL default — if Pillow ever arrived transitively
+    and parsed a fixture payload (PBM/XBM-style ASCII magics), that row
+    would flip to pixel features and the hash gate would break per
+    environment. Real-codec decoding stays available through the operator
+    API (`decode_features(...)` default)."""
     d = io.load_table(spark, sf_dir, "documents")
-    return multimodal.decode_features(multimodal.media_manifest(d))
+    return multimodal.decode_features(multimodal.media_manifest(d), decoder=None)
 
 
 @register(

@@ -1,11 +1,13 @@
-"""Round-4 additions: curation + temporal-modeling operators.
+"""Round-4 additions: curation + temporal-modeling + retrieval operators.
 
-Both are built for exact cross-engine agreement: the surprisal score
+All five are built for exact cross-engine agreement: the surprisal score
 accumulates SCALED-INTEGER terms (floor-division is identical in Spark and
 DuckDB, and integer addition is order-insensitive — no float summation-
-order hazard), and the SCD2 build is pure window arithmetic over a total
-order.
-"""
+order hazard); the SCD2 build is pure window arithmetic over a total
+order; the corpus shuffle ranks over md5 keys via two-phase distributed
+ranking; boilerplate detection aggregates exact prefix strings; and
+filtered vector search reuses the rounded-cosine ranking discipline of
+the O-30 tier."""
 
 from __future__ import annotations
 
@@ -38,7 +40,7 @@ dfreq AS (
 scored AS (
   SELECT t.doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         SUM(1000000000000 // d.df) AS s
+         SUM(CAST(1000000000000 // d.df AS DECIMAL(38,0))) AS s
   FROM toks t JOIN dfreq d USING (tok)
   GROUP BY t.doc_id
 )
@@ -57,9 +59,11 @@ def surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree bit-for-bit.
 
     Numeric strategy: each term is the scaled integer 10^12 // df
-    (floor-division — identical in both engines), summed as BIGINT
-    (order-insensitive, unlike float sums), divided out and rounded only
-    at the very end. Plan: one doc-frequency aggregate (map-side distinct),
+    (floor-division — identical in both engines), summed as DECIMAL(38,0)
+    (order-insensitive, unlike float sums, and overflow-proof: a BIGINT
+    sum would silently wrap in Spark at ~9.3M df=1 tokens in one doc while
+    DuckDB promotes to HUGEINT — a cross-engine divergence), divided out
+    and rounded only at the very end. Plan: one doc-frequency aggregate (map-side distinct),
     token join back (Zipf-skew handled by AQE, same story as
     rare_token_ratio), one per-doc aggregate."""
     d = io.load_table(spark, sf_dir, "documents")
@@ -80,7 +84,9 @@ def surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.expr("1000000000000 DIV df")).alias("_s"),
+            F.sum(F.expr("CAST(1000000000000 DIV df AS DECIMAL(38,0))")).alias(
+                "_s"
+            ),
         )
     )
     return scored.select(
@@ -97,21 +103,22 @@ def surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("O-16", "O-24", "NS-quality"),
     oracle="""
 WITH ordered AS (
-  SELECT user_id, event_type AS status, epoch_us(ts) AS ts_us,
+  SELECT user_id, event_type AS status, epoch_us(ts) AS ts_us, event_id,
          lag(event_type) OVER w AS prev_status
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 changes AS (
-  SELECT user_id, status, ts_us
+  SELECT user_id, status, ts_us, event_id
   FROM ordered
   WHERE prev_status IS NULL OR status <> prev_status
 )
 SELECT user_id, status,
        ts_us AS valid_from_us,
-       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) - 1 AS valid_to_us,
-       (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL) AS is_current
+       lead(ts_us) OVER w2 - 1 AS valid_to_us,
+       (lead(ts_us) OVER w2 IS NULL) AS is_current
 FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """,
 )
 def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,20 +132,23 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE shuffle on user_id; both windows (change detection via lag,
     interval close via lead) and the change filter reuse the same
     partitioning — Catalyst plans a single Exchange followed by two Window
-    operators. Total order (ts, event_id) makes the intervals
-    deterministic; epoch-µs integer arithmetic keeps both engines exact."""
+    operators. BOTH windows order by the (ts, event_id) total order —
+    ts_us alone would leave valid_to_us/is_current nondeterministic when
+    one user flips status twice at the same timestamp; epoch-µs integer
+    arithmetic keeps both engines exact."""
     e = io.load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = e.select(
         "user_id",
         F.col("event_type").alias("status"),
         F.unix_micros("ts").alias("ts_us"),
+        "event_id",
         F.lag("event_type").over(w).alias("prev_status"),
     )
     changes = ordered.filter(
         F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts_us")
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return changes.select(
         "user_id",
         "status",

@@ -86,7 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_lsh_near_dup",
     "simhash_sketch",
     "ivf_kmeans_topk",
-    # --- new round-4 queries: never driver-checked (4) ---
+    # --- new round-4 queries: never driver-checked (5) ---
     "surprisal_score",
     "scd2_user_status",
     "corpus_shuffle",
@@ -106,8 +106,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "chunk_documents",
     "rare_token_ratio",
     "corpus_vocab_topk",
-    # --- r1-era greens due for re-verification (28; unchanged modules,
-    # one representative per overlapping family yields its slot) ---
+    # --- r1-era greens due for re-verification (27; unchanged modules,
+    # one representative per overlapping family yields its slot;
+    # top_terms_per_lang is here for staleness AND because its module
+    # changed in r4) ---
     "argmax_order_per_customer",
     "array_funcs",
     "asof_probe_metric",

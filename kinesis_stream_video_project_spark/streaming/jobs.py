@@ -213,8 +213,15 @@ def watchdog_actions(probes: DataFrame) -> DataFrame:
             st = WatchdogState()
         out_ts: list[int] = []
         out_action: list[str] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # Concatenate ALL Arrow chunks BEFORE sorting (same reasoning as
+        # scd2_status_stream): a device with more rows than the Arrow batch
+        # size arrives as several pdfs in arbitrary order, and folding
+        # per-chunk would replay probes out of event order.
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+            sort_keys = ["ts"] + (["event_id"] if "event_id" in pdf.columns else [])
+            pdf = pdf.sort_values(sort_keys)
             ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
             actions, st = replay_device(
                 list(zip(ts_us, pdf["ok"].tolist())), st
@@ -292,8 +299,14 @@ def watchdog_actions_tws(probes: DataFrame) -> DataFrame:
             )
             out_ts: list[int] = []
             out_action: list[str] = []
-            for pdf in rows:
-                pdf = pdf.sort_values("ts")
+            # Concat-then-sort across Arrow chunks (same reasoning as the
+            # applyInPandasWithState form): per-chunk sorting would replay
+            # probes out of event order for large groups.
+            frames = [p for p in rows if len(p)]
+            if frames:
+                pdf = pd.concat(frames, ignore_index=True)
+                keys = ["ts"] + (["event_id"] if "event_id" in pdf.columns else [])
+                pdf = pdf.sort_values(keys)
                 ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
                 actions, st = replay_device(list(zip(ts_us, pdf["ok"].tolist())), st)
                 out_ts.extend(a[0] for a in actions)
@@ -372,10 +385,16 @@ def scd2_status_stream(events: DataFrame) -> DataFrame:
         c_status: list[str] = []
         c_from: list[int] = []
         c_to: list[int] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-            for t, s in zip(ts_us, pdf["event_type"].tolist()):
+        # Concatenate ALL Arrow chunks BEFORE sorting: a group larger than
+        # arrow.maxRecordsPerBatch arrives as several pdfs in arbitrary
+        # order, and per-chunk sorting would fold later-chunk earlier
+        # timestamps after earlier-chunk later ones (wrong intervals).
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])
+            ts_us = (batch["ts"].astype("int64") // 1000).tolist()
+            for t, s in zip(ts_us, batch["event_type"].tolist()):
                 if cur_status is None:
                     cur_status, cur_from = s, t
                 elif s != cur_status:

@@ -15,11 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 # Schema of the events stream (matches the events fixture after ts
@@ -79,16 +81,18 @@ KINESIS_DEFAULTS = {
 }
 
 # Record schema the open-source spark-sql-kinesis-connector delivers: the
-# payload is opaque bytes plus per-record Kinesis metadata (shard, sequence
-# number, arrival time). The contract tests replay THIS shape from fixtures,
-# so everything below the connector boundary is exercised without AWS.
+# payload is opaque BYTES plus per-record Kinesis metadata (shard, sequence
+# number, arrival time as a TIMESTAMP — matching the connector's types, so
+# code written against fixture replays transfers to the real stream). The
+# contract tests replay THIS shape from fixtures, so everything below the
+# connector boundary is exercised without AWS.
 KINESIS_RAW_SCHEMA = StructType(
     [
-        StructField("data", StringType()),  # binary on the wire; cast-equivalent
+        StructField("data", BinaryType()),
         StructField("streamName", StringType()),
         StructField("partitionKey", StringType()),
         StructField("sequenceNumber", StringType()),
-        StructField("approximateArrivalTimestamp", LongType()),  # epoch ms
+        StructField("approximateArrivalTimestamp", TimestampType()),
         StructField("shardId", StringType()),
     ]
 )

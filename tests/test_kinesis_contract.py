@@ -57,17 +57,18 @@ def _kvs_shaped_records(events_df):
     """Wrap fixture events into connector-shaped records: JSON payload bytes
     plus Kinesis metadata (partition key = device, 4 shards, monotone
     per-shard sequence numbers)."""
-    payload = F.to_json(
-        F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+    payload = F.encode(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        ),
+        "utf-8",
     )
     return events_df.select(
-        payload.alias("data"),
+        payload.alias("data"),  # BINARY, like the connector delivers
         F.lit("fleet-events").alias("streamName"),
         F.col("user_id").cast("string").alias("partitionKey"),
         F.lpad(F.col("event_id").cast("string"), 20, "0").alias("sequenceNumber"),
-        (F.unix_micros("ts") / 1000).cast("long").alias(
-            "approximateArrivalTimestamp"
-        ),
+        F.col("ts").alias("approximateArrivalTimestamp"),  # TIMESTAMP type
         F.concat(
             F.lit("shardId-"),
             F.lpad((F.col("user_id") % 4).cast("string"), 12, "0"),
@@ -95,7 +96,7 @@ def test_kinesis_decode_roundtrip_batch(spark, sf_dir):
 
     # Malformed payloads decode to null events and are KEPT (quality gates
     # count them downstream; silent drops hide producer bugs).
-    broken = raw.limit(3).withColumn("data", F.lit("{not json"))
+    broken = raw.limit(3).withColumn("data", F.encode(F.lit("{not json"), "utf-8"))
     bad = sources.decode_kinesis_records(broken)
     assert bad.count() == 3
     assert bad.filter(F.col("event_id").isNull()).count() == 3

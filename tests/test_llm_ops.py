@@ -423,7 +423,6 @@ def test_corpus_shuffle_rank_is_partitioning_invariant(spark, sf_dir):
     base = {r.doc_id: r.shuffle_rank for r in fn(spark, sf_dir).collect()}
     # Same query over a deliberately re-partitioned copy of the table.
     d = io.load_table(spark, sf_dir, "documents").repartition(7)
-    d.createOrReplaceTempView("_shuffled_docs")
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
