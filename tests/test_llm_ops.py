@@ -18,9 +18,9 @@ def test_minhash_lsh_finds_strong_near_dups(spark, sf_dir):
     """High-Jaccard pairs (>=0.8, 3-shingle granularity) from the exact
     blocked tier must be recalled by MinHash-LSH at the SAME granularity
     (6 bands × 4 rows → collision prob 1-(1-0.8^4)^6 ≈ 0.96 at j=0.8,
-    higher above). xxhash64 is deterministic, so the measured recall is a
-    fixed property of the fixture; assert a margin below the expected
-    ~0.96."""
+    higher above). The portable md5 family is deterministic, so the
+    measured recall is a fixed property of the fixture; assert a margin
+    below the expected ~0.96."""
     d = io.load_table(spark, sf_dir, "documents")
     exact = {
         (r.doc_a, r.doc_b)
@@ -435,3 +435,50 @@ def test_corpus_shuffle_rank_is_partitioning_invariant(spark, sf_dir):
         again = {r.doc_id: r.shuffle_rank for r in fn(spark, tmp).collect()}
     assert base == again
     assert sorted(base.values()) == list(range(1, len(base) + 1))
+
+
+def test_portable_minhash_family_matches_pure_python(spark, sf_dir):
+    """The md5-derived Kirsch-Mitzenmacher family is the cross-engine
+    contract (Spark expression == DuckDB oracle == this pure-Python
+    reference). Pinning it here means a change to either engine expression
+    fails fast with an exact counterexample, not as an opaque driver hash
+    mismatch."""
+    import hashlib
+
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        MINHASH_PRIME,
+        shingle_hash_pair,
+        minhash_signature_from_pairs,
+    )
+
+    d = io.load_table(spark, sf_dir, "documents").limit(10)
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        shingles_of,
+        tokens,
+    )
+
+    shingled = d.select(
+        "doc_id",
+        F.array_distinct(shingles_of(tokens(F.col("text")), 3)).alias("tok_set"),
+    )
+    got = shingled.select(
+        "doc_id",
+        "tok_set",
+        minhash_signature_from_pairs(
+            F.transform(F.col("tok_set"), shingle_hash_pair), 8
+        ).alias("sig"),
+    ).collect()
+
+    def py_sig(shingles, n):
+        pairs = []
+        for sh in shingles:
+            hx = hashlib.md5(sh.encode()).hexdigest()
+            pairs.append((int(hx[:11], 16), int(hx[11:22], 16)))
+        return [
+            min((h1 + i * h2) % MINHASH_PRIME for h1, h2 in pairs)
+            for i in range(n)
+        ]
+
+    for r in got:
+        if r.tok_set:
+            assert list(r.sig) == py_sig(r.tok_set, 8), r.doc_id
