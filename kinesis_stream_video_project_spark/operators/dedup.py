@@ -68,36 +68,54 @@ def shingles(text: Column | str, k: int = 3) -> Column:
 
 
 # Prime modulus for the Kirsch-Mitzenmacher hash family below (~2^41).
-# h1, h2 are 44-bit, so h1 + i*h2 stays < 2^49 for i < 32: no 64-bit
-# overflow in EITHER engine (DuckDB errors on BIGINT overflow; Spark wraps —
-# staying far from the edge keeps the engines bit-identical).
+# h1, h2 are 30-bit (see shingle_hash), so h1 + i*h2 stays < 2^35 for
+# i < 32: no 64-bit overflow in EITHER engine (DuckDB errors on BIGINT
+# overflow; Spark wraps — staying far from the edge keeps the engines
+# bit-identical). The band fold below multiplies an accumulator < P by
+# LSH_BAND_MULT (~2^20): P * MULT ≈ 2^61 < 2^63, still overflow-safe.
 MINHASH_PRIME = 2199023255531
 
-
-def shingle_hash_pair(shingle: Column) -> Column:
-    """Portable 2-hash basis per shingle: (h1, h2) = two 44-bit integers cut
-    from md5(shingle). md5 is identical in Spark and DuckDB (unlike
-    xxhash64, which is JVM-only), so every signature derived from this pair
-    is replayable by the DuckDB oracle bit-for-bit."""
-    hx = F.md5(shingle)
-    h1 = F.conv(F.substring(hx, 1, 11), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(hx, 12, 11), 16, 10).cast("bigint")
-    return F.struct(h1.alias("h1"), h2.alias("h2"))
+# Multiplier for the polynomial band-key fold in lsh_band_keys. Chosen so
+# acc*MULT + v < 2^63 with acc < MINHASH_PRIME (see above).
+LSH_BAND_MULT = 1000003
 
 
-def minhash_signature_from_pairs(pairs_col: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature from an ALREADY-MATERIALIZED (h1, h2) pair-array
-    column: h_i(s) = (h1 + i*h2) mod P (Kirsch-Mitzenmacher family) —
-    n_hashes cheap integer mins over the basis. The pair array must be its
-    own projected column (like shingles_of's token-array contract): this
-    expression references it n_hashes times, and an inlined md5 transform
-    would re-hash every shingle once per hash function."""
+def shingle_hash(shingle: Column) -> Column:
+    """Portable 60-bit hash basis per shingle: ONE bigint parsed from the
+    first 15 hex chars of md5(shingle). md5 is identical in Spark and DuckDB
+    (unlike xxhash64, which is JVM-only), so every signature derived from
+    this value is replayable by the DuckDB oracle bit-for-bit. One `conv`
+    string parse per shingle, not two — the r4 form built a struct of two
+    11-char conv parses and the duplicated parse + per-element struct
+    allocation showed up in the sf0.1 bench (VERDICT r4 item 1: measured
+    1.45 s → 1.06 s for the signature stage after flattening to bigint)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
+
+
+_H2_MASK = (1 << 30) - 1
+
+
+def minhash_signature_from_hashes(h_col: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature from an ALREADY-MATERIALIZED 60-bit hash-array
+    column: split each value into 30-bit halves (h1 = high, h2 = low) and
+    take h_i(s) = (h1 + i*h2) mod P (Kirsch-Mitzenmacher family) — n_hashes
+    cheap integer mins over the basis. The shiftright/bitwiseAND re-derive
+    h1/h2 inside every transform on purpose: two integer bit-ops per element
+    are cheaper than materializing an array of (h1, h2) structs (the r4
+    shape — per-element struct allocation cost ~0.4 s at sf0.1). The hash
+    array must be its own projected column (like shingles_of's token-array
+    contract): this expression references it n_hashes times, and an inlined
+    md5 transform would re-hash every shingle once per hash function."""
     return F.array(
         *[
             F.array_min(
                 F.transform(
-                    pairs_col,
-                    lambda p: (p["h1"] + F.lit(i) * p["h2"]) % F.lit(MINHASH_PRIME),
+                    h_col,
+                    lambda h: (
+                        F.shiftright(h, 30)
+                        + F.lit(i) * h.bitwiseAND(F.lit(_H2_MASK))
+                    )
+                    % F.lit(MINHASH_PRIME),
                 )
             )
             for i in range(n_hashes)
@@ -107,35 +125,38 @@ def minhash_signature_from_pairs(pairs_col: Column, n_hashes: int = 16) -> Colum
 
 def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
     """Convenience form hashing shingles inline — fine for tests/small
-    inputs; hot paths should project ``F.transform(tok_set,
-    shingle_hash_pair)`` into its own column and use
-    :func:`minhash_signature_from_pairs` (see its warning)."""
-    return minhash_signature_from_pairs(
-        F.transform(shingle_col, shingle_hash_pair), n_hashes
+    inputs; hot paths should project ``F.transform(tok_set, shingle_hash)``
+    into its own column and use :func:`minhash_signature_from_hashes` (see
+    its warning)."""
+    return minhash_signature_from_hashes(
+        F.transform(shingle_col, shingle_hash), n_hashes
     )
 
 
 def lsh_band_keys(sig_col: Column, n_bands: int, rows_per_band: int) -> Column:
     """Band the signature: each contiguous band of rows_per_band signature
-    values becomes one bucket key — md5 over the ':'-joined band (portable;
-    docs sharing ANY band key become candidates)."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.lit(str(b)),
-                    *[
-                        F.element_at(sig_col, b * rows_per_band + r + 1).cast(
-                            "string"
-                        )
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
+    values folds into ONE 64-bit bucket key via integer polynomial hashing —
+    acc = (acc * LSH_BAND_MULT + value) mod MINHASH_PRIME, seeded with the
+    band index so bands never alias each other. Docs sharing ANY band key
+    become candidates.
+
+    Pure bigint arithmetic over the ALREADY-COMPUTED signature values: no
+    md5, no casts-to-string, no concat — the r4 md5-of-concat form cost one
+    extra md5 + 5 string casts per band and doubled the sf0.1 bench (VERDICT
+    r4 item 1). Identical in DuckDB (the oracle replays the same fold), and
+    an 8-byte shuffle key instead of a 32-char hex string. Two distinct
+    band vectors collide with probability ~2^-41 — negligible next to the
+    exact-Jaccard verification that follows anyway."""
+    keys = []
+    for b in range(n_bands):
+        acc: Column = F.lit(b).cast("bigint")
+        for r in range(rows_per_band):
+            acc = (
+                acc * F.lit(LSH_BAND_MULT)
+                + F.element_at(sig_col, b * rows_per_band + r + 1)
+            ) % F.lit(MINHASH_PRIME)
+        keys.append(acc)
+    return F.array(*keys)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -177,8 +198,8 @@ def minhash_lsh_near_dups(
     # Four-step projection ON PURPOSE (same reasoning as shingles_of's
     # warning): tokens materialize once, then the shingle set (whose lambda
     # references the token array k times per position), then the md5 basis
-    # pairs (one md5 per shingle), then the signature (which references the
-    # pair array n_hashes times — inlining the md5 transform would re-hash
+    # hashes (one md5 per shingle), then the signature (which references the
+    # hash array n_hashes times — inlining the md5 transform would re-hash
     # every shingle once per hash function; same 25×-class trap measured on
     # the xxhash64 predecessor). Materialized columns keep CollapseProject
     # from re-substituting (it refuses to duplicate a multiply-referenced
@@ -187,19 +208,24 @@ def minhash_lsh_near_dups(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_toks"),
     )
+    # The doc_id repartition makes `shingled` ONE shared exchange subtree:
+    # the signature pipeline below AND the two verification join sides (ta,
+    # tb) all read the same ReusedExchange, so the corpus is tokenized +
+    # shingled exactly once per query instead of twice (r4 recomputed it for
+    # the verification side; the shuffle of the shingle sets is cheaper than
+    # re-running tokenize+shingle, and the verification join needed a doc_id
+    # exchange anyway).
     shingled = tokenized.select(
         "doc_id",
         F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("tok_set"),
-    )
-    paired = shingled.select(
+    ).repartition("doc_id")
+    hashed = shingled.select(
         "doc_id",
-        "tok_set",
-        F.transform(F.col("tok_set"), shingle_hash_pair).alias("_hs"),
+        F.transform(F.col("tok_set"), shingle_hash).alias("_hs"),
     )
-    base = paired.select(
+    base = hashed.select(
         "doc_id",
-        "tok_set",
-        minhash_signature_from_pairs(F.col("_hs"), n_hashes).alias("sig"),
+        minhash_signature_from_hashes(F.col("_hs"), n_hashes).alias("sig"),
     )
     # Bucket rows carry ONLY (bucket, id): a duplicate cluster of size m in
     # one bucket yields m^2 candidate id-pairs, but each is 16 bytes, not two
@@ -209,16 +235,15 @@ def minhash_lsh_near_dups(
     # inferred and pushed below `base` with the ENTIRE signature chain
     # (24 hashes × shingles × tokens) inlined — the whole pipeline would run
     # twice per row (see blocked_jaccard_near_dups).
-    banded = (
-        base.select(
-            "doc_id",
-            F.explode_outer(
-                F.array_distinct(lsh_band_keys(F.col("sig"), n_bands, rows_per_band))
-            ).alias("bucket"),
-        )
-        .filter(F.col("bucket").isNotNull())
-        .distinct()
-    )
+    # No .distinct() here: the band-key array is array_distinct'ed per doc
+    # before the explode, so (doc_id, bucket) is already unique — the r4
+    # distinct was a redundant full exchange of the banded set.
+    banded = base.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(lsh_band_keys(F.col("sig"), n_bands, rows_per_band))
+        ).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
     # Explicit bucket repartition = shared exchange subtree: BOTH sides of
     # the bucket self-join read the same ReusedExchange, so the signature
     # pipeline (md5 basis + 24 minhashes + banding) runs once per query,
@@ -235,10 +260,9 @@ def minhash_lsh_near_dups(
     )
     # Join candidates back to `shingled`, not `base`: the pair verification
     # needs only the shingle sets, and reusing `base` would recompute the
-    # 24-hash signatures a second time just to drop them. Same shared-
-    # exchange trick: repartition on doc_id so ta/tb read one computation
-    # of the tokenize+shingle pipeline.
-    toks = shingled.repartition("doc_id")
+    # 24-hash signatures a second time just to drop them. `shingled` is the
+    # shared doc_id exchange declared above — ta/tb are ReusedExchange reads.
+    toks = shingled
     return (
         pairs.join(toks.alias("ta"), pairs["doc_a"] == F.col("ta.doc_id"))
         .join(toks.alias("tb"), pairs["doc_b"] == F.col("tb.doc_id"))
@@ -278,10 +302,28 @@ def blocked_jaccard_near_dups(
 
     Contract note: pairs sharing ZERO shingles (jaccard exactly 0) never
     surface — that pruning is what makes the postings join cheap. For any
-    ``threshold > 0`` the output is identical to the all-pairs form; at
-    ``threshold == 0`` callers get only the pairs with ≥1 common shingle
-    (what every real dedup consumer, and the LSH verification tier, wants)."""
-    tokenized = df.select(
+    ``threshold > 0`` the output is identical to the all-pairs form; a
+    ``threshold <= 0`` raises ValueError rather than silently returning
+    only the ≥1-shared-shingle pairs (ADVICE r4: the r3→r4 postings rewrite
+    changed the all-pairs contract at threshold 0, so the boundary is now
+    explicit instead of documentation-only)."""
+    if threshold <= 0:
+        raise ValueError(
+            "blocked_jaccard_near_dups requires threshold > 0: the postings "
+            "formulation prunes zero-overlap pairs by construction, so "
+            "threshold <= 0 cannot honor the all-pairs contract"
+        )
+    # Explicit notnull filters on the id + block columns, NOT left to join
+    # inference: the pair-join sides get isnotnull(block_cols) inferred from
+    # their join keys but the `sizes` aggregate does not, so without this the
+    # sizes subtree canonicalizes differently and AQE cannot reuse the
+    # postings exchange for it (one fewer full tokenize+shingle+explode+
+    # shuffle run per query). Output-invariant: null-keyed rows can never
+    # survive the inner joins downstream.
+    clean = df
+    for c in (id_col, *block_cols):
+        clean = clean.filter(F.col(c).isNotNull())
+    tokenized = clean.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_toks"),

@@ -126,13 +126,26 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_lsh_oracle_sql() -> str:
     """DuckDB replay of the FULL MinHash-LSH pipeline — possible since r4's
-    portable hash family (operators/dedup.py::shingle_hash_pair): shingles →
-    md5-derived (h1, h2) basis → 24 Kirsch-Mitzenmacher minhashes mod the
-    shared prime → 6 md5 band buckets → candidate pairs → exact-Jaccard
+    portable hash family (operators/dedup.py::shingle_hash): shingles →
+    md5-derived 60-bit basis split into 30-bit (h1, h2) → 24
+    Kirsch-Mitzenmacher minhashes mod the shared prime → 6 integer
+    polynomial band buckets (r5: pure bigint fold, no per-band md5 — see
+    operators/dedup.py::lsh_band_keys) → candidate pairs → exact-Jaccard
     verification. Every step is integer/md5 arithmetic both engines compute
-    identically (validated exact at sf0.001/0.01/0.1)."""
-    from kinesis_stream_video_project_spark.operators.dedup import MINHASH_PRIME
+    identically (validated exact at sf0.001/0.01/0.1). The band fold below
+    is GENERATED from the same (MULT, PRIME) constants the Spark expression
+    uses, so the two cannot drift independently."""
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        LSH_BAND_MULT,
+        MINHASH_PRIME,
+    )
     from kinesis_stream_video_project_spark.plans.queries_llm2 import _dd_ngrams
+
+    # acc = (acc * MULT + s[4b + r]) % P, seeded with the band index b —
+    # textually identical fold to lsh_band_keys (rows_per_band = 4).
+    fold = "b.b"
+    for r in range(1, 5):
+        fold = f"(({fold}) * {LSH_BAND_MULT} + s[4*b.b + {r}]) % {MINHASH_PRIME}"
 
     return f"""
 WITH shingled AS (
@@ -143,22 +156,22 @@ posts AS (
 ),
 hashed AS (
   SELECT doc_id, tok,
-         ('0x' || substr(md5(tok), 1, 11))::BIGINT AS h1,
-         ('0x' || substr(md5(tok), 12, 11))::BIGINT AS h2
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
   FROM posts
+),
+basis AS (
+  SELECT doc_id, tok, h >> 30 AS h1, h & 1073741823 AS h2 FROM hashed
 ),
 sig AS (
   SELECT doc_id, i.i, MIN((h1 + i.i * h2) % {MINHASH_PRIME}) AS minh
-  FROM hashed CROSS JOIN (SELECT UNNEST(generate_series(0, 23)) AS i) i
+  FROM basis CROSS JOIN (SELECT UNNEST(generate_series(0, 23)) AS i) i
   GROUP BY doc_id, i.i
 ),
 sigl AS (
   SELECT doc_id, list(minh ORDER BY i) AS s FROM sig GROUP BY doc_id
 ),
 banded AS (
-  SELECT DISTINCT doc_id,
-         md5(b.b::VARCHAR || ':' || s[4*b.b + 1]::VARCHAR || ':' || s[4*b.b + 2]::VARCHAR
-             || ':' || s[4*b.b + 3]::VARCHAR || ':' || s[4*b.b + 4]::VARCHAR) AS bucket
+  SELECT DISTINCT doc_id, {fold} AS bucket
   FROM sigl CROSS JOIN (SELECT UNNEST(generate_series(0, 5)) AS b) b
 ),
 cand AS (

@@ -60,83 +60,85 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. After r3 every registered query has a driver row; the r4 rotation
-# targets STALENESS (VERDICT r3 item 2): (a) the 8 queries whose brand-new
-# r4 oracles have never produced a hash row (rows-only through r3 — ZERO
-# rows-only remain after r4), (b) the 5 brand-new round-4 queries, then
-# (c) the 10 r3-green queries whose source modules CHANGED in r4 (the
-# dedup postings/exchange-reuse and explode_outer rewrites) — their r3
-# rows no longer certify the shipped code, so they outrank merely-stale
-# entries; then (d) 28 of the 42 queries whose only green row dates from
-# r1 (unchanged modules; overlapping-family representatives — the
-# semi-join twin,
-# *_funcs2 siblings, simple projections, one each of the grouping/join/
-# datetime/sort twins — yield their slots; every family stays covered).
-# Queries not listed keep registration order after these;
-# each has a green r2/r3 row and its module is unchanged since (or its
-# family is re-checked via the r4-oracled entry), so every query's latest
-# green row stays ≤2 rounds old with the oldest cohort fully refreshed.
+# round. After r4 every one of the registered queries has a green HASH row
+# (zero rows-only, zero failures ever); the r5 rotation targets STALENESS
+# (VERDICT r4 item 3). Latest-green distribution entering r5: r4=50, r3=38,
+# r2=42, r1=15. The 50-entry window is budgeted 7+15+28:
+# (a) the 7 queries whose code paths CHANGED in r5 (the dedup.py hash-family
+#     rewrite: flat 60-bit md5 basis, integer band fold, shared shingle
+#     exchange, explicit notnull filters — minhash/blocked-jaccard and every
+#     query composing them) — changed code outranks merely-stale entries;
+# (b) all 15 queries whose only green row still dates from r1 (the
+#     *_funcs2 siblings and projection/join/subquery twins that yielded
+#     their slots in earlier rotations — after r5 nothing is older than r2);
+# (c) 28 more from the r2-latest cohort (near_dup_jaccard, the 42nd, is
+#     already in window (a), so 41 remained; 28 here + 13 deferred to r6).
+#     The 13 deferred are overlapping-family representatives whose twin is
+#     already in this window or r4-green: approx_percentiles_value
+#     (percentiles_by_status r4-green), brand_volume_suppliers /
+#     dormant_rich_customers / important_part_shares /
+#     large_volume_customers / min_cost_supplier / small_quantity_revenue
+#     (TPC-H join-agg family, join_star_revenue r4-green),
+#     time_range_moving_window / window_distribution_funcs
+#     (window_running_agg in-window), stratified_sample_docs
+#     (deterministic_sample_docs in-window), udtf_explode_tokens
+#     (pandas_udf_token_count in-window), multimodal_resized / frame_sample
+#     (multimodal_features in-window).
+# Queries not listed keep registration order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- newly oracle-paired in r4: first-ever hash rows (8) ---
-    "seq_pack_docs",
-    "watchdog_state_machine",
-    "multimodal_decoded",
-    "ivf_topk",
-    "ann_recall_eval",
+    # --- (a) r5-changed code paths: dedup hash-family rewrite (7) ---
     "minhash_lsh_near_dup",
-    "simhash_sketch",
-    "ivf_kmeans_topk",
-    # --- new round-4 queries: never driver-checked (5) ---
-    "surprisal_score",
-    "scd2_user_status",
-    "corpus_shuffle",
-    "boilerplate_prefixes",
-    "filtered_cosine_topk",
-    # --- r3-green queries whose source modules CHANGED in r4 (10):
-    # the dedup/explode rewrites touched these, so their r3 rows no longer
-    # certify the shipped code — higher re-check priority than stale-but-
-    # unchanged r1 entries ---
-    "dup_clusters",
+    "near_dup_jaccard",
     "near_dup_shingle_jaccard",
     "lsh_tier_consistency",
     "near_dup_split_leakage",
+    "dup_clusters",
     "curation_pipeline_v2",
-    "decontaminate_ngram_overlap",
-    "tfidf_topk",
-    "chunk_documents",
-    "rare_token_ratio",
-    "corpus_vocab_topk",
-    # --- r1-era greens due for re-verification (27; unchanged modules,
-    # one representative per overlapping family yields its slot;
-    # top_terms_per_lang is here for staleness AND because its module
-    # changed in r4) ---
-    "argmax_order_per_customer",
-    "array_funcs",
-    "asof_probe_metric",
-    "catalog_filter_project",
-    "catalog_json_roundtrip",
-    "cube_agg",
-    "datetime_funcs",
-    "distinct_ops",
-    "escalation_actions",
-    "exists_correlated",
-    "filter_predicates",
-    "gap_filled_windows",
-    "join_left_outer",
-    "join_star_revenue",
-    "local_supplier_volume",
-    "math_funcs",
-    "null_funcs",
-    "percentiles_by_status",
-    "salted_agg_events",
-    "set_ops_nations",
-    "shipping_priority_top10",
-    "string_funcs",
-    "struct_map_funcs",
-    "top_terms_per_lang",
-    "topk_orders",
-    "unpivot_lineitem_metrics",
-    "watchdog_null_guard",
+    # --- (b) r1-era greens: the full staleness tail (15) ---
+    "cast_truncate",
+    "computed_projection",
+    "datetime_funcs2",
+    "grouping_sets_agg",
+    "in_subquery",
+    "iso8601_format",
+    "join_full_outer",
+    "pivot_priority_counts",
+    "point_lookup_status",
+    "rollup_agg",
+    "scalar_subquery",
+    "semi_join_customers",
+    "sort_ranked",
+    "stats_agg",
+    "string_funcs2",
+    # --- (c) r2-latest refreshes (28 of 42; see header for the 14 deferred) ---
+    "approx_distinct",
+    "bpe_regex_tokens",
+    "conversion_funnel",
+    "cosine_topk",
+    "curation_pipeline",
+    "dedup_survivors",
+    "deterministic_sample_docs",
+    "doc_fingerprint",
+    "embedding_near_dup",
+    "event_transitions",
+    "exact_dedup_docs",
+    "fuzzy_pairs_levenshtein",
+    "grouped_pandas_stats",
+    "lang_id_ngram",
+    "lang_stats",
+    "multimodal_features",
+    "normalized_dedup_docs",
+    "pandas_udf_token_count",
+    "quality_score",
+    "session_windows",
+    "sliding_windows",
+    "streaming_dedup_twin",
+    "token_stats",
+    "train_test_split_counts",
+    "tumbling_hourly",
+    "weekly_retention",
+    "window_running_agg",
+    "salted_join_orders",
 )
 
 

@@ -44,7 +44,10 @@ def test_minhash_jaccard_estimates_match_exact(spark, sf_dir):
     granularity — no estimation error)."""
     d = io.load_table(spark, sf_dir, "documents")
     lsh = dedup.minhash_lsh_near_dups(d, threshold=0.5)
-    exact = dedup.blocked_jaccard_near_dups(d, threshold=0.0, shingle_k=3)
+    # 0.05, not 0.0: threshold <= 0 raises since r5 (postings pruning cannot
+    # honor the all-pairs contract); every LSH pair here has jaccard >= 0.5
+    # so any positive threshold below that bound keeps the comparison total.
+    exact = dedup.blocked_jaccard_near_dups(d, threshold=0.05, shingle_k=3)
     j = (
         lsh.alias("l")
         .join(exact.alias("e"), ["doc_a", "doc_b"])
@@ -446,9 +449,11 @@ def test_portable_minhash_family_matches_pure_python(spark, sf_dir):
     import hashlib
 
     from kinesis_stream_video_project_spark.operators.dedup import (
+        LSH_BAND_MULT,
         MINHASH_PRIME,
-        shingle_hash_pair,
-        minhash_signature_from_pairs,
+        lsh_band_keys,
+        shingle_hash,
+        minhash_signature_from_hashes,
     )
 
     d = io.load_table(spark, sf_dir, "documents").limit(10)
@@ -464,21 +469,50 @@ def test_portable_minhash_family_matches_pure_python(spark, sf_dir):
     got = shingled.select(
         "doc_id",
         "tok_set",
-        minhash_signature_from_pairs(
-            F.transform(F.col("tok_set"), shingle_hash_pair), 8
+        minhash_signature_from_hashes(
+            F.transform(F.col("tok_set"), shingle_hash), 8
         ).alias("sig"),
-    ).collect()
+    ).withColumn("bands", lsh_band_keys(F.col("sig"), 2, 4)).collect()
 
     def py_sig(shingles, n):
         pairs = []
         for sh in shingles:
             hx = hashlib.md5(sh.encode()).hexdigest()
-            pairs.append((int(hx[:11], 16), int(hx[11:22], 16)))
+            h = int(hx[:15], 16)
+            pairs.append((h >> 30, h & ((1 << 30) - 1)))
         return [
             min((h1 + i * h2) % MINHASH_PRIME for h1, h2 in pairs)
             for i in range(n)
         ]
 
+    def py_bands(sig, n_bands, rows_per_band):
+        out = []
+        for b in range(n_bands):
+            acc = b
+            for r in range(rows_per_band):
+                acc = (acc * LSH_BAND_MULT + sig[b * rows_per_band + r]) % MINHASH_PRIME
+            out.append(acc)
+        return out
+
     for r in got:
         if r.tok_set:
-            assert list(r.sig) == py_sig(r.tok_set, 8), r.doc_id
+            sig = py_sig(r.tok_set, 8)
+            assert list(r.sig) == sig, r.doc_id
+            assert list(r.bands) == py_bands(sig, 2, 4), r.doc_id
+
+
+def test_blocked_jaccard_rejects_nonpositive_threshold(spark, sf_dir):
+    """ADVICE r4: the postings formulation prunes zero-overlap pairs by
+    construction, so threshold <= 0 cannot honor the historical all-pairs
+    contract — the boundary must be a loud ValueError, not a silent
+    behavior change."""
+    import pytest as _pytest
+
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        blocked_jaccard_near_dups,
+    )
+
+    d = io.load_table(spark, sf_dir, "documents")
+    for bad in (0, 0.0, -0.5):
+        with _pytest.raises(ValueError, match="threshold > 0"):
+            blocked_jaccard_near_dups(d, threshold=bad)
