@@ -6,23 +6,32 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full materialization on
 executors, no driver collect — the honest measure of plan cost).
+
+Isolation (r5, VERDICT r4 item 2): the STABLE set and the ROTATION set run
+in SEPARATE subprocesses — each gets its own JVM, so the stable set's
+round-over-round numbers can't be perturbed by whatever the rotation window
+happens to contain that round (r4 measured consecutive_failures at 2.28x
+its r3 time with the module unchanged; in an isolated session it re-measured
+at 0.33 s — the shared-JVM rotation was the noise source). Invoking
+`python bench.py` orchestrates both children and merges their outputs into
+the single JSON line; `python bench.py --part stable|rotation` runs one set
+(that is what the children execute).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from kinesis_stream_video_project_spark.plans import registry
-from kinesis_stream_video_project_spark.session import get_spark
-
 # Headline set: one representative per operator family (scan/agg, star join,
 # top-k, sort+rank, window fns, gaps-and-islands, session/tumbling windows,
-# as-of join, dedup, similarity, text analysis).
+# as-of join, dedup, similarity, text analysis). FIXED across rounds for
+# round-over-round comparison; "value" is this set's total.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "stream_health_60s",
@@ -58,49 +67,54 @@ BENCH_QUERIES = [
 # sub-pipelines of curation_pipeline_v2; benching them separately makes a
 # regression inside the composition attributable.
 
-# Rotating window (r4): the headline set above stays FIXED for
-# round-over-round comparison; this window gives the other query families a
-# timed row and rotates every round (like registry.DRIVER_PRIORITY rotates
-# correctness coverage). Totals are reported separately — "value" remains
-# the stable headline total, "rotation_total" the window's — so BENCH_rN
-# "value" stays comparable across rounds. Rotation entries are timed
-# construction+materialization in one span (several are applyInPandas /
-# claim queries whose build step does real work).
+# Rotating window: gives the other query families a timed row, rotating
+# every round (like registry.DRIVER_PRIORITY rotates correctness coverage).
+# Totals are reported separately — "value" remains the stable headline
+# total, "rotation_total" the window's — so BENCH_rN "value" stays
+# comparable across rounds. Rotation entries are timed construction +
+# materialization in one span (several are applyInPandas / claim queries
+# whose build step does real work).
+#
+# r5 window: 30 queries that had NO timed row in BENCH_r01-r04 (91 were
+# never timed entering r5 — VERDICT r4 item 4): the relational4 TPC-H
+# shapes, the windows family, the watchdog/events family, and the untimed
+# LLM-curation ops. The r4 window (dedup/similarity tiers, curation ops,
+# round-4 queries) all have r4 rows.
 BENCH_ROTATION = [
-    # dedup / similarity tiers never timed before
-    "near_dup_shingle_jaccard",
-    "lsh_tier_consistency",
-    "simhash_sketch",
-    "ivf_kmeans_topk",
-    "ann_recall_eval",
-    # north-star curation ops
-    "seq_pack_docs",
-    "chunk_documents",
-    "pii_scrub",
-    "repetition_score",
-    "split_leakage_check",
-    "domain_mixture_weights",
-    "rare_token_ratio",
-    "corpus_vocab_topk",
-    "doc_length_histogram",
-    # stateful / multimodal Arrow paths
-    "watchdog_state_machine",
-    "multimodal_decoded",
-    # new round-4 queries
-    "surprisal_score",
-    "scd2_user_status",
-    "corpus_shuffle",
-    "boilerplate_prefixes",
-    "filtered_cosine_topk",
-    # relational families without a timed row
-    "range_join_shipping",
-    "market_share_by_year",
-    "cube_agg",
-    "window_rank_lag",
-    "conversion_funnel",
-    "trending_event_types",
-    "cohort_ltv_curve",
-    "salted_agg_events",
+    # relational4 TPC-H shapes
+    "anti_join_customers",
+    "waiting_suppliers",
+    "unsupplied_parts",
+    "nation_pair_trade",
+    "top_revenue_supplier",
+    "topn_orders_per_nation",
+    "promo_revenue_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "priority_late_shipment_counts",
+    "customer_order_distribution",
+    "disjunctive_predicate_join",
+    "forecast_revenue_change",
+    "min_cost_supplier",
+    # windows family
+    "window_distribution_funcs",
+    "time_range_moving_window",
+    "fill_forward_last_purchase",
+    "gap_filled_windows",
+    # watchdog / events family
+    "escalation_actions",
+    "dedup_first_event",
+    "event_transitions",
+    "asof_forward_metric",
+    # LLM-curation / text / similarity ops without a timed row
+    "embedding_near_dup",
+    "fuzzy_pairs_levenshtein",
+    "doc_fingerprint",
+    "lang_id_ngram",
+    "bpe_regex_tokens",
+    "grouped_pandas_stats",
+    "multimodal_features",
+    "table_profile",
 ]
 
 
@@ -145,19 +159,7 @@ def bench_streaming(spark, sf_dir: str) -> float:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="kinesis-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    specs = registry.all_queries()
-    # One untimed execution to absorb JVM/codegen/file-listing warm-up so
-    # per-query numbers reflect steady-state plan cost.
-    specs[BENCH_QUERIES[0]].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
+def _run_stable(spark, specs, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = specs[name].fn
@@ -189,9 +191,10 @@ def main() -> None:
     # then the timed pass measures the per-drain cost.
     bench_streaming(spark, sf_dir)
     timings["stream_health_streaming"] = bench_streaming(spark, sf_dir)
+    return timings
 
-    total = round(sum(timings.values()), 3)
 
+def _run_rotation(spark, specs, sf_dir: str) -> dict[str, float]:
     rotation: dict[str, float] = {}
     for name in BENCH_ROTATION:
         best = float("inf")
@@ -202,6 +205,62 @@ def main() -> None:
             ).save()
             best = min(best, time.perf_counter() - t0)
         rotation[name] = round(best, 3)
+    return rotation
+
+
+def _run_part(part: str) -> None:
+    """Child-process entry: run one set in this (fresh) JVM, print one JSON
+    line {"queries": {...}}."""
+    from kinesis_stream_video_project_spark.plans import registry
+    from kinesis_stream_video_project_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name=f"kinesis-spark-bench-{part}")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry.all_queries()
+    # One untimed execution absorbs JVM/codegen/file-listing warm-up so
+    # per-query numbers reflect steady-state plan cost.
+    specs[BENCH_QUERIES[0]].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings = (
+        _run_stable(spark, specs, sf_dir)
+        if part == "stable"
+        else _run_rotation(spark, specs, sf_dir)
+    )
+    print(json.dumps({"queries": timings}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--part":
+        _run_part(sys.argv[2])
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    def child(part: str) -> dict[str, float]:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--part", part],
+            capture_output=True,
+            text=True,
+            env=os.environ.copy(),
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"bench part {part} failed rc={proc.returncode}")
+        # Last stdout line is the child's JSON (Spark noise is on stderr,
+        # but progress bars can smear stdout — scan from the end).
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip().split("\r")[-1]
+            if line.startswith("{"):
+                return json.loads(line)["queries"]
+        raise RuntimeError(f"bench part {part}: no JSON line in output")
+
+    timings = child("stable")
+    rotation = child("rotation")
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
@@ -215,7 +274,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
