@@ -201,10 +201,14 @@ def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one vocab-sized doc-frequency aggregate (map-side combined), one
     token-keyed join back to the exploded corpus, one doc-keyed aggregate.
-    At 100 TB the token-keyed shuffle is Zipf-skewed (stopwords); AQE skew
-    splitting handles it — the alternative (broadcasting the df>=5 'common'
-    set and counting misses) bounds the broadcast by the Zipf head and is
-    the fallback if AQE ever isn't enough."""
+    At 100 TB the token-keyed shuffle is Zipf-skewed (stopwords). AQE skew
+    splitting does NOT cover this shape — OptimizeSkewedJoin only matches
+    bare shuffle-stage join children, and the dfreq side is an aggregate
+    above its shuffle (proven, with the fix, in
+    tests/test_skew.py::test_token_join_skew_lever). The deployed lever is
+    operators/skew.py::salted_join on the same shape (result-equivalence
+    pinned in that test); the broadcast-df>=5-'common'-set fallback bounds
+    a broadcast by the Zipf head if even the salt is unwanted."""
     d = io.load_table(spark, sf_dir, "documents")
     # explode_outer + isNotNull everywhere below: a non-outer explode gets a
     # size(tokens(text))>0 filter inferred and pushed down with the token

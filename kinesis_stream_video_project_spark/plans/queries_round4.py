@@ -63,9 +63,12 @@ def surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-insensitive, unlike float sums, and overflow-proof: a BIGINT
     sum would silently wrap in Spark at ~9.3M df=1 tokens in one doc while
     DuckDB promotes to HUGEINT — a cross-engine divergence), divided out
-    and rounded only at the very end. Plan: one doc-frequency aggregate (map-side distinct),
-    token join back (Zipf-skew handled by AQE, same story as
-    rare_token_ratio), one per-doc aggregate."""
+    and rounded only at the very end. Plan: one doc-frequency aggregate
+    (map-side distinct), token join back, one per-doc aggregate. The token
+    join's Zipf skew is NOT AQE-splittable (aggregate-above-shuffle child —
+    tests/test_skew.py::test_token_join_skew_lever proves it and pins the
+    lever): at stopword-skew scale, wrap the join with
+    operators/skew.py::salted_join, same story as rare_token_ratio."""
     d = io.load_table(spark, sf_dir, "documents")
     # explode_outer + isNotNull: dedup.py rationale (inferred-filter inlining).
     toks = d.select(

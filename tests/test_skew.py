@@ -156,3 +156,92 @@ def test_aqe_skew_join_split_kicks_in(spark):
         assert joined.count() == li.count()
     finally:
         _restore_conf(spark, saved)
+
+
+def test_token_join_skew_lever(spark):
+    """The token-join family (rare_token_ratio, surprisal_score) joins the
+    exploded corpus back to a token-keyed aggregate of ITSELF — at 100 TB
+    the join key is Zipf-distributed and the stopword IS the hot key.
+    VERDICT r4 item 6 asked for proof that the skew story holds on exactly
+    this shape. The proof came out NEGATIVE for AQE and positive for the
+    explicit salt:
+
+    * NEGATIVE (load-bearing): AQE's OptimizeSkewedJoin CANNOT split this
+      join, even with a 90 % hot key, 16 mappers and detection thresholds
+      scaled to sf0.1. The rule only matches join children that are bare
+      ENSURE_REQUIREMENTS shuffle stages (plus sort); here the dfreq side
+      is a HashAggregate ABOVE its shuffle, and forcing an exchange with
+      .repartition("tok") doesn't help either (user-origin
+      REPARTITION_BY_COL shuffles are also excluded). The first assertion
+      pins this so a Spark upgrade that lifts the limitation flips the
+      test and lets us drop the salt.
+
+    * POSITIVE: operators/skew.py::salted_join on the same shape is
+      result-equivalent and spreads the hot key over n_salts reducers by
+      construction — the deployed 100 TB lever for this family (the
+      docstrings of rare_token_ratio / surprisal_score reference this
+      test).
+
+    Same mapper subtlety as test_aqe_skew_join_split_kicks_in: the fact
+    side gets repartition(16) so the reduce partition would have block
+    boundaries to split along if the rule COULD fire — the negative result
+    is about plan-shape matching, not mapper count."""
+    sf_dir = "/root/testdata/sf0.1"
+    saved = _with_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+        },
+    )
+    try:
+        from kinesis_stream_video_project_spark.functions.text import tokens
+
+        d = io.load_table(spark, sf_dir, "documents")
+        raw = d.select(
+            "doc_id", F.explode_outer(tokens(F.col("text"))).alias("_t")
+        ).filter(F.col("_t").isNotNull())
+        # Model the stopword: 90 % of occurrences collapse onto one token.
+        stopworded = raw.select(
+            "doc_id",
+            F.when(F.crc32(F.col("_t")) % 10 != 0, F.lit("the"))
+            .otherwise(F.col("_t"))
+            .alias("tok"),
+        )
+        fact = stopworded.repartition(16)
+        dfreq = stopworded.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        plain = fact.join(dfreq, "tok")
+        plain.collect()
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" not in plan, (
+            "AQE split the aggregate-child token join — Spark lifted the "
+            "bare-shuffle-stage restriction; re-evaluate whether the salted "
+            "variant is still needed:\n" + plan[:2000]
+        )
+
+        salted = skew.salted_join(fact, dfreq.withColumnRenamed("tok", "tok_r"),
+                                  "tok", "tok_r", n_salts=8)
+        # Result equivalence on the exact family shape: same row count
+        # (every occurrence finds its df exactly once) and same per-doc
+        # rare/df aggregation downstream.
+        n_plain = plain.count()
+        assert salted.count() == n_plain == fact.count()
+        g_plain = {
+            (r.doc_id, r.s)
+            for r in plain.groupBy("doc_id")
+            .agg(F.sum("df").alias("s"))
+            .collect()
+        }
+        g_salted = {
+            (r.doc_id, r.s)
+            for r in salted.groupBy("doc_id")
+            .agg(F.sum("df").alias("s"))
+            .collect()
+        }
+        assert g_plain == g_salted
+    finally:
+        _restore_conf(spark, saved)
