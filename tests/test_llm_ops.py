@@ -516,3 +516,80 @@ def test_blocked_jaccard_rejects_nonpositive_threshold(spark, sf_dir):
     for bad in (0, 0.0, -0.5):
         with _pytest.raises(ValueError, match="threshold > 0"):
             blocked_jaccard_near_dups(d, threshold=bad)
+
+
+def _build_png_gray8(pixels):
+    """Craft a minimal valid 8-bit grayscale PNG with stdlib zlib+struct
+    (no imaging library needed to BUILD it): signature, IHDR, one IDAT of
+    filter-0 scanlines, IEND — each chunk CRC'd per the PNG spec."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_pil_decode_runs_on_crafted_png():
+    """VERDICT r4 item 7: exercise the REAL decode path. The PNG is built
+    with stdlib zlib+struct and first self-verified (chunk CRCs + inflated
+    scanlines reproduce the pixels) so the builder is pinned even in
+    codec-less containers; when PIL is importable, _pil_decode must return
+    exactly the numpy mean/entropy of those pixels, and must still decline
+    non-image bytes (stub fallback contract)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pixels = [[0, 64, 128, 255], [255, 128, 64, 0]]
+    png = _build_png_gray8(pixels)
+
+    # Self-verification (runs everywhere): parse chunks, check CRCs,
+    # inflate, strip filter bytes, compare to the input pixels.
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    off, chunks = 8, {}
+    while off < len(png):
+        (ln,) = struct.unpack(">I", png[off : off + 4])
+        ctype = png[off + 4 : off + 8]
+        data = png[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack(">I", png[off + 8 + ln : off + 12 + ln])
+        assert crc == zlib.crc32(ctype + data) & 0xFFFFFFFF, ctype
+        chunks[ctype] = data
+        off += 12 + ln
+    w, h = struct.unpack(">II", chunks[b"IHDR"][:8])
+    assert (w, h) == (4, 2)
+    raw = zlib.decompress(chunks[b"IDAT"])
+    got_rows = [list(raw[r * (w + 1) + 1 : (r + 1) * (w + 1)]) for r in range(h)]
+    assert got_rows == pixels
+
+    from kinesis_stream_video_project_spark.operators import multimodal
+
+    if multimodal._PILImage is None:
+        pytest.skip("PIL not installed in this container; PNG builder "
+                    "self-verified above, PIL comparison needs PIL")
+
+    arr = np.array(pixels, dtype=np.uint8).ravel()
+    counts = np.bincount(arr, minlength=256)
+    p = counts[counts > 0] / arr.size
+    want = (float(arr.mean()), float(-(p * np.log2(p)).sum()))
+    got = multimodal._pil_decode(png)
+    assert got is not None, "PIL failed to open a valid PNG"
+    assert abs(got[0] - want[0]) < 1e-9 and abs(got[1] - want[1]) < 1e-9
+    assert multimodal._pil_decode(b"definitely not an image") is None
