@@ -80,7 +80,9 @@ SELECT device_id, action_ts_us, action
 FROM fold WHERE action IS NOT NULL
 """,
 )
-def watchdog_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def watchdog_state_machine(
+    spark: SparkSession, sf_dir: str, n_shards: int | None = None
+) -> DataFrame:
     """O-22 batch form: replay the escalation state machine per device over
     the probe log via applyInPandas (grouped Arrow batches). The transition
     function is shared verbatim with the streaming applyInPandasWithState
@@ -102,7 +104,12 @@ def watchdog_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the ordered frame. Fold semantics are untouched — the state machine
     still replays strictly per device in (ts, event_id) order. At 100 TB
     the shard count is the parallelism knob, exactly like seq_pack_docs'
-    md5 shards."""
+    md5 shards — ``n_shards`` defaults to 2×
+    ``sparkContext.defaultParallelism`` so per-task memory (one shard's
+    probe slice as a pandas frame) shrinks as the cluster grows, and a
+    deployment whose probe log outgrows that can raise it explicitly."""
+    if n_shards is None:
+        n_shards = 2 * spark.sparkContext.defaultParallelism
     probes = io.probe_log(spark, sf_dir)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -130,7 +137,11 @@ def watchdog_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         probes.select(
-            "device_id", "ts", "event_id", "ok", (F.col("device_id") % 64).alias("_shard")
+            "device_id",
+            "ts",
+            "event_id",
+            "ok",
+            (F.col("device_id") % n_shards).alias("_shard"),
         )
         .groupBy("_shard")
         .applyInPandas(run, _ACTIONS_SCHEMA)

@@ -110,7 +110,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_ranked",
     "stats_agg",
     "string_funcs2",
-    # --- (c) r2-latest refreshes (28 of 42; see header for the 14 deferred) ---
+    # --- (c) r2-latest refreshes (28 of 41; see header for the 13 deferred) ---
     "approx_distinct",
     "bpe_regex_tokens",
     "conversion_funnel",

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructType
 
 from kinesis_stream_video_project_spark.config import METRIC_WINDOW_SECONDS
 from kinesis_stream_video_project_spark.operators.watchdog import (
@@ -184,6 +184,20 @@ _STATE_SCHEMA = (
 )
 
 
+def _require_event_id(probes: DataFrame, fn: str) -> None:
+    """Both watchdog streaming forms tiebreak equal-ts probes on event_id —
+    the same (ts, event_id) total order the batch twin
+    (plans/queries_streaming_twins.py::watchdog_state_machine) folds in.
+    Without it, equal-ts probes would replay in nondeterministic
+    Arrow-chunk order, so the column is required rather than optional."""
+    if "event_id" not in probes.columns:
+        raise ValueError(
+            f"{fn} requires an event_id column in the probe schema: it is "
+            "the equal-ts tiebreaker that keeps the replay deterministic "
+            "and equal to the batch twin's (ts, event_id) total order"
+        )
+
+
 def watchdog_actions(probes: DataFrame) -> DataFrame:
     """O-22 streaming form: the escalation state machine via
     applyInPandasWithState, keyed by device — per-key fault-tolerant state in
@@ -194,8 +208,9 @@ def watchdog_actions(probes: DataFrame) -> DataFrame:
     over to streaming by construction (including the loop_time=300 s
     cooldown: ``last_action_ts_us`` rides the state row, so suppression
     windows span micro-batch boundaries). Within a micro-batch rows are
-    sorted by event time (the gateway's probes are sequential per device;
-    cross-batch reordering is bounded by the upstream watermark).
+    sorted by (ts, event_id) — event_id is required (see
+    :func:`_require_event_id`); the gateway's probes are sequential per
+    device and cross-batch reordering is bounded by the upstream watermark.
     """
 
     def update(
@@ -220,8 +235,7 @@ def watchdog_actions(probes: DataFrame) -> DataFrame:
         frames = [p for p in pdfs if len(p)]
         if frames:
             pdf = pd.concat(frames, ignore_index=True)
-            sort_keys = ["ts"] + (["event_id"] if "event_id" in pdf.columns else [])
-            pdf = pdf.sort_values(sort_keys)
+            pdf = pdf.sort_values(["ts", "event_id"])
             ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
             actions, st = replay_device(
                 list(zip(ts_us, pdf["ok"].tolist())), st
@@ -238,6 +252,7 @@ def watchdog_actions(probes: DataFrame) -> DataFrame:
                 }
             )
 
+    _require_event_id(probes, "watchdog_actions")
     return probes.groupBy("device_id").applyInPandasWithState(
         update,
         outputStructType=_ACTION_SCHEMA,
@@ -305,7 +320,7 @@ def watchdog_actions_tws(probes: DataFrame) -> DataFrame:
             frames = [p for p in rows if len(p)]
             if frames:
                 pdf = pd.concat(frames, ignore_index=True)
-                keys = ["ts"] + (["event_id"] if "event_id" in pdf.columns else [])
+                keys = ["ts", "event_id"]
                 pdf = pdf.sort_values(keys)
                 ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
                 actions, st = replay_device(list(zip(ts_us, pdf["ok"].tolist())), st)
@@ -339,6 +354,7 @@ def watchdog_actions_tws(probes: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    _require_event_id(probes, "watchdog_actions_tws")
     return probes.groupBy("device_id").transformWithStateInPandas(
         statefulProcessor=WatchdogProcessor(),
         outputStructType=_ACTION_SCHEMA,
@@ -357,22 +373,71 @@ _SCD2_OUT_SCHEMA = (
 _SCD2_STATE_SCHEMA = (
     StructType().add("status", "string").add("valid_from_us", "long")
 )
+# Buffered (allowed_lateness_us > 0) state: the open interval PLUS a per-key
+# reorder buffer of not-yet-finalized events and the fold frontier (events at
+# or below it are already folded; later arrivals below it are dropped, the
+# standard watermark contract).
+_SCD2_STATE_SCHEMA_BUFFERED = (
+    StructType()
+    .add("status", "string")
+    .add("valid_from_us", "long")
+    .add("frontier_us", "long")
+    .add("buf_ts_us", ArrayType(LongType()))
+    .add("buf_event_id", ArrayType(LongType()))
+    .add("buf_status", ArrayType(StringType()))
+)
 
 
-def scd2_status_stream(events: DataFrame) -> DataFrame:
+def scd2_status_stream(
+    events: DataFrame, allowed_lateness_us: int = 0
+) -> DataFrame:
     """Streaming SCD2 build (the incremental form of
     plans/queries_round4.py::scd2_user_status): emit a CLOSED validity
     interval whenever a user's status changes; the OPEN interval rides
     per-user state across micro-batches (that is what makes it incremental
     — the batch twin re-derives open intervals per run, the stream carries
-    them in the store and emits only deltas). Append-mode output therefore
-    equals the batch twin's ``is_current = false`` rows — exactly the
-    watermark-finalized subset, the same relationship every other
-    batch/stream twin pair here has.
+    them in the store and emits only deltas).
 
-    State = (current status, its start epoch-µs); transition logic is the
-    same change-detection the batch twin expresses with lag(), applied
-    row-at-a-time per user in event order."""
+    Ordering contract (two modes):
+
+    * ``allowed_lateness_us = 0`` (default): events are sorted WITHIN each
+      micro-batch but folded in arrival order ACROSS micro-batches, so the
+      append output equals the batch twin's ``is_current = false`` rows
+      only under per-key in-order delivery across batches — true for
+      Kinesis per partition key absent resharding, and for any
+      replay/backfill source that splits the log by time. A late event
+      (earlier ts arriving in a later micro-batch) folds out of order and
+      produces wrong intervals; use the buffered mode when the source
+      cannot guarantee per-key order.
+    * ``allowed_lateness_us > 0``: a per-key reorder buffer holds events
+      until the key's max seen ts exceeds them by the allowed lateness;
+      only then are they folded (in (ts, event_id) order), so any event at
+      most that late lands in the right place. Events arriving later than
+      the fold frontier are dropped — the same contract as a Spark
+      watermark. The buffered tail (events within lateness of max ts) is
+      never folded until later input advances the frontier, exactly like
+      an unfinalized window. Exercised with a genuinely late event in
+      tests/test_streaming.py::test_scd2_stream_reorders_late_events.
+
+    State = (current status, its start epoch-µs) plus, in buffered mode,
+    the reorder buffer and frontier; transition logic is the same
+    change-detection the batch twin expresses with lag()."""
+
+    def fold(cur_status, cur_from, rows):
+        """Run the change-detector over (ts_us, status) rows; return the new
+        open interval and the closed-interval columns."""
+        c_status: list[str] = []
+        c_from: list[int] = []
+        c_to: list[int] = []
+        for t, s in rows:
+            if cur_status is None:
+                cur_status, cur_from = s, t
+            elif s != cur_status:
+                c_status.append(cur_status)
+                c_from.append(cur_from)
+                c_to.append(t - 1)
+                cur_status, cur_from = s, t
+        return cur_status, cur_from, c_status, c_from, c_to
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -382,26 +447,19 @@ def scd2_status_stream(events: DataFrame) -> DataFrame:
             cur_status, cur_from = state.get
         else:
             cur_status, cur_from = None, None
-        c_status: list[str] = []
-        c_from: list[int] = []
-        c_to: list[int] = []
         # Concatenate ALL Arrow chunks BEFORE sorting: a group larger than
         # arrow.maxRecordsPerBatch arrives as several pdfs in arbitrary
         # order, and per-chunk sorting would fold later-chunk earlier
         # timestamps after earlier-chunk later ones (wrong intervals).
         frames = [p for p in pdfs if len(p)]
+        c_status: list[str] = []
         if frames:
             batch = pd.concat(frames, ignore_index=True)
             batch = batch.sort_values(["ts", "event_id"])
             ts_us = (batch["ts"].astype("int64") // 1000).tolist()
-            for t, s in zip(ts_us, batch["event_type"].tolist()):
-                if cur_status is None:
-                    cur_status, cur_from = s, t
-                elif s != cur_status:
-                    c_status.append(cur_status)
-                    c_from.append(cur_from)
-                    c_to.append(t - 1)
-                    cur_status, cur_from = s, t
+            cur_status, cur_from, c_status, c_from, c_to = fold(
+                cur_status, cur_from, zip(ts_us, batch["event_type"].tolist())
+            )
         state.update((cur_status, cur_from))
         if c_status:
             yield pd.DataFrame(
@@ -413,10 +471,68 @@ def scd2_status_stream(events: DataFrame) -> DataFrame:
                 }
             )
 
+    def update_buffered(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            cur_status, cur_from, frontier, b_ts, b_eid, b_st = state.get
+            pending = list(zip(b_ts or [], b_eid or [], b_st or []))
+        else:
+            cur_status, cur_from, frontier, pending = None, None, None, []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            pending.extend(
+                zip(ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist())
+            )
+        # Beyond-lateness arrivals (at or before the fold frontier) are
+        # dropped, never folded backwards — watermark semantics.
+        if frontier is not None:
+            pending = [r for r in pending if r[0] > frontier]
+        c_status: list[str] = []
+        if pending:
+            pending.sort(key=lambda r: (r[0], r[1]))
+            cutoff = pending[-1][0] - allowed_lateness_us
+            n_ready = 0
+            while n_ready < len(pending) and pending[n_ready][0] <= cutoff:
+                n_ready += 1
+            if n_ready:
+                cur_status, cur_from, c_status, c_from, c_to = fold(
+                    cur_status,
+                    cur_from,
+                    ((t, s) for t, _e, s in pending[:n_ready]),
+                )
+                frontier = max(frontier or cutoff, cutoff)
+                pending = pending[n_ready:]
+        state.update(
+            (
+                cur_status,
+                cur_from,
+                frontier,
+                [r[0] for r in pending],
+                [r[1] for r in pending],
+                [r[2] for r in pending],
+            )
+        )
+        if c_status:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(c_status),
+                    "status": c_status,
+                    "valid_from_us": c_from,
+                    "valid_to_us": c_to,
+                }
+            )
+
+    buffered = allowed_lateness_us > 0
     return events.groupBy("user_id").applyInPandasWithState(
-        update,
+        update_buffered if buffered else update,
         outputStructType=_SCD2_OUT_SCHEMA,
-        stateStructType=_SCD2_STATE_SCHEMA,
+        stateStructType=(
+            _SCD2_STATE_SCHEMA_BUFFERED if buffered else _SCD2_STATE_SCHEMA
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

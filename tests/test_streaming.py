@@ -324,17 +324,29 @@ def test_watchdog_tws_matches_batch_twin(spark, sf_dir, tmp_path):
 
 def test_scd2_stream_matches_batch_twin(spark, sf_dir, events_df, tmp_path):
     """Streaming SCD2 (closed intervals via per-user state) must equal the
-    batch twin's is_current = false rows when the whole log is drained."""
+    batch twin's is_current = false rows when the whole log is drained —
+    across MULTIPLE micro-batches (maxFilesPerTrigger=1 over a by-time
+    split, so every user's open interval rides state between batches; the
+    by-time split is the per-key in-order delivery the lateness=0 contract
+    documents)."""
     from kinesis_stream_video_project_spark.plans.queries_round4 import (
         scd2_user_status,
     )
 
+    cols = events_df.select("user_id", "ts", "event_id", "event_type")
+    cut = cols.approxQuantile("event_id", [0.5], 0.01)[0]
     src = tmp_path / "scd2_src"
-    _write_single_file(events_df, src, "events-00.parquet")
-    stream = sources.file_event_stream(spark, str(src))
-    out = jobs.scd2_status_stream(
-        stream.select("user_id", "ts", "event_id", "event_type")
+    # event_id is monotone with ts in the fixture, so an event_id split IS a
+    # time split: batch 2 is strictly later than batch 1 for every user.
+    _write_single_file(cols.filter(F.col("event_id") <= cut), src, "events-00.parquet")
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    _write_single_file(cols.filter(F.col("event_id") > cut), src, "events-01.parquet")
+    stream = (
+        spark.readStream.schema(cols.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
     )
+    out = jobs.scd2_status_stream(stream)
     q = (
         out.writeStream.format("memory")
         .queryName("scd2_out")
@@ -353,3 +365,68 @@ def test_scd2_stream_matches_batch_twin(spark, sf_dir, events_df, tmp_path):
         for r in scd2_user_status(spark, sf_dir).filter("NOT is_current").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_scd2_stream_reorders_late_events(spark, tmp_path):
+    """allowed_lateness_us > 0: a genuinely LATE event (earlier ts arriving
+    in a later micro-batch) must fold into its correct position. Three
+    single-file micro-batches: (A@1s, B@3s), then late C@2s, then D@1000s
+    which advances the frontier (max_ts - lateness) past the buffered tail.
+    Correct intervals: A=[1s, 2s), C=[2s, 3s); B stays open at 3s and D is
+    still inside the lateness horizon, so exactly two closed rows appear.
+    The lateness=0 path would have folded A,B then dropped-or-misplaced C —
+    the failure mode ADVICE r4 flagged; this pins the buffered fix."""
+    import datetime as dt
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+
+    def ev(sec, eid, status):
+        return (
+            7,
+            dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec),
+            eid,
+            status,
+        )
+
+    src = tmp_path / "late_src"
+    batches = [
+        [ev(1, 1, "A"), ev(3, 3, "B")],
+        [ev(2, 2, "C")],  # late: ts between the two already-seen events
+        [ev(1000, 4, "D")],  # watermark-advancer
+    ]
+    for i, rows in enumerate(batches):
+        _write_single_file(
+            spark.createDataFrame(rows, schema), src, f"events-0{i}.parquet"
+        )
+        if i < len(batches) - 1:
+            time.sleep(1.1)  # distinct mtimes → deterministic file order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = jobs.scd2_status_stream(stream, allowed_lateness_us=10_000_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.status, r.valid_from_us, r.valid_to_us)
+        for r in spark.sql("SELECT * FROM scd2_late_out").collect()
+    }
+    # Sessions (and this container) run in UTC, so the naive datetimes above
+    # are UTC instants; make the expected epoch explicit about that.
+    base_us = (
+        int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+        * 1_000_000
+    )
+    want = {
+        (7, "A", base_us + 1_000_000, base_us + 2_000_000 - 1),
+        (7, "C", base_us + 2_000_000, base_us + 3_000_000 - 1),
+    }
+    assert got == want
