@@ -170,6 +170,82 @@ def decode_kinesis_records(raw: DataFrame) -> DataFrame:
     ).select("e.*", "_stream", "_shard", "_seq")
 
 
+def kinesis_snapshot_df(
+    spark: SparkSession,
+    client,
+    stream_name: str,
+    starting_position: str = "TRIM_HORIZON",
+    max_polls_per_shard: int = 10,
+) -> DataFrame:
+    """Drain a Kinesis stream's current contents through a boto3 client into
+    a batch DataFrame of connector-shaped records (KINESIS_RAW_SCHEMA).
+
+    This is the DEV/TEST stand-in for the DSv2 connector — the standard
+    Kinesis → landing-zone → file-source relay, shrunk to one poll: records
+    land in the exact schema ``decode_kinesis_records`` consumes, so the
+    pipeline downstream of this call is byte-for-byte the production
+    pipeline. It pages each shard with get_records until the shard is
+    drained (NextShardIterator exhausted or an empty page at the tip).
+
+    Deliberately driver-side and bounded (``max_polls_per_shard`` pages of
+    up to 10k records per shard): per-shard parallel fan-out is the
+    connector's job; this exists so a LOCAL endpoint (moto's Kinesis API,
+    tests/test_kinesis_contract.py) can feed the real decode path live.
+    Raises ValueError for an invalid starting position, mirroring
+    kinesis_reader_options' validation."""
+    if starting_position.upper() not in ("LATEST", "TRIM_HORIZON"):
+        raise ValueError(
+            "kinesis_snapshot_df supports LATEST/TRIM_HORIZON starting "
+            f"positions, got {starting_position!r}"
+        )
+    rows = []
+    shards = client.list_shards(StreamName=stream_name)["Shards"]
+    for sh in shards:
+        it = client.get_shard_iterator(
+            StreamName=stream_name,
+            ShardId=sh["ShardId"],
+            ShardIteratorType=starting_position.upper(),
+        )["ShardIterator"]
+        for _ in range(max_polls_per_shard):
+            resp = client.get_records(ShardIterator=it, Limit=10000)
+            for r in resp["Records"]:
+                rows.append(
+                    (
+                        bytes(r["Data"]),
+                        stream_name,
+                        r["PartitionKey"],
+                        r["SequenceNumber"],
+                        r["ApproximateArrivalTimestamp"],
+                        sh["ShardId"],
+                    )
+                )
+            it = resp.get("NextShardIterator")
+            if not it or not resp["Records"]:
+                break
+    return spark.createDataFrame(rows, KINESIS_RAW_SCHEMA)
+
+
+def kinesis_connector_available(spark: SparkSession) -> bool:
+    """True when a DSv2 provider registering short name ``aws-kinesis`` is
+    on the session's classpath (jar in $SPARK_HOME/jars or --packages).
+    Uses the same ServiceLoader registry Spark's own format() lookup reads,
+    so it cannot drift from what ``format("aws-kinesis")`` would resolve.
+    Lets the live-endpoint test (tests/test_kinesis_contract.py) skip with
+    a precise reason instead of failing on load()."""
+    try:
+        jvm = spark._jvm
+        registry = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.sources.DataSourceRegister"
+        )
+        it = jvm.java.util.ServiceLoader.load(registry).iterator()
+        while it.hasNext():
+            if it.next().shortName() == "aws-kinesis":
+                return True
+        return False
+    except Exception:  # pragma: no cover - defensive: absent JVM registry
+        return False
+
+
 def kinesis_stream(
     spark: SparkSession,
     stream_name: str,
