@@ -115,6 +115,13 @@ BENCH_ROTATION = [
     "grouped_pandas_stats",
     "multimodal_features",
     "table_profile",
+    # new round-5 queries: first timed row lands the round they're born
+    "quality_percentile_gate",
+    "bigram_next_token",
+    "surprisal_score_salted",
+    "unpivot_priority_metrics",
+    "scd2_point_in_time",
+    "nucleus_budget_filter",
 ]
 
 

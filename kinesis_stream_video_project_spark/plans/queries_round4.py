@@ -25,10 +25,9 @@ from kinesis_stream_video_project_spark.plans.queries_llm import (  # noqa: E402
 )
 
 
-@register(
-    "surprisal_score",
-    tags=("NS-curation", "O-31"),
-    oracle="""
+# Shared with queries_round5.surprisal_score_salted: the salted twin must
+# hash against the IDENTICAL oracle (salting is plan-only, result-invariant).
+SURPRISAL_ORACLE = """
 WITH toks AS (
   SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
 ),
@@ -47,7 +46,13 @@ scored AS (
 SELECT doc_id, n_tokens,
        (floor((CAST(s AS DOUBLE) / n_tokens / 1000000000000.0) * 10000.0 + 0.5) / 10000.0) AS surprisal
 FROM scored
-""",
+"""
+
+
+@register(
+    "surprisal_score",
+    tags=("NS-curation", "O-31"),
+    oracle=SURPRISAL_ORACLE,
 )
 def surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM surprisal proxy per document (north-star quality gate):
