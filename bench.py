@@ -122,6 +122,7 @@ BENCH_ROTATION = [
     "unpivot_priority_metrics",
     "scd2_point_in_time",
     "nucleus_budget_filter",
+    "hll_merge_rollup",
 ]
 
 

@@ -317,6 +317,64 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_merge_rollup",
+    tags=("O-09", "O-33"),
+    oracle="""
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
+       TRUE AS groups_within_5pct,
+       TRUE AS merged_within_5pct
+""" + "FROM events",
+)
+def hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the property that makes sketches matter at
+    100 TB): per-event-type Datasketches HLL sketches of the user set,
+    UNIONED into a global cardinality estimate WITHOUT re-scanning the
+    fact table — the two-level rollup a warehouse serves per-segment and
+    global uniques from one sketch store. approx_count_distinct can't do
+    this (its HLL++ partials aren't exposed); ``hll_sketch_agg`` /
+    ``hll_union_agg`` are the composable form.
+
+    Sketch estimates are engine-specific, so (approx_distinct's pattern)
+    the tolerance claim IS the hashed output: every per-group estimate and
+    the merged estimate must land within 5% of the exact counts (measured
+    <=2% at sf0.001-0.1; Datasketches HLL is deterministic for fixed
+    data). The exact global count rides along as a broadcast 1-row join.
+
+    Plan: one partial-combine sketch aggregate on event_type, a 5-row
+    sketch union, and the exact-distinct aggregate — the exact side exists
+    only to ground the claim; production keeps just the sketch path."""
+    e = io.load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("ex"),
+    )
+    g = per.select(
+        "sk",
+        "ex",
+        F.hll_sketch_estimate("sk").alias("est"),
+    )
+    summary = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min(
+            F.abs(F.col("est") - F.col("ex"))
+            <= F.lit(0.05) * F.col("ex")
+        ).alias("groups_within_5pct"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_merged"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    return summary.crossJoin(F.broadcast(exact)).select(
+        "exact_users",
+        "n_groups",
+        "groups_within_5pct",
+        (
+            F.abs(F.col("_merged") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("merged_within_5pct"),
+    )
+
+
+@register(
     "nucleus_budget_filter",
     tags=("NS-curation", "O-16"),
     oracle="""
