@@ -212,11 +212,12 @@ FROM (
 """,
 )
 def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT (wide -> long): per-priority order metrics melted into
-    (priority, metric, value) rows — the inverse of pivot_priority_counts
-    and the missing half of the pivot/unpivot pair every BI surface needs.
-    Spark side uses the ``stack`` table generator (the DataFrame-API
-    unpivot); the oracle is the engine-portable UNION ALL form.
+    """Melt over an AGGREGATE via the ``stack`` table generator: per-priority
+    order metrics into (priority, metric, value) rows. Complements
+    unpivot_part_metrics (queries_round3.py — ``.unpivot``/Expand over a raw
+    scan): stack is the SQL-expression form of the same reshaping, and here
+    the melt runs above a groupBy so derived metrics (avg = sum/count) melt
+    alongside stored ones. Oracle is the engine-portable UNION ALL form.
 
     Exactness: the DECIMAL(18,2) sum is order-insensitive, cast to DOUBLE
     once; n_orders rides as a double so the long format has ONE value
