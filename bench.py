@@ -123,6 +123,7 @@ BENCH_ROTATION = [
     "scd2_point_in_time",
     "nucleus_budget_filter",
     "hll_merge_rollup",
+    "linear_interpolate_value",
 ]
 
 

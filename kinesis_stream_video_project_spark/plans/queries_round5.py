@@ -318,6 +318,102 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "linear_interpolate_value",
+    tags=("O-16", "O-24", "NS-quality"),
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events
+),
+nb AS (
+  SELECT event_id, user_id, ts_us, v,
+         last_value(v IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS) OVER wp AS prev_t,
+         first_value(v IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS) OVER wn AS next_t
+  FROM base
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, (v IS NULL) AS was_missing,
+       (floor((CASE
+          WHEN v IS NOT NULL THEN v
+          WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t <> prev_t
+            THEN prev_v + (next_v - prev_v)
+                 * (CAST(ts_us - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+          ELSE NULL END) * 10000.0 + 0.5) / 10000.0) AS filled
+FROM nb
+""",
+)
+def linear_interpolate_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear interpolation of a gappy metric series — the
+    time-series repair step between forward-fill (fill_forward_last_purchase
+    carries the LAST value) and model imputation: a missing reading is
+    reconstructed proportionally between its nearest non-null neighbors in
+    event time. Missingness is synthesized deterministically (error events
+    carry no reading); series edges (no neighbor on one side) stay null
+    rather than extrapolating.
+
+    Exactness: the interpolation is a fixed dag of IEEE double ops
+    (sub/div/mul/add) over epoch-µs integers and stored doubles — each op
+    is exactly rounded, so both engines produce bit-identical results,
+    then r4 once at the end. Plan: ONE shuffle on user_id; both
+    neighbor-scan frames (backward last_value, forward first_value — both
+    IGNORE NULLS) and the projection reuse the same partitioning, the
+    standard bounded-state window shape at any key cardinality."""
+    e = io.load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    order = [F.col("ts_us"), F.col("event_id")]
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_if_v = F.when(F.col("v").isNotNull(), F.col("ts_us"))
+    nb = base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(t_if_v, ignorenulls=True).over(wp).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(t_if_v, ignorenulls=True).over(wn).alias("next_t"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.col("ts_us") - F.col("prev_t")).cast("double")
+        / (F.col("next_t") - F.col("prev_t")).cast("double")
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(
+            F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("next_t") != F.col("prev_t")),
+            interp,
+        )
+    )
+    return nb.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_missing"),
+        r4(filled).alias("filled"),
+    )
+
+
+@register(
     "hll_merge_rollup",
     tags=("O-09", "O-33"),
     oracle="""

@@ -63,25 +63,26 @@ def register(
 # round. After r4 every one of the registered queries has a green HASH row
 # (zero rows-only, zero failures ever); the r5 rotation targets STALENESS
 # (VERDICT r4 item 3). Latest-green distribution entering r5: r4=50, r3=38,
-# r2=42, r1=15. The 50-entry window is budgeted 7+7+15+21:
+# r2=42, r1=15. The 50-entry window is budgeted 7+8+15+20:
 # (a) the 7 queries whose code paths CHANGED in r5 (the dedup.py hash-family
 #     rewrite: flat 60-bit md5 basis, integer band fold, shared shingle
 #     exchange, explicit notnull filters — minhash/blocked-jaccard and every
 #     query composing them) — changed code outranks merely-stale entries;
-# (a') the 7 NEW round-5 queries (queries_round5.py) — a query registered
+# (a') the 8 NEW round-5 queries (queries_round5.py) — a query registered
 #     in round N must be in round N's window (r3 hygiene rule: zero
 #     never-checked queries);
 # (b) all 15 queries whose only green row still dates from r1 (the
 #     *_funcs2 siblings and projection/join/subquery twins that yielded
 #     their slots in earlier rotations — after r5 nothing is older than r2);
-# (c) 21 more from the r2-latest cohort (near_dup_jaccard, the 42nd, is
-#     already in window (a), so 41 remained; 21 here + 20 deferred to r6).
-#     The 20 deferred are overlapping-family representatives whose twin is
+# (c) 20 more from the r2-latest cohort (near_dup_jaccard, the 42nd, is
+#     already in window (a), so 41 remained; 20 here + 21 deferred to r6).
+#     The 21 deferred are overlapping-family representatives whose twin is
 #     already in this window or r4-green: sliding_windows (session_windows
 #     in-window), tumbling_hourly (stream_health family r4-green),
 #     weekly_retention (conversion_funnel in-window), token_stats
 #     (bpe_regex_tokens in-window), lang_stats (lang_id_ngram in-window),
-#     dedup_survivors / normalized_dedup_docs (exact_dedup_docs in-window), approx_percentiles_value
+#     dedup_survivors / normalized_dedup_docs (exact_dedup_docs in-window),
+#     train_test_split_counts (split_leakage family r4-green), approx_percentiles_value
 #     (percentiles_by_status r4-green), brand_volume_suppliers /
 #     dormant_rich_customers / important_part_shares /
 #     large_volume_customers / min_cost_supplier / small_quantity_revenue
@@ -101,7 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "near_dup_split_leakage",
     "dup_clusters",
     "curation_pipeline_v2",
-    # --- (a') new round-5 queries (7) ---
+    # --- (a') new round-5 queries (8) ---
     "quality_percentile_gate",
     "bigram_next_token",
     "surprisal_score_salted",
@@ -109,6 +110,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time",
     "nucleus_budget_filter",
     "hll_merge_rollup",
+    "linear_interpolate_value",
     # --- (b) r1-era greens: the full staleness tail (15) ---
     "cast_truncate",
     "computed_projection",
@@ -125,7 +127,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_ranked",
     "stats_agg",
     "string_funcs2",
-    # --- (c) r2-latest refreshes (21 of 41; see header for the 20 deferred) ---
+    # --- (c) r2-latest refreshes (20 of 41; see header for the 21 deferred) ---
     "approx_distinct",
     "bpe_regex_tokens",
     "conversion_funnel",
@@ -144,7 +146,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_score",
     "session_windows",
     "streaming_dedup_twin",
-    "train_test_split_counts",
     "window_running_agg",
     "salted_join_orders",
 )
