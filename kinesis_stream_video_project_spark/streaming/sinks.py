@@ -60,6 +60,63 @@ def parquet_alert_sink(path: str) -> Callable[[DataFrame, int], None]:
     return write
 
 
+def upsert_partition_sink(
+    path: str, key_col: str, order_cols: tuple[str, ...]
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch upsert into a key-partitioned parquet table: each batch
+    keeps only its LATEST row per key (max over ``order_cols``), merges it
+    with any existing row for that key, and rewrites ONLY the touched
+    ``{key_col}=value`` partition directories (dynamic partition overwrite).
+    This is the standard keep-latest-state materialization (device health
+    registry, user-profile table) for engines without MERGE INTO: the
+    partition is the upsert unit, untouched partitions' files are never
+    rewritten, and replaying a failed batch converges to the same state —
+    idempotent because last-write-wins per key is a projection of (key,
+    max order), not an accumulation.
+
+    Scale note: ``key_col`` here is the PARTITION key, so it must be
+    low-cardinality (device, not event). A high-cardinality upsert key
+    needs a bucketed layout + MERGE-capable table format instead; this
+    sink deliberately models the partition-grain variant."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # max over a struct whose leading fields are the order columns =
+        # argmax carrying the whole row (struct comparison is field-order
+        # lexicographic), the shuffle-light way to keep latest-per-key.
+        data_cols = [c for c in batch_df.columns if c != key_col]
+        ordered = list(order_cols) + [c for c in data_cols if c not in order_cols]
+        w = F.struct(*ordered)
+
+        def latest_of(df: DataFrame) -> DataFrame:
+            return (
+                df.groupBy(key_col)
+                .agg(F.max(w).alias("_w"))
+                .select(key_col, F.col("_w.*"))
+            )
+
+        latest = latest_of(batch_df)
+        try:
+            existing = spark.read.parquet(path).join(
+                F.broadcast(latest.select(key_col)), key_col, "semi"
+            )
+            merged = latest_of(
+                latest.unionByName(existing.select(key_col, *ordered))
+            )
+        except Exception:  # first batch: nothing to merge yet
+            merged = latest
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            merged.write.mode("overwrite").partitionBy(key_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return write
+
+
 def collecting_sink(store: list) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink that collects rows into a Python list — test/demo
     only (drivers-side; never use at scale)."""

@@ -430,3 +430,113 @@ def test_scd2_stream_reorders_late_events(spark, tmp_path):
         (7, "C", base_us + 2_000_000, base_us + 3_000_000 - 1),
     }
     assert got == want
+
+
+def test_scd2_stream_drops_beyond_lateness_events(spark, tmp_path):
+    """The buffered mode's watermark contract: an event arriving LATER than
+    the fold frontier (max seen ts minus allowed lateness) is DROPPED, not
+    folded backwards — folding it would rewrite already-emitted closed
+    intervals, which an append-mode stream cannot retract. Batch 1 drives
+    the frontier far past 3s (E@1000s with 10s lateness → frontier 990s);
+    batch 2's X@3s is then beyond-lateness and must leave no trace: the
+    closed A interval stays exactly as batch 1 emitted it and no X
+    interval ever appears."""
+    import datetime as dt
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+
+    def ev(sec, eid, status):
+        return (
+            7,
+            dt.datetime(2026, 1, 1) + dt.timedelta(seconds=sec),
+            eid,
+            status,
+        )
+
+    src = tmp_path / "drop_src"
+    batches = [
+        [ev(1, 1, "A"), ev(5, 2, "B"), ev(1000, 3, "E")],
+        [ev(3, 4, "X")],  # beyond lateness: frontier is already 990s
+    ]
+    for i, rows in enumerate(batches):
+        _write_single_file(
+            spark.createDataFrame(rows, schema), src, f"events-0{i}.parquet"
+        )
+        if i < len(batches) - 1:
+            time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = jobs.scd2_status_stream(stream, allowed_lateness_us=10_000_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_drop_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2_drop"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.status, r.valid_from_us, r.valid_to_us)
+        for r in spark.sql("SELECT * FROM scd2_drop_out").collect()
+    }
+    base_us = (
+        int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+        * 1_000_000
+    )
+    # Batch 1 folds A@1s and B@5s (frontier 990s): A closes at B's start.
+    # B stays open in state, E stays buffered at the tip (1000s > 990s),
+    # and X@3s is dropped in batch 2 — exactly one closed row, unchanged.
+    want = {(7, "A", base_us + 1_000_000, base_us + 5_000_000 - 1)}
+    assert got == want
+
+
+def test_upsert_partition_sink_keeps_latest_per_key(spark, sf_dir, tmp_path):
+    """The foreachBatch upsert sink must converge to exactly one row per
+    key — the LATEST by (ts, event_id) across ALL micro-batches — with the
+    table laid out as {key}=value partition directories (the upsert unit).
+    Replayed in two maxFilesPerTrigger=1 batches so the merge path (batch 2
+    updating keys batch 1 already wrote) actually runs."""
+    probes = io.probe_log(spark, sf_dir).select(
+        "device_id", F.unix_micros("ts").alias("ts_us"), "event_id", "ok"
+    )
+    cut = probes.approxQuantile("event_id", [0.5], 0.01)[0]
+    src = tmp_path / "upsert_src"
+    _write_single_file(probes.filter(F.col("event_id") <= cut), src, "p0.parquet")
+    time.sleep(1.1)
+    _write_single_file(probes.filter(F.col("event_id") > cut), src, "p1.parquet")
+
+    dest = tmp_path / "device_state"
+    stream = (
+        spark.readStream.schema(probes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.upsert_partition_sink(
+                str(dest), "device_id", ("ts_us", "event_id")
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_upsert"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(dest))
+    want = (
+        probes.groupBy("device_id")
+        .agg(F.max(F.struct("ts_us", "event_id", "ok")).alias("w"))
+        .select("device_id", "w.*")
+    )
+    assert got.count() == want.count() == probes.select("device_id").distinct().count()
+    g = {(r.device_id, r.ts_us, r.event_id, r.ok) for r in got.collect()}
+    x = {(r.device_id, r.ts_us, r.event_id, r.ok) for r in want.collect()}
+    assert g == x
+    # the table is physically partitioned by the upsert key
+    assert any(p.name.startswith("device_id=") for p in dest.iterdir())
