@@ -323,3 +323,23 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bucket_t CASCADE")
+
+
+def test_salted_surprisal_join_carries_salt_keys(spark, sf_dir):
+    """surprisal_score_salted exists to spread the Zipf-hot token keys: the
+    token->df join must key on (tok, __salt) — at scale that join is an SMJ
+    whose shuffle distributes each hot token over 8 reducers (locally it may
+    broadcast, but the keys are what carry the contract)."""
+    plan = (
+        registry.all_queries()["surprisal_score_salted"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join \[tok[^\]]*\]", plan)
+    assert m and "__salt" in m.group(0), (
+        "token join must include the salt in its keys\n" + plan[:3000]
+    )
