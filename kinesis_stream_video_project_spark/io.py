@@ -115,50 +115,6 @@ def probe_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def write_partitioned(
-    df: DataFrame, path: str, partition_cols: tuple[str, ...], mode: str = "overwrite"
-) -> None:
-    """Write the 100 TB landing layout: hive-style partition directories
-    (``.../col=value/``). Equality/IN/range predicates on the partition
-    columns then prune at FILE-LISTING time — the scan's ``PartitionFilters``
-    (not ``PushedFilters``) carry them, and data files outside the matching
-    directories are never opened. This is the layout the scale note at the
-    top of this module promises for ``events`` (date-partitioned); pinned by
-    tests/test_plan_properties.py::test_partitioned_write_prunes_partitions.
-
-    Partition columns should be LOW-cardinality (date, event_type, lang):
-    each distinct value is a directory, and a high-cardinality key (user_id)
-    would shatter the table into millions of tiny files — the small-files
-    problem that kills listing time at scale."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
-
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    bucket_col: str,
-    n_buckets: int,
-    sort_col: str | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Write a BUCKETED catalog table: rows are hash-clustered into
-    ``n_buckets`` files by ``bucket_col`` at write time, so every later
-    join/aggregate keyed on that column reads pre-shuffled data — Catalyst
-    drops the Exchange entirely when both join sides are bucketed into the
-    same count (pinned by tests/test_plan_properties.py::
-    test_bucketed_join_skips_shuffle). This is THE amortization move for a
-    100 TB fact table joined on the same key by many queries: one shuffle
-    at ingest, zero at query time. Optional ``sort_col`` pre-sorts within
-    buckets (sort-merge join skips its sort too).
-
-    Bucketing metadata lives in the catalog, hence ``saveAsTable`` — a
-    plain ``.parquet(path)`` write cannot record it."""
-    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
-    if sort_col is not None:
-        w = w.sortBy(sort_col)
-    w.format("parquet").saveAsTable(table)
-
-
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table + derived view as temp views for SQL use."""
     for name in TABLES:

@@ -266,65 +266,6 @@ def test_corpus_shuffle_has_no_corpus_sized_global_sort(spark, sf_dir):
         )
 
 
-def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
-    """The partitioned landing layout (io.write_partitioned) must prune at
-    file-listing time: an equality predicate on the partition column shows
-    up in the scan's PartitionFilters (directory pruning — files outside
-    the matching partition are never opened), NOT merely as a row-group
-    PushedFilter. This is the scan shape the 100 TB events layout relies
-    on (io.py module docstring)."""
-    from kinesis_stream_video_project_spark import io
-
-    events = io.load_table(spark, sf_dir, "events")
-    dest = str(tmp_path / "events_by_type")
-    io.write_partitioned(events, dest, ("event_type",))
-
-    back = spark.read.parquet(dest).filter("event_type = 'error'")
-    plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan
-    # the predicate must appear inside PartitionFilters, not PushedFilters
-    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
-    assert "event_type" in pf, plan
-    # and the data is intact: partition-column round trip loses no rows
-    want = events.filter("event_type = 'error'").count()
-    assert back.count() == want and want > 0
-
-
-def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
-    """Two tables bucketed on the same key into the same bucket count must
-    sort-merge join with ZERO Exchange in the plan — the write-time shuffle
-    (io.write_bucketed) is amortized across every keyed query after it.
-    Broadcast is disabled for the assert so the no-shuffle SMJ is the only
-    way the join can plan."""
-    from kinesis_stream_video_project_spark import io
-
-    spark.sql(
-        f"CREATE DATABASE IF NOT EXISTS bucket_t LOCATION '{tmp_path / 'wh'}'"
-    )
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        events = io.load_table(spark, sf_dir, "events")
-        per_user = events.groupBy("user_id").count()
-        io.write_bucketed(events.select("event_id", "user_id", "value"),
-                          "bucket_t.ev", "user_id", 4)
-        io.write_bucketed(per_user, "bucket_t.agg", "user_id", 4)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("bucket_t.ev").join(
-            spark.table("bucket_t.agg"), "user_id"
-        )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan, plan
-        assert "Exchange" not in plan, (
-            "bucketed join should not shuffle either side\n" + plan
-        )
-        # bucket pruning bonus: the scans advertise the bucket layout
-        assert plan.count("Bucketed: true") == 2, plan
-        assert joined.count() == events.count()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP DATABASE IF EXISTS bucket_t CASCADE")
-
-
 def test_salted_surprisal_join_carries_salt_keys(spark, sf_dir):
     """surprisal_score_salted exists to spread the Zipf-hot token keys: the
     token->df join must key on (tok, __salt) — at scale that join is an SMJ

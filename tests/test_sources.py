@@ -83,9 +83,12 @@ def test_write_partitioned_parquet_prunes(spark, events, tmp_path):
     assert len(dirs) >= 1
     one_date = dirs[0].split("=", 1)[1]
     back = spark.read.parquet(path).filter(F.col("event_date") == one_date)
-    # Partition pruning: the physical plan's scan must carry the partition filter.
+    # Partition pruning: the predicate must land INSIDE PartitionFilters
+    # (directory pruning at file-listing time), not merely as a row-group
+    # PushedFilter.
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_date" in pf, plan
     assert back.count() == df.filter(F.col("event_date") == one_date).count()
 
 
@@ -105,8 +108,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
             )
         )
         plan = j._jdf.queryExecution().executedPlan().toString()
-        # Same bucket count + key on both sides => no Exchange on either side.
+        # Same bucket count + key on both sides => no Exchange on either side,
+        # and both scans advertise the bucket layout.
         assert "Exchange hashpartitioning" not in plan
+        assert plan.count("Bucketed: true") == 2, plan
         assert j.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
