@@ -388,6 +388,56 @@ _SCD2_STATE_SCHEMA_BUFFERED = (
 )
 
 
+def _scd2_fold(cur_status, cur_from, rows):
+    """Pure change-detector over (ts_us, status) rows: returns the new open
+    interval and the closed-interval columns. Module-level so the property
+    tests can drive it directly (tests/test_scd2_properties.py)."""
+    c_status: list[str] = []
+    c_from: list[int] = []
+    c_to: list[int] = []
+    for t, s in rows:
+        if cur_status is None:
+            cur_status, cur_from = s, t
+        elif s != cur_status:
+            c_status.append(cur_status)
+            c_from.append(cur_from)
+            c_to.append(t - 1)
+            cur_status, cur_from = s, t
+    return cur_status, cur_from, c_status, c_from, c_to
+
+
+def _scd2_buffered_step(
+    cur_status, cur_from, frontier, pending, new_rows, lateness_us
+):
+    """Pure core of ONE buffered micro-batch step. ``pending``/``new_rows``
+    are (ts_us, event_id, status) triples; returns the advanced state
+    (cur_status, cur_from, frontier, pending') plus the closed intervals
+    [(status, from_us, to_us), ...] this step finalized. Contract (the
+    property tests pin it): rows at or before the frontier are dropped;
+    rows past ``max_seen - lateness`` stay buffered; everything between
+    folds in (ts, event_id) order."""
+    pending = list(pending) + list(new_rows)
+    if frontier is not None:
+        pending = [r for r in pending if r[0] > frontier]
+    closed: list[tuple] = []
+    if pending:
+        pending.sort(key=lambda r: (r[0], r[1]))
+        cutoff = pending[-1][0] - lateness_us
+        n_ready = 0
+        while n_ready < len(pending) and pending[n_ready][0] <= cutoff:
+            n_ready += 1
+        if n_ready:
+            cur_status, cur_from, c_status, c_from, c_to = _scd2_fold(
+                cur_status,
+                cur_from,
+                ((t, s) for t, _e, s in pending[:n_ready]),
+            )
+            closed = list(zip(c_status, c_from, c_to))
+            frontier = max(frontier or cutoff, cutoff)
+            pending = pending[n_ready:]
+    return cur_status, cur_from, frontier, pending, closed
+
+
 def scd2_status_stream(
     events: DataFrame, allowed_lateness_us: int = 0
 ) -> DataFrame:
@@ -423,21 +473,7 @@ def scd2_status_stream(
     the reorder buffer and frontier; transition logic is the same
     change-detection the batch twin expresses with lag()."""
 
-    def fold(cur_status, cur_from, rows):
-        """Run the change-detector over (ts_us, status) rows; return the new
-        open interval and the closed-interval columns."""
-        c_status: list[str] = []
-        c_from: list[int] = []
-        c_to: list[int] = []
-        for t, s in rows:
-            if cur_status is None:
-                cur_status, cur_from = s, t
-            elif s != cur_status:
-                c_status.append(cur_status)
-                c_from.append(cur_from)
-                c_to.append(t - 1)
-                cur_status, cur_from = s, t
-        return cur_status, cur_from, c_status, c_from, c_to
+    fold = _scd2_fold
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -480,32 +516,18 @@ def scd2_status_stream(
             pending = list(zip(b_ts or [], b_eid or [], b_st or []))
         else:
             cur_status, cur_from, frontier, pending = None, None, None, []
+        new_rows: list[tuple] = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
             ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-            pending.extend(
+            new_rows.extend(
                 zip(ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist())
             )
-        # Beyond-lateness arrivals (at or before the fold frontier) are
-        # dropped, never folded backwards — watermark semantics.
-        if frontier is not None:
-            pending = [r for r in pending if r[0] > frontier]
-        c_status: list[str] = []
-        if pending:
-            pending.sort(key=lambda r: (r[0], r[1]))
-            cutoff = pending[-1][0] - allowed_lateness_us
-            n_ready = 0
-            while n_ready < len(pending) and pending[n_ready][0] <= cutoff:
-                n_ready += 1
-            if n_ready:
-                cur_status, cur_from, c_status, c_from, c_to = fold(
-                    cur_status,
-                    cur_from,
-                    ((t, s) for t, _e, s in pending[:n_ready]),
-                )
-                frontier = max(frontier or cutoff, cutoff)
-                pending = pending[n_ready:]
+        cur_status, cur_from, frontier, pending, closed = _scd2_buffered_step(
+            cur_status, cur_from, frontier, pending, new_rows,
+            allowed_lateness_us,
+        )
         state.update(
             (
                 cur_status,
@@ -516,13 +538,13 @@ def scd2_status_stream(
                 [r[2] for r in pending],
             )
         )
-        if c_status:
+        if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(c_status),
-                    "status": c_status,
-                    "valid_from_us": c_from,
-                    "valid_to_us": c_to,
+                    "user_id": [user_id] * len(closed),
+                    "status": [c[0] for c in closed],
+                    "valid_from_us": [c[1] for c in closed],
+                    "valid_to_us": [c[2] for c in closed],
                 }
             )
 
