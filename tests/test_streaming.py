@@ -540,3 +540,66 @@ def test_upsert_partition_sink_keeps_latest_per_key(spark, sf_dir, tmp_path):
     assert g == x
     # the table is physically partitioned by the upsert key
     assert any(p.name.startswith("device_id=") for p in dest.iterdir())
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Stop the watchdog stream as soon as a micro-batch has committed
+    (usually mid-drain, occasionally after it raced to completion — the
+    assertion is timing-independent), restart from the SAME checkpoint,
+    drain — the union of both runs' outputs must equal the batch twin
+    exactly (no lost batch, no duplicated batch). This is
+    the recovery contract a 100 TB deployment leans on: offsets commit to
+    the checkpoint ahead of output, foreachBatch replays an uncommitted
+    batch with the same batch_id, and per-key state rehydrates from the
+    state store."""
+    probes = io.probe_log(spark, sf_dir).select(
+        "device_id", "ts", "event_id", "ok"
+    )
+    cut = probes.approxQuantile("event_id", [0.5], 0.01)[0]
+    src = tmp_path / "ckpt_probe_src"
+    _write_single_file(probes.filter(F.col("event_id") <= cut), src, "p0.parquet")
+    time.sleep(1.1)
+    _write_single_file(probes.filter(F.col("event_id") > cut), src, "p1.parquet")
+
+    ckpt = str(tmp_path / "ckpt_restart")
+    store: list = []
+
+    def run(stop_after_first: bool) -> None:
+        stream = (
+            spark.readStream.schema(probes.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.watchdog_actions(stream)
+            .writeStream.foreachBatch(sinks.collecting_sink(store))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if stop_after_first:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                    break
+                time.sleep(0.2)
+            q.stop()  # hard stop mid-drain; second file not yet committed
+            q.awaitTermination(60)
+        else:
+            q.awaitTermination(180)
+
+    run(stop_after_first=True)
+    n_first = len(store)
+    run(stop_after_first=False)
+
+    from kinesis_stream_video_project_spark.plans.queries_streaming_twins import (
+        watchdog_state_machine,
+    )
+
+    batch = watchdog_state_machine(spark, sf_dir).collect()
+    got = sorted((r.device_id, r.action_ts_us, r.action) for r in store)
+    want = sorted((r.device_id, r.action_ts_us, r.action) for r in batch)
+    assert got == want, (
+        f"restart lost or duplicated output (first run emitted {n_first})"
+    )
