@@ -124,6 +124,7 @@ BENCH_ROTATION = [
     "nucleus_budget_filter",
     "hll_merge_rollup",
     "linear_interpolate_value",
+    "quality_weighted_sample",
 ]
 
 

@@ -94,3 +94,21 @@ def stratified_sample_hashed(
         )
     threshold = threshold.otherwise(0) if threshold is not None else F.lit(0)
     return df.filter(b < threshold)
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: Column, n_buckets: int = 10000
+) -> DataFrame:
+    """Per-ROW weighted Bernoulli sampling, deterministically: keep a row
+    iff ``hash_bucket(key, n_buckets) < weight * n_buckets`` for a weight
+    column in [0, 1]. The per-row generalization of
+    :func:`stratified_sample_hashed` (whose rates are per-stratum
+    constants): quality-proportional downsampling — a 0.9-quality doc is
+    kept with ~90% probability, a 0.2 doc with ~20% — while staying a pure
+    function of (key, weight): reproducible across engines, runs,
+    partitionings and corpus rebuilds, and oracle-checkable (DuckDB
+    computes the identical md5 bucket and the identical IEEE product).
+    10k buckets give 4 digits of rate resolution; no shuffle, no rand()."""
+    return df.filter(
+        hash_bucket(F.col(key), n_buckets) < weight * float(n_buckets)
+    )

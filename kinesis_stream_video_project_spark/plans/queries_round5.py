@@ -1,5 +1,6 @@
-"""Round-5 additions: curation budget gates, bigram LM counts, skew-proof
-twins, UNPIVOT, and point-in-time SCD2 enrichment.
+"""Round-5 additions: curation budget gates and weighted sampling, bigram
+LM counts, skew-proof twins, melt-over-aggregate, point-in-time SCD2
+enrichment, linear interpolation, and a mergeable HLL rollup.
 
 Cross-engine strategy per query (same discipline as rounds 2-4): ratios are
 exactly-rounded IEEE double divisions of small integers (bit-identical in
@@ -18,6 +19,7 @@ from pyspark.sql import functions as F
 from kinesis_stream_video_project_spark import io
 from kinesis_stream_video_project_spark.functions.numeric import r4
 from kinesis_stream_video_project_spark.functions.text import tokens
+from kinesis_stream_video_project_spark.operators import sampling
 from kinesis_stream_video_project_spark.operators.skew import salted_join
 from kinesis_stream_video_project_spark.plans.queries_round4 import (
     SURPRISAL_ORACLE,
@@ -538,4 +540,67 @@ def nucleus_budget_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_kept"),
         F.max("total").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "quality_weighted_sample",
+    tags=("NS-sampling", "NS-curation", "O-04"),
+    oracle="""
+WITH m AS (
+  SELECT doc_id, source,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS w
+  FROM documents
+),
+k AS (
+  SELECT source, w,
+         ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000)
+            < w * 10000.0) AS kept
+  FROM m
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       (floor((SUM(w)) * 10000.0 + 0.5) / 10000.0) AS expected_kept
+FROM k
+GROUP BY source
+""",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-PROPORTIONAL deterministic sampling (the soft alternative to
+    quality_percentile_gate's hard cut): each document is kept with
+    probability equal to its lexical-diversity score via
+    operators/sampling.py::weighted_sample — hash-bucket arithmetic both
+    engines compute bit-identically, so even the per-row keep decisions
+    hash-match (no tolerance claim needed; expected_kept = sum of weights
+    rides along to show the realized rate tracks the expectation).
+
+    This is how a mixture keeps SOME low-quality text (diversity of
+    distribution) instead of amputating the tail: the standard soft-
+    filtering move in large-corpus curation. Plan: scan → per-row integer
+    hash compare → one partial-combine aggregate; no shuffle beyond the
+    5-row-per-source agg, no rand(), reproducible on re-ingestion."""
+    d = io.load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "w"
+        ),
+    )
+    kept = sampling.weighted_sample(m, "doc_id", F.col("w"))
+    n_kept = (
+        kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    totals = m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r4(F.sum("w")).alias("expected_kept"),
+    )
+    return totals.join(n_kept, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        "expected_kept",
     )
