@@ -250,3 +250,52 @@ def test_kinesis_live_local_endpoint(spark, tmp_path):
         assert meta.ids == 3 and meta.sh >= 1
     finally:
         server.stop()
+
+
+def test_kinesis_snapshot_pages_shards_and_validates(spark):
+    """kinesis_snapshot_df must page each shard through NextShardIterator
+    until an empty page, stitch all shards, and reject starting positions
+    the relay cannot honor (AT_TIMESTAMP needs the connector's server-side
+    filtering). Fake client = no network; the wire-shape is the same dicts
+    boto3 returns."""
+    import datetime as dt
+
+    arrival = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    class FakeClient:
+        def list_shards(self, StreamName):
+            return {"Shards": [{"ShardId": "shardId-000000000000"},
+                               {"ShardId": "shardId-000000000001"}]}
+
+        def get_shard_iterator(self, StreamName, ShardId, ShardIteratorType):
+            assert ShardIteratorType == "TRIM_HORIZON"
+            return {"ShardIterator": f"{ShardId}#0"}
+
+        def get_records(self, ShardIterator, Limit):
+            shard, page = ShardIterator.split("#")
+            page = int(page)
+            # shard 0 has two pages of one record; shard 1 one page.
+            n_pages = 2 if shard.endswith("0") else 1
+            if page >= n_pages:
+                return {"Records": [], "NextShardIterator": ShardIterator}
+            return {
+                "Records": [{
+                    "Data": f"{shard}:{page}".encode(),
+                    "PartitionKey": "pk",
+                    "SequenceNumber": str(page + 1),
+                    "ApproximateArrivalTimestamp": arrival,
+                }],
+                "NextShardIterator": f"{shard}#{page + 1}",
+            }
+
+    df = sources.kinesis_snapshot_df(spark, FakeClient(), "s", "TRIM_HORIZON")
+    assert df.schema == sources.KINESIS_RAW_SCHEMA
+    rows = {(bytes(r.data).decode(), r.shardId, r.sequenceNumber)
+            for r in df.collect()}
+    assert rows == {
+        ("shardId-000000000000:0", "shardId-000000000000", "1"),
+        ("shardId-000000000000:1", "shardId-000000000000", "2"),
+        ("shardId-000000000001:0", "shardId-000000000001", "1"),
+    }
+    with pytest.raises(ValueError):
+        sources.kinesis_snapshot_df(spark, FakeClient(), "s", "AT_TIMESTAMP")
