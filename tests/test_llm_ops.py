@@ -593,3 +593,24 @@ def test_pil_decode_runs_on_crafted_png():
     assert got is not None, "PIL failed to open a valid PNG"
     assert abs(got[0] - want[0]) < 1e-9 and abs(got[1] - want[1]) < 1e-9
     assert multimodal._pil_decode(b"definitely not an image") is None
+
+
+def test_minhash_broadcast_fallback_is_result_invariant(spark, sf_dir):
+    """broadcast_pairs only changes the physical join strategy; the
+    shuffle-join fallback (for corpora whose candidate pair set outgrows a
+    broadcast) must produce the identical verified pair set."""
+    from kinesis_stream_video_project_spark import io as eio
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        minhash_lsh_near_dups,
+    )
+
+    docs = eio.load_table(spark, sf_dir, "documents")
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_near_dups(docs, broadcast_pairs=True).collect()
+    }
+    slow = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_near_dups(docs, broadcast_pairs=False).collect()
+    }
+    assert fast == slow and len(fast) > 0
