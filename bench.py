@@ -78,8 +78,11 @@ BENCH_QUERIES = [
 # r5 window: 30 queries that had NO timed row in BENCH_r01-r04 (91 were
 # never timed entering r5 — VERDICT r4 item 4): the relational4 TPC-H
 # shapes, the windows family, the watchdog/events family, and the untimed
-# LLM-curation ops. The r4 window (dedup/similarity tiers, curation ops,
-# round-4 queries) all have r4 rows.
+# LLM-curation ops — plus the 9 queries REGISTERED in r5 (every query's
+# first timed row lands the round it is born). The r4 window
+# (dedup/similarity tiers, curation ops, round-4 queries) all have r4
+# rows; ~55 families remain never-timed for the r6 rotation (the
+# relational/relational2/relational3 singles and the round-3 claim set).
 BENCH_ROTATION = [
     # relational4 TPC-H shapes
     "anti_join_customers",
