@@ -256,15 +256,23 @@ WITH pairs AS (
   FROM embeddings a
   JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
 """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within label blocks (O-29
     embedding tier). Cosine folds are element-ordered double arithmetic on
-    both engines → bit-identical before rounding."""
+    both engines → bit-identical before rounding.
+
+    Threshold 0.35, not the 0.9 a production near-dup gate would use: the
+    fixture's embeddings are synthetic random vectors with NO planted
+    near-identical pairs (max same-label cosine ≈ 0.45-0.51 at every SF),
+    so 0.9 returned zero rows everywhere — a degenerate hash-match (the
+    r3-verdict empty==empty trap, caught in r5). 0.35 selects the real
+    top-~0.1% tail at all three SFs, so the driver hashes actual pair
+    rows; the operator's own default stays 0.9 for real corpora."""
     e = io.load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(e, threshold=0.9)
+    return similarity.embedding_near_dups(e, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
