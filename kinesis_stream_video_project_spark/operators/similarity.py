@@ -33,16 +33,32 @@ def cosine_topk(
     corpus_id: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine for each query vector (self excluded upstream)."""
+    """Exact top-k by cosine for each query vector (self excluded upstream).
+
+    Same norm-hoisting as embedding_near_dups: each side's l2 norm is
+    projected once per ROW (corpus norm once per corpus vector, query norm
+    once per broadcast query) so each (query, corpus) pair pays one dot
+    fold instead of three — bit-identical to the naive per-pair cosine
+    (dot / (qnorm * cnorm) is the oracle's association)."""
     q = F.broadcast(
         queries.select(
-            F.col(query_id), F.col(vec).alias("_qvec")
+            F.col(query_id),
+            F.col(vec).alias("_qvec"),
+            l2_norm(F.col(vec)).alias("_qnorm"),
         )
     )
-    scored = corpus.join(q, corpus[corpus_id] != q[query_id]).select(
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec).alias("_cvec"),
+        l2_norm(F.col(vec)).alias("_cnorm"),
+    )
+    cos = dot(F.col("_qvec"), F.col("_cvec")) / (
+        F.col("_qnorm") * F.col("_cnorm")
+    )
+    scored = c.join(q, c[corpus_id] != q[query_id]).select(
         query_id,
         corpus_id,
-        r4(cosine(F.col("_qvec"), F.col(vec))).alias("cos_sim"),
+        r4(cos).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
