@@ -107,13 +107,23 @@ def ivf_topk(
     vec: str = "embedding",
     label: str = "label",
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k: probe the nprobe closest cells only."""
+    """IVF-bucketed approximate top-k: probe the nprobe closest cells only.
+
+    The member-scoring cosine hoists both norms into per-row projections
+    (cosine_topk's move): each (query, member) pair pays one dot fold.
+    The tiny query×cells centroid ranking keeps the plain cosine — its
+    pair count is |queries|·|cells|, not worth a projection."""
     cents = centroids_by_label(corpus, vec=vec, label=label)
-    q = queries.select(F.col(query_id), F.col(vec).alias("_qvec"))
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec).alias("_qvec"),
+        l2_norm(F.col(vec)).alias("_qnorm"),
+    )
     # Rank cells per query by centroid cosine; keep nprobe cells.
     cell_scores = q.crossJoin(F.broadcast(cents)).select(
         query_id,
         "_qvec",
+        "_qnorm",
         label,
         cosine(F.col("_qvec"), F.col("centroid")).alias("_cell_cos"),
     )
@@ -123,15 +133,24 @@ def ivf_topk(
     probed = (
         cell_scores.withColumn("_cr", F.row_number().over(w_cell))
         .filter(F.col("_cr") <= nprobe)
-        .select(query_id, "_qvec", label)
+        .select(query_id, "_qvec", "_qnorm", label)
+    )
+    members = corpus.select(
+        F.col(label),
+        F.col(corpus_id),
+        F.col(vec).alias("_mvec"),
+        l2_norm(F.col(vec)).alias("_mnorm"),
     )
     # Search only within probed cells (join on the cell key = partition prune).
-    scored = probed.join(corpus, on=label).filter(
+    scored = probed.join(members, on=label).filter(
         F.col(corpus_id) != F.col(query_id)
     ).select(
         query_id,
         corpus_id,
-        r4(cosine(F.col("_qvec"), F.col(vec))).alias("cos_sim"),
+        r4(
+            dot(F.col("_qvec"), F.col("_mvec"))
+            / (F.col("_qnorm") * F.col("_mnorm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
