@@ -413,18 +413,23 @@ def _scd2_buffered_step(
     are (ts_us, event_id, status) triples; returns the advanced state
     (cur_status, cur_from, frontier, pending') plus the closed intervals
     [(status, from_us, to_us), ...] this step finalized. Contract (the
-    property tests pin it): rows at or before the frontier are dropped;
-    rows past ``max_seen - lateness`` stay buffered; everything between
-    folds in (ts, event_id) order."""
+    property tests pin it): rows STRICTLY before the frontier are dropped;
+    rows at or past ``max_seen - lateness`` stay buffered; everything
+    strictly below the cutoff folds in (ts, event_id) order. Both bounds
+    are strict on the same side ON PURPOSE — folding ties AT the cutoff
+    while dropping ties AT the frontier loses an equal-ts event that
+    straddles a batch boundary (hypothesis found the two-events-same-ts
+    lateness-0 counterexample); keeping ties buffered until the cutoff
+    passes them preserves the (ts, event_id) fold order exactly."""
     pending = list(pending) + list(new_rows)
     if frontier is not None:
-        pending = [r for r in pending if r[0] > frontier]
+        pending = [r for r in pending if r[0] >= frontier]
     closed: list[tuple] = []
     if pending:
         pending.sort(key=lambda r: (r[0], r[1]))
         cutoff = pending[-1][0] - lateness_us
         n_ready = 0
-        while n_ready < len(pending) and pending[n_ready][0] <= cutoff:
+        while n_ready < len(pending) and pending[n_ready][0] < cutoff:
             n_ready += 1
         if n_ready:
             cur_status, cur_from, c_status, c_from, c_to = _scd2_fold(
@@ -460,11 +465,13 @@ def scd2_status_stream(
       produces wrong intervals; use the buffered mode when the source
       cannot guarantee per-key order.
     * ``allowed_lateness_us > 0``: a per-key reorder buffer holds events
-      until the key's max seen ts exceeds them by the allowed lateness;
-      only then are they folded (in (ts, event_id) order), so any event at
-      most that late lands in the right place. Events arriving later than
-      the fold frontier are dropped — the same contract as a Spark
-      watermark. The buffered tail (events within lateness of max ts) is
+      until the key's max seen ts STRICTLY exceeds them by the allowed
+      lateness; only then are they folded (in (ts, event_id) order), so
+      any event at most that late lands in the right place. Events
+      arriving strictly before the fold frontier are dropped — the same
+      contract as a Spark watermark. (Both bounds strict on the fold side:
+      equal-ts ties stay buffered rather than half-folding, see
+      ``_scd2_buffered_step``.) The buffered tail (events within lateness of max ts) is
       never folded until later input advances the frontier, exactly like
       an unfinalized window. Exercised with a genuinely late event in
       tests/test_streaming.py::test_scd2_stream_reorders_late_events.
