@@ -75,14 +75,12 @@ BENCH_QUERIES = [
 # materialization in one span (several are applyInPandas / claim queries
 # whose build step does real work).
 #
-# r5 window: 30 queries that had NO timed row in BENCH_r01-r04 (91 were
-# never timed entering r5 — VERDICT r4 item 4): the relational4 TPC-H
-# shapes, the windows family, the watchdog/events family, and the untimed
-# LLM-curation ops — plus the 9 queries REGISTERED in r5 (every query's
-# first timed row lands the round it is born). The r4 window
-# (dedup/similarity tiers, curation ops, round-4 queries) all have r4
-# rows; ~55 families remain never-timed for the r6 rotation (the
-# relational/relational2/relational3 singles and the round-3 claim set).
+# r5 window: EVERYTHING that had no timed row in BENCH_r01-r04 (91 queries
+# were never timed entering r5 — VERDICT r4 item 4) plus the 9 queries
+# REGISTERED in r5 (every query's first timed row lands the round it is
+# born). After this round the never-timed set is EMPTY: all registered
+# queries have a timed row. r6 can rotate back to staleness (oldest timed
+# row first) instead of coverage.
 BENCH_ROTATION = [
     # relational4 TPC-H shapes
     "anti_join_customers",
@@ -128,6 +126,73 @@ BENCH_ROTATION = [
     "hll_merge_rollup",
     "linear_interpolate_value",
     "quality_weighted_sample",
+    # r5 extension: the ENTIRE remaining never-timed tail (61 queries, one
+    # pass ≈ 50 s at sf0.1) — after this round every registered query has a
+    # timed row. Heaviest: ann_tier_claims (~9 s — it executes the exact
+    # tier, the IVF tier AND the recall comparison in one claim query;
+    # cost ≈ sum of its benched parts, same justification as
+    # lsh_tier_consistency in VERDICT r4).
+    "ann_tier_claims",
+    "approx_distinct",
+    "approx_percentiles_value",
+    "argmax_order_per_customer",
+    "array_funcs",
+    "brand_volume_suppliers",
+    "cast_truncate",
+    "catalog_filter_project",
+    "catalog_json_roundtrip",
+    "computed_projection",
+    "datetime_funcs",
+    "datetime_funcs2",
+    "dedup_survivors",
+    "deterministic_sample_docs",
+    "distinct_ops",
+    "dormant_rich_customers",
+    "exact_group_percentiles",
+    "exists_correlated",
+    "filter_predicates",
+    "frame_sample",
+    "grouping_sets_agg",
+    "heavy_hitters_claim",
+    "important_part_shares",
+    "in_subquery",
+    "iso8601_format",
+    "join_full_outer",
+    "json_extract",
+    "lang_stats",
+    "large_volume_customers",
+    "math_funcs",
+    "multimodal_resized",
+    "near_dup_jaccard",
+    "near_dup_split_leakage",
+    "normalized_dedup_docs",
+    "null_funcs",
+    "pandas_udf_token_count",
+    "percentiles_by_status",
+    "pivot_priority_counts",
+    "pivot_priority_revenue",
+    "point_lookup_status",
+    "rollup_agg",
+    "salted_join_orders",
+    "scalar_subquery",
+    "semi_join_customers",
+    "set_ops_nations",
+    "simhash_dup_consistency",
+    "sliding_windows",
+    "small_quantity_revenue",
+    "stats_agg",
+    "stratified_sample_docs",
+    "streaming_dedup_twin",
+    "string_funcs",
+    "string_funcs2",
+    "struct_map_funcs",
+    "top_terms_per_lang",
+    "train_test_split_counts",
+    "udtf_explode_tokens",
+    "unpivot_lineitem_metrics",
+    "unpivot_part_metrics",
+    "value_outliers",
+    "watchdog_null_guard",
 ]
 
 
