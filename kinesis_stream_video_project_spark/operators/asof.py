@@ -34,6 +34,7 @@ def asof_join(
     right_payload: list[str] | None = None,
     tiebreak: str | None = None,
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the matching right row in ``direction``:
 
@@ -45,9 +46,18 @@ def asof_join(
 
     ``right_payload`` columns come back prefixed ``asof_``; left rows with no
     matching right row keep nulls (left-outer as-of).
+
+    ``tolerance_us`` (pandas ``merge_asof(tolerance=...)``): a match is
+    kept only when the right row is within that many microseconds of the
+    left row's ts (staleness bound — a metric reading from hours ago
+    should not vouch for a probe now). Implemented by riding the matched
+    right ts inside the carried struct and nulling the payload columns
+    past the bound — same one-shuffle plan, no extra join.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance_us is not None and tolerance_us < 0:
+        raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
     right_payload = right_payload or [
         c for c in right.columns if c not in (key, ts_col)
     ]
@@ -57,7 +67,10 @@ def asof_join(
     # all-or-nothing per right row: carrying each column independently with
     # last(..., ignorenulls=True) would fill a NULL payload column from an
     # OLDER right row, stitching two right rows into one match.
-    right_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    right_struct = F.struct(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_asof_ts_us"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
     struct_type = right.select(right_struct.alias("s")).schema["s"].dataType
 
     r = right.select(
@@ -91,9 +104,25 @@ def asof_join(
         "*",
         F.last("_asof_payload", ignorenulls=True).over(w).alias("_carry"),
     )
+    if tolerance_us is None:
+        payload_cols = [
+            F.col(f"_carry.{c}").alias(f"asof_{c}") for c in right_payload
+        ]
+    else:
+        l_ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        age = (
+            l_ts_us - F.col("_carry._asof_ts_us")
+            if direction == "backward"
+            else F.col("_carry._asof_ts_us") - l_ts_us
+        )
+        within = age <= F.lit(tolerance_us)
+        payload_cols = [
+            F.when(within, F.col(f"_carry.{c}")).alias(f"asof_{c}")
+            for c in right_payload
+        ]
     return carried.filter(F.col("_side") == 1).select(
         F.col(key),
         F.col(ts_col),
         *[F.col(c) for c in lcols if c not in (key, ts_col)],
-        *[F.col(f"_carry.{c}").alias(f"asof_{c}") for c in right_payload],
+        *payload_cols,
     )

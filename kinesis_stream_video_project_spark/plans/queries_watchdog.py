@@ -429,3 +429,48 @@ def gap_filled_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return filled
+
+
+@register(
+    "asof_tolerance_metric",
+    tags=("O-14",),
+    oracle="""
+SELECT l.event_id, l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+            THEN r.value END AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def asof_tolerance_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a STALENESS BOUND (O-14,
+    ``tolerance_us`` — pandas merge_asof's tolerance): the preceding
+    metric observation vouches for a probe only if it is at most one hour
+    old; staler matches null out. This is the semantically-honest form of
+    the reference's correlation — putmedia_check.sh:18-22 only ever looks
+    60 s back, precisely because an old reading says nothing about now.
+    Same one-shuffle union-and-carry plan (the matched right ts rides the
+    carried struct; no extra join); the oracle replays the bound as a
+    CASE over DuckDB's native ASOF match."""
+    e = io.load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    joined = asof_join(
+        left,
+        right,
+        key="user_id",
+        right_payload=["value"],
+        tolerance_us=3_600_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_micros(F.col("ts")).alias("ts_us"),
+        F.col("asof_value"),
+    )
