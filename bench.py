@@ -76,7 +76,7 @@ BENCH_QUERIES = [
 # whose build step does real work).
 #
 # r5 window: EVERYTHING that had no timed row in BENCH_r01-r04 (91 queries
-# were never timed entering r5 — VERDICT r4 item 4) plus the 10 queries
+# were never timed entering r5 — VERDICT r4 item 4) plus the 11 queries
 # REGISTERED in r5 (every query's first timed row lands the round it is
 # born). After this round the never-timed set is EMPTY: all registered
 # queries have a timed row. r6 can rotate back to staleness (oldest timed
@@ -127,6 +127,7 @@ BENCH_ROTATION = [
     "linear_interpolate_value",
     "quality_weighted_sample",
     "asof_tolerance_metric",
+    "asof_nearest_metric",
     # r5 extension: the ENTIRE remaining never-timed tail (61 queries, one
     # pass ≈ 50 s at sf0.1) — after this round every registered query has a
     # timed row. Heaviest: ann_tier_claims (~9 s — it executes the exact

@@ -42,7 +42,11 @@ def asof_join(
       (pandas ``merge_asof`` default; DuckDB ``ASOF ... ON l.ts >= r.ts``);
     * ``forward`` — earliest right row with ``right.ts >= left.ts``
       (DuckDB ``ASOF ... ON l.ts <= r.ts``): the same one-shuffle
-      union-and-carry plan walked in descending ts order.
+      union-and-carry plan walked in descending ts order;
+    * ``nearest`` — whichever of the two is closer in event time, ties to
+      the backward match (pandas ``merge_asof(direction="nearest")``):
+      both walks run over the SAME key exchange (two Window sorts, one
+      shuffle), then a per-row pick.
 
     ``right_payload`` columns come back prefixed ``asof_``; left rows with no
     matching right row keep nulls (left-outer as-of).
@@ -54,8 +58,10 @@ def asof_join(
     right ts inside the carried struct and nulling the payload columns
     past the bound — same one-shuffle plan, no extra join.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if tolerance_us is not None and tolerance_us < 0:
         raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
     right_payload = right_payload or [
@@ -90,34 +96,57 @@ def asof_join(
     # Both directions keep _side ASC at equal ts so an exactly-simultaneous
     # right row is visible to the left row (>= / <= semantics, matching
     # DuckDB's ASOF). Forward simply walks ts descending, so "last right
-    # seen" is the earliest right row at-or-after the left row.
-    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
-    order = [ts_order, F.col("_side").asc()]
-    if tiebreak:
-        order.append(F.col(tiebreak).asc_nulls_first())
-    w = (
-        Window.partitionBy(key)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = r.unionByName(l).select(
-        "*",
-        F.last("_asof_payload", ignorenulls=True).over(w).alias("_carry"),
-    )
-    if tolerance_us is None:
-        payload_cols = [
-            F.col(f"_carry.{c}").alias(f"asof_{c}") for c in right_payload
-        ]
-    else:
-        l_ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # seen" is the earliest right row at-or-after the left row. `nearest`
+    # evaluates BOTH walks over the SAME key exchange (two Window sorts,
+    # one shuffle) and picks the closer match per row.
+    def carry_window(descending: bool):
+        ts_order = F.col(ts_col).desc() if descending else F.col(ts_col).asc()
+        order = [ts_order, F.col("_side").asc()]
+        if tiebreak:
+            order.append(F.col(tiebreak).asc_nulls_first())
+        w = (
+            Window.partitionBy(key)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last("_asof_payload", ignorenulls=True).over(w)
+
+    unioned = r.unionByName(l)
+    l_ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    if direction in ("backward", "forward"):
+        carried = unioned.select(
+            "*", carry_window(direction == "forward").alias("_carry")
+        )
         age = (
             l_ts_us - F.col("_carry._asof_ts_us")
             if direction == "backward"
             else F.col("_carry._asof_ts_us") - l_ts_us
         )
+        chosen = {c: F.col(f"_carry.{c}") for c in right_payload}
+    else:  # nearest: closer of the two matches; ties go backward (pandas)
+        carried = unioned.select(
+            "*",
+            carry_window(False).alias("_cb"),
+            carry_window(True).alias("_cf"),
+        )
+        back_ts = F.col("_cb._asof_ts_us")
+        fwd_ts = F.col("_cf._asof_ts_us")
+        back_age = l_ts_us - back_ts
+        fwd_age = fwd_ts - l_ts_us
+        use_back = fwd_ts.isNull() | (
+            back_ts.isNotNull() & (back_age <= fwd_age)
+        )
+        age = F.when(use_back, back_age).otherwise(fwd_age)
+        chosen = {
+            c: F.when(use_back, F.col(f"_cb.{c}")).otherwise(F.col(f"_cf.{c}"))
+            for c in right_payload
+        }
+    if tolerance_us is None:
+        payload_cols = [chosen[c].alias(f"asof_{c}") for c in right_payload]
+    else:
         within = age <= F.lit(tolerance_us)
         payload_cols = [
-            F.when(within, F.col(f"_carry.{c}")).alias(f"asof_{c}")
+            F.when(within, chosen[c]).alias(f"asof_{c}")
             for c in right_payload
         ]
     return carried.filter(F.col("_side") == 1).select(

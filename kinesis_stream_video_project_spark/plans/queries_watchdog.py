@@ -474,3 +474,55 @@ def asof_tolerance_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_micros(F.col("ts")).alias("ts_us"),
         F.col("asof_value"),
     )
+
+
+@register(
+    "asof_nearest_metric",
+    tags=("O-14",),
+    oracle="""
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT l.event_id, l.user_id, l.ts, r.ts AS bts, r.value AS bval
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+),
+f AS (
+  SELECT l.event_id, r.ts AS fts, r.value AS fval
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+SELECT b.event_id, b.user_id, epoch_us(b.ts) AS ts_us,
+       CASE WHEN f.fts IS NULL THEN b.bval
+            WHEN b.bts IS NULL THEN f.fval
+            WHEN epoch_us(b.ts) - epoch_us(b.bts)
+                 <= epoch_us(f.fts) - epoch_us(b.ts) THEN b.bval
+            ELSE f.fval END AS asof_value
+FROM b JOIN f USING (event_id)
+""",
+)
+def asof_nearest_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (O-14, direction='nearest' — the third
+    and last pandas merge_asof direction): each failed probe takes
+    whichever metric observation is CLOSER in event time, before or after,
+    ties to the preceding one. Sensor correlation wants this when a probe
+    can fire just before its cause's reading lands.
+
+    Plan: both directional walks run over the SAME user_id exchange (two
+    Window sorts, one shuffle — asof_join builds them from one unioned
+    frame), then a per-row distance pick; the oracle replays the pick as a
+    CASE over DuckDB's two native ASOF joins."""
+    e = io.load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value")
+    )
+    joined = asof_join(
+        left, right, key="user_id", right_payload=["value"], direction="nearest"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_micros(F.col("ts")).alias("ts_us"),
+        F.col("asof_value"),
+    )

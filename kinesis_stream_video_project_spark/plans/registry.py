@@ -63,20 +63,20 @@ def register(
 # round. After r4 every one of the registered queries has a green HASH row
 # (zero rows-only, zero failures ever); the r5 rotation targets STALENESS
 # (VERDICT r4 item 3). Latest-green distribution entering r5: r4=50, r3=38,
-# r2=42, r1=15. The 50-entry window is budgeted 7+10+15+18:
+# r2=42, r1=15. The 50-entry window is budgeted 7+11+15+17:
 # (a) the 7 queries whose code paths CHANGED in r5 (the dedup.py hash-family
 #     rewrite: flat 60-bit md5 basis, integer band fold, shared shingle
 #     exchange, explicit notnull filters — minhash/blocked-jaccard and every
 #     query composing them) — changed code outranks merely-stale entries;
-# (a') the 10 NEW round-5 queries (queries_round5.py) — a query registered
+# (a') the 11 NEW round-5 queries (queries_round5.py) — a query registered
 #     in round N must be in round N's window (r3 hygiene rule: zero
 #     never-checked queries);
 # (b) all 15 queries whose only green row still dates from r1 (the
 #     *_funcs2 siblings and projection/join/subquery twins that yielded
 #     their slots in earlier rotations — after r5 nothing is older than r2);
-# (c) 18 more from the r2-latest cohort (near_dup_jaccard, the 42nd, is
-#     already in window (a), so 41 remained; 18 here + 23 deferred to r6).
-#     The 23 deferred are overlapping-family representatives whose twin is
+# (c) 17 more from the r2-latest cohort (near_dup_jaccard, the 42nd, is
+#     already in window (a), so 41 remained; 17 here + 24 deferred to r6).
+#     The 24 deferred are overlapping-family representatives whose twin is
 #     already in this window or r4-green: sliding_windows (session_windows
 #     in-window), tumbling_hourly (stream_health family r4-green),
 #     weekly_retention (conversion_funnel in-window), token_stats
@@ -84,7 +84,8 @@ def register(
 #     dedup_survivors / normalized_dedup_docs (exact_dedup_docs in-window),
 #     train_test_split_counts (split_leakage family r4-green),
 #     event_transitions (conversion_funnel in-window; r5 bench-timed),
-#     streaming_dedup_twin (dedup_first_event r3-green + r5-timed), approx_percentiles_value
+#     streaming_dedup_twin (dedup_first_event r3-green + r5-timed),
+#     doc_fingerprint (fingerprint family: simhash_sketch r4-green; r5-timed), approx_percentiles_value
 #     (percentiles_by_status r4-green), brand_volume_suppliers /
 #     dormant_rich_customers / important_part_shares /
 #     large_volume_customers / min_cost_supplier / small_quantity_revenue
@@ -104,7 +105,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "near_dup_split_leakage",
     "dup_clusters",
     "curation_pipeline_v2",
-    # --- (a') new round-5 queries (10) ---
+    # --- (a') new round-5 queries (11) ---
     "quality_percentile_gate",
     "bigram_next_token",
     "surprisal_score_salted",
@@ -115,6 +116,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "linear_interpolate_value",
     "quality_weighted_sample",
     "asof_tolerance_metric",
+    "asof_nearest_metric",
     # --- (b) r1-era greens: the full staleness tail (15) ---
     "cast_truncate",
     "computed_projection",
@@ -131,14 +133,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_ranked",
     "stats_agg",
     "string_funcs2",
-    # --- (c) r2-latest refreshes (18 of 41; see header for the 23 deferred) ---
+    # --- (c) r2-latest refreshes (17 of 41; see header for the 24 deferred) ---
     "approx_distinct",
     "bpe_regex_tokens",
     "conversion_funnel",
     "cosine_topk",
     "curation_pipeline",
     "deterministic_sample_docs",
-    "doc_fingerprint",
     "embedding_near_dup",
     "exact_dedup_docs",
     "fuzzy_pairs_levenshtein",
