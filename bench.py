@@ -128,6 +128,9 @@ BENCH_ROTATION = [
     "quality_weighted_sample",
     "asof_tolerance_metric",
     "asof_nearest_metric",
+    "ewma_metric",
+    "skyline_parts",
+    "weighted_median_price",
     # r5 extension: the ENTIRE remaining never-timed tail (61 queries, one
     # pass ≈ 50 s at sf0.1) — after this round every registered query has a
     # timed row. Heaviest: ann_tier_claims (~9 s — it executes the exact
