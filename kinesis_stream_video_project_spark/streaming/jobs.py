@@ -15,7 +15,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import ArrayType, LongType, StringType, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructType,
+)
 
 from kinesis_stream_video_project_spark.config import METRIC_WINDOW_SECONDS
 from kinesis_stream_video_project_spark.operators.watchdog import (
@@ -561,6 +567,174 @@ def scd2_status_stream(
         outputStructType=_SCD2_OUT_SCHEMA,
         stateStructType=(
             _SCD2_STATE_SCHEMA_BUFFERED if buffered else _SCD2_STATE_SCHEMA
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_EWMA_OUT_SCHEMA = (
+    StructType().add("user_id", "long").add("event_id", "long").add("ewma", "double")
+)
+_EWMA_STATE_SCHEMA = StructType().add("y", "double")
+_EWMA_STATE_SCHEMA_BUFFERED = (
+    StructType()
+    .add("y", "double")
+    .add("frontier_us", "long")
+    .add("buf_ts_us", ArrayType(LongType()))
+    .add("buf_event_id", ArrayType(LongType()))
+    .add("buf_value", ArrayType(DoubleType()))
+)
+
+
+def _ewma_fold(y, rows, alpha=0.5):
+    """Pure EWMA recursion over (event_id, value) rows in fold order:
+    y_t = (1-alpha)*y_{t-1} + alpha*x_t, seeded with the first value.
+    Module-level so tests can drive it directly. The batch twin
+    (plans/queries_round5b.py::ewma_metric) runs the same IEEE ops, so with
+    in-order delivery the stream's emitted values are bit-identical."""
+    out: list[tuple] = []
+    for eid, v in rows:
+        y = v if y is None else (1.0 - alpha) * y + alpha * v
+        out.append((eid, y))
+    return y, out
+
+
+def _reorder_ready(frontier, pending, new_rows, lateness_us):
+    """Pure reorder-buffer step shared by value-stream jobs: merge
+    ``new_rows`` into ``pending`` (rows are (ts_us, event_id, payload...)
+    tuples), drop rows strictly before the frontier, and release — in
+    (ts, event_id) order — every row strictly below ``max_seen - lateness``.
+    Same strict-on-both-sides bounds as ``_scd2_buffered_step`` (equal-ts
+    ties stay buffered until the cutoff passes them — the hypothesis-found
+    straddle rule); kept separate so the SCD2 core's pinned laws stay
+    untouched. Returns (frontier', pending', ready)."""
+    pending = list(pending) + list(new_rows)
+    if frontier is not None:
+        pending = [r for r in pending if r[0] >= frontier]
+    ready: list[tuple] = []
+    if pending:
+        pending.sort(key=lambda r: (r[0], r[1]))
+        cutoff = pending[-1][0] - lateness_us
+        n_ready = 0
+        while n_ready < len(pending) and pending[n_ready][0] < cutoff:
+            n_ready += 1
+        if n_ready:
+            ready, pending = pending[:n_ready], pending[n_ready:]
+            frontier = max(frontier or cutoff, cutoff)
+    return frontier, pending, ready
+
+
+def ewma_stream(
+    events: DataFrame, alpha: float = 0.5, allowed_lateness_us: int = 0
+) -> DataFrame:
+    """Streaming EWMA (the incremental form of
+    plans/queries_round5b.py::ewma_metric): emit each event's smoothed
+    value as it arrives; the running average rides per-user state across
+    micro-batches. This is the de-noising the reference's watchdog loop
+    would apply to its per-minute CloudWatch health metric
+    (`putmedia_check.sh:26-34`) before the `-gt 0` threshold
+    (`restart.sh:57`) — incremental by nature, one double of state per key.
+
+    Ordering contract (same two modes as ``scd2_status_stream``):
+
+    * ``allowed_lateness_us = 0``: events sort WITHIN each micro-batch but
+      fold in arrival order ACROSS batches — the emitted values equal the
+      batch twin's only under per-key in-order delivery (Kinesis per
+      partition key absent resharding; any by-time replay). An EWMA value,
+      once emitted, is never retracted, so a late event would corrupt every
+      subsequent smoothed value for that key — use the buffered mode when
+      the source cannot guarantee per-key order.
+    * ``allowed_lateness_us > 0``: a per-key reorder buffer
+      (``_reorder_ready``, the strict-bounds contract of the SCD2 buffered
+      step) delays each event's emission until the key's max seen ts
+      strictly exceeds it by the lateness; events at most that late fold —
+      and therefore emit — in correct (ts, event_id) order. Earlier-still
+      events are dropped, like a watermark.
+
+    Defaults match the batch twin (alpha = 0.5, exact binary fraction:
+    ``0.5*y + 0.5*x`` in both engines' IEEE doubles); emission rounds to
+    4 dp with the repo's portable floor-rounding while the recursion stays
+    unrounded in state — exactly the twin's discipline."""
+    import numpy as np
+
+    def _emit(user_id, folded):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(folded),
+                "event_id": [eid for eid, _ in folded],
+                "ewma": np.floor(
+                    np.array([y for _, y in folded], dtype="float64") * 10000.0
+                    + 0.5
+                )
+                / 10000.0,
+            }
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        (y,) = state.get if state.exists else (None,)
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch[batch["value"].notna()]
+            batch = batch.sort_values(["ts", "event_id"])
+            y, folded = _ewma_fold(
+                y,
+                zip(batch["event_id"].tolist(), batch["value"].tolist()),
+                alpha,
+            )
+            state.update((y,))
+            if folded:
+                yield _emit(user_id, folded)
+        else:
+            state.update((y,))
+
+    def update_buffered(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            y, frontier, b_ts, b_eid, b_val = state.get
+            pending = list(zip(b_ts or [], b_eid or [], b_val or []))
+        else:
+            y, frontier, pending = None, None, []
+        new_rows: list[tuple] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf[pdf["value"].notna()]
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            new_rows.extend(
+                zip(ts_us, pdf["event_id"].tolist(), pdf["value"].tolist())
+            )
+        frontier, pending, ready = _reorder_ready(
+            frontier, pending, new_rows, allowed_lateness_us
+        )
+        if ready:
+            y, folded = _ewma_fold(
+                y, ((eid, v) for _ts, eid, v in ready), alpha
+            )
+        state.update(
+            (
+                y,
+                frontier,
+                [r[0] for r in pending],
+                [r[1] for r in pending],
+                [r[2] for r in pending],
+            )
+        )
+        if ready:
+            yield _emit(user_id, folded)
+
+    buffered = allowed_lateness_us > 0
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_buffered if buffered else update,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=(
+            _EWMA_STATE_SCHEMA_BUFFERED if buffered else _EWMA_STATE_SCHEMA
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

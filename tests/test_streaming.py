@@ -603,3 +603,98 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
     assert got == want, (
         f"restart lost or duplicated output (first run emitted {n_first})"
     )
+
+
+def test_ewma_stream_matches_batch_twin(spark, sf_dir, events_df, tmp_path):
+    """Streaming EWMA must emit exactly the batch twin's rows when the log
+    drains across MULTIPLE micro-batches (maxFilesPerTrigger=1 over a
+    by-time split — the per-key in-order delivery the lateness=0 contract
+    documents): the running average rides per-user state between batches
+    and both sides round with the same portable 4-dp floor."""
+    from kinesis_stream_video_project_spark.plans.queries_round5b import (
+        ewma_metric,
+    )
+
+    cols = events_df.select("user_id", "ts", "event_id", "value")
+    cut = cols.approxQuantile("event_id", [0.5], 0.01)[0]
+    src = tmp_path / "ewma_src"
+    _write_single_file(cols.filter(F.col("event_id") <= cut), src, "events-00.parquet")
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    _write_single_file(cols.filter(F.col("event_id") > cut), src, "events-01.parquet")
+    stream = (
+        spark.readStream.schema(cols.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_id, r.ewma)
+        for r in spark.sql("SELECT * FROM ewma_out").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.ewma)
+        for r in ewma_metric(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ewma_stream_buffered_reorders_late_events(spark, tmp_path):
+    """allowed_lateness_us > 0: a late event (earlier ts in a later
+    micro-batch) must fold — and emit — in correct order. Three single-file
+    batches for one user: (A@1s v=1, B@3s v=3), late C@2s v=2, then
+    D@1000s which advances the frontier past the buffered tail. Correct
+    emission once D lands: A=1.0, C=0.5*1+0.5*2=1.5, B=0.5*1.5+0.5*3=2.25;
+    D itself stays inside the lateness horizon (no row). The lateness=0
+    path would have emitted A,B first and then folded C after B —
+    corrupting every subsequent value, which is why buffered mode delays
+    emission instead of retracting."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, sec, val):
+        return (int(eid), base + dt.timedelta(seconds=sec), 1, float(val))
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = tmp_path / "ewma_late_src"
+    batches = [
+        [ev(10, 1, 1.0), ev(30, 3, 3.0)],
+        [ev(20, 2, 2.0)],
+        [ev(40, 1000, 9.0)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_single_file(
+            spark.createDataFrame(rows, schema), src, f"events-0{i}.parquet"
+        )
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.ewma_stream(stream, allowed_lateness_us=2_000_000)
+        .writeStream.format("memory")
+        .queryName("ewma_late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.ewma)
+        for r in spark.sql("SELECT * FROM ewma_late_out").collect()
+    }
+    assert got == {(10, 1.0), (20, 1.5), (30, 2.25)}, got
