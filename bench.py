@@ -131,6 +131,8 @@ BENCH_ROTATION = [
     "ewma_metric",
     "skyline_parts",
     "weighted_median_price",
+    "interarrival_gap_percentiles",
+    "mode_order_priority",
     # r5 extension: the ENTIRE remaining never-timed tail (61 queries, one
     # pass ≈ 50 s at sf0.1) — after this round every registered query has a
     # timed row. Heaviest: ann_tier_claims (~9 s — it executes the exact

@@ -63,23 +63,26 @@ def register(
 # round. After r4 every one of the registered queries has a green HASH row
 # (zero rows-only, zero failures ever); the r5 rotation targets STALENESS
 # (VERDICT r4 item 3). Latest-green distribution entering r5: r4=50, r3=38,
-# r2=42, r1=15. The 50-entry window is budgeted 7+14+15+14:
+# r2=42, r1=15. The 50-entry window is budgeted 7+16+15+12:
 # (a) the 7 queries whose code paths CHANGED in r5 (the dedup.py hash-family
 #     rewrite: flat 60-bit md5 basis, integer band fold, shared shingle
 #     exchange, explicit notnull filters — minhash/blocked-jaccard and every
 #     query composing them) — changed code outranks merely-stale entries;
-# (a') the 14 NEW round-5 queries (queries_round5.py, queries_round5b.py,
-#     operators/asof.py additions) — a query registered in round N must be
-#     in round N's window (r3 hygiene rule: zero never-checked queries);
+# (a') the 16 NEW round-5 queries (queries_round5.py, queries_round5b.py,
+#     queries_round5c.py, operators/asof.py additions) — a query registered
+#     in round N must be in round N's window (r3 hygiene rule: zero
+#     never-checked queries);
 # (b) all 15 queries whose only green row still dates from r1 (the
 #     *_funcs2 siblings and projection/join/subquery twins that yielded
 #     their slots in earlier rotations — after r5 nothing is older than r2);
-# (c) 14 more from the r2-latest cohort (near_dup_jaccard, the 42nd, is
-#     already in window (a), so 41 remained; 14 here + 27 deferred to r6;
-#     cosine_topk, approx_distinct, pandas_udf_token_count yielded their r5
-#     slots to the three late round-5b queries — their families are
-#     in-window or r4-green: filtered_cosine_topk/embedding_near_dup,
-#     distinct_ops, grouped_pandas_stats/bpe_regex_tokens).
+# (c) 12 more from the r2-latest cohort (near_dup_jaccard, the 42nd, is
+#     already in window (a), so 41 remained; 12 here + 29 deferred to r6;
+#     cosine_topk, approx_distinct, pandas_udf_token_count,
+#     fuzzy_pairs_levenshtein, multimodal_features yielded their r5 slots
+#     to the five late round-5b/5c queries — their families are in-window
+#     or r4-green: filtered_cosine_topk/embedding_near_dup, distinct_ops,
+#     grouped_pandas_stats/bpe_regex_tokens, the minhash/jaccard near-dup
+#     family, multimodal_decoded).
 #     The deferred are overlapping-family representatives whose twin is
 #     already in this window or r4-green: sliding_windows (session_windows
 #     in-window), tumbling_hourly (stream_health family r4-green),
@@ -124,6 +127,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ewma_metric",
     "skyline_parts",
     "weighted_median_price",
+    "interarrival_gap_percentiles",
+    "mode_order_priority",
     # --- (b) r1-era greens: the full staleness tail (15) ---
     "cast_truncate",
     "computed_projection",
@@ -140,17 +145,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_ranked",
     "stats_agg",
     "string_funcs2",
-    # --- (c) r2-latest refreshes (14 of 41; see header for the deferred) ---
+    # --- (c) r2-latest refreshes (12 of 41; see header for the deferred) ---
     "bpe_regex_tokens",
     "conversion_funnel",
     "curation_pipeline",
     "deterministic_sample_docs",
     "embedding_near_dup",
     "exact_dedup_docs",
-    "fuzzy_pairs_levenshtein",
     "grouped_pandas_stats",
     "lang_id_ngram",
-    "multimodal_features",
     "quality_score",
     "session_windows",
     "window_running_agg",
@@ -202,6 +205,7 @@ def _load_all() -> None:
         queries_round4,
         queries_round5,
         queries_round5b,
+        queries_round5c,
         queries_streaming_twins,
     )
 
