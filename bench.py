@@ -133,6 +133,13 @@ BENCH_ROTATION = [
     "weighted_median_price",
     "interarrival_gap_percentiles",
     "mode_order_priority",
+    "triangle_count_copurchase",
+    "pagerank_copurchase_topk",
+    "copurchase_lift_pairs",
+    "containment_near_dup",
+    "rolling_zscore_anomalies",
+    "corr_acctbal_price_by_nation",
+    "trend_slope_per_type",
     # r5 extension: the ENTIRE remaining never-timed tail (61 queries, one
     # pass ≈ 50 s at sf0.1) — after this round every registered query has a
     # timed row. Heaviest: ann_tier_claims (~9 s — it executes the exact

@@ -401,3 +401,82 @@ def blocked_jaccard_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def blocked_containment_near_dups(
+    df: DataFrame,
+    block_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup tier: |A∩B| / min(|A|, |B|) ≥
+    threshold within coarse blocks — the doc-inside-doc case Jaccard
+    misses.
+
+    Why a separate tier: a 100-token boilerplate header fully contained in
+    a 10 000-token page has Jaccard ≈ 0.01 (invisible to tiers 2-3) but
+    containment 1.0; web-corpus curation prunes exactly this shape
+    (quoted/reposted/templated text). Normalizing by the SMALLER set makes
+    the score symmetric while preserving the subset signal — a pair scores
+    1.0 iff one token set is a subset of the other.
+
+    Plan shape: identical postings discipline to
+    :func:`blocked_jaccard_near_dups` (explode_outer staged projections,
+    one repartition on the (block, tok) join key shared by the pair join
+    and the sizes aggregate, nothing wider than (block, tok, id) crossing
+    a shuffle); only the final score expression differs. Zero-overlap
+    pairs are pruned by construction, which is output-equivalent for any
+    ``threshold > 0``; ``threshold <= 0`` raises, same contract as the
+    Jaccard tier."""
+    if threshold <= 0:
+        raise ValueError(
+            "blocked_containment_near_dups requires threshold > 0: the "
+            "postings formulation prunes zero-overlap pairs by construction"
+        )
+    clean = df
+    for c in (id_col, *block_cols):
+        clean = clean.filter(F.col(c).isNotNull())
+    tokenized = clean.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    item_set = (
+        F.array_distinct(F.col("_toks"))
+        if shingle_k == 1
+        else F.array_distinct(shingles_of(F.col("_toks"), shingle_k))
+    )
+    base = tokenized.select(*block_cols, "doc_id", item_set.alias("tok_set"))
+    posts = base.select(
+        *block_cols, "doc_id", F.explode_outer("tok_set").alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    posts = posts.repartition(*block_cols, "tok")
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_set"))
+    inter = (
+        posts.select(*block_cols, F.col("doc_id").alias("doc_a"), "tok")
+        .join(
+            posts.select(*block_cols, F.col("doc_id").alias("doc_b"), "tok"),
+            [*block_cols, "tok"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_set", "n_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_set", "n_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            r4(
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -1,0 +1,127 @@
+"""Exact-arithmetic statistics operators — rolling z-score anomaly flags,
+Pearson correlation, and OLS slope over integer-scaled columns.
+
+The built-in `corr`/`stddev`/`avg` aggregates accumulate running doubles,
+so their low bits depend on partitioning and engine — they can never
+hash-match a different engine. These operators instead take columns that
+the caller has ALREADY scaled to integers (cents, micro-units), accumulate
+moment sums as DECIMAL(38,0) (exact and order-independent), and either
+
+* stay in cross-multiplied integer inequalities (z-score: no mean, no
+  sqrt, no float σ ever materializes), or
+* evaluate the closed form once on the final exact decimals in double —
+  identical IEEE operations on identical inputs in every engine.
+
+This is the same scaled-integer determinism discipline as
+``surprisal_score`` (queries_round4.py) and ``pagerank_int``
+(operators/graph.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_zscore_flags(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 20,
+    min_rows: int = 10,
+    z: int = 3,
+) -> DataFrame:
+    """Rows whose integer ``value_col`` deviates more than ``z`` population
+    standard deviations from the mean of the trailing ``window_rows``
+    observations (inclusive) of the same ``key_col``.
+
+    The z-test is evaluated as the cross-multiplied integer inequality
+
+        (n·v − S)² > z²·(n·Q − S²)
+
+    over the trailing frame's exact sums S = Σv, Q = Σv² (DECIMAL(38,0) —
+    (n·v − S)² peaks past BIGINT), which is algebraically |v − S/n| >
+    z·σ_pop with both sides multiplied by n². No division, sqrt, or float
+    appears, so results are bit-identical across engines and partitionings.
+
+    Scale: ONE exchange (the key window partition); trailing-frame state
+    is ``window_rows`` per row. Returns the input columns (the flagged
+    rows only)."""
+    win = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    dec = F.col(value_col).cast("decimal(38,0)")
+    n, s, q = F.col("_n"), F.col("_s"), F.col("_q")
+    dev = n * F.col(value_col) - s
+    return (
+        df.withColumn("_n", F.count(F.lit(1)).over(win))
+        .withColumn("_s", F.sum(dec).over(win))
+        .withColumn("_q", F.sum(dec * F.col(value_col)).over(win))
+        .filter((n >= min_rows) & (dev * dev > (z * z) * (n * q - s * s)))
+        .drop("_n", "_s", "_q")
+    )
+
+
+def _moments(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group exact moment sums of two integer columns: n, Σx, Σy,
+    Σx², Σy², Σxy as DECIMAL(38,0) — one partial-combine aggregate."""
+    xd = F.col(x_col).cast("decimal(38,0)")
+    yd = F.col(y_col).cast("decimal(38,0)")
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col(x_col)).alias("sxx"),
+        F.sum(yd * F.col(y_col)).alias("syy"),
+        F.sum(xd * F.col(y_col)).alias("sxy"),
+    )
+
+
+def _covariance_terms() -> tuple[Column, Column, Column]:
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return num, dx, dy
+
+
+def pearson_corr_exact(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group Pearson correlation of two INTEGER columns, deterministic
+    cross-engine: exact decimal moment sums, then one double evaluation of
+    (n·Σxy − ΣxΣy) / √((n·Σx² − Σx²ᵗ)(n·Σy² − Σy²ᵗ)) — unrounded; callers
+    apply their own presentation rounding (`r4`). Output: (group, n_pairs,
+    corr); corr is null for degenerate groups (zero variance)."""
+    s = _moments(df, group_col, x_col, y_col)
+    num, dx, dy = _covariance_terms()
+    return s.select(
+        F.col(group_col),
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("corr"),
+    )
+
+
+def ols_slope_exact(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group OLS slope dy/dx of two INTEGER columns (same exact-moments
+    discipline as :func:`pearson_corr_exact`): (n·Σxy − ΣxΣy)/(n·Σx² −
+    (Σx)²) evaluated in double on exact decimals, unrounded. Output:
+    (group, n, slope); null slope for constant x."""
+    s = _moments(df, group_col, x_col, y_col)
+    num, dx, _ = _covariance_terms()
+    return s.select(
+        F.col(group_col),
+        F.col("n"),
+        F.when(dx > 0, num.cast("double") / dx.cast("double")).alias("slope"),
+    )

@@ -63,48 +63,41 @@ def register(
 # round. After r4 every one of the registered queries has a green HASH row
 # (zero rows-only, zero failures ever); the r5 rotation targets STALENESS
 # (VERDICT r4 item 3). Latest-green distribution entering r5: r4=50, r3=38,
-# r2=42, r1=15. The 50-entry window is budgeted 7+16+15+12:
-# (a) the 7 queries whose code paths CHANGED in r5 (the dedup.py hash-family
+# r2=42, r1=15. The 50-entry window is budgeted 8+23+15+4:
+# (a) the 8 queries whose code paths CHANGED in r5 (the dedup.py hash-family
 #     rewrite: flat 60-bit md5 basis, integer band fold, shared shingle
 #     exchange, explicit notnull filters — minhash/blocked-jaccard and every
-#     query composing them) — changed code outranks merely-stale entries;
-# (a') the 16 NEW round-5 queries (queries_round5.py, queries_round5b.py,
-#     queries_round5c.py, operators/asof.py additions) — a query registered
-#     in round N must be in round N's window (r3 hygiene rule: zero
-#     never-checked queries);
+#     query composing them; plus embedding_near_dup, de-degenerated to
+#     threshold 0.35 + norm hoisting this round — an output-changing edit
+#     MUST be re-verified) — changed code outranks merely-stale entries;
+# (a') the 23 NEW round-5 queries (queries_round5.py, queries_round5b.py,
+#     queries_round5c.py, queries_round5d.py, operators/asof.py additions;
+#     interarrival_gap_percentiles..trend_slope_per_type below) — a query
+#     registered in round N must be in round N's window (r3 hygiene rule:
+#     zero never-checked queries);
 # (b) all 15 queries whose only green row still dates from r1 (the
 #     *_funcs2 siblings and projection/join/subquery twins that yielded
 #     their slots in earlier rotations — after r5 nothing is older than r2);
-# (c) 12 more from the r2-latest cohort (near_dup_jaccard, the 42nd, is
-#     already in window (a), so 41 remained; 12 here + 29 deferred to r6;
-#     cosine_topk, approx_distinct, pandas_udf_token_count,
-#     fuzzy_pairs_levenshtein, multimodal_features yielded their r5 slots
-#     to the five late round-5b/5c queries — their families are in-window
-#     or r4-green: filtered_cosine_topk/embedding_near_dup, distinct_ops,
-#     grouped_pandas_stats/bpe_regex_tokens, the minhash/jaccard near-dup
-#     family, multimodal_decoded).
-#     The deferred are overlapping-family representatives whose twin is
-#     already in this window or r4-green: sliding_windows (session_windows
-#     in-window), tumbling_hourly (stream_health family r4-green),
-#     weekly_retention (conversion_funnel in-window), token_stats
-#     (bpe_regex_tokens in-window), lang_stats (lang_id_ngram in-window),
-#     dedup_survivors / normalized_dedup_docs (exact_dedup_docs in-window),
-#     train_test_split_counts (split_leakage family r4-green),
-#     event_transitions (conversion_funnel in-window; r5 bench-timed),
-#     streaming_dedup_twin (dedup_first_event r3-green + r5-timed),
-#     doc_fingerprint (fingerprint family: simhash_sketch r4-green; r5-timed), approx_percentiles_value
-#     (percentiles_by_status r4-green), brand_volume_suppliers /
-#     dormant_rich_customers / important_part_shares /
-#     large_volume_customers / min_cost_supplier / small_quantity_revenue
-#     (TPC-H join-agg family, join_star_revenue r4-green),
-#     time_range_moving_window / window_distribution_funcs
-#     (window_running_agg in-window), stratified_sample_docs
-#     (deterministic_sample_docs in-window), udtf_explode_tokens
-#     (pandas_udf_token_count in-window), multimodal_resized / frame_sample
-#     (multimodal_features in-window).
+# (c) 4 more from the r2-latest cohort — the family representatives other
+#     deferrals cite (session_windows, window_running_agg,
+#     conversion_funnel, exact_dedup_docs); the other 37 r2-latest queries
+#     (incl. lang_id_ngram — lang family: top_terms_per_lang r4-green)
+#     defer to r6 (r2-green satisfies the nothing-older-
+#     than-r2 bound; every deferred query's family has an in-window or
+#     r4-green twin: curation_pipeline → curation_pipeline_v2 in-window;
+#     quality_score → quality_percentile_gate in-window composes the same
+#     scorer; salted_join_orders → surprisal_score_salted in-window is the
+#     same salt lever; deterministic_sample_docs → quality_weighted_sample
+#     in-window shares the md5-keep primitive; bpe_regex_tokens →
+#     rare_token_ratio r4-green; grouped_pandas_stats → the in-window
+#     Arrow-fold queries (ewma_metric) exercise the same pandas surface;
+#     cosine_topk/approx_distinct/pandas_udf_token_count/
+#     fuzzy_pairs_levenshtein/multimodal_features and the r4-header
+#     deferrals keep their previously-recorded family justifications).
 # Queries not listed keep registration order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (a) r5-changed code paths: dedup hash-family rewrite (7) ---
+    # --- (a) r5-changed code paths (8): dedup hash-family rewrite +
+    #     the de-degenerated embedding tier ---
     "minhash_lsh_near_dup",
     "near_dup_jaccard",
     "near_dup_shingle_jaccard",
@@ -112,7 +105,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "near_dup_split_leakage",
     "dup_clusters",
     "curation_pipeline_v2",
-    # --- (a') new round-5 queries (11) ---
+    "embedding_near_dup",
+    # --- (a') new round-5 queries (23) ---
     "quality_percentile_gate",
     "bigram_next_token",
     "surprisal_score_salted",
@@ -129,6 +123,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_median_price",
     "interarrival_gap_percentiles",
     "mode_order_priority",
+    "triangle_count_copurchase",
+    "pagerank_copurchase_topk",
+    "copurchase_lift_pairs",
+    "containment_near_dup",
+    "rolling_zscore_anomalies",
+    "corr_acctbal_price_by_nation",
+    "trend_slope_per_type",
     # --- (b) r1-era greens: the full staleness tail (15) ---
     "cast_truncate",
     "computed_projection",
@@ -145,19 +146,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_ranked",
     "stats_agg",
     "string_funcs2",
-    # --- (c) r2-latest refreshes (12 of 41; see header for the deferred) ---
-    "bpe_regex_tokens",
+    # --- (c) r2-latest refreshes (4 of 41; see header for the deferred) ---
     "conversion_funnel",
-    "curation_pipeline",
-    "deterministic_sample_docs",
-    "embedding_near_dup",
     "exact_dedup_docs",
-    "grouped_pandas_stats",
-    "lang_id_ngram",
-    "quality_score",
     "session_windows",
     "window_running_agg",
-    "salted_join_orders",
 )
 
 
@@ -206,6 +199,7 @@ def _load_all() -> None:
         queries_round5,
         queries_round5b,
         queries_round5c,
+        queries_round5d,
         queries_streaming_twins,
     )
 
