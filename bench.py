@@ -140,6 +140,9 @@ BENCH_ROTATION = [
     "rolling_zscore_anomalies",
     "corr_acctbal_price_by_nation",
     "trend_slope_per_type",
+    "cusum_changepoints",
+    "rrf_fused_topk",
+    "phrase_search_docs",
     # r5 extension: the ENTIRE remaining never-timed tail (61 queries, one
     # pass ≈ 50 s at sf0.1) — after this round every registered query has a
     # timed row. Heaviest: ann_tier_claims (~9 s — it executes the exact

@@ -26,3 +26,20 @@ def r4(x: Column | str) -> Column:
 def sql_r4(expr: str) -> str:
     """DuckDB twin of :func:`r4` for oracle SQL strings."""
     return f"(floor(({expr}) * 10000.0 + 0.5) / 10000.0)"
+
+
+def scaled_long(x: Column | str, factor: int) -> Column:
+    """Portable double→scaled-integer conversion: floor(x·factor + 0.5) as
+    BIGINT — round-half-toward-+inf with every step exact-identical IEEE in
+    Spark, DuckDB, and a Python ``math.floor`` twin (``ROUND()`` family
+    functions disagree between engines on representation ties, same story
+    as :func:`r4`). The entry point for the exact-arithmetic operators
+    (operators/stats.py consumers): scale once here, then stay integer."""
+    if isinstance(x, str):
+        x = F.col(x)
+    return F.floor(x * F.lit(float(factor)) + F.lit(0.5)).cast("long")
+
+
+def sql_scaled_long(expr: str, factor: int) -> str:
+    """DuckDB twin of :func:`scaled_long` for oracle SQL strings."""
+    return f"CAST(floor(({expr}) * {factor}.0 + 0.5) AS BIGINT)"

@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_stream_video_project_spark import io
-from kinesis_stream_video_project_spark.functions.numeric import r4, sql_r4
+from kinesis_stream_video_project_spark.functions.numeric import (
+    r4,
+    scaled_long,
+    sql_r4,
+)
 from kinesis_stream_video_project_spark.operators import dedup, graph, stats
 from kinesis_stream_video_project_spark.plans.registry import register
 
@@ -62,11 +66,14 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal of the co-occurrence structure (how often do two parts that
     each co-sell with a third also co-sell with each other).
 
-    Degree-ordered orientation bounds the wedge join at O(|E|^1.5); the
-    wedge pair MUST be ordered by the same (degree, id) tuple as the
-    orientation or ~half the closing edges are looked up backwards —
-    pinned against a brute-force three-join count in tests/test_round5d.py
-    (see operators/graph.py for the full argument). All counts integer →
+    Degree-ordered orientation bounds the work at O(|E|^1.5); the Spark
+    side is the edge-iterator form (array_intersect over bounded
+    adjacency lists — no materialized wedge shuffle) while the oracle
+    keeps the definitional wedge join, whose pair enumeration MUST use
+    the same (degree, id) tuple order as the orientation or ~half the
+    closing edges are looked up backwards. Both derivations are pinned
+    against a brute-force three-join count in tests/test_round5d.py (see
+    operators/graph.py for the full argument). All counts integer →
     hash-exact."""
     edges = graph.copurchase_edges(io.load_table(spark, sf_dir, "lineitem"))
     return graph.triangle_count(edges)
@@ -229,7 +236,7 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT event_id, user_id,
-         CAST(round(value * 1000000) AS BIGINT) AS value_micro, ts
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_micro, ts
   FROM events
 ),
 w AS (
@@ -268,7 +275,7 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") * 1000000).cast("long").alias("value_micro"),
+        scaled_long(F.col("value"), 1000000).alias("value_micro"),
         "ts",
     )
     return stats.rolling_zscore_flags(
@@ -288,8 +295,8 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH j AS (
   SELECT c.c_nationkey,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS x,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
   FROM customer c JOIN orders o ON c_custkey = o_custkey
 ),
 s AS (
@@ -329,8 +336,8 @@ def corr_acctbal_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = io.load_table(spark, sf_dir, "orders")
     j = c.join(o, c["c_custkey"] == o["o_custkey"]).select(
         "c_nationkey",
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        scaled_long(F.col("c_acctbal"), 100).alias("x"),
+        scaled_long(F.col("o_totalprice"), 100).alias("y"),
     )
     s = stats.pearson_corr_exact(j, "c_nationkey", "x", "y")
     return s.select("c_nationkey", "n_pairs", r4(F.col("corr")).alias("corr"))
@@ -342,7 +349,7 @@ def corr_acctbal_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT event_type, epoch_us(ts) AS us,
-         CAST(round(value * 1000000) AS BIGINT) AS vu
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu
   FROM events
 ),
 m AS (SELECT event_type, MIN(us) AS mn FROM v GROUP BY event_type),
@@ -383,7 +390,7 @@ def trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select(
         "event_type",
         F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 1000000).cast("long").alias("vu"),
+        scaled_long(F.col("value"), 1000000).alias("vu"),
     )
     m = v.groupBy("event_type").agg(F.min("us").alias("mn"))
     x = v.join(F.broadcast(m), "event_type").select(

@@ -63,14 +63,14 @@ def register(
 # round. After r4 every one of the registered queries has a green HASH row
 # (zero rows-only, zero failures ever); the r5 rotation targets STALENESS
 # (VERDICT r4 item 3). Latest-green distribution entering r5: r4=50, r3=38,
-# r2=42, r1=15. The 50-entry window is budgeted 8+23+15+4:
+# r2=42, r1=15. The 50-entry window is budgeted 8+26+15+1:
 # (a) the 8 queries whose code paths CHANGED in r5 (the dedup.py hash-family
 #     rewrite: flat 60-bit md5 basis, integer band fold, shared shingle
 #     exchange, explicit notnull filters — minhash/blocked-jaccard and every
 #     query composing them; plus embedding_near_dup, de-degenerated to
 #     threshold 0.35 + norm hoisting this round — an output-changing edit
 #     MUST be re-verified) — changed code outranks merely-stale entries;
-# (a') the 23 NEW round-5 queries (queries_round5.py, queries_round5b.py,
+# (a') the 26 NEW round-5 queries (queries_round5.py, queries_round5b.py,
 #     queries_round5c.py, queries_round5d.py, operators/asof.py additions;
 #     interarrival_gap_percentiles..trend_slope_per_type below) — a query
 #     registered in round N must be in round N's window (r3 hygiene rule:
@@ -78,10 +78,16 @@ def register(
 # (b) all 15 queries whose only green row still dates from r1 (the
 #     *_funcs2 siblings and projection/join/subquery twins that yielded
 #     their slots in earlier rotations — after r5 nothing is older than r2);
-# (c) 4 more from the r2-latest cohort — the family representatives other
-#     deferrals cite (session_windows, window_running_agg,
-#     conversion_funnel, exact_dedup_docs); the other 37 r2-latest queries
-#     (incl. lang_id_ngram — lang family: top_terms_per_lang r4-green)
+# (c) 1 more from the r2-latest cohort — conversion_funnel, the
+#     representative the weekly_retention/event_transitions deferrals
+#     cite; the other 40 r2-latest queries defer to r6 (notable evictions
+#     this round, each with an in-window or r4-green family twin:
+#     exact_dedup_docs → dup_clusters/curation_pipeline_v2 in-window
+#     compose the exact-dedup operator; session_windows →
+#     interarrival_gap_percentiles in-window exercises the event-gap
+#     machinery; window_running_agg → rolling_zscore_anomalies /
+#     linear_interpolate_value in-window are the trailing/carry window
+#     shapes; lang_id_ngram — lang family: top_terms_per_lang r4-green)
 #     defer to r6 (r2-green satisfies the nothing-older-
 #     than-r2 bound; every deferred query's family has an in-window or
 #     r4-green twin: curation_pipeline → curation_pipeline_v2 in-window;
@@ -130,6 +136,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rolling_zscore_anomalies",
     "corr_acctbal_price_by_nation",
     "trend_slope_per_type",
+    "cusum_changepoints",
+    "rrf_fused_topk",
+    "phrase_search_docs",
     # --- (b) r1-era greens: the full staleness tail (15) ---
     "cast_truncate",
     "computed_projection",
@@ -146,11 +155,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_ranked",
     "stats_agg",
     "string_funcs2",
-    # --- (c) r2-latest refreshes (4 of 41; see header for the deferred) ---
+    # --- (c) r2-latest refreshes (1 of 41; see header for the deferred) ---
     "conversion_funnel",
-    "exact_dedup_docs",
-    "session_windows",
-    "window_running_agg",
 )
 
 
@@ -200,6 +206,7 @@ def _load_all() -> None:
         queries_round5b,
         queries_round5c,
         queries_round5d,
+        queries_round5e,
         queries_streaming_twins,
     )
 

@@ -739,3 +739,172 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ZSCORE_OUT_SCHEMA = (
+    StructType()
+    .add("user_id", "long")
+    .add("event_id", "long")
+    .add("value_micro", "long")
+)
+_ZSCORE_STATE_SCHEMA = StructType().add("window_vals", ArrayType(LongType()))
+_ZSCORE_STATE_SCHEMA_BUFFERED = (
+    StructType()
+    .add("window_vals", ArrayType(LongType()))
+    .add("frontier_us", "long")
+    .add("buf_ts_us", ArrayType(LongType()))
+    .add("buf_event_id", ArrayType(LongType()))
+    .add("buf_value", ArrayType(LongType()))
+)
+
+
+def _zscore_fold(
+    window_vals, rows, window_rows: int = 20, min_rows: int = 10, z: int = 3
+):
+    """Pure trailing-window z-test over (event_id, value_int) rows in fold
+    order — the incremental form of operators/stats.py's
+    ``rolling_zscore_flags``: append each value to the (≤ window_rows)-deep
+    deque, then test the SAME cross-multiplied integer inequality
+    (n·v − S)² > z²·(n·Q − S²) with Python's arbitrary-precision ints
+    (exactly the batch side's DECIMAL(38,0) — no float ever). Returns
+    (window_vals', flagged) where flagged is [(event_id, value_int)].
+    Module-level so tests can drive it directly."""
+    w = list(window_vals)
+    flagged: list[tuple] = []
+    for eid, v in rows:
+        w.append(v)
+        if len(w) > window_rows:
+            w.pop(0)
+        n = len(w)
+        if n >= min_rows:
+            s = sum(w)
+            q = sum(x * x for x in w)
+            dev = n * v - s
+            if dev * dev > z * z * (n * q - s * s):
+                flagged.append((eid, v))
+    return w, flagged
+
+
+def zscore_stream(
+    events: DataFrame,
+    allowed_lateness_us: int = 0,
+    window_rows: int = 20,
+    min_rows: int = 10,
+    z: int = 3,
+) -> DataFrame:
+    """Streaming rolling-z-score anomaly flags (the incremental form of
+    plans/queries_round5d.py::rolling_zscore_anomalies): emit an event the
+    moment it deviates > z population-σ from its user's trailing window —
+    the alerting shape the batch query only reports after the fact. State
+    per key is the ≤ ``window_rows``-deep integer deque; arithmetic is the
+    same all-integer inequality as the batch twin, so with per-key in-order
+    delivery the emitted set is EXACTLY the batch twin's rows (pinned in
+    tests/test_streaming.py across a multi-micro-batch drain).
+
+    Ordering contract — same two modes as ``ewma_stream``/
+    ``scd2_status_stream``: lateness = 0 sorts within each micro-batch and
+    assumes per-key in-order delivery across batches (a flag, once
+    emitted, is never retracted, and a late event shifts every subsequent
+    window); lateness > 0 delays each event through the ``_reorder_ready``
+    per-key reorder buffer so events at most that late fold in correct
+    (ts, event_id) order.
+
+    Values are scaled to integer micro-units with the SAME portable
+    rounding as the batch side (floor(v·10⁶ + 0.5) — identical IEEE in
+    numpy and Spark), so no float comparison anywhere."""
+    import numpy as np
+
+    def _scale(values) -> list:
+        return [
+            int(x)
+            for x in np.floor(
+                np.asarray(values, dtype="float64") * 1000000.0 + 0.5
+            ).astype("int64")
+        ]
+
+    def _emit(user_id, flagged):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(flagged),
+                "event_id": [eid for eid, _ in flagged],
+                "value_micro": [v for _, v in flagged],
+            }
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        (w,) = state.get if state.exists else ([],)
+        w = list(w or [])
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch[batch["value"].notna()]
+            batch = batch.sort_values(["ts", "event_id"])
+            w, flagged = _zscore_fold(
+                w,
+                zip(batch["event_id"].tolist(), _scale(batch["value"])),
+                window_rows,
+                min_rows,
+                z,
+            )
+            state.update((w,))
+            if flagged:
+                yield _emit(user_id, flagged)
+        else:
+            state.update((w,))
+
+    def update_buffered(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            w, frontier, b_ts, b_eid, b_val = state.get
+            w = list(w or [])
+            pending = list(zip(b_ts or [], b_eid or [], b_val or []))
+        else:
+            w, frontier, pending = [], None, []
+        new_rows: list[tuple] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf[pdf["value"].notna()]
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            new_rows.extend(
+                zip(ts_us, pdf["event_id"].tolist(), _scale(pdf["value"]))
+            )
+        frontier, pending, ready = _reorder_ready(
+            frontier, pending, new_rows, allowed_lateness_us
+        )
+        flagged: list[tuple] = []
+        if ready:
+            w, flagged = _zscore_fold(
+                w,
+                ((eid, v) for _ts, eid, v in ready),
+                window_rows,
+                min_rows,
+                z,
+            )
+        state.update(
+            (
+                w,
+                frontier,
+                [r[0] for r in pending],
+                [r[1] for r in pending],
+                [r[2] for r in pending],
+            )
+        )
+        if flagged:
+            yield _emit(user_id, flagged)
+
+    buffered = allowed_lateness_us > 0
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_buffered if buffered else update,
+        outputStructType=_ZSCORE_OUT_SCHEMA,
+        stateStructType=(
+            _ZSCORE_STATE_SCHEMA_BUFFERED if buffered else _ZSCORE_STATE_SCHEMA
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -698,3 +698,123 @@ def test_ewma_stream_buffered_reorders_late_events(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ewma_late_out").collect()
     }
     assert got == {(10, 1.0), (20, 1.5), (30, 2.25)}, got
+
+
+def test_zscore_stream_matches_batch_twin(spark, sf_dir, events_df, tmp_path):
+    """Streaming rolling-z-score must emit exactly the batch twin's flagged
+    rows when the log drains across MULTIPLE micro-batches (same by-time
+    split + in-order-delivery contract as the EWMA twin test): the
+    trailing integer deque rides per-user state between batches."""
+    from kinesis_stream_video_project_spark.plans.queries_round5d import (
+        rolling_zscore_anomalies,
+    )
+
+    cols = events_df.select("user_id", "ts", "event_id", "value")
+    cut = cols.approxQuantile("event_id", [0.5], 0.01)[0]
+    src = tmp_path / "zscore_src"
+    _write_single_file(cols.filter(F.col("event_id") <= cut), src, "events-00.parquet")
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    _write_single_file(cols.filter(F.col("event_id") > cut), src, "events-01.parquet")
+    stream = (
+        spark.readStream.schema(cols.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.zscore_stream(stream)
+        .writeStream.format("memory")
+        .queryName("zscore_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_zscore"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_id, r.value_micro)
+        for r in spark.sql("SELECT * FROM zscore_out").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.value_micro)
+        for r in rolling_zscore_anomalies(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_zscore_fold_matches_batch_operator_bruteforce():
+    """The pure fold must agree with a direct definition: for each row,
+    mean/variance over the trailing ≤20 values, flag |v − μ| > 3σ — checked
+    in exact fractions (no float), over a deterministic value sequence with
+    a planted spike."""
+    vals = [100 + ((i * 37) % 11) for i in range(50)]
+    vals[30] = 10**7  # planted spike
+    rows = [(i, v) for i, v in enumerate(vals)]
+    _, flagged = jobs._zscore_fold([], rows)
+    want = []
+    for i in range(len(vals)):
+        w = vals[max(0, i - 19) : i + 1]
+        n = len(w)
+        if n < 10:
+            continue
+        s, q = sum(w), sum(x * x for x in w)
+        # (n*v - s)^2 > 9*(n*q - s*s)  <=>  |v-mean| > 3*sigma_pop
+        if (n * vals[i] - s) ** 2 > 9 * (n * q - s * s):
+            want.append((i, vals[i]))
+    assert flagged == want
+    assert any(eid == 30 for eid, _ in flagged)
+
+
+def test_zscore_stream_buffered_reorders_late_events(spark, tmp_path):
+    """allowed_lateness_us > 0: a late event must fold in correct (ts,
+    event_id) order before any flag decision. 12 calm events arrive, the
+    SPIKE arrives one micro-batch late (earlier ts than the last calm
+    event), then a far-future event advances the frontier: the spike must
+    be flagged with the stats of its CORRECT trailing window — and the
+    in-order tail event, whose window now contains the spike, must not
+    produce a spurious flag set different from the batch order."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, sec, val):
+        return (int(eid), base + dt.timedelta(seconds=sec), 1, float(val))
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    calm = [ev(i, i, 100 + (i % 2)) for i in range(15) if i != 12]
+    late_spike = ev(12, 12, 5000.0)
+    flusher = ev(99, 10_000, 100.0)
+    src = tmp_path / "zscore_late_src"
+    _write_single_file(spark.createDataFrame(calm, schema), src, "b0.parquet")
+    time.sleep(1.1)
+    _write_single_file(
+        spark.createDataFrame([late_spike], schema), src, "b1.parquet"
+    )
+    time.sleep(1.1)
+    _write_single_file(
+        spark.createDataFrame([flusher], schema), src, "b2.parquet"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.zscore_stream(stream, allowed_lateness_us=5_000_000)
+        .writeStream.format("memory")
+        .queryName("zscore_late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_zscore_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.value_micro)
+        for r in spark.sql("SELECT * FROM zscore_late_out").collect()
+    }
+    # Batch-order reference over the full in-order sequence:
+    ordered = sorted(calm + [late_spike], key=lambda t: (t[1], t[0]))
+    _, want_flags = jobs._zscore_fold(
+        [], [(eid, int(v * 1_000_000)) for eid, _ts, _u, v in ordered]
+    )
+    assert got == set(want_flags) and any(eid == 12 for eid, _ in got)
