@@ -36,7 +36,7 @@ Design rules shared by both operators:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,12 +80,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Degree-ordered orientation: each edge points from its (d, id)-smaller
     endpoint to the larger, making the graph a DAG in which every triangle
-    {x ≺ y ≺ z} appears exactly once as the wedge (x→y, x→z) closed by
-    y→z. The wedge enumeration orders its two spokes by the SAME (d, id)
-    tuple (a struct comparison), never by raw id — with raw ids the
-    closing edge (y, z) may be oriented z→y and the equi-join misses it
-    (≈half the triangles, verified against the brute-force three-join
-    count in tests/test_round5d.py).
+    {x ≺ y ≺ z} has a unique apex x — the count is exact with no
+    double-counting, verified against the brute-force three-join
+    enumeration in tests/test_round5d.py. (The SQL oracle keeps the
+    definitional wedge-join form, where the wedge pair must be ordered by
+    the SAME (d, id) tuple as the orientation — raw-id ordering looks the
+    closing edge up backwards and loses ≈half the triangles.)
 
     Scale: out-degree after orientation is ≤ O(√|E|), so the per-edge
     successor-set intersections do O(|E|^1.5) comparisons worst-case —
@@ -197,3 +197,54 @@ def pagerank_int(
             (F.lit(teleport) + F.col("in_mass")).alias("rank_scaled"),
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation communities over the undirected
+    ``(p1, p2)`` edge list — returns ``(p, community)`` after ``iters``
+    rounds. Deterministic by construction (unlike textbook LPA's random
+    tie-breaks): every node starts labeled with itself; each round, a node
+    adopts the most frequent label among its NEIGHBORS, ties broken by the
+    smaller label — a count + row_number argmax, the same tie-break
+    discipline as the deterministic MODE aggregate. Every node has ≥ 1
+    neighbor (it came from an edge), so the argmax is total.
+
+    Scale: per round, one join of labels onto the static directed edge
+    list + one (dst, label) count + one per-dst argmax window over the
+    count table (window input is |dst × distinct neighbor labels|, not
+    |E|). The static edge list is materialized once (localCheckpoint /
+    checkpoint — the pagerank_int/components discipline); ``iters`` fixed
+    so the plan is static and a SQL oracle can unroll it.
+
+    Registration note: operator + pytest coverage in round 5; the
+    registry entry is queued for the round-6 driver window (the round-5
+    50-slot window is saturated — see plans/registry.py header)."""
+    both = edges.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    if reliable_checkpoint:
+        both = both.checkpoint(eager=True)
+    else:
+        both = both.localCheckpoint(eager=True)
+    labels = both.select(F.col("src").alias("p")).distinct().select(
+        "p", F.col("p").alias("community")
+    )
+    for _ in range(iters):
+        counts = (
+            both.join(F.broadcast(labels), both["src"] == labels["p"])
+            .groupBy(F.col("dst"), F.col("community"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("dst").orderBy(
+            F.col("c").desc(), F.col("community").asc()
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("p"), "community")
+        )
+    return labels

@@ -101,6 +101,14 @@ def register(
 #     fuzzy_pairs_levenshtein/multimodal_features and the r4-header
 #     deferrals keep their previously-recorded family justifications).
 # Queries not listed keep registration order after these.
+#
+# ROUND-6 REGISTRATION QUEUE: the round-5 window is saturated (8 changed +
+# 26 new + 15 r1-era + 1 = 50), so capabilities built after that cap ship
+# as operators with pytest-only coverage this round and take their
+# first-round window slots in r6: graph.label_propagation (deterministic
+# sync LPA) and stats.robust_center_spread (exact median + MAD) — both
+# already have oracle-ready shapes (unrolled-CTE LPA, chained
+# median-walk SQL).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (a) r5-changed code paths (8): dedup hash-family rewrite +
     #     the de-degenerated embedding tier ---

@@ -908,3 +908,173 @@ def zscore_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_OUT_SCHEMA = (
+    StructType()
+    .add("user_id", "long")
+    .add("event_id", "long")
+    .add("direction", "string")
+)
+_CUSUM_STATE_SCHEMA = (
+    StructType()
+    .add("warmup", ArrayType(LongType()))
+    .add("ref", "long")
+    .add("sp", "long")
+    .add("sm", "long")
+)
+_CUSUM_STATE_SCHEMA_BUFFERED = (
+    StructType()
+    .add("warmup", ArrayType(LongType()))
+    .add("ref", "long")
+    .add("sp", "long")
+    .add("sm", "long")
+    .add("frontier_us", "long")
+    .add("buf_ts_us", ArrayType(LongType()))
+    .add("buf_event_id", ArrayType(LongType()))
+    .add("buf_value", ArrayType(LongType()))
+)
+
+
+def _cusum_step(warmup, ref, sp, sm, rows):
+    """Pure incremental CUSUM over (event_id, value_int) rows — the
+    streaming decomposition of plans/queries_round5e.py::cusum_fold:
+    accumulate the first 20 values as the calibration buffer, derive
+    (ref, κ=ref÷3, h=10κ) exactly once on the 20th, then run the
+    two-sided reset-on-alarm recursion. Returns (warmup', ref', sp', sm',
+    alarms) with alarms = [(event_id, direction)]. Fold order across
+    calls must be the per-key (ts, event_id) order for batch equality."""
+    warmup = list(warmup)
+    alarms: list[tuple] = []
+    for eid, v in rows:
+        if ref is None:
+            warmup.append(v)
+            if len(warmup) == 20:
+                ref = sum(warmup) // 20
+            continue
+        kappa = ref // 3
+        h = 10 * kappa
+        sp = max(0, sp + v - ref - kappa)
+        sm = max(0, sm + ref - v - kappa)
+        if sp > h:
+            alarms.append((eid, "up"))
+            sp = 0
+        if sm > h:
+            alarms.append((eid, "down"))
+            sm = 0
+    return warmup, ref, sp, sm, alarms
+
+
+def cusum_stream(
+    events: DataFrame, allowed_lateness_us: int = 0
+) -> DataFrame:
+    """Streaming CUSUM changepoint alarms (the incremental form of
+    plans/queries_round5e.py::cusum_changepoints): alarm the moment a
+    sustained drift crosses the threshold instead of after a batch replay
+    — this IS the reference watchdog's job (`restart.sh:68-158` escalates
+    on sustained failure, not single blips), upgraded from a fixed `-gt 0`
+    threshold to a self-calibrating sequential test. State per key:
+    the ≤20-value calibration buffer, then three integers (ref, S⁺, S⁻).
+
+    Same two ordering modes as ``ewma_stream``/``zscore_stream``; all
+    arithmetic integer, so with per-key in-order delivery the emitted
+    alarm set equals the batch twin's bit-for-bit (pinned in
+    tests/test_streaming.py). Values scale through the same
+    floor(v·10⁶ + 0.5) as the batch side."""
+    import numpy as np
+
+    def _scale(values) -> list:
+        return [
+            int(x)
+            for x in np.floor(
+                np.asarray(values, dtype="float64") * 1000000.0 + 0.5
+            ).astype("int64")
+        ]
+
+    def _emit(user_id, alarms):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(alarms),
+                "event_id": [eid for eid, _ in alarms],
+                "direction": [d for _, d in alarms],
+            }
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            warmup, ref, sp, sm = state.get
+            warmup = list(warmup or [])
+        else:
+            warmup, ref, sp, sm = [], None, 0, 0
+        frames = [p for p in pdfs if len(p)]
+        alarms: list[tuple] = []
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch[batch["value"].notna()]
+            batch = batch.sort_values(["ts", "event_id"])
+            warmup, ref, sp, sm, alarms = _cusum_step(
+                warmup,
+                ref,
+                sp,
+                sm,
+                zip(batch["event_id"].tolist(), _scale(batch["value"])),
+            )
+        state.update((warmup, ref, sp, sm))
+        if alarms:
+            yield _emit(user_id, alarms)
+
+    def update_buffered(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            warmup, ref, sp, sm, frontier, b_ts, b_eid, b_val = state.get
+            warmup = list(warmup or [])
+            pending = list(zip(b_ts or [], b_eid or [], b_val or []))
+        else:
+            warmup, ref, sp, sm, frontier, pending = [], None, 0, 0, None, []
+        new_rows: list[tuple] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf[pdf["value"].notna()]
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            new_rows.extend(
+                zip(ts_us, pdf["event_id"].tolist(), _scale(pdf["value"]))
+            )
+        frontier, pending, ready = _reorder_ready(
+            frontier, pending, new_rows, allowed_lateness_us
+        )
+        alarms: list[tuple] = []
+        if ready:
+            warmup, ref, sp, sm, alarms = _cusum_step(
+                warmup, ref, sp, sm, ((eid, v) for _ts, eid, v in ready)
+            )
+        state.update(
+            (
+                warmup,
+                ref,
+                sp,
+                sm,
+                frontier,
+                [r[0] for r in pending],
+                [r[1] for r in pending],
+                [r[2] for r in pending],
+            )
+        )
+        if alarms:
+            yield _emit(user_id, alarms)
+
+    buffered = allowed_lateness_us > 0
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_buffered if buffered else update,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=(
+            _CUSUM_STATE_SCHEMA_BUFFERED if buffered else _CUSUM_STATE_SCHEMA
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -226,3 +226,101 @@ def test_pagerank_iteration_shuffle_budget(spark, sf_dir):
     plan = _plan_of(spark, sf_dir, "pagerank_copurchase_topk")
     n_ex = plan.count("Exchange")
     assert n_ex <= 24, f"pagerank exchange count {n_ex}\n{plan}"
+
+
+def test_label_propagation_known_communities(spark):
+    """Two K3 cliques joined by a single bridge edge must resolve to two
+    communities labeled by each clique's min node; determinism: ties break
+    to the smaller label (no randomness anywhere)."""
+    cliq1 = [(1, 2), (1, 3), (2, 3)]
+    cliq2 = [(10, 11), (10, 12), (11, 12)]
+    bridge = [(3, 10)]
+    got = {
+        (r["p"], r["community"])
+        for r in graph.label_propagation(
+            _edges(spark, cliq1 + cliq2 + bridge), iters=3
+        ).collect()
+    }
+    comm = dict(got)
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[10] == comm[11] == comm[12]
+    assert comm[1] != comm[10]
+
+
+def test_label_propagation_partition_invariant(spark, sf_dir):
+    from kinesis_stream_video_project_spark import io
+
+    edges = graph.copurchase_edges(
+        io.load_table(spark, sf_dir, "lineitem")
+    ).cache()
+    try:
+        a = sorted(
+            (r["p"], r["community"])
+            for r in graph.label_propagation(edges.repartition(7), iters=2).collect()
+        )
+        b = sorted(
+            (r["p"], r["community"])
+            for r in graph.label_propagation(edges.coalesce(1), iters=2).collect()
+        )
+        assert a == b and len(a) > 0
+    finally:
+        edges.unpersist()
+
+
+def test_robust_center_spread_handchecked(spark):
+    """Odd series: median is the middle element, MAD the middle absolute
+    deviation; a planted huge outlier moves neither (breakdown property),
+    while it would drag mean/σ arbitrarily."""
+    vals = [10, 12, 14, 16, 100]
+    df = spark.createDataFrame([(1, v) for v in vals], "g int, v long")
+    r = stats.robust_center_spread(df, "g", "v").collect()[0]
+    # lower median of [10,12,14,16,100] = 14; |v-14| = [4,2,0,2,86] → MAD 2
+    assert (r["med"], r["mad"], r["n_rows"]) == (14, 2, 5)
+    df2 = spark.createDataFrame(
+        [(1, v) for v in vals + [10**9]], "g int, v long"
+    )
+    r2 = stats.robust_center_spread(df2, "g", "v").collect()[0]
+    assert r2["med"] == 14 and r2["mad"] == 2  # outlier-immune
+
+
+def test_robust_center_spread_matches_bruteforce(spark, sf_dir):
+    """Cross-check against a plain-Python lower-median on the real events
+    table (scaled micro-units per event_type)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark import io
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+
+    e = io.load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    df = e.select(
+        "event_type", scaled_long(F.col("value"), 1000000).alias("vu")
+    )
+    got = {
+        r["event_type"]: (r["med"], r["mad"], r["n_rows"])
+        for r in stats.robust_center_spread(df, "event_type", "vu").collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, CAST(floor(value*1000000.0+0.5) AS BIGINT)"
+        f" FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+    ).fetchall()
+    byg: dict = {}
+    for g, v in rows:
+        byg.setdefault(g, []).append(v)
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        cum = 0
+        from collections import Counter
+
+        for val, w in sorted(Counter(xs).items()):
+            cum += w
+            if 2 * cum >= n:
+                return val
+
+    want = {}
+    for g, xs in byg.items():
+        m = lower_median(xs)
+        want[g] = (m, lower_median([abs(x - m) for x in xs]), len(xs))
+    assert got == want

@@ -818,3 +818,78 @@ def test_zscore_stream_buffered_reorders_late_events(spark, tmp_path):
         [], [(eid, int(v * 1_000_000)) for eid, _ts, _u, v in ordered]
     )
     assert got == set(want_flags) and any(eid == 12 for eid, _ in got)
+
+
+def test_cusum_stream_matches_batch_twin(spark, sf_dir, events_df, tmp_path):
+    """Streaming CUSUM must emit exactly the batch twin's alarm rows when
+    the log drains across multiple micro-batches: the calibration buffer
+    and (ref, S+, S-) ride per-user state between batches."""
+    from kinesis_stream_video_project_spark.plans.queries_round5e import (
+        cusum_changepoints,
+    )
+
+    cols = events_df.select("user_id", "ts", "event_id", "value")
+    cut = cols.approxQuantile("event_id", [0.5], 0.01)[0]
+    src = tmp_path / "cusum_src"
+    _write_single_file(cols.filter(F.col("event_id") <= cut), src, "events-00.parquet")
+    time.sleep(1.1)
+    _write_single_file(cols.filter(F.col("event_id") > cut), src, "events-01.parquet")
+    stream = (
+        spark.readStream.schema(cols.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.cusum_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_id, r.direction)
+        for r in spark.sql("SELECT * FROM cusum_out").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.direction)
+        for r in cusum_changepoints(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_cusum_step_composes_to_batch_fold():
+    """Chunked incremental _cusum_step calls (any chunking) must equal the
+    one-shot batch cusum_fold — the state-decomposition law the streaming
+    job rests on."""
+    import pandas as pd
+
+    from kinesis_stream_video_project_spark.plans.queries_round5e import (
+        cusum_fold,
+    )
+
+    vals = [100 + ((i * 37) % 11) for i in range(25)] + [160] * 40
+    rows = [(i, v) for i, v in enumerate(vals)]
+    batch = cusum_fold(
+        pd.DataFrame(
+            {
+                "user_id": [1] * len(vals),
+                "ts": range(len(vals)),
+                "event_id": [e for e, _ in rows],
+                "vu": [v for _, v in rows],
+            }
+        )
+    )
+    want = list(zip(batch["event_id"], batch["direction"]))
+    for split in (1, 7, 20, 33, 64):
+        warmup, ref, sp, sm = [], None, 0, 0
+        alarms: list = []
+        for i in range(0, len(rows), split):
+            warmup, ref, sp, sm, a = jobs._cusum_step(
+                warmup, ref, sp, sm, rows[i : i + split]
+            )
+            alarms.extend(a)
+        assert alarms == want, split
+    assert any(d == "up" for _, d in want)
