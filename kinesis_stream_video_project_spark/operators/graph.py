@@ -1,5 +1,6 @@
-"""Graph analytics over DataFrame edge lists — triangle counting and a
-deterministic integer PageRank.
+"""Graph analytics over DataFrame edge lists — triangle counting, a
+deterministic integer PageRank, deterministic label-propagation
+communities, and k-core decomposition.
 
 The reference's pipeline implies a relationship graph (streams sharing a
 gateway, devices sharing an operator — `check_wf.sh:3` enumerates the
@@ -248,3 +249,60 @@ def label_propagation(
             .select(F.col("dst").alias("p"), "community")
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 50,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """The k-core of the undirected ``(p1, p2)`` graph: the unique maximal
+    induced subgraph in which every node has degree ≥ k — returned as the
+    surviving node set ``(p,)``. The standard peeling algorithm: repeatedly
+    delete nodes of induced degree < k until none remain; deletion can
+    only lower other nodes' degrees, so the fixed point is unique and
+    order-independent (no tie-breaking needed, unlike LPA/MODE).
+
+    Loop discipline (components/pagerank rules): the edge list is
+    materialized once on entry; each round is one semi-join of edges onto
+    the alive set + one degree aggregate + one filter, with the alive set
+    localCheckpoint'd per round (the plan would otherwise re-derive all
+    prior rounds); convergence is a 1-row count probe. Rounds are bounded
+    by the peeling depth (≤ graph degeneracy ≪ |V| in practice;
+    ``max_iters`` is a backstop).
+
+    Registration note: operator + pytest in round 5; registry entry
+    queued for the round-6 driver window."""
+    e = edges.select("p1", "p2")
+    if reliable_checkpoint:
+        e = e.checkpoint(eager=True)
+    else:
+        e = e.localCheckpoint(eager=True)
+    alive = e.select(F.col("p1").alias("p")).unionAll(
+        e.select(F.col("p2").alias("p"))
+    ).distinct()
+    prev = -1
+    for _ in range(max_iters):
+        sub = e.join(
+            F.broadcast(alive.withColumnRenamed("p", "p1")), "p1", "left_semi"
+        ).join(
+            F.broadcast(alive.withColumnRenamed("p", "p2")), "p2", "left_semi"
+        )
+        deg = (
+            sub.select(F.col("p1").alias("p"))
+            .unionAll(sub.select(F.col("p2").alias("p")))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        nxt = deg.filter(F.col("d") >= k).select("p")
+        if reliable_checkpoint:
+            nxt = nxt.checkpoint(eager=True)
+        else:
+            nxt = nxt.localCheckpoint(eager=True)
+        n = nxt.count()
+        alive = nxt
+        if n == prev:
+            break
+        prev = n
+    return alive

@@ -324,3 +324,39 @@ def test_robust_center_spread_matches_bruteforce(spark, sf_dir):
         m = lower_median(xs)
         want[g] = (m, lower_median([abs(x - m) for x in xs]), len(xs))
     assert got == want
+
+
+def test_kcore_known_graph_and_fixed_point(spark, sf_dir):
+    """K4 plus a pendant path: the 3-core is exactly the K4 nodes; the
+    2-core keeps K4 plus any cycle, drops the path tail. Fixed-point law
+    on the real co-purchase graph: every surviving node's induced degree
+    is ≥ k, and re-running peeling on the result changes nothing."""
+    from kinesis_stream_video_project_spark import io
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(4, 5), (5, 6)]
+    got3 = {r["p"] for r in graph.kcore(_edges(spark, k4 + path), 3).collect()}
+    assert got3 == {1, 2, 3, 4}
+    got2 = {r["p"] for r in graph.kcore(_edges(spark, k4 + path), 2).collect()}
+    assert got2 == {1, 2, 3, 4}  # path tail peels away
+
+    edges = graph.copurchase_edges(
+        io.load_table(spark, sf_dir, "lineitem")
+    ).cache()
+    try:
+        core = graph.kcore(edges, 30)
+        alive = {r["p"] for r in core.collect()}
+        assert alive  # non-degenerate at sf0.001 (dense 200-node graph)
+        sub = edges.filter(
+            F.col("p1").isin(alive) & F.col("p2").isin(alive)
+        )
+        degs = (
+            sub.select(F.col("p1").alias("p"))
+            .unionAll(sub.select(F.col("p2").alias("p")))
+            .groupBy("p")
+            .count()
+        )
+        assert degs.filter(F.col("count") < 30).count() == 0
+        assert {r["p"] for r in degs.collect()} == alive
+    finally:
+        edges.unpersist()
