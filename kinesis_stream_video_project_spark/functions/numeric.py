@@ -43,3 +43,14 @@ def scaled_long(x: Column | str, factor: int) -> Column:
 def sql_scaled_long(expr: str, factor: int) -> str:
     """DuckDB twin of :func:`scaled_long` for oracle SQL strings."""
     return f"CAST(floor(({expr}) * {factor}.0 + 0.5) AS BIGINT)"
+
+
+def tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) for POSITIVE ``b`` — the
+    semantics of Spark SQL ``div`` and DuckDB ``//`` (verified:
+    ``-7 // 2`` is -3 in DuckDB, -4 in Python). Python-level folds that
+    must replay a SQL oracle's division (CUSUM calibration) go through
+    this instead of Python's flooring ``//``, which diverges on negative
+    numerators."""
+    q = abs(a) // b
+    return q if a >= 0 else -q

@@ -288,6 +288,86 @@ def minhash_lsh_near_dups(
     )
 
 
+
+
+def _blocked_pair_counts(
+    df: DataFrame,
+    block_cols: tuple[str, ...],
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+) -> DataFrame:
+    """Shared postings core of the exact blocked near-dup tiers
+    (Jaccard + containment): per-pair intersection and set sizes as
+    ``(doc_a, doc_b, n_inter, n_a, n_b)`` with ``doc_a < doc_b``; the
+    tiers differ only in the score expression they apply on top.
+
+    Plan discipline (r4, one copy for both tiers):
+
+    * Explicit notnull filters on the id + block columns, NOT left to join
+      inference: the pair-join sides get isnotnull(block_cols) inferred
+      from their join keys but the ``sizes`` aggregate does not, so
+      without this the sizes subtree canonicalizes differently and AQE
+      cannot reuse the postings exchange for it (one fewer full
+      tokenize+shingle+explode+shuffle run per query). Output-invariant:
+      null-keyed rows can never survive the inner joins downstream.
+    * explode_OUTER + isNotNull, not plain explode: non-outer Generate
+      makes the optimizer infer a ``size(tok_set) > 0`` filter and push
+      it below the staged projections with the ENTIRE tokenize+shingle
+      expression inlined — every row then runs the pipeline twice, the
+      pushed copy re-splitting the text per element reference (measured
+      5.3 s → 0.65 s warm for the sf0.1 postings scan). The null filter
+      on the GENERATED column cannot be pushed below the Generate, so the
+      staged projections survive.
+    * The explicit repartition on the JOIN key makes the postings
+      exchange a shared subtree: the pair-join's two sides AND the sizes
+      aggregate all read the SAME ReusedExchange, so the corpus is
+      tokenized+shingled exactly once per query instead of three times.
+    * Nothing wider than (block, tok, id) crosses a shuffle; the postings
+      join's fan-out per shingle is bounded by block size.
+
+    Pairs sharing ZERO shingles never surface (the pruning that makes the
+    postings join cheap) — callers enforce ``threshold > 0`` so that is
+    output-invariant."""
+    clean = df
+    for c in (id_col, *block_cols):
+        clean = clean.filter(F.col(c).isNotNull())
+    tokenized = clean.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    item_set = (
+        F.array_distinct(F.col("_toks"))
+        if shingle_k == 1
+        else F.array_distinct(shingles_of(F.col("_toks"), shingle_k))
+    )
+    base = tokenized.select(*block_cols, "doc_id", item_set.alias("tok_set"))
+    posts = base.select(
+        *block_cols, "doc_id", F.explode_outer("tok_set").alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    posts = posts.repartition(*block_cols, "tok")
+    # n_set = postings count per doc (tok_set is distinct); docs with zero
+    # shingles are absent here AND from the pair join, so nothing is lost.
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_set"))
+    inter = (
+        posts.select(*block_cols, F.col("doc_id").alias("doc_a"), "tok")
+        .join(
+            posts.select(*block_cols, F.col("doc_id").alias("doc_b"), "tok"),
+            [*block_cols, "tok"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_set", "n_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_set", "n_b")
+    )
+
+
 def blocked_jaccard_near_dups(
     df: DataFrame,
     block_cols: tuple[str, ...] = ("source", "lang"),
@@ -304,14 +384,11 @@ def blocked_jaccard_near_dups(
     ``shingle_k`` as the LSH tier — k=1 is unigram token sets).
 
     Plan shape (r4): postings-style intersection counting, NOT an
-    array-carrying self-join. Explode each doc's distinct shingle set into
-    (block, shingle, id) postings, self-join on (block, shingle) to count
-    per-pair intersections, then join back the two set sizes and compute
-    |∩|/(|a|+|b|-|∩|). Nothing wider than (block, shingle, id) crosses a
-    shuffle — the former formulation shipped BOTH full shingle arrays with
-    every candidate pair (O(block²·|shingles|) shuffle bytes; measured 4 s →
-    1.4 s warm for the sf0.1 pair pipeline). The postings join's fan-out per
-    shingle is bounded by block size.
+    array-carrying self-join — see :func:`_blocked_pair_counts` (the core
+    shared with the containment tier; the former array-carrying form
+    shipped BOTH full shingle arrays with every candidate pair, measured
+    4 s → 1.4 s warm for the sf0.1 pair pipeline). This tier scores
+    |∩|/(|a|+|b|−|∩|).
 
     Contract note: pairs sharing ZERO shingles (jaccard exactly 0) never
     surface — that pruning is what makes the postings join cheap. For any
@@ -326,72 +403,9 @@ def blocked_jaccard_near_dups(
             "formulation prunes zero-overlap pairs by construction, so "
             "threshold <= 0 cannot honor the all-pairs contract"
         )
-    # Explicit notnull filters on the id + block columns, NOT left to join
-    # inference: the pair-join sides get isnotnull(block_cols) inferred from
-    # their join keys but the `sizes` aggregate does not, so without this the
-    # sizes subtree canonicalizes differently and AQE cannot reuse the
-    # postings exchange for it (one fewer full tokenize+shingle+explode+
-    # shuffle run per query). Output-invariant: null-keyed rows can never
-    # survive the inner joins downstream.
-    clean = df
-    for c in (id_col, *block_cols):
-        clean = clean.filter(F.col(c).isNotNull())
-    tokenized = clean.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("_toks"),
-    )
-    item_set = (
-        F.array_distinct(F.col("_toks"))
-        if shingle_k == 1
-        else F.array_distinct(shingles_of(F.col("_toks"), shingle_k))
-    )
-    base = tokenized.select(
-        *block_cols,
-        "doc_id",
-        item_set.alias("tok_set"),
-    )
-    # explode_OUTER + isNotNull, not plain explode: non-outer Generate makes
-    # the optimizer infer a `size(tok_set) > 0` filter and push it below the
-    # staged projections with the ENTIRE tokenize+shingle expression inlined
-    # — every row then runs the pipeline twice, the pushed copy re-splitting
-    # the text per element reference (measured 5.3 s → 0.65 s warm for the
-    # sf0.1 postings scan). The null filter on the GENERATED column cannot
-    # be pushed below the Generate, so the staged projections survive.
-    #
-    # The explicit repartition on the JOIN key makes the postings exchange a
-    # shared subtree: the pair-join's two sides AND the sizes aggregate all
-    # read the SAME ReusedExchange, so the corpus is tokenized+shingled
-    # exactly once per query instead of three times (the join would have
-    # shuffled on (block, tok) anyway — this just hoists that shuffle above
-    # one computation instead of two).
-    posts = base.select(
-        *block_cols, "doc_id", F.explode_outer("tok_set").alias("tok")
-    ).filter(F.col("tok").isNotNull())
-    posts = posts.repartition(*block_cols, "tok")
-    # n_set = postings count per doc (tok_set is distinct); docs with zero
-    # shingles are absent here AND from the pair join, so nothing is lost.
-    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_set"))
-    inter = (
-        posts.select(
-            *block_cols, F.col("doc_id").alias("doc_a"), "tok"
-        )
-        .join(
-            posts.select(
-                *block_cols, F.col("doc_id").alias("doc_b"), "tok"
-            ),
-            [*block_cols, "tok"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    counts = _blocked_pair_counts(df, block_cols, text_col, id_col, shingle_k)
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_set", "n_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("n_set", "n_b")
-        .select(
+        counts.select(
             "doc_a",
             "doc_b",
             r4(
@@ -422,54 +436,19 @@ def blocked_containment_near_dups(
     the score symmetric while preserving the subset signal — a pair scores
     1.0 iff one token set is a subset of the other.
 
-    Plan shape: identical postings discipline to
-    :func:`blocked_jaccard_near_dups` (explode_outer staged projections,
-    one repartition on the (block, tok) join key shared by the pair join
-    and the sizes aggregate, nothing wider than (block, tok, id) crossing
-    a shuffle); only the final score expression differs. Zero-overlap
-    pairs are pruned by construction, which is output-equivalent for any
-    ``threshold > 0``; ``threshold <= 0`` raises, same contract as the
-    Jaccard tier."""
+    Plan shape: :func:`_blocked_pair_counts` (the postings core shared
+    with the Jaccard tier — one copy of the staged-projection /
+    shared-exchange discipline); only the score expression differs.
+    Zero-overlap pruning is output-equivalent for any ``threshold > 0``;
+    ``threshold <= 0`` raises, same contract as the Jaccard tier."""
     if threshold <= 0:
         raise ValueError(
             "blocked_containment_near_dups requires threshold > 0: the "
             "postings formulation prunes zero-overlap pairs by construction"
         )
-    clean = df
-    for c in (id_col, *block_cols):
-        clean = clean.filter(F.col(c).isNotNull())
-    tokenized = clean.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("_toks"),
-    )
-    item_set = (
-        F.array_distinct(F.col("_toks"))
-        if shingle_k == 1
-        else F.array_distinct(shingles_of(F.col("_toks"), shingle_k))
-    )
-    base = tokenized.select(*block_cols, "doc_id", item_set.alias("tok_set"))
-    posts = base.select(
-        *block_cols, "doc_id", F.explode_outer("tok_set").alias("tok")
-    ).filter(F.col("tok").isNotNull())
-    posts = posts.repartition(*block_cols, "tok")
-    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_set"))
-    inter = (
-        posts.select(*block_cols, F.col("doc_id").alias("doc_a"), "tok")
-        .join(
-            posts.select(*block_cols, F.col("doc_id").alias("doc_b"), "tok"),
-            [*block_cols, "tok"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    counts = _blocked_pair_counts(df, block_cols, text_col, id_col, shingle_k)
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_set", "n_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("n_set", "n_b")
-        .select(
+        counts.select(
             "doc_a",
             "doc_b",
             "n_a",

@@ -56,9 +56,22 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     output. The per-element lambda only references the materialized
     aggregate output column, so no CollapseProject re-evaluation applies;
     a pathological mega-order would be capped upstream by a size filter."""
-    sets = lineitem.groupBy("l_orderkey").agg(
+    return edges_from_sets(order_part_sets(lineitem))
+
+
+def order_part_sets(lineitem: DataFrame) -> DataFrame:
+    """Each order's sorted distinct part set ``(l_orderkey, ps)`` — ONE
+    exchange; the shared upstream of the co-purchase graph queries (pair
+    explode, per-part order counts, and the corpus total all derive from
+    this same aggregate, so consumers share one ReusedExchange)."""
+    return lineitem.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+
+
+def edges_from_sets(sets: DataFrame) -> DataFrame:
+    """Pair counts from :func:`order_part_sets` output — row-local pair
+    generation + one exchange on the pair (see copurchase_edges doc)."""
     pairs = sets.select(
         F.explode(
             F.flatten(
@@ -282,8 +295,9 @@ def kcore(
     the alive set + one degree aggregate + one filter, with the alive set
     localCheckpoint'd per round (the plan would otherwise re-derive all
     prior rounds); convergence is a 1-row count probe. Rounds are bounded
-    by the peeling depth (≤ graph degeneracy ≪ |V| in practice;
-    ``max_iters`` is a backstop).
+    by the peeling depth — ≪ |V| on real graphs but Θ(|V|) on adversarial
+    long paths, so exhausting ``max_iters`` RAISES rather than silently
+    returning a non-fixed-point (wrong) node set.
 
     Registration note: operator + pytest in round 5; registry entry
     queued for the round-6 driver window."""
@@ -296,6 +310,7 @@ def kcore(
         e.select(F.col("p2").alias("p"))
     ).distinct()
     prev = -1
+    converged = False
     for _ in range(max_iters):
         sub = e.join(
             F.broadcast(alive.withColumnRenamed("p", "p1")), "p1", "left_semi"
@@ -316,6 +331,15 @@ def kcore(
         n = nxt.count()
         alive = nxt
         if n == prev:
+            # peeling is monotone (alive sets only shrink), so an equal
+            # count means an equal set — the unique fixed point.
+            converged = True
             break
         prev = n
+    if not converged:
+        raise RuntimeError(
+            f"kcore(k={k}) did not converge within max_iters={max_iters} "
+            "rounds — the partial alive set is NOT the k-core (long-path "
+            "graphs peel ~2 nodes/round); raise max_iters"
+        )
     return alive

@@ -47,6 +47,13 @@ def rolling_zscore_flags(
     z·σ_pop with both sides multiplied by n². No division, sqrt, or float
     appears, so results are bit-identical across engines and partitionings.
 
+    Null contract: callers must pre-filter null ``value_col`` rows (the
+    registered query and the streaming twin both do); defensively, ``n``
+    counts non-null values (``F.count(value_col)``), so a null row that
+    slips through contributes to neither n, S, nor Q instead of inflating
+    n against an unchanged S/Q (a wrong-n z-test AND a silent batch/stream
+    divergence — the streaming twin drops nulls).
+
     Scale: ONE exchange (the key window partition); trailing-frame state
     is ``window_rows`` per row. Returns the input columns (the flagged
     rows only)."""
@@ -59,7 +66,7 @@ def rolling_zscore_flags(
     n, s, q = F.col("_n"), F.col("_s"), F.col("_q")
     dev = n * F.col(value_col) - s
     return (
-        df.withColumn("_n", F.count(F.lit(1)).over(win))
+        df.withColumn("_n", F.count(F.col(value_col)).over(win))
         .withColumn("_s", F.sum(dec).over(win))
         .withColumn("_q", F.sum(dec * F.col(value_col)).over(win))
         .filter((n >= min_rows) & (dev * dev > (z * z) * (n * q - s * s)))

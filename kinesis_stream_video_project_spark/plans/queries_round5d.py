@@ -21,6 +21,7 @@ from kinesis_stream_video_project_spark.functions.numeric import (
     r4,
     scaled_long,
     sql_r4,
+    sql_scaled_long,
 )
 from kinesis_stream_video_project_spark.operators import dedup, graph, stats
 from kinesis_stream_video_project_spark.plans.registry import register
@@ -153,23 +154,24 @@ def copurchase_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the integer pair (N·n_ab, n_a·n_b) instead of a float, so the hash
     match is exact and the consumer can compare lifts by cross-multiplying.
 
-    Shape: the shared co-purchase edge aggregate + two part-frequency
-    joins + a broadcast 1-row corpus total (the crossJoin is against a
-    single-row aggregate — the sanctioned broadcast-scalar pattern) +
-    TakeOrderedAndProject over the (support DESC, p1, p2) total order.
-    At 100 TB the pair aggregate is the dominant shuffle and is exactly
-    the frequent-pair counting pass of apriori; a support floor would
-    precede the joins."""
-    li = (
-        io.load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    Shape: ONE order-grouped part-set aggregate feeds all three inputs —
+    the pair counts (row-local pair explode), the per-part order counts
+    (explode of the same sets), and the 1-row corpus total (count of the
+    sets) — so the identical exchange subtree is shared (ReusedExchange)
+    instead of re-scanning lineitem three ways; then two part-frequency
+    joins, a broadcast 1-row total (the sanctioned broadcast-scalar
+    crossJoin), and TakeOrderedAndProject over the (support DESC, p1, p2)
+    total order. At 100 TB the pair aggregate is the dominant shuffle and
+    is exactly the frequent-pair counting pass of apriori; a support
+    floor would precede the joins."""
+    sets = graph.order_part_sets(io.load_table(spark, sf_dir, "lineitem"))
+    edges = graph.edges_from_sets(sets)
+    pc = (
+        sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_part"))
     )
-    edges = graph.copurchase_edges(io.load_table(spark, sf_dir, "lineitem"))
-    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    tot = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_tot")
-    )
+    tot = sets.agg(F.count(F.lit(1)).alias("n_tot"))
     return (
         edges.join(pc.withColumnRenamed("l_partkey", "p1"), "p1")
         .withColumnRenamed("n_part", "n_a")
@@ -236,8 +238,8 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT event_id, user_id,
-         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_micro, ts
-  FROM events
+         {vu} AS value_micro, ts
+  FROM events WHERE value IS NOT NULL
 ),
 w AS (
   SELECT event_id, user_id, value_micro,
@@ -252,7 +254,7 @@ SELECT event_id, user_id, value_micro
 FROM w
 WHERE n >= 10
   AND (n * value_micro - s) * (n * value_micro - s) > 9 * (n * q - s * s)
-""",
+""".format(vu=sql_scaled_long("value", 1000000)),
 )
 def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection: flag events whose value sits
@@ -269,9 +271,15 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e20, past BIGINT.
 
     Scale: ONE exchange (user_id window partition); the 20-row trailing
-    frame is bounded state per row (operators/stats.py). Streaming twin
-    would ride applyInPandasWithState with a 20-deep per-user deque."""
-    e = io.load_table(spark, sf_dir, "events")
+    frame is bounded state per row (operators/stats.py). Null values are
+    filtered BEFORE scaling on both sides — the streaming twin
+    (streaming/jobs.py::zscore_stream) drops them too, so the
+    batch==stream flag-set equality holds on null-bearing feeds. The
+    streaming twin rides applyInPandasWithState with a 20-deep per-user
+    integer deque."""
+    e = io.load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     v = e.select(
         "event_id",
         "user_id",
@@ -295,8 +303,8 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH j AS (
   SELECT c.c_nationkey,
-         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS x,
-         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+         {x} AS x,
+         {y} AS y
   FROM customer c JOIN orders o ON c_custkey = o_custkey
 ),
 s AS (
@@ -312,6 +320,8 @@ SELECT c_nationkey, n_pairs,
        {c} AS corr
 FROM s
 """.format(
+        x=sql_scaled_long("c_acctbal", 100),
+        y=sql_scaled_long("o_totalprice", 100),
         c=sql_r4(
             "CAST(n_pairs*sxy - sx*sy AS DOUBLE)"
             " / sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE)"
@@ -349,7 +359,7 @@ def corr_acctbal_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT event_type, epoch_us(ts) AS us,
-         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu
+         {vu} AS vu
   FROM events
 ),
 m AS (SELECT event_type, MIN(us) AS mn FROM v GROUP BY event_type),
@@ -369,6 +379,7 @@ SELECT event_type, n_events,
        {c} AS slope_per_day
 FROM s
 """.format(
+        vu=sql_scaled_long("value", 1000000),
         c=sql_r4(
             "(CAST(n_events*sxy - sx*sy AS DOUBLE)"
             " / CAST(n_events*sxx - sx*sx AS DOUBLE)) * 86400.0"

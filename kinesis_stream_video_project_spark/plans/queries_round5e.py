@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis_stream_video_project_spark import io
-from kinesis_stream_video_project_spark.functions.numeric import r4, scaled_long
+from kinesis_stream_video_project_spark.functions.numeric import (
+    r4,
+    scaled_long,
+    sql_scaled_long,
+    tdiv,
+)
 from kinesis_stream_video_project_spark.functions.text import tokens
 from kinesis_stream_video_project_spark.plans.registry import register
 
@@ -30,7 +35,12 @@ def cusum_fold(pdf: pd.DataFrame) -> pd.DataFrame:
     then run the two-sided tabular CUSUM from row 21 —
     S⁺ = max(0, S⁺ + v − ref − κ), S⁻ = max(0, S⁻ + ref − v − κ); crossing
     h emits an alarm row and resets that side. Python ints are
-    arbitrary-precision, so the fold is exact by construction."""
+    arbitrary-precision, so the fold is exact by construction — but the
+    calibration divisions use ``tdiv`` (truncation toward zero), NOT
+    Python's flooring ``//``: DuckDB's ``//`` truncates on negative
+    numerators, so a signed metric whose calibration sum goes negative
+    would otherwise calibrate differently on each side (pinned in
+    tests/test_round5e.py)."""
     pdf = pdf.sort_values(["user_id", "ts", "event_id"])
     out_u: list = []
     out_e: list = []
@@ -40,8 +50,8 @@ def cusum_fold(pdf: pd.DataFrame) -> pd.DataFrame:
         eids = g["event_id"].tolist()
         if len(vus) < 21:
             continue
-        ref = sum(vus[:20]) // 20
-        kappa = ref // 3
+        ref = tdiv(sum(vus[:20]), 20)
+        kappa = tdiv(ref, 3)
         h = 10 * kappa
         sp = sm = 0
         for eid, v in zip(eids[20:], vus[20:]):
@@ -68,7 +78,7 @@ def cusum_fold(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
 WITH RECURSIVE seq AS (
   SELECT user_id, event_id,
-         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu,
+         {vu} AS vu,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events WHERE value IS NOT NULL
 ),
@@ -103,7 +113,7 @@ walk AS (
 SELECT user_id, event_id, 'up' AS direction FROM walk WHERE alarm_up
 UNION ALL
 SELECT user_id, event_id, 'down' AS direction FROM walk WHERE alarm_down
-""",
+""".format(vu=sql_scaled_long("value", 1000000)),
 )
 def cusum_changepoints(
     spark: SparkSession, sf_dir: str, n_shards: int | None = None

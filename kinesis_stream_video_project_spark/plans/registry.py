@@ -106,9 +106,10 @@ def register(
 # 26 new + 15 r1-era + 1 = 50), so capabilities built after that cap ship
 # as operators with pytest-only coverage this round and take their
 # first-round window slots in r6: graph.label_propagation (deterministic
-# sync LPA) and stats.robust_center_spread (exact median + MAD) — both
-# already have oracle-ready shapes (unrolled-CTE LPA, chained
-# median-walk SQL).
+# sync LPA), graph.kcore (fixed-point peeling), and
+# stats.robust_center_spread (exact median + MAD) — all three have
+# oracle-ready shapes (unrolled-CTE LPA, converged-peel invariant claim
+# or bounded unroll for kcore, chained median-walk SQL).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (a) r5-changed code paths (8): dedup hash-family rewrite +
     #     the de-degenerated embedding tier ---
@@ -120,7 +121,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dup_clusters",
     "curation_pipeline_v2",
     "embedding_near_dup",
-    # --- (a') new round-5 queries (23) ---
+    # --- (a') new round-5 queries (26) ---
     "quality_percentile_gate",
     "bigram_next_token",
     "surprisal_score_salted",

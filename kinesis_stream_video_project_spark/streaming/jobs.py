@@ -24,6 +24,7 @@ from pyspark.sql.types import (
 )
 
 from kinesis_stream_video_project_spark.config import METRIC_WINDOW_SECONDS
+from kinesis_stream_video_project_spark.functions.numeric import tdiv
 from kinesis_stream_video_project_spark.operators.watchdog import (
     WatchdogState,
     replay_device,
@@ -741,6 +742,23 @@ def ewma_stream(
     )
 
 
+def _scale_micro(values) -> list:
+    """Portable double→micro-unit integer scaling for the stream folds:
+    floor(v·10⁶ + 0.5) — the SAME IEEE steps as numeric.scaled_long on
+    the batch side. ONE definition shared by every detector stream job:
+    the scaling rule is the cross-engine parity anchor, so a drift
+    between jobs would silently break exactly one batch==stream equality.
+    """
+    import numpy as np
+
+    return [
+        int(x)
+        for x in np.floor(
+            np.asarray(values, dtype="float64") * 1000000.0 + 0.5
+        ).astype("int64")
+    ]
+
+
 _ZSCORE_OUT_SCHEMA = (
     StructType()
     .add("user_id", "long")
@@ -812,16 +830,6 @@ def zscore_stream(
     Values are scaled to integer micro-units with the SAME portable
     rounding as the batch side (floor(v·10⁶ + 0.5) — identical IEEE in
     numpy and Spark), so no float comparison anywhere."""
-    import numpy as np
-
-    def _scale(values) -> list:
-        return [
-            int(x)
-            for x in np.floor(
-                np.asarray(values, dtype="float64") * 1000000.0 + 0.5
-            ).astype("int64")
-        ]
-
     def _emit(user_id, flagged):
         return pd.DataFrame(
             {
@@ -844,7 +852,7 @@ def zscore_stream(
             batch = batch.sort_values(["ts", "event_id"])
             w, flagged = _zscore_fold(
                 w,
-                zip(batch["event_id"].tolist(), _scale(batch["value"])),
+                zip(batch["event_id"].tolist(), _scale_micro(batch["value"])),
                 window_rows,
                 min_rows,
                 z,
@@ -872,7 +880,7 @@ def zscore_stream(
             pdf = pdf[pdf["value"].notna()]
             ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
             new_rows.extend(
-                zip(ts_us, pdf["event_id"].tolist(), _scale(pdf["value"]))
+                zip(ts_us, pdf["event_id"].tolist(), _scale_micro(pdf["value"]))
             )
         frontier, pending, ready = _reorder_ready(
             frontier, pending, new_rows, allowed_lateness_us
@@ -950,9 +958,9 @@ def _cusum_step(warmup, ref, sp, sm, rows):
         if ref is None:
             warmup.append(v)
             if len(warmup) == 20:
-                ref = sum(warmup) // 20
+                ref = tdiv(sum(warmup), 20)
             continue
-        kappa = ref // 3
+        kappa = tdiv(ref, 3)
         h = 10 * kappa
         sp = max(0, sp + v - ref - kappa)
         sm = max(0, sm + ref - v - kappa)
@@ -981,16 +989,6 @@ def cusum_stream(
     alarm set equals the batch twin's bit-for-bit (pinned in
     tests/test_streaming.py). Values scale through the same
     floor(v·10⁶ + 0.5) as the batch side."""
-    import numpy as np
-
-    def _scale(values) -> list:
-        return [
-            int(x)
-            for x in np.floor(
-                np.asarray(values, dtype="float64") * 1000000.0 + 0.5
-            ).astype("int64")
-        ]
-
     def _emit(user_id, alarms):
         return pd.DataFrame(
             {
@@ -1020,7 +1018,7 @@ def cusum_stream(
                 ref,
                 sp,
                 sm,
-                zip(batch["event_id"].tolist(), _scale(batch["value"])),
+                zip(batch["event_id"].tolist(), _scale_micro(batch["value"])),
             )
         state.update((warmup, ref, sp, sm))
         if alarms:
@@ -1043,7 +1041,7 @@ def cusum_stream(
             pdf = pdf[pdf["value"].notna()]
             ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
             new_rows.extend(
-                zip(ts_us, pdf["event_id"].tolist(), _scale(pdf["value"]))
+                zip(ts_us, pdf["event_id"].tolist(), _scale_micro(pdf["value"]))
             )
         frontier, pending, ready = _reorder_ready(
             frontier, pending, new_rows, allowed_lateness_us

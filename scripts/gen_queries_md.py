@@ -20,11 +20,22 @@ from kinesis_stream_video_project_spark.plans import registry  # noqa: E402
 ROUND = 5  # current round: queries with no CORRECTNESS row are `new`
 
 
-def latest_green(name: str) -> int | None:
-    best = None
+def _load_correctness() -> list[tuple[int, dict]]:
+    out = []
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", path).group(1))
-        row = json.load(open(path)).get(name)
+        with open(path) as f:
+            out.append((rnd, json.load(f)))
+    return out
+
+
+_CORRECTNESS = _load_correctness()
+
+
+def latest_green(name: str) -> int | None:
+    best = None
+    for rnd, data in _CORRECTNESS:
+        row = data.get(name)
         if row and row.get("hash_match") and not row.get("err"):
             best = rnd
     return best

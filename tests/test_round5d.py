@@ -360,3 +360,14 @@ def test_kcore_known_graph_and_fixed_point(spark, sf_dir):
         assert {r["p"] for r in degs.collect()} == alive
     finally:
         edges.unpersist()
+
+
+def test_kcore_raises_on_nonconvergence(spark):
+    """A 20-node path with k=2 peels two endpoints per round (~9 rounds);
+    with max_iters=3 the loop cannot reach the fixed point and must RAISE
+    instead of returning interior nodes that are not in the (empty)
+    2-core."""
+    path = [(i, i + 1) for i in range(1, 20)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.kcore(_edges(spark, path), 2, max_iters=3)
+    assert graph.kcore(_edges(spark, path), 2, max_iters=30).count() == 0

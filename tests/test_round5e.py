@@ -103,3 +103,64 @@ def test_phrase_search_matches_bruteforce(spark, sf_dir):
         if n > 0:
             want.add((doc_id, n))
     assert got == want and len(want) > 0
+
+
+def test_cusum_negative_calibration_matches_duckdb():
+    """Signed metrics: a calibration window whose sum is negative must
+    produce the SAME (ref, κ) on both sides. Python's // floors toward
+    -inf while DuckDB's // truncates toward zero (-7//20 is -1 vs 0), so
+    the fold uses numeric.tdiv — this test replays a negative-mean series
+    through cusum_fold AND the oracle's recursive CTE over an in-memory
+    relation and requires identical alarm sets."""
+    import duckdb
+
+    vals = [-7, -3, -11, -5, -2, -9, -1, -8, -4, -6] * 2 + [-300] * 15
+    rows = [(1, i, i, v) for i, v in enumerate(vals)]  # user, eid, ts, v
+    got = cusum_fold(
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[2] for r in rows],
+                "event_id": [r[1] for r in rows],
+                "vu": [r[3] for r in rows],
+            }
+        )
+    )
+    got_set = set(zip(got["event_id"], got["direction"]))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id BIGINT, event_id BIGINT, ts BIGINT, vu BIGINT)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?)", rows)
+    want = con.execute("""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, vu,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM ev
+),
+refs AS (
+  SELECT user_id, CAST(SUM(vu) FILTER (WHERE rn <= 20) // 20 AS BIGINT) AS ref
+  FROM seq GROUP BY user_id HAVING COUNT(*) >= 21
+),
+walk AS (
+  SELECT s.user_id, s.event_id, s.rn,
+         CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sm,
+         false AS alarm_up, false AS alarm_down
+  FROM seq s JOIN refs r ON r.user_id = s.user_id WHERE s.rn = 20
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn,
+         CASE WHEN greatest(0, w.sp + s.vu - r.ref - r.ref // 3) > 10 * (r.ref // 3)
+              THEN 0 ELSE greatest(0, w.sp + s.vu - r.ref - r.ref // 3) END,
+         CASE WHEN greatest(0, w.sm + r.ref - s.vu - r.ref // 3) > 10 * (r.ref // 3)
+              THEN 0 ELSE greatest(0, w.sm + r.ref - s.vu - r.ref // 3) END,
+         greatest(0, w.sp + s.vu - r.ref - r.ref // 3) > 10 * (r.ref // 3),
+         greatest(0, w.sm + r.ref - s.vu - r.ref // 3) > 10 * (r.ref // 3)
+  FROM walk w
+  JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+  JOIN refs r ON r.user_id = w.user_id
+)
+SELECT event_id, 'up' FROM walk WHERE alarm_up
+UNION ALL SELECT event_id, 'down' FROM walk WHERE alarm_down
+""").fetchall()
+    want_set = {(e, d) for e, d in want}
+    # sanity: Python floor-division would calibrate ref=-6 (sum=-112,
+    # floor -6) vs truncation's -5 — the sets would differ; tdiv aligns.
+    assert got_set == want_set
