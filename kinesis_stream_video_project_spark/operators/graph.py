@@ -11,7 +11,7 @@ node is most central" (PageRank). Both are also core curation tools for
 training-data pipelines: co-occurrence graphs over entities rank canonical
 documents and detect template clusters.
 
-Design rules shared by both operators:
+Design rules shared by the operators:
 
 * **Edge lists are DataFrames, never adjacency matrices** — every step is
   a join or aggregate keyed on a node id, so the shuffles partition by
