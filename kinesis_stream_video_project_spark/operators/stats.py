@@ -134,13 +134,23 @@ def ols_slope_exact(
     )
 
 
-def _lower_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
-    """Exact lower median of an INTEGER column per group: the smallest
-    value whose cumulative count reaches half the total — the
-    weighted_median_price move (pre-aggregate to distinct (group, value)
-    counts so the cumulative window walks distinct values, then an integer
-    ``2·cw ≥ tw`` threshold pick). Two exchanges; no float quantile
-    arithmetic. Returns (group, med)."""
+def exact_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    num: int = 1,
+    den: int = 2,
+    out_col: str = "q",
+) -> DataFrame:
+    """Exact (num/den)-quantile of an INTEGER column per group: the
+    smallest value whose cumulative count reaches num/den of the total —
+    the weighted_median_price move generalized from the lower median
+    (pre-aggregate to distinct (group, value) counts so the cumulative
+    window walks distinct values, then the integer ``den·cw ≥ num·tw``
+    threshold pick). Two exchanges; no float quantile arithmetic.
+    Returns (group, out_col)."""
+    if not (0 < num <= den):
+        raise ValueError(f"quantile {num}/{den} must satisfy 0 < num <= den")
     cnt = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("w"))
     w_cum = (
         Window.partitionBy(group_col)
@@ -156,8 +166,49 @@ def _lower_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
     return c.groupBy(group_col).agg(
         F.min(
-            F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col(value_col))
-        ).alias("med")
+            F.when(
+                F.lit(den) * F.col("cw") >= F.lit(num) * F.col("tw"),
+                F.col(value_col),
+            )
+        ).alias(out_col)
+    )
+
+
+def _lower_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact lower median per group — :func:`exact_quantile` at 1/2."""
+    return exact_quantile(df, group_col, value_col, 1, 2, out_col="med")
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: tuple[int, int] = (5, 100),
+    hi: tuple[int, int] = (95, 100),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip an INTEGER column to its exact
+    [lo, hi] quantiles (defaults: 5th/95th percentile) — the standard
+    heavy-tail taming before moment statistics (a mean/σ over winsorized
+    values resists the outliers that motivate robust_center_spread, while
+    keeping moment arithmetic).
+
+    Exact: both bounds come from :func:`exact_quantile` (integer
+    thresholds, no interpolation), joined back broadcast (|groups| rows)
+    and applied with greatest/least — deterministic in any engine. Adds
+    ``out_col`` (default ``<value_col>_wins``) next to the input
+    columns."""
+    out_col = out_col or f"{value_col}_wins"
+    qlo = exact_quantile(df, group_col, value_col, *lo, out_col="_qlo")
+    qhi = exact_quantile(df, group_col, value_col, *hi, out_col="_qhi")
+    bounds = qlo.join(qhi, group_col)
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("_qlo")), F.col("_qhi")),
+        )
+        .drop("_qlo", "_qhi")
     )
 
 

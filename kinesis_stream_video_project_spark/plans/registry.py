@@ -106,10 +106,14 @@ def register(
 # 26 new + 15 r1-era + 1 = 50), so capabilities built after that cap ship
 # as operators with pytest-only coverage this round and take their
 # first-round window slots in r6: graph.label_propagation (deterministic
-# sync LPA), graph.kcore (fixed-point peeling), and
-# stats.robust_center_spread (exact median + MAD) — all three have
+# sync LPA), graph.kcore (fixed-point peeling),
+# stats.robust_center_spread (exact median + MAD),
+# stats.exact_quantile/winsorize (generalized integer quantile walk +
+# clip), and profiling.column_profile/profile_drift (melt-based
+# per-column profiles + all-integer snapshot drift report) — all have
 # oracle-ready shapes (unrolled-CTE LPA, converged-peel invariant claim
-# or bounded unroll for kcore, chained median-walk SQL).
+# or bounded unroll for kcore, chained median-walk SQL, melt+aggregate
+# SQL for the profiles).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (a) r5-changed code paths (8): dedup hash-family rewrite +
     #     the de-degenerated embedding tier ---
