@@ -893,3 +893,59 @@ def test_cusum_step_composes_to_batch_fold():
             alarms.extend(a)
         assert alarms == want, split
     assert any(d == "up" for _, d in want)
+
+
+def test_cusum_stream_buffered_reorders_late_events(spark, tmp_path):
+    """Buffered CUSUM: a late event inside the lateness horizon must fold
+    in (ts, event_id) order BEFORE the alarm decision. 24 calm events
+    arrive with one gap, the sustained-shift block arrives, then the
+    missing calm event arrives LATE (its ts predates the shift); a
+    far-future flusher advances the frontier. The emitted alarm set must
+    equal the in-order batch fold — the lateness=0 path would have
+    calibrated on a 20-value window that skips the late event and alarmed
+    at a different position."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, sec, val):
+        return (int(eid), base + dt.timedelta(seconds=sec), 1, float(val))
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    calm = [ev(i, i, 100 + (i % 3)) for i in range(24) if i != 18]
+    shift = [ev(i, i, 160.0) for i in range(24, 40)]
+    late = ev(18, 18, 100.0)
+    flusher = ev(99, 10_000, 100.0)
+    src = tmp_path / "cusum_late_src"
+    _write_single_file(spark.createDataFrame(calm + shift, schema), src, "b0.parquet")
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame([late], schema), src, "b1.parquet")
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame([flusher], schema), src, "b2.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.cusum_stream(stream, allowed_lateness_us=60_000_000)
+        .writeStream.format("memory")
+        .queryName("cusum_late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.direction)
+        for r in spark.sql("SELECT * FROM cusum_late_out").collect()
+    }
+    ordered = sorted(calm + [late] + shift, key=lambda t: (t[1], t[0]))
+    warmup, ref, sp, sm = [], None, 0, 0
+    alarms: list = []
+    warmup, ref, sp, sm, alarms = jobs._cusum_step(
+        warmup, ref, sp, sm,
+        [(eid, int(v * 1_000_000)) for eid, _ts, _u, v in ordered],
+    )
+    assert got == set(alarms) and len(got) > 0
