@@ -614,3 +614,47 @@ def test_minhash_broadcast_fallback_is_result_invariant(spark, sf_dir):
         for r in minhash_lsh_near_dups(docs, broadcast_pairs=False).collect()
     }
     assert fast == slow and len(fast) > 0
+
+
+def test_dedup_tiers_on_stacked_duplicate_corpus(spark, sf_dir):
+    """Duplication stress (the shape a 100 TB web crawl actually has):
+    stack the corpus 3x with offset ids so EVERY document has exactly two
+    verbatim twins in other copies. The exact tier must recover precisely
+    the cross-copy twin pairs on top of the base corpus's own duplicate
+    groups, and the MinHash-LSH tier must recall every cross-copy twin
+    (identical texts share all bands by construction) — exercising the
+    bucket discipline at 3x density without any quadratic blowup."""
+    d = io.load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    n = d.count()
+    stacked = d
+    for k in (1, 2):
+        stacked = stacked.unionByName(
+            d.select(
+                (F.col("doc_id") + k * n).alias("doc_id"),
+                "text",
+                "source",
+                "lang",
+            )
+        )
+    groups = dedup.exact_dedup_groups(stacked)
+    # every text now appears 3x its base multiplicity → group sizes are
+    # multiples of 3 and the group count equals the base distinct-text count
+    base_distinct = d.select("text").distinct().count()
+    rows = groups.collect()
+    assert len(rows) == base_distinct
+    assert all(r["dup_count"] % 3 == 0 for r in rows)
+    # LSH recall of cross-copy twins: for a sample of base ids, the pair
+    # (id, id+n) must surface as a candidate-verified near-dup.
+    pairs = dedup.minhash_lsh_near_dups(stacked, threshold=0.9)
+    sample = [r["doc_id"] for r in d.select("doc_id").limit(20).collect()]
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.filter(
+            F.col("doc_a").isin(sample)
+            & F.col("doc_b").isin([s + n for s in sample])
+        ).collect()
+    }
+    missing = [s for s in sample if (s, s + n) not in found]
+    assert not missing, f"LSH missed verbatim cross-copy twins: {missing}"
