@@ -1076,3 +1076,81 @@ def cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SILENCE_OUT_SCHEMA = (
+    StructType()
+    .add("user_id", "long")
+    .add("last_seen_us", "long")
+    .add("silent_after_us", "long")
+)
+_SILENCE_STATE_SCHEMA = StructType().add("last_seen_us", "long")
+
+
+def silence_alerts(
+    events: DataFrame,
+    silence_us: int = 300_000_000,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Silent-stream detection — alert when a key produces NO events for
+    ``silence_us`` of event time. This is the reference watchdog's core
+    failure signal inverted into push form: `check_wf.sh`/`restart.sh`
+    POLL on a 300 s loop precisely because the absence of uploads is the
+    thing to detect; an event-time timeout turns that poll into a state
+    timer, so detection latency is the watermark delay rather than the
+    poll period, and idle keys cost one (user_id, last_seen) row of state
+    instead of a scheduled probe each.
+
+    Mechanics: per key, state holds the max event-time seen; every update
+    re-arms an EventTimeTimeout at ``last_seen + silence_us``. When the
+    WATERMARK (driven by the whole stream's progress) passes that
+    deadline, Spark invokes the function with ``hasTimedOut`` and no
+    rows; the job emits one alert (user_id, last_seen_us, the deadline
+    that expired) and clears the state — re-appearance later simply
+    starts a fresh interval (the reference's recovery-reset,
+    `restart.sh:94-96`). The deadline is clamped to just above the
+    current watermark for keys that are ALREADY silent when first seen
+    (setting a timeout at-or-before the watermark is an error).
+
+    Scale: state is one long per key; timeouts batch-fire as the
+    watermark advances — no per-key polling anywhere. Late events within
+    the watermark simply refresh last_seen before the timer can fire."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            (last_us,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "last_seen_us": [last_us],
+                    "silent_after_us": [last_us + silence_us],
+                }
+            )
+            return
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            mx = int(pdf["ts"].astype("int64").max()) // 1000
+            last = mx if last is None else max(last, mx)
+        if last is not None:
+            state.update((last,))
+            deadline_ms = (last + silence_us) // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SILENCE_OUT_SCHEMA,
+            stateStructType=_SILENCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -949,3 +949,54 @@ def test_cusum_stream_buffered_reorders_late_events(spark, tmp_path):
         [(eid, int(v * 1_000_000)) for eid, _ts, _u, v in ordered],
     )
     assert got == set(alarms) and len(got) > 0
+
+
+def test_silence_alerts_fires_for_stalled_key_only(spark, tmp_path):
+    """Two streams: user 1 stops uploading at t=10s, user 2 keeps going
+    through t=400s. With a 60 s silence bound and a 10 s watermark,
+    draining in micro-batches must alert for user 1 exactly once
+    (last_seen = 10 s, deadline 70 s — passed once user 2's progress
+    advances the watermark to 190 s) and never for the still-active
+    user 2, whose final deadline (460 s) stays ahead of the closing
+    watermark (390 s). (A key that RESUMES in the same micro-batch its
+    timer would fire in is simply refreshed — data beats timeout — which
+    is the correct recovery-reset semantics.)"""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, user, sec):
+        return (int(eid), base + dt.timedelta(seconds=sec), user, 1.0)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    b0 = [ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 0), ev(4, 2, 20)]
+    b1 = [ev(5, 2, 200)]
+    b2 = [ev(6, 2, 400)]
+    src = tmp_path / "silence_src"
+    for i, batch in enumerate([b0, b1, b2]):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(batch, schema), src, f"b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.silence_alerts(stream, silence_us=60_000_000, watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("silence_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_silence"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.user_id, r.last_seen_us, r.silent_after_us)
+        for r in spark.sql("SELECT * FROM silence_out").collect()
+    ]
+    base_us = int(base.timestamp()) * 1_000_000
+    assert got == [(1, base_us + 10_000_000, base_us + 70_000_000)]
