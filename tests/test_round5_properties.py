@@ -222,3 +222,57 @@ def test_robust_center_spread_random(spark, rows):
         m = _lower_median_ref(xs)
         want[g] = (m, _lower_median_ref([abs(x - m) for x in xs]), len(xs))
     assert got == want
+
+
+_docs = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(_docs)
+@settings(max_examples=10, deadline=None)
+def test_blocked_tiers_match_set_arithmetic(spark, token_lists):
+    """Random tiny corpora: the postings-core tiers must equal plain
+    Python set arithmetic — Jaccard = |∩|/|∪| and containment =
+    |∩|/min(|A|,|B|) over whitespace token sets, at a low threshold that
+    keeps most pairs (exercising the shared `_blocked_pair_counts` path
+    end to end after the round-5 refactor)."""
+    from kinesis_stream_video_project_spark.operators import dedup
+
+    docs = [(i, " ".join(toks), "w", "en") for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, source string, lang string"
+    )
+
+    def r4py(x):
+        import math
+
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    sets = {i: set(toks) for i, toks in enumerate(token_lists)}
+    want_j, want_c = {}, {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = r4py(inter / len(sets[a] | sets[b]))
+            c = r4py(inter / min(len(sets[a]), len(sets[b])))
+            if j >= 0.1:
+                want_j[(a, b)] = j
+            if c >= 0.1:
+                want_c[(a, b)] = c
+    got_j = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.blocked_jaccard_near_dups(df, threshold=0.1).collect()
+    }
+    got_c = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.blocked_containment_near_dups(df, threshold=0.1).collect()
+    }
+    assert got_j == want_j
+    assert got_c == want_c
