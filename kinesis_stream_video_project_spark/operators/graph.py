@@ -54,8 +54,10 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     count chain (three exchanges, and the join materialized every pair
     through a shuffle): measured 7.2 s → 2.6 s cold at sf0.1, identical
     output. The per-element lambda only references the materialized
-    aggregate output column, so no CollapseProject re-evaluation applies;
-    a pathological mega-order would be capped upstream by a size filter."""
+    aggregate output column, so no CollapseProject re-evaluation applies.
+    Pair generation is exact at any set size (suffix length = size(ps));
+    the quadratic per-row fan-out of a genuinely pathological mega-order
+    is the caller's to cap with a size filter if the domain allows it."""
     return edges_from_sets(order_part_sets(lineitem))
 
 
@@ -78,7 +80,11 @@ def edges_from_sets(sets: DataFrame) -> DataFrame:
                 F.transform(
                     F.col("ps"),
                     lambda x, i: F.transform(
-                        F.slice(F.col("ps"), i + 2, 1000000),
+                        # length = size(ps): exact suffix, no magic cap — a
+                        # constant bound would silently drop pairs past it
+                        # on a pathological mega-set (and INT_MAX overflows
+                        # in codegen; see phrase_search_docs).
+                        F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
                         lambda y: F.struct(x.alias("p1"), y.alias("p2")),
                     ),
                 )
@@ -99,6 +105,23 @@ def degrees(edges: DataFrame) -> DataFrame:
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+
+
+
+def _both_directions(edges: DataFrame) -> DataFrame:
+    """Directed (src, dst) materialization of an undirected (p1, p2) edge
+    list — each edge in both directions (shared by the iterative
+    operators; guarantees every node appears as a src)."""
+    return edges.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+
+
+def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
+    """The iterative-loop materialization rule in ONE place (pagerank /
+    LPA / kcore; components.py states the rationale): break lineage with
+    localCheckpoint, or a reliable checkpoint for long production runs."""
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -193,15 +216,9 @@ def pagerank_int(
     exchanges for 3 iterations, pinned in tests/test_round5d.py). Nothing
     is collected to the driver. ``iters`` is fixed (not converged) so
     plans stay static and the oracle stays SQL-expressible."""
-    both = edges.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    both = _both_directions(edges)
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    adj = both.join(deg, "src")
-    if reliable_checkpoint:
-        adj = adj.checkpoint(eager=True)
-    else:
-        adj = adj.localCheckpoint(eager=True)
+    adj = _materialize(both.join(deg, "src"), reliable_checkpoint)
     ranks = deg.select(F.col("src").alias("p"), F.lit(base).alias("rank_scaled"))
     teleport = (15 * base) // 100
     for _ in range(iters):
@@ -250,13 +267,7 @@ def label_propagation(
     Registration note: operator + pytest coverage in round 5; the
     registry entry is queued for the round-6 driver window (the round-5
     50-slot window is saturated — see plans/registry.py header)."""
-    both = edges.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-    if reliable_checkpoint:
-        both = both.checkpoint(eager=True)
-    else:
-        both = both.localCheckpoint(eager=True)
+    both = _materialize(_both_directions(edges), reliable_checkpoint)
     labels = both.select(F.col("src").alias("p")).distinct().select(
         "p", F.col("p").alias("community")
     )
@@ -301,11 +312,7 @@ def kcore(
 
     Registration note: operator + pytest in round 5; registry entry
     queued for the round-6 driver window."""
-    e = edges.select("p1", "p2")
-    if reliable_checkpoint:
-        e = e.checkpoint(eager=True)
-    else:
-        e = e.localCheckpoint(eager=True)
+    e = _materialize(edges.select("p1", "p2"), reliable_checkpoint)
     alive = e.select(F.col("p1").alias("p")).unionAll(
         e.select(F.col("p2").alias("p"))
     ).distinct()
@@ -323,11 +330,7 @@ def kcore(
             .groupBy("p")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        nxt = deg.filter(F.col("d") >= k).select("p")
-        if reliable_checkpoint:
-            nxt = nxt.checkpoint(eager=True)
-        else:
-            nxt = nxt.localCheckpoint(eager=True)
+        nxt = _materialize(deg.filter(F.col("d") >= k).select("p"), reliable_checkpoint)
         n = nxt.count()
         alive = nxt
         if n == prev:

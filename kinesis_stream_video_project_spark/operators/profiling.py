@@ -73,9 +73,13 @@ def profile_drift(
     cardinality ratio n_distinct_a·n_rows_b vs n_distinct_b·n_rows_a as
     an exact rational pair for the consumer to threshold. Columns present
     in only one snapshot (schema drift) surface via the full-outer join
-    with nulls on the missing side — the loudest possible signal."""
+    with nulls on the missing side — the loudest possible signal, which
+    is why the default column set is the UNION of both schemas (an
+    intersection default would silently hide exactly the added/dropped
+    column the report exists to catch); each side profiles only the
+    columns it has."""
     if cols is None:
-        cols = [c for c in a.columns if c in set(b.columns)] or a.columns
+        cols = list(a.columns) + [c for c in b.columns if c not in set(a.columns)]
     pa = column_profile(a, [c for c in cols if c in a.columns]).select(
         "col_name",
         F.col("n_rows").alias("n_rows_a"),

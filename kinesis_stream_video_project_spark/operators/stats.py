@@ -134,24 +134,33 @@ def ols_slope_exact(
     )
 
 
-def exact_quantile(
+def exact_quantiles(
     df: DataFrame,
     group_col: str,
     value_col: str,
-    num: int = 1,
-    den: int = 2,
-    out_col: str = "q",
+    fractions: Sequence[tuple[int, int, str]],
 ) -> DataFrame:
-    """Exact (num/den)-quantile of an INTEGER column per group: the
-    smallest value whose cumulative count reaches num/den of the total —
-    the weighted_median_price move generalized from the lower median
-    (pre-aggregate to distinct (group, value) counts so the cumulative
-    window walks distinct values, then the integer ``den·cw ≥ num·tw``
-    threshold pick). Two exchanges; no float quantile arithmetic.
-    Returns (group, out_col)."""
-    if not (0 < num <= den):
-        raise ValueError(f"quantile {num}/{den} must satisfy 0 < num <= den")
-    cnt = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("w"))
+    """Exact (num/den)-quantiles of an INTEGER column per group — SEVERAL
+    fractions from ONE pass: the smallest value whose cumulative count
+    reaches num/den of the total (the weighted_median_price move:
+    pre-aggregate to distinct (group, value) counts so the cumulative
+    window walks distinct values, then one integer ``den·cw ≥ num·tw``
+    threshold pick per requested fraction — conditional aggregates over
+    the same cnt/cw/tw table, so winsorize's two bounds cost the same two
+    exchanges as one). Null values are excluded up front: Spark windows
+    order nulls FIRST, so an unfiltered null row would inflate tw and
+    shift every quantile downward (same defense as rolling_zscore_flags).
+    ``fractions`` is [(num, den, out_col), ...]; returns (group, *outs)."""
+    for num, den, _name in fractions:
+        if not (0 < num <= den):
+            raise ValueError(
+                f"quantile {num}/{den} must satisfy 0 < num <= den"
+            )
+    cnt = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
     w_cum = (
         Window.partitionBy(group_col)
         .orderBy(value_col)
@@ -165,13 +174,28 @@ def exact_quantile(
         F.sum("w").over(w_tot).alias("tw"),
     )
     return c.groupBy(group_col).agg(
-        F.min(
-            F.when(
-                F.lit(den) * F.col("cw") >= F.lit(num) * F.col("tw"),
-                F.col(value_col),
-            )
-        ).alias(out_col)
+        *[
+            F.min(
+                F.when(
+                    F.lit(den) * F.col("cw") >= F.lit(num) * F.col("tw"),
+                    F.col(value_col),
+                )
+            ).alias(name)
+            for num, den, name in fractions
+        ]
     )
+
+
+def exact_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    num: int = 1,
+    den: int = 2,
+    out_col: str = "q",
+) -> DataFrame:
+    """Single-fraction convenience over :func:`exact_quantiles`."""
+    return exact_quantiles(df, group_col, value_col, [(num, den, out_col)])
 
 
 def _lower_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -193,20 +217,31 @@ def winsorize(
     values resists the outliers that motivate robust_center_spread, while
     keeping moment arithmetic).
 
-    Exact: both bounds come from :func:`exact_quantile` (integer
-    thresholds, no interpolation), joined back broadcast (|groups| rows)
-    and applied with greatest/least — deterministic in any engine. Adds
-    ``out_col`` (default ``<value_col>_wins``) next to the input
-    columns."""
+    Exact: both bounds come from ONE :func:`exact_quantiles` pass
+    (integer thresholds, no interpolation, nulls excluded), joined back
+    broadcast (|groups| rows) and applied with greatest/least —
+    deterministic in any engine. Adds ``out_col`` (default
+    ``<value_col>_wins``) next to the input columns; null values pass
+    through as null — explicitly guarded, because Spark's greatest/least
+    SKIP nulls (greatest(NULL, lo) = lo would silently turn a missing
+    value into the lower bound)."""
     out_col = out_col or f"{value_col}_wins"
-    qlo = exact_quantile(df, group_col, value_col, *lo, out_col="_qlo")
-    qhi = exact_quantile(df, group_col, value_col, *hi, out_col="_qhi")
-    bounds = qlo.join(qhi, group_col)
+    bounds = exact_quantiles(
+        df,
+        group_col,
+        value_col,
+        [(lo[0], lo[1], "_qlo"), (hi[0], hi[1], "_qhi")],
+    )
     return (
         df.join(F.broadcast(bounds), group_col)
         .withColumn(
             out_col,
-            F.least(F.greatest(F.col(value_col), F.col("_qlo")), F.col("_qhi")),
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.least(
+                    F.greatest(F.col(value_col), F.col("_qlo")), F.col("_qhi")
+                ),
+            ),
         )
         .drop("_qlo", "_qhi")
     )

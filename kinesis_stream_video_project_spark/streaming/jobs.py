@@ -626,6 +626,101 @@ def _reorder_ready(frontier, pending, new_rows, lateness_us):
     return frontier, pending, ready
 
 
+
+def _keyed_value_stream(
+    events: DataFrame,
+    *,
+    restore,
+    persist,
+    fold,
+    emit,
+    scale,
+    out_schema,
+    state_schema,
+    buffered_state_schema,
+    allowed_lateness_us: int,
+):
+    """Shared driver for the per-key value-fold stream jobs (EWMA,
+    rolling z-score, CUSUM): ONE implementation of the state
+    restore/persist shell, the per-batch notna + (ts, event_id) sort, the
+    ns→µs scaling, the `_reorder_ready` buffered mode, and the
+    parallel-array pending repack — the jobs supply only their fold
+    (state × rows → state × emissions), state codec, value scaling, and
+    emit frame. The shell logic is the cross-engine parity anchor (a fix
+    applied to one copy of a triplicated shell silently breaks exactly
+    one batch==stream equality), hence one copy.
+
+    Contracts: ``restore(None)`` builds the initial state;
+    ``restore(core_tuple)``/``persist(state)`` round-trip the non-buffer
+    state fields; buffered mode appends (frontier, buf_ts, buf_eid,
+    buf_val) after the core fields — ``buffered_state_schema`` must be
+    ``state_schema`` + those four."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        st = restore(tuple(state.get) if state.exists else None)
+        frames = [p for p in pdfs if len(p)]
+        out_rows: list[tuple] = []
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch[batch["value"].notna()]
+            batch = batch.sort_values(["ts", "event_id"])
+            st, out_rows = fold(
+                st, list(zip(batch["event_id"].tolist(), scale(batch["value"])))
+            )
+        state.update(persist(st))
+        if out_rows:
+            yield emit(user_id, out_rows)
+
+    def update_buffered(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            raw = tuple(state.get)
+            st = restore(raw[:-4])
+            frontier, b_ts, b_eid, b_val = raw[-4:]
+            pending = list(zip(b_ts or [], b_eid or [], b_val or []))
+        else:
+            st, frontier, pending = restore(None), None, []
+        new_rows: list[tuple] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf[pdf["value"].notna()]
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            new_rows.extend(
+                zip(ts_us, pdf["event_id"].tolist(), scale(pdf["value"]))
+            )
+        frontier, pending, ready = _reorder_ready(
+            frontier, pending, new_rows, allowed_lateness_us
+        )
+        out_rows: list[tuple] = []
+        if ready:
+            st, out_rows = fold(st, [(eid, v) for _ts, eid, v in ready])
+        state.update(
+            (
+                *persist(st),
+                frontier,
+                [r[0] for r in pending],
+                [r[1] for r in pending],
+                [r[2] for r in pending],
+            )
+        )
+        if out_rows:
+            yield emit(user_id, out_rows)
+
+    buffered = allowed_lateness_us > 0
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_buffered if buffered else update,
+        outputStructType=out_schema,
+        stateStructType=buffered_state_schema if buffered else state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
 def ewma_stream(
     events: DataFrame, alpha: float = 0.5, allowed_lateness_us: int = 0
 ) -> DataFrame:
@@ -659,7 +754,7 @@ def ewma_stream(
     unrounded in state — exactly the twin's discipline."""
     import numpy as np
 
-    def _emit(user_id, folded):
+    def emit(user_id, folded):
         return pd.DataFrame(
             {
                 "user_id": [user_id] * len(folded),
@@ -672,73 +767,17 @@ def ewma_stream(
             }
         )
 
-    def update(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        (y,) = state.get if state.exists else (None,)
-        frames = [p for p in pdfs if len(p)]
-        if frames:
-            batch = pd.concat(frames, ignore_index=True)
-            batch = batch[batch["value"].notna()]
-            batch = batch.sort_values(["ts", "event_id"])
-            y, folded = _ewma_fold(
-                y,
-                zip(batch["event_id"].tolist(), batch["value"].tolist()),
-                alpha,
-            )
-            state.update((y,))
-            if folded:
-                yield _emit(user_id, folded)
-        else:
-            state.update((y,))
-
-    def update_buffered(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        if state.exists:
-            y, frontier, b_ts, b_eid, b_val = state.get
-            pending = list(zip(b_ts or [], b_eid or [], b_val or []))
-        else:
-            y, frontier, pending = None, None, []
-        new_rows: list[tuple] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf[pdf["value"].notna()]
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-            new_rows.extend(
-                zip(ts_us, pdf["event_id"].tolist(), pdf["value"].tolist())
-            )
-        frontier, pending, ready = _reorder_ready(
-            frontier, pending, new_rows, allowed_lateness_us
-        )
-        if ready:
-            y, folded = _ewma_fold(
-                y, ((eid, v) for _ts, eid, v in ready), alpha
-            )
-        state.update(
-            (
-                y,
-                frontier,
-                [r[0] for r in pending],
-                [r[1] for r in pending],
-                [r[2] for r in pending],
-            )
-        )
-        if ready:
-            yield _emit(user_id, folded)
-
-    buffered = allowed_lateness_us > 0
-    return events.groupBy("user_id").applyInPandasWithState(
-        update_buffered if buffered else update,
-        outputStructType=_EWMA_OUT_SCHEMA,
-        stateStructType=(
-            _EWMA_STATE_SCHEMA_BUFFERED if buffered else _EWMA_STATE_SCHEMA
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return _keyed_value_stream(
+        events,
+        restore=lambda t: None if t is None else t[0],
+        persist=lambda y: (y,),
+        fold=lambda y, rows: _ewma_fold(y, rows, alpha),
+        emit=emit,
+        scale=lambda values: values.tolist(),
+        out_schema=_EWMA_OUT_SCHEMA,
+        state_schema=_EWMA_STATE_SCHEMA,
+        buffered_state_schema=_EWMA_STATE_SCHEMA_BUFFERED,
+        allowed_lateness_us=allowed_lateness_us,
     )
 
 
@@ -830,7 +869,7 @@ def zscore_stream(
     Values are scaled to integer micro-units with the SAME portable
     rounding as the batch side (floor(v·10⁶ + 0.5) — identical IEEE in
     numpy and Spark), so no float comparison anywhere."""
-    def _emit(user_id, flagged):
+    def emit(user_id, flagged):
         return pd.DataFrame(
             {
                 "user_id": [user_id] * len(flagged),
@@ -839,82 +878,17 @@ def zscore_stream(
             }
         )
 
-    def update(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        (w,) = state.get if state.exists else ([],)
-        w = list(w or [])
-        frames = [p for p in pdfs if len(p)]
-        if frames:
-            batch = pd.concat(frames, ignore_index=True)
-            batch = batch[batch["value"].notna()]
-            batch = batch.sort_values(["ts", "event_id"])
-            w, flagged = _zscore_fold(
-                w,
-                zip(batch["event_id"].tolist(), _scale_micro(batch["value"])),
-                window_rows,
-                min_rows,
-                z,
-            )
-            state.update((w,))
-            if flagged:
-                yield _emit(user_id, flagged)
-        else:
-            state.update((w,))
-
-    def update_buffered(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        if state.exists:
-            w, frontier, b_ts, b_eid, b_val = state.get
-            w = list(w or [])
-            pending = list(zip(b_ts or [], b_eid or [], b_val or []))
-        else:
-            w, frontier, pending = [], None, []
-        new_rows: list[tuple] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf[pdf["value"].notna()]
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-            new_rows.extend(
-                zip(ts_us, pdf["event_id"].tolist(), _scale_micro(pdf["value"]))
-            )
-        frontier, pending, ready = _reorder_ready(
-            frontier, pending, new_rows, allowed_lateness_us
-        )
-        flagged: list[tuple] = []
-        if ready:
-            w, flagged = _zscore_fold(
-                w,
-                ((eid, v) for _ts, eid, v in ready),
-                window_rows,
-                min_rows,
-                z,
-            )
-        state.update(
-            (
-                w,
-                frontier,
-                [r[0] for r in pending],
-                [r[1] for r in pending],
-                [r[2] for r in pending],
-            )
-        )
-        if flagged:
-            yield _emit(user_id, flagged)
-
-    buffered = allowed_lateness_us > 0
-    return events.groupBy("user_id").applyInPandasWithState(
-        update_buffered if buffered else update,
-        outputStructType=_ZSCORE_OUT_SCHEMA,
-        stateStructType=(
-            _ZSCORE_STATE_SCHEMA_BUFFERED if buffered else _ZSCORE_STATE_SCHEMA
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return _keyed_value_stream(
+        events,
+        restore=lambda t: [] if t is None else list(t[0] or []),
+        persist=lambda w: (w,),
+        fold=lambda w, rows: _zscore_fold(w, rows, window_rows, min_rows, z),
+        emit=emit,
+        scale=_scale_micro,
+        out_schema=_ZSCORE_OUT_SCHEMA,
+        state_schema=_ZSCORE_STATE_SCHEMA,
+        buffered_state_schema=_ZSCORE_STATE_SCHEMA_BUFFERED,
+        allowed_lateness_us=allowed_lateness_us,
     )
 
 
@@ -989,7 +963,7 @@ def cusum_stream(
     alarm set equals the batch twin's bit-for-bit (pinned in
     tests/test_streaming.py). Values scale through the same
     floor(v·10⁶ + 0.5) as the batch side."""
-    def _emit(user_id, alarms):
+    def emit(user_id, alarms):
         return pd.DataFrame(
             {
                 "user_id": [user_id] * len(alarms),
@@ -998,83 +972,26 @@ def cusum_stream(
             }
         )
 
-    def update(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        if state.exists:
-            warmup, ref, sp, sm = state.get
-            warmup = list(warmup or [])
-        else:
-            warmup, ref, sp, sm = [], None, 0, 0
-        frames = [p for p in pdfs if len(p)]
-        alarms: list[tuple] = []
-        if frames:
-            batch = pd.concat(frames, ignore_index=True)
-            batch = batch[batch["value"].notna()]
-            batch = batch.sort_values(["ts", "event_id"])
-            warmup, ref, sp, sm, alarms = _cusum_step(
-                warmup,
-                ref,
-                sp,
-                sm,
-                zip(batch["event_id"].tolist(), _scale_micro(batch["value"])),
-            )
-        state.update((warmup, ref, sp, sm))
-        if alarms:
-            yield _emit(user_id, alarms)
+    def fold(st, rows):
+        warmup, ref, sp, sm = st
+        warmup, ref, sp, sm, alarms = _cusum_step(warmup, ref, sp, sm, rows)
+        return (warmup, ref, sp, sm), alarms
 
-    def update_buffered(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        (user_id,) = key
-        if state.exists:
-            warmup, ref, sp, sm, frontier, b_ts, b_eid, b_val = state.get
-            warmup = list(warmup or [])
-            pending = list(zip(b_ts or [], b_eid or [], b_val or []))
-        else:
-            warmup, ref, sp, sm, frontier, pending = [], None, 0, 0, None, []
-        new_rows: list[tuple] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf[pdf["value"].notna()]
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
-            new_rows.extend(
-                zip(ts_us, pdf["event_id"].tolist(), _scale_micro(pdf["value"]))
-            )
-        frontier, pending, ready = _reorder_ready(
-            frontier, pending, new_rows, allowed_lateness_us
-        )
-        alarms: list[tuple] = []
-        if ready:
-            warmup, ref, sp, sm, alarms = _cusum_step(
-                warmup, ref, sp, sm, ((eid, v) for _ts, eid, v in ready)
-            )
-        state.update(
-            (
-                warmup,
-                ref,
-                sp,
-                sm,
-                frontier,
-                [r[0] for r in pending],
-                [r[1] for r in pending],
-                [r[2] for r in pending],
-            )
-        )
-        if alarms:
-            yield _emit(user_id, alarms)
-
-    buffered = allowed_lateness_us > 0
-    return events.groupBy("user_id").applyInPandasWithState(
-        update_buffered if buffered else update,
-        outputStructType=_CUSUM_OUT_SCHEMA,
-        stateStructType=(
-            _CUSUM_STATE_SCHEMA_BUFFERED if buffered else _CUSUM_STATE_SCHEMA
+    return _keyed_value_stream(
+        events,
+        restore=lambda t: (
+            ([], None, 0, 0)
+            if t is None
+            else (list(t[0] or []), t[1], t[2], t[3])
         ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        persist=lambda st: st,
+        fold=fold,
+        emit=emit,
+        scale=_scale_micro,
+        out_schema=_CUSUM_OUT_SCHEMA,
+        state_schema=_CUSUM_STATE_SCHEMA,
+        buffered_state_schema=_CUSUM_STATE_SCHEMA_BUFFERED,
+        allowed_lateness_us=allowed_lateness_us,
     )
 
 

@@ -133,3 +133,26 @@ def test_winsorize_tames_moments_but_preserves_bulk(spark, sf_dir):
     a = {r["event_type"]: r["q"] for r in med_raw.collect()}
     b = {r["event_type"]: r["q"] for r in med_wins.collect()}
     assert a == b
+
+
+def test_exact_quantile_excludes_nulls(spark):
+    """Nulls sort FIRST in Spark windows, so an unfiltered null row would
+    inflate tw and shift every quantile downward — [1,2,3,NULL]'s median
+    must be 2 (of the non-null values), not 1."""
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (1, None)], "g int, v long"
+    )
+    assert stats.exact_quantile(df, "g", "v", 1, 2).collect()[0]["q"] == 2
+    w = stats.winsorize(df, "g", "v", lo=(1, 4), hi=(3, 4))
+    got = {r["v"]: r["v_wins"] for r in w.collect()}
+    assert got == {1: 1, 2: 2, 3: 3, None: None}
+
+
+def test_profile_drift_default_cols_is_schema_union(spark):
+    """With cols unspecified, a column present in only one snapshot must
+    STILL appear in the report (one-sided nulls) — an intersection
+    default would hide exactly the schema drift the report exists for."""
+    a = spark.createDataFrame([(1, "x")], "id int, only_a string")
+    b = spark.createDataFrame([(1, 2.0)], "id int, only_b double")
+    cols = {r["col_name"] for r in profiling.profile_drift(a, b).collect()}
+    assert cols == {"id", "only_a", "only_b"}
