@@ -1071,3 +1071,78 @@ def silence_alerts(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def silence_alerts_tws(
+    events: DataFrame,
+    silence_us: int = 300_000_000,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`silence_alerts` — same absence-detection semantics on the
+    forward-path stateful API, where EVENT-TIME TIMERS are first-class:
+    each arrival refreshes the key's last-seen ValueState, deletes the
+    previously armed timer (``listTimers``/``deleteTimer`` — capabilities
+    the GroupState API lacks; there the re-arm is implicit), and registers
+    a new one at last_seen + silence; ``handleExpiredTimer`` fires when
+    the watermark passes the deadline, emits the alert, and clears the
+    state so recovered keys cost nothing in the RocksDB store.
+
+    Needs the RocksDB state-store provider and the ``protobuf`` package
+    (state-server wire protocol), like :func:`watchdog_actions_tws`;
+    :func:`silence_alerts` remains the portable form. Both share the
+    semantics pinned by the applyInPandasWithState test (alert once per
+    silent interval; data beats timeout; reset on re-appearance)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class SilenceProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._last = handle.getValueState(
+                "last_seen", StructType().add("last_seen_us", "long")
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            held = self._last.get()
+            last = held[0] if held is not None else None
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                mx = int(pdf["ts"].astype("int64").max()) // 1000
+                last = mx if last is None else max(last, mx)
+            if last is not None:
+                self._last.update((last,))
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer((last + silence_us) // 1000)
+            yield from ()
+
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            held = self._last.get()
+            if held is not None:
+                (last_us,) = held
+                self._last.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "last_seen_us": [last_us],
+                        "silent_after_us": [last_us + silence_us],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SilenceProcessor(),
+            outputStructType=_SILENCE_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

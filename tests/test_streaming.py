@@ -1000,3 +1000,56 @@ def test_silence_alerts_fires_for_stalled_key_only(spark, tmp_path):
     ]
     base_us = int(base.timestamp()) * 1_000_000
     assert got == [(1, base_us + 10_000_000, base_us + 70_000_000)]
+
+
+def test_silence_alerts_tws_matches_group_state_form(spark, tmp_path):
+    """The Spark-4 timer form must produce the same alert as the
+    GroupState form on the identical drain (stalled user 1 alerts once,
+    active user 2 never) — two APIs, one semantics."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, user, sec):
+        return (int(eid), base + dt.timedelta(seconds=sec), user, 1.0)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batches = [
+        [ev(1, 1, 0), ev(2, 1, 10), ev(3, 2, 0), ev(4, 2, 20)],
+        [ev(5, 2, 200)],
+        [ev(6, 2, 400)],
+    ]
+    src = tmp_path / "silence_tws_src"
+    for i, batch in enumerate(batches):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(batch, schema), src, f"b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.silence_alerts_tws(
+            stream, silence_us=60_000_000, watermark="10 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName("silence_tws_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_silence_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r.user_id, r.last_seen_us, r.silent_after_us)
+        for r in spark.sql("SELECT * FROM silence_tws_out").collect()
+    ]
+    base_us = int(base.timestamp()) * 1_000_000
+    assert got == [(1, base_us + 10_000_000, base_us + 70_000_000)]
