@@ -188,6 +188,7 @@ def pagerank_int(
     iters: int = 3,
     base: int = 10**12,
     reliable_checkpoint: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic integer PageRank over the undirected ``(p1, p2)``
     edge list — returns ``(p, rank_scaled)`` after ``iters`` synchronous
@@ -216,8 +217,28 @@ def pagerank_int(
     exchanges for 3 iterations, pinned in tests/test_round5d.py). Nothing
     is collected to the driver. ``iters`` is fixed (not converged) so
     plans stay static and the oracle stays SQL-expressible."""
-    both = _both_directions(edges)
-    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    if weight_col is None:
+        both = _both_directions(edges)
+        deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    else:
+        # Weighted variant: an edge with integer weight w carries w
+        # "slots" of the source's mass — contribution
+        # (85·r·w) div (100·W_u) with W_u = Σ weights, the same
+        # truncating-integer discipline (uniform weights reduce exactly
+        # to the unweighted form; pinned in tests).
+        w = edges.select(
+            F.col("p1").alias("src"),
+            F.col("p2").alias("dst"),
+            F.col(weight_col).alias("w"),
+        ).unionAll(
+            edges.select(
+                F.col("p2").alias("src"),
+                F.col("p1").alias("dst"),
+                F.col(weight_col).alias("w"),
+            )
+        )
+        both = w
+        deg = both.groupBy("src").agg(F.sum("w").alias("d"))
     adj = _materialize(both.join(deg, "src"), reliable_checkpoint)
     ranks = deg.select(F.col("src").alias("p"), F.lit(base).alias("rank_scaled"))
     teleport = (15 * base) // 100
@@ -227,12 +248,14 @@ def pagerank_int(
         # exchange (the dst aggregate) instead of two. |V| at 10^8+ nodes
         # would exceed broadcast limits; there, drop the hint and both
         # sides shuffle on the node id (AQE will pick the join).
+        contrib_expr = (
+            "(85 * rank_scaled) div (100 * d)"
+            if weight_col is None
+            else "(85 * rank_scaled * w) div (100 * d)"
+        )
         contrib = (
             adj.join(F.broadcast(ranks), adj["src"] == ranks["p"])
-            .select(
-                F.col("dst"),
-                F.expr("(85 * rank_scaled) div (100 * d)").alias("c"),
-            )
+            .select(F.col("dst"), F.expr(contrib_expr).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )

@@ -371,3 +371,35 @@ def test_kcore_raises_on_nonconvergence(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.kcore(_edges(spark, path), 2, max_iters=3)
     assert graph.kcore(_edges(spark, path), 2, max_iters=30).count() == 0
+
+
+def test_weighted_pagerank_uniform_equals_unweighted(spark, sf_dir):
+    """Uniform edge weights must reduce the weighted recurrence exactly to
+    the unweighted one ((85·r·1) div (100·Σ1) per edge); and on the real
+    co-purchase weights the ranking changes (the weights carry signal)."""
+    from kinesis_stream_video_project_spark import io
+
+    edges = graph.copurchase_edges(
+        io.load_table(spark, sf_dir, "lineitem")
+    ).cache()
+    try:
+        uni = edges.withColumn("w1", F.lit(1))
+        a = sorted(
+            (r["p"], r["rank_scaled"])
+            for r in graph.pagerank_int(edges, iters=2).collect()
+        )
+        b = sorted(
+            (r["p"], r["rank_scaled"])
+            for r in graph.pagerank_int(uni, iters=2, weight_col="w1").collect()
+        )
+        assert a == b
+        c = sorted(
+            (r["p"], r["rank_scaled"])
+            for r in graph.pagerank_int(
+                edges, iters=2, weight_col="n_orders"
+            ).collect()
+        )
+        assert c != a  # co-purchase multiplicity shifts mass
+        assert len(c) == len(a)
+    finally:
+        edges.unpersist()
