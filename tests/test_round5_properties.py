@@ -276,3 +276,47 @@ def test_blocked_tiers_match_set_arithmetic(spark, token_lists):
     }
     assert got_j == want_j
     assert got_c == want_c
+
+
+_weighted_graphs = st.sets(
+    st.tuples(st.integers(1, 8), st.integers(1, 8), st.integers(1, 5)).filter(
+        lambda e: e[0] < e[1]
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _weighted_pagerank_ref(triples, iters=2, base=10**12):
+    adj: dict = {}
+    for a, b, w in triples:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    ranks = {p: base for p in adj}
+    teleport = (15 * base) // 100
+    for _ in range(iters):
+        incoming = {p: 0 for p in adj}
+        for u, nbrs in adj.items():
+            wu = sum(w for _, w in nbrs)
+            for v, w in nbrs:
+                incoming[v] += (85 * ranks[u] * w) // (100 * wu)
+        ranks = {p: teleport + incoming[p] for p in adj}
+    return ranks
+
+
+@given(_weighted_graphs)
+@settings(max_examples=10, deadline=None)
+def test_weighted_pagerank_random_graphs(spark, triples):
+    """Weighted integer PageRank vs a pure-Python reference on random
+    weighted graphs — the (85·r·w) div (100·Σw) recurrence must agree
+    exactly. (Duplicate (p1,p2) pairs with different weights can occur in
+    the strategy; both sides treat them as parallel edges.)"""
+    df = spark.createDataFrame(
+        [(a, b, w) for a, b, w in sorted(triples)],
+        "p1 bigint, p2 bigint, wt bigint",
+    )
+    got = {
+        r["p"]: r["rank_scaled"]
+        for r in graph.pagerank_int(df, iters=2, weight_col="wt").collect()
+    }
+    assert got == _weighted_pagerank_ref(triples, iters=2)
