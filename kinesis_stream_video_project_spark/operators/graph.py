@@ -30,9 +30,12 @@ Design rules shared by the operators:
   integers is identical in Spark (`div`) and DuckDB (`//`), and integer
   sums are order-independent, so the result is bit-stable across engines
   and partitionings with no float tolerance anywhere. Overflow bound:
-  total rank mass is |V|·10^12 and every intermediate is ≤ 85·mass, so
-  BIGINT (9.2e18) holds to |V| ≈ 10^5; a 100 TB graph should raise the
-  sums to DECIMAL(38,0) (same code shape) or lower the base.
+  total rank mass is |V|·base and every intermediate is ≤
+  85·mass·max(w), so BIGINT (9.2e18) holds to |V| ≈ 10^5 at base 10^12 —
+  ENFORCED: pagerank_int counts nodes on the materialized adjacency and
+  refuses (naming the largest safe base) past the bound rather than
+  silently wrapping; a 100 TB graph lowers the base explicitly (coarser
+  rank resolution, same exactness).
 """
 
 from __future__ import annotations
@@ -189,6 +192,7 @@ def pagerank_int(
     base: int = 10**12,
     reliable_checkpoint: bool = False,
     weight_col: str | None = None,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Deterministic integer PageRank over the undirected ``(p1, p2)``
     edge list — returns ``(p, rank_scaled)`` after ``iters`` synchronous
@@ -216,7 +220,26 @@ def pagerank_int(
     and the exchange count grows ~quadratically with ``iters`` (66 vs 10
     exchanges for 3 iterations, pinned in tests/test_round5d.py). Nothing
     is collected to the driver. ``iters`` is fixed (not converged) so
-    plans stay static and the oracle stays SQL-expressible."""
+    plans stay static and the oracle stays SQL-expressible.
+
+    ``broadcast_ranks``: the rank vector is |V| rows of 16 B against the
+    |E|-row adjacency — broadcasting it makes each iteration ONE exchange
+    (the dst aggregate) instead of two. At 10^8+ nodes the vector exceeds
+    broadcast limits: pass ``False`` and both sides shuffle on the node
+    id (AQE picks the join strategy).
+
+    Overflow guard: total rank mass is conserved at ≤ |V|·base (teleport
+    replaces exactly what damping removes), so a single rank — and hence
+    the per-edge product ``85 · r(u) · w`` — is bounded by
+    ``85 · |V| · base · max(w)`` (a star center can absorb nearly all
+    mass). If that bound exceeds BIGINT, truncating-integer ranks would
+    silently wrap — the one failure mode this exact-arithmetic design
+    exists to prevent — so the operator REFUSES (ValueError naming the
+    largest safe ``base``) instead of returning wrong ranks; the caller
+    lowers ``base`` explicitly (same code shape, coarser rank
+    resolution), keeping the output scale a visible contract rather than
+    an engine-chosen one. The guard costs one count over the
+    already-materialized adjacency — noise next to ``iters`` joins."""
     if weight_col is None:
         both = _both_directions(edges)
         deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -240,21 +263,30 @@ def pagerank_int(
         both = w
         deg = both.groupBy("src").agg(F.sum("w").alias("d"))
     adj = _materialize(both.join(deg, "src"), reliable_checkpoint)
+    guard = adj.agg(
+        F.countDistinct("src").alias("n_nodes"),
+        (F.max("w") if weight_col is not None else F.lit(1)).alias("w_max"),
+    ).first()
+    worst = 85 * guard["n_nodes"] * base * int(guard["w_max"])
+    if worst > 2**63 - 1:
+        safe_base = (2**63 - 1) // (85 * guard["n_nodes"] * int(guard["w_max"]))
+        raise ValueError(
+            f"pagerank_int: 85 * |V| * base * max(w) = {worst} exceeds BIGINT "
+            f"— integer ranks would silently wrap. Lower base to <= "
+            f"{safe_base} (|V|={guard['n_nodes']}, max weight "
+            f"{guard['w_max']}); resolution degrades but exactness holds."
+        )
     ranks = deg.select(F.col("src").alias("p"), F.lit(base).alias("rank_scaled"))
     teleport = (15 * base) // 100
     for _ in range(iters):
-        # broadcast(ranks): the rank vector is |V| rows of 16 B against the
-        # |E|-row adjacency — broadcasting it makes each iteration ONE
-        # exchange (the dst aggregate) instead of two. |V| at 10^8+ nodes
-        # would exceed broadcast limits; there, drop the hint and both
-        # sides shuffle on the node id (AQE will pick the join).
         contrib_expr = (
             "(85 * rank_scaled) div (100 * d)"
             if weight_col is None
             else "(85 * rank_scaled * w) div (100 * d)"
         )
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            adj.join(F.broadcast(ranks), adj["src"] == ranks["p"])
+            adj.join(rank_side, adj["src"] == ranks["p"])
             .select(F.col("dst"), F.expr(contrib_expr).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
@@ -270,6 +302,7 @@ def label_propagation(
     edges: DataFrame,
     iters: int = 3,
     reliable_checkpoint: bool = False,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation communities over the undirected
     ``(p1, p2)`` edge list — returns ``(p, community)`` after ``iters``
@@ -286,6 +319,10 @@ def label_propagation(
     |E|). The static edge list is materialized once (localCheckpoint /
     checkpoint — the pagerank_int/components discipline); ``iters`` fixed
     so the plan is static and a SQL oracle can unroll it.
+    ``broadcast_labels``: same trade as pagerank_int's broadcast_ranks —
+    the |V|-row label vector broadcasts against the |E|-row edge list;
+    pass ``False`` past broadcast limits (10^8+ nodes) to shuffle both
+    sides on the node id instead.
 
     Registration note: operator + pytest coverage in round 5; the
     registry entry is queued for the round-6 driver window (the round-5
@@ -295,8 +332,9 @@ def label_propagation(
         "p", F.col("p").alias("community")
     )
     for _ in range(iters):
+        label_side = F.broadcast(labels) if broadcast_labels else labels
         counts = (
-            both.join(F.broadcast(labels), both["src"] == labels["p"])
+            both.join(label_side, both["src"] == labels["p"])
             .groupBy(F.col("dst"), F.col("community"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
