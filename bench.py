@@ -72,144 +72,60 @@ BENCH_QUERIES = [
 # Totals are reported separately — "value" remains the stable headline
 # total, "rotation_total" the window's — so BENCH_rN "value" stays
 # comparable across rounds. Rotation entries are timed construction +
-# materialization in one span (several are applyInPandas / claim queries
-# whose build step does real work).
+# materialization in one span (several are applyInPandas / claim / eager
+# iterative queries whose build step does real work — the pagerank/LPA/
+# k-core family localCheckpoints and probes during construction).
 #
-# r5 window: EVERYTHING that had no timed row in BENCH_r01-r04 (91 queries
-# were never timed entering r5 — VERDICT r4 item 4) plus the 11 queries
-# REGISTERED in r5 (every query's first timed row lands the round it is
-# born). After this round the never-timed set is EMPTY: all registered
-# queries have a timed row. r6 can rotate back to staleness (oldest timed
-# row first) instead of coverage.
+# r6 window policy: after r5 EVERY registered query has a timed row, so
+# staleness is uniform — the r6 rotation aligns with the r6
+# DRIVER_PRIORITY correctness window instead (minus stable-set members,
+# which the stable child times every round): the queries getting a fresh
+# correctness row this round get a fresh perf row in the same artifact,
+# led by the 8 new round-6 registrations (first timed row lands the
+# round a query is born).
 BENCH_ROTATION = [
-    # relational4 TPC-H shapes
-    "anti_join_customers",
-    "waiting_suppliers",
-    "unsupplied_parts",
-    "nation_pair_trade",
-    "top_revenue_supplier",
-    "topn_orders_per_nation",
-    "promo_revenue_share",
-    "product_type_profit",
-    "returned_item_customers",
-    "priority_late_shipment_counts",
-    "customer_order_distribution",
-    "disjunctive_predicate_join",
-    "forecast_revenue_change",
-    "min_cost_supplier",
-    # windows family
-    "window_distribution_funcs",
-    "time_range_moving_window",
-    "fill_forward_last_purchase",
-    "gap_filled_windows",
-    # watchdog / events family
-    "escalation_actions",
-    "dedup_first_event",
-    "event_transitions",
-    "asof_forward_metric",
-    # LLM-curation / text / similarity ops without a timed row
-    "embedding_near_dup",
-    "fuzzy_pairs_levenshtein",
-    "doc_fingerprint",
-    "lang_id_ngram",
-    "bpe_regex_tokens",
-    "grouped_pandas_stats",
-    "multimodal_features",
-    "table_profile",
-    # new round-5 queries: first timed row lands the round they're born
-    "quality_percentile_gate",
-    "bigram_next_token",
-    "surprisal_score_salted",
-    "unpivot_priority_metrics",
-    "scd2_point_in_time",
-    "nucleus_budget_filter",
-    "hll_merge_rollup",
-    "linear_interpolate_value",
-    "quality_weighted_sample",
-    "asof_tolerance_metric",
-    "asof_nearest_metric",
-    "ewma_metric",
-    "skyline_parts",
-    "weighted_median_price",
-    "interarrival_gap_percentiles",
-    "mode_order_priority",
-    "triangle_count_copurchase",
+    # new round-6 registrations
+    "lpa_communities",
+    "kcore_parts",
+    "robust_value_stats",
+    "winsorized_value_stats",
+    "table_drift_report",
+    "silent_periods",
+    "weighted_pagerank_topk",
+    "curation_pipeline_v3",
+    # r6-changed code path (overflow-guard count now inside the span)
     "pagerank_copurchase_topk",
-    "copurchase_lift_pairs",
-    "containment_near_dup",
-    "rolling_zscore_anomalies",
-    "corr_acctbal_price_by_nation",
-    "trend_slope_per_type",
-    "cusum_changepoints",
-    "rrf_fused_topk",
-    "phrase_search_docs",
-    # r5 extension: the ENTIRE remaining never-timed tail (61 queries, one
-    # pass ≈ 50 s at sf0.1) — after this round every registered query has a
-    # timed row. Heaviest: ann_tier_claims (~9 s — it executes the exact
-    # tier, the IVF tier AND the recall comparison in one claim query;
-    # cost ≈ sum of its benched parts, same justification as
-    # lsh_tier_consistency in VERDICT r4).
-    "ann_tier_claims",
+    # the r2-latest correctness-refresh cohort (minus stable-set members)
     "approx_distinct",
     "approx_percentiles_value",
-    "argmax_order_per_customer",
-    "array_funcs",
+    "bpe_regex_tokens",
     "brand_volume_suppliers",
-    "cast_truncate",
-    "catalog_filter_project",
-    "catalog_json_roundtrip",
-    "computed_projection",
-    "datetime_funcs",
-    "datetime_funcs2",
     "dedup_survivors",
     "deterministic_sample_docs",
-    "distinct_ops",
+    "doc_fingerprint",
     "dormant_rich_customers",
-    "exact_group_percentiles",
-    "exists_correlated",
-    "filter_predicates",
+    "event_transitions",
     "frame_sample",
-    "grouping_sets_agg",
-    "heavy_hitters_claim",
+    "fuzzy_pairs_levenshtein",
+    "grouped_pandas_stats",
     "important_part_shares",
-    "in_subquery",
-    "iso8601_format",
-    "join_full_outer",
-    "json_extract",
+    "lang_id_ngram",
     "lang_stats",
     "large_volume_customers",
-    "math_funcs",
+    "min_cost_supplier",
+    "multimodal_features",
     "multimodal_resized",
-    "near_dup_jaccard",
-    "near_dup_split_leakage",
     "normalized_dedup_docs",
-    "null_funcs",
     "pandas_udf_token_count",
-    "percentiles_by_status",
-    "pivot_priority_counts",
-    "pivot_priority_revenue",
-    "point_lookup_status",
-    "rollup_agg",
     "salted_join_orders",
-    "scalar_subquery",
-    "semi_join_customers",
-    "set_ops_nations",
-    "simhash_dup_consistency",
     "sliding_windows",
     "small_quantity_revenue",
-    "stats_agg",
     "stratified_sample_docs",
     "streaming_dedup_twin",
-    "string_funcs",
-    "string_funcs2",
-    "struct_map_funcs",
-    "top_terms_per_lang",
+    "time_range_moving_window",
     "train_test_split_counts",
     "udtf_explode_tokens",
-    "unpivot_lineitem_metrics",
-    "unpivot_part_metrics",
-    "value_outliers",
-    "watchdog_null_guard",
+    "window_distribution_funcs",
 ]
 
 
@@ -357,15 +273,23 @@ def main() -> None:
     rotation = child("rotation")
     total = round(sum(timings.values()), 3)
 
+    # Key ORDER is load-bearing (VERDICT r5 item 4): the round driver
+    # archives only the tail of this line, so the big per-query map goes
+    # FIRST and the headline fields — the stable per-query timings and
+    # "value" — go LAST, guaranteeing they land inside the captured tail
+    # (the r5 artifact lost its stable-set numbers to exactly this
+    # truncation). Same keys as before plus "stable"; any JSON consumer
+    # is order-insensitive.
     print(
         json.dumps(
             {
-                "metric": f"headline_query_set_total_sf{sf}",
-                "value": total,
-                "unit": "sec",
                 "queries": {**timings, **rotation},
                 "rotation_total": round(sum(rotation.values()), 3),
+                "metric": f"headline_query_set_total_sf{sf}",
+                "unit": "sec",
                 "sf": float(sf),
+                "stable": timings,
+                "value": total,
             }
         )
     )

@@ -69,7 +69,12 @@ def profile_drift(
     report is hash-exact in any engine.
 
     Output per column: the six profile counts from both sides,
-    ``null_rate_shifted`` (boolean), and ``distinct_ratio_num/den`` — the
+    ``null_rate_shifted`` (boolean, never null — a column present on only
+    one side is SCHEMA drift, reported by its one-sided counts, not a
+    null-rate shift, so the flag coalesces to false there; a nullable
+    boolean would also render asymmetrically across engines, 'None' vs
+    'nan', and break the driver's rendered-value hash), and
+    ``distinct_ratio_num/den`` — the
     cardinality ratio n_distinct_a·n_rows_b vs n_distinct_b·n_rows_a as
     an exact rational pair for the consumer to threshold. Columns present
     in only one snapshot (schema drift) surface via the full-outer join
@@ -108,7 +113,7 @@ def profile_drift(
         "n_rows_b",
         "n_non_null_b",
         "n_distinct_b",
-        (lhs > rhs).alias("null_rate_shifted"),
+        F.coalesce(lhs > rhs, F.lit(False)).alias("null_rate_shifted"),
         (F.col("n_distinct_a") * F.col("n_rows_b")).alias("distinct_ratio_num"),
         (F.col("n_distinct_b") * F.col("n_rows_a")).alias("distinct_ratio_den"),
     )

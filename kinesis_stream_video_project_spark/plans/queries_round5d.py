@@ -232,10 +232,9 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.blocked_containment_near_dups(d, threshold=0.9, shingle_k=1)
 
 
-@register(
-    "rolling_zscore_anomalies",
-    tags=("NS-timeseries", "O-16"),
-    oracle="""
+# Module-level constant: curation_pipeline_v3 (plans/queries_round6.py)
+# composes this identical window-inequality replay into its oracle.
+ZSCORE_ORACLE = """
 WITH v AS (
   SELECT event_id, user_id,
          {vu} AS value_micro, ts
@@ -254,7 +253,13 @@ SELECT event_id, user_id, value_micro
 FROM w
 WHERE n >= 10
   AND (n * value_micro - s) * (n * value_micro - s) > 9 * (n * q - s * s)
-""".format(vu=sql_scaled_long("value", 1000000)),
+""".format(vu=sql_scaled_long("value", 1000000))
+
+
+@register(
+    "rolling_zscore_anomalies",
+    tags=("NS-timeseries", "O-16"),
+    oracle=ZSCORE_ORACLE,
 )
 def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly detection: flag events whose value sits

@@ -72,10 +72,9 @@ def cusum_fold(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register(
-    "cusum_changepoints",
-    tags=("NS-timeseries", "O-22", "O-32"),
-    oracle="""
+# Module-level constant so curation_pipeline_v3's composed oracle
+# (plans/queries_round6.py) reuses the IDENTICAL recursive-CTE replay.
+CUSUM_ORACLE = """
 WITH RECURSIVE seq AS (
   SELECT user_id, event_id,
          {vu} AS vu,
@@ -113,7 +112,13 @@ walk AS (
 SELECT user_id, event_id, 'up' AS direction FROM walk WHERE alarm_up
 UNION ALL
 SELECT user_id, event_id, 'down' AS direction FROM walk WHERE alarm_down
-""".format(vu=sql_scaled_long("value", 1000000)),
+""".format(vu=sql_scaled_long("value", 1000000))
+
+
+@register(
+    "cusum_changepoints",
+    tags=("NS-timeseries", "O-22", "O-32"),
+    oracle=CUSUM_ORACLE,
 )
 def cusum_changepoints(
     spark: SparkSession, sf_dir: str, n_shards: int | None = None

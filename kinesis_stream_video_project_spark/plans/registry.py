@@ -60,116 +60,85 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. After r4 every one of the registered queries has a green HASH row
-# (zero rows-only, zero failures ever); the r5 rotation targets STALENESS
-# (VERDICT r4 item 3). Latest-green distribution entering r5: r4=50, r3=38,
-# r2=42, r1=15. The 50-entry window is budgeted 8+26+15+1:
-# (a) the 8 queries whose code paths CHANGED in r5 (the dedup.py hash-family
-#     rewrite: flat 60-bit md5 basis, integer band fold, shared shingle
-#     exchange, explicit notnull filters — minhash/blocked-jaccard and every
-#     query composing them; plus embedding_near_dup, de-degenerated to
-#     threshold 0.35 + norm hoisting this round — an output-changing edit
-#     MUST be re-verified) — changed code outranks merely-stale entries;
-# (a') the 26 NEW round-5 queries (queries_round5.py, queries_round5b.py,
-#     queries_round5c.py, queries_round5d.py, operators/asof.py additions;
-#     interarrival_gap_percentiles..trend_slope_per_type below) — a query
-#     registered in round N must be in round N's window (r3 hygiene rule:
-#     zero never-checked queries);
-# (b) all 15 queries whose only green row still dates from r1 (the
-#     *_funcs2 siblings and projection/join/subquery twins that yielded
-#     their slots in earlier rotations — after r5 nothing is older than r2);
-# (c) 1 more from the r2-latest cohort — conversion_funnel, the
-#     representative the weekly_retention/event_transitions deferrals
-#     cite; the other 40 r2-latest queries defer to r6 (notable evictions
-#     this round, each with an in-window or r4-green family twin:
-#     exact_dedup_docs → dup_clusters/curation_pipeline_v2 in-window
-#     compose the exact-dedup operator; session_windows →
-#     interarrival_gap_percentiles in-window exercises the event-gap
-#     machinery; window_running_agg → rolling_zscore_anomalies /
-#     linear_interpolate_value in-window are the trailing/carry window
-#     shapes; lang_id_ngram — lang family: top_terms_per_lang r4-green)
-#     defer to r6 (r2-green satisfies the nothing-older-
-#     than-r2 bound; every deferred query's family has an in-window or
-#     r4-green twin: curation_pipeline → curation_pipeline_v2 in-window;
-#     quality_score → quality_percentile_gate in-window composes the same
-#     scorer; salted_join_orders → surprisal_score_salted in-window is the
-#     same salt lever; deterministic_sample_docs → quality_weighted_sample
-#     in-window shares the md5-keep primitive; bpe_regex_tokens →
-#     rare_token_ratio r4-green; grouped_pandas_stats → the in-window
-#     Arrow-fold queries (ewma_metric) exercise the same pandas surface;
-#     cosine_topk/approx_distinct/pandas_udf_token_count/
-#     fuzzy_pairs_levenshtein/multimodal_features and the r4-header
-#     deferrals keep their previously-recorded family justifications).
+# round. Cross-round state entering r6: 179 registered (171 + the 8 new
+# round-6 queries), every pre-r6 query has a green HASH row, latest-green
+# distribution r5=50, r4=44, r3=38, r2=39 (VERDICT r5). The r6 window is
+# budgeted 8+1+39+2:
+# (a) the 8 NEW round-6 queries (queries_round6.py — the r5 operator queue
+#     promoted to registrations: lpa_communities, kcore_parts,
+#     robust_value_stats, winsorized_value_stats, table_drift_report,
+#     silent_periods, weighted_pagerank_topk, curation_pipeline_v3) — a
+#     query registered in round N must be in round N's window;
+# (b) the 1 query whose code path CHANGED in r6:
+#     pagerank_copurchase_topk (pagerank_int grew the enforced BIGINT
+#     overflow guard + parameterized broadcast hint — output-invariant by
+#     design, but changed code outranks merely-stale entries; LPA's and
+#     profile_drift's r6 edits are covered by the NEW queries above, and
+#     triangle_count/kcore/stats operators are untouched);
+# (c) all 39 queries whose latest green row dates from r2 (the full
+#     oldest-green staleness tail — VERDICT r5 item 3: after r6 nothing
+#     is older than r3);
+# (d) 2 refreshes from the r3-latest cohort: stream_health_60s (the
+#     flagship — its green row should never age past two rounds) and
+#     consecutive_failures (stable bench-set member, same rationale).
+#     The other 36 r3-latest entries defer to r7 (r3-green satisfies the
+#     nothing-older-than-r3 bound).
 # Queries not listed keep registration order after these.
-#
-# ROUND-6 REGISTRATION QUEUE: the round-5 window is saturated (8 changed +
-# 26 new + 15 r1-era + 1 = 50), so capabilities built after that cap ship
-# as operators with pytest-only coverage this round and take their
-# first-round window slots in r6: graph.label_propagation (deterministic
-# sync LPA), graph.kcore (fixed-point peeling),
-# stats.robust_center_spread (exact median + MAD),
-# stats.exact_quantile/winsorize (generalized integer quantile walk +
-# clip), and profiling.column_profile/profile_drift (melt-based
-# per-column profiles + all-integer snapshot drift report) — all have
-# oracle-ready shapes (unrolled-CTE LPA, converged-peel invariant claim
-# or bounded unroll for kcore, chained median-walk SQL, melt+aggregate
-# SQL for the profiles).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (a) r5-changed code paths (8): dedup hash-family rewrite +
-    #     the de-degenerated embedding tier ---
-    "minhash_lsh_near_dup",
-    "near_dup_jaccard",
-    "near_dup_shingle_jaccard",
-    "lsh_tier_consistency",
-    "near_dup_split_leakage",
-    "dup_clusters",
-    "curation_pipeline_v2",
-    "embedding_near_dup",
-    # --- (a') new round-5 queries (26) ---
-    "quality_percentile_gate",
-    "bigram_next_token",
-    "surprisal_score_salted",
-    "unpivot_priority_metrics",
-    "scd2_point_in_time",
-    "nucleus_budget_filter",
-    "hll_merge_rollup",
-    "linear_interpolate_value",
-    "quality_weighted_sample",
-    "asof_tolerance_metric",
-    "asof_nearest_metric",
-    "ewma_metric",
-    "skyline_parts",
-    "weighted_median_price",
-    "interarrival_gap_percentiles",
-    "mode_order_priority",
-    "triangle_count_copurchase",
+    # --- (a) new round-6 registrations (8) ---
+    "lpa_communities",
+    "kcore_parts",
+    "robust_value_stats",
+    "winsorized_value_stats",
+    "table_drift_report",
+    "silent_periods",
+    "weighted_pagerank_topk",
+    "curation_pipeline_v3",
+    # --- (b) r6-changed code path (1) ---
     "pagerank_copurchase_topk",
-    "copurchase_lift_pairs",
-    "containment_near_dup",
-    "rolling_zscore_anomalies",
-    "corr_acctbal_price_by_nation",
-    "trend_slope_per_type",
-    "cusum_changepoints",
-    "rrf_fused_topk",
-    "phrase_search_docs",
-    # --- (b) r1-era greens: the full staleness tail (15) ---
-    "cast_truncate",
-    "computed_projection",
-    "datetime_funcs2",
-    "grouping_sets_agg",
-    "in_subquery",
-    "iso8601_format",
-    "join_full_outer",
-    "pivot_priority_counts",
-    "point_lookup_status",
-    "rollup_agg",
-    "scalar_subquery",
-    "semi_join_customers",
-    "sort_ranked",
-    "stats_agg",
-    "string_funcs2",
-    # --- (c) r2-latest refreshes (1 of 41; see header for the deferred) ---
-    "conversion_funnel",
+    # --- (c) the full r2-latest staleness tail (39) ---
+    "approx_distinct",
+    "approx_percentiles_value",
+    "bpe_regex_tokens",
+    "brand_volume_suppliers",
+    "cosine_topk",
+    "curation_pipeline",
+    "dedup_survivors",
+    "deterministic_sample_docs",
+    "doc_fingerprint",
+    "dormant_rich_customers",
+    "event_transitions",
+    "exact_dedup_docs",
+    "frame_sample",
+    "fuzzy_pairs_levenshtein",
+    "grouped_pandas_stats",
+    "important_part_shares",
+    "lang_id_ngram",
+    "lang_stats",
+    "large_volume_customers",
+    "min_cost_supplier",
+    "multimodal_features",
+    "multimodal_resized",
+    "normalized_dedup_docs",
+    "pandas_udf_token_count",
+    "quality_score",
+    "salted_join_orders",
+    "session_windows",
+    "sliding_windows",
+    "small_quantity_revenue",
+    "stratified_sample_docs",
+    "streaming_dedup_twin",
+    "time_range_moving_window",
+    "token_stats",
+    "train_test_split_counts",
+    "tumbling_hourly",
+    "udtf_explode_tokens",
+    "weekly_retention",
+    "window_distribution_funcs",
+    "window_running_agg",
+    # --- (d) r3-latest refreshes (2 of 38; rest defer to r7) ---
+    "stream_health_60s",
+    "consecutive_failures",
 )
 
 
@@ -220,6 +189,7 @@ def _load_all() -> None:
         queries_round5c,
         queries_round5d,
         queries_round5e,
+        queries_round6,
         queries_streaming_twins,
     )
 

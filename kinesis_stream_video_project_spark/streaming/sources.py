@@ -199,7 +199,15 @@ def kinesis_snapshot_df(
             f"positions, got {starting_position!r}"
         )
     rows = []
-    shards = client.list_shards(StreamName=stream_name)["Shards"]
+    # list_shards pages at 100 shards — a long-lived resharded stream
+    # accumulates closed parents well past one page, and ListShards'
+    # NextToken contract forbids resending StreamName with the token.
+    shards = []
+    resp = client.list_shards(StreamName=stream_name)
+    shards.extend(resp["Shards"])
+    while resp.get("NextToken"):
+        resp = client.list_shards(NextToken=resp["NextToken"])
+        shards.extend(resp["Shards"])
     for sh in shards:
         it = client.get_shard_iterator(
             StreamName=stream_name,

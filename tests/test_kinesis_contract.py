@@ -299,3 +299,155 @@ def test_kinesis_snapshot_pages_shards_and_validates(spark):
     }
     with pytest.raises(ValueError):
         sources.kinesis_snapshot_df(spark, FakeClient(), "s", "AT_TIMESTAMP")
+
+
+def test_kinesis_live_resharding_parent_closure(spark, tmp_path):
+    """VERDICT r5 item 8 — the one production failure mode the paging test
+    doesn't cover: RESHARDING. Records land in 2 shards; a SplitShard then
+    a MergeShards close three parents (their SequenceNumberRanges gain an
+    EndingSequenceNumber) while later records route to the child shards'
+    hash ranges. The snapshot stitcher must (a) enumerate parents AND
+    children from list_shards, (b) drain each CLOSED parent to its
+    end-of-shard (get_records returns a null NextShardIterator there —
+    breaking the poll loop without erroring), and (c) recover every record
+    exactly once across the shard-lineage graph, through the production
+    decode path."""
+    pytest.importorskip("moto")
+    boto3 = pytest.importorskip("boto3")
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    try:
+        host, port = server.get_host_and_port()
+        client = boto3.client(
+            "kinesis",
+            endpoint_url=f"http://{host}:{port}",
+            region_name="us-east-1",
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+        )
+        # distinct stream name: moto's backend state is process-global, so
+        # the earlier live test's stream survives into this one
+        client.create_stream(StreamName="fleet-events-reshard", ShardCount=2)
+
+        def put(eid, uid, etype, val):
+            client.put_record(
+                StreamName="fleet-events-reshard",
+                PartitionKey=str(uid),
+                Data=(
+                    f'{{"event_id": {eid}, "ts": "2026-01-01T00:00:{eid:02d}Z",'
+                    f' "user_id": {uid}, "event_type": "{etype}",'
+                    f' "value": {val}, "props": "{{}}"}}'
+                ).encode(),
+            )
+
+        pre = [(1, 7, "ping", 1.5), (2, 9, "error", 0.0), (3, 11, "ping", 2.0)]
+        for r in pre:
+            put(*r)
+
+        shards = client.list_shards(StreamName="fleet-events-reshard")["Shards"]
+        s0 = shards[0]
+        lo = int(s0["HashKeyRange"]["StartingHashKey"])
+        hi = int(s0["HashKeyRange"]["EndingHashKey"])
+        client.split_shard(
+            StreamName="fleet-events-reshard",
+            ShardToSplit=s0["ShardId"],
+            NewStartingHashKey=str((lo + hi) // 2),
+        )
+        mid = [(4, 7, "restart", 3.5), (5, 9, "ping", 1.25)]
+        for r in mid:
+            put(*r)
+        # merge the two children of the split back into one shard
+        after_split = client.list_shards(StreamName="fleet-events-reshard")["Shards"]
+        children = [
+            sh for sh in after_split
+            if sh.get("ParentShardId") == s0["ShardId"]
+        ]
+        assert len(children) == 2, "moto split must create two children"
+        client.merge_shards(
+            StreamName="fleet-events-reshard",
+            ShardToMerge=children[0]["ShardId"],
+            AdjacentShardToMerge=children[1]["ShardId"],
+        )
+        post = [(6, 7, "ping", 9.0), (7, 13, "error", 0.5)]
+        for r in post:
+            put(*r)
+
+        final = client.list_shards(StreamName="fleet-events-reshard")["Shards"]
+        closed = [
+            sh for sh in final
+            if sh["SequenceNumberRange"].get("EndingSequenceNumber")
+        ]
+        assert len(closed) >= 3, "split parent + both merge parents closed"
+
+        raw = sources.kinesis_snapshot_df(
+            spark, client, "fleet-events-reshard", "TRIM_HORIZON"
+        )
+        landing = tmp_path / "reshard_landing"
+        raw.coalesce(1).write.mode("overwrite").parquet(str(landing))
+        stream = spark.readStream.schema(sources.KINESIS_RAW_SCHEMA).parquet(
+            str(landing)
+        )
+        q = (
+            sources.decode_kinesis_records(stream)
+            .writeStream.format("memory")
+            .queryName("kinesis_reshard_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_reshard"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.event_id, r.user_id, r.event_type, r.value)
+            for r in spark.sql(
+                "SELECT event_id, user_id, event_type, value"
+                " FROM kinesis_reshard_out"
+            ).collect()
+        }
+        assert got == set(pre + mid + post)  # each record exactly once
+        n = spark.sql("SELECT COUNT(*) AS n FROM kinesis_reshard_out").first().n
+        assert n == len(pre + mid + post)
+    finally:
+        server.stop()
+
+
+def test_kinesis_snapshot_paginates_list_shards(spark):
+    """ListShards pages at 100 shards; the relay must follow NextToken
+    (WITHOUT resending StreamName — the API forbids combining them) so a
+    long-resharded stream's later shards aren't silently dropped."""
+    import datetime as dt
+
+    arrival = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    class PagingClient:
+        def list_shards(self, StreamName=None, NextToken=None):
+            if NextToken is None:
+                assert StreamName == "s"
+                return {"Shards": [{"ShardId": "shardId-000000000000"}],
+                        "NextToken": "page2"}
+            assert StreamName is None, "NextToken excludes StreamName"
+            assert NextToken == "page2"
+            return {"Shards": [{"ShardId": "shardId-000000000001"}]}
+
+        def get_shard_iterator(self, StreamName, ShardId, ShardIteratorType):
+            return {"ShardIterator": f"{ShardId}#0"}
+
+        def get_records(self, ShardIterator, Limit):
+            shard, page = ShardIterator.split("#")
+            if int(page) >= 1:
+                return {"Records": [], "NextShardIterator": None}
+            return {
+                "Records": [{
+                    "Data": shard.encode(),
+                    "PartitionKey": "pk",
+                    "SequenceNumber": "1",
+                    "ApproximateArrivalTimestamp": arrival,
+                }],
+                "NextShardIterator": f"{shard}#1",
+            }
+
+    df = sources.kinesis_snapshot_df(spark, PagingClient(), "s", "TRIM_HORIZON")
+    got = {bytes(r.data).decode() for r in df.collect()}
+    assert got == {"shardId-000000000000", "shardId-000000000001"}

@@ -64,9 +64,12 @@ def test_profile_drift_flags_null_rate_shift_and_schema_drift(spark):
     }
     assert rows["s"]["null_rate_shifted"] is True
     assert rows["id"]["null_rate_shifted"] is False
-    # schema drift: `extra` exists only in b → a-side nulls, flag null
+    # schema drift: `extra` exists only in b → a-side nulls; the shift
+    # flag coalesces to False (one-sidedness IS the signal, and a null
+    # boolean would render asymmetrically across engines)
     assert rows["extra"]["n_rows_a"] is None
     assert rows["extra"]["n_rows_b"] == 100
+    assert rows["extra"]["null_rate_shifted"] is False
     # exact-rational cardinality ratio carried as integers
     assert rows["id"]["distinct_ratio_num"] == rows["id"]["distinct_ratio_den"]
 

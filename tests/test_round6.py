@@ -1,9 +1,14 @@
 """Round-6 guards on the iterative graph operators: the PageRank BIGINT
 overflow bound is enforced (refuse, never silently wrap — VERDICT r5
-item 2), and the broadcast hints in the pagerank/LPA loops are
-parameterized without changing results."""
+item 2), the broadcast hints in the pagerank/LPA loops are parameterized
+without changing results, and the silent_periods batch twin agrees with
+the streaming silence detector on a shared drain scenario."""
 
 from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
 
 import pytest
 
@@ -110,3 +115,91 @@ def test_lpa_broadcast_param_is_result_invariant(spark):
         for r in graph.label_propagation(e, iters=2, broadcast_labels=False).collect()
     }
     assert a == b and len(a) == 7
+
+
+def _write_single_file(df, dest_dir: Path, name: str) -> None:
+    staging = dest_dir / f"_stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    shutil.copy(part, dest_dir / name)
+    shutil.rmtree(staging)
+
+
+def test_silent_periods_batch_matches_stream_drain(spark, tmp_path):
+    """Batch twin ≡ push form when the push form can see everything: a
+    watermark-driving user (3) emits every 10 s through t=400 s across
+    five micro-batch files, so every silent interval's deadline is
+    crossed by the watermark before (or without) the silent key
+    resuming. Expected alerts, both forms: user 1 goes silent at 10 s
+    and never returns (stream: timer fires when the watermark passes
+    70 s; batch: trailing-silence tail); user 2 goes silent at 20 s,
+    resumes at 300 s (stream: timer fires at watermark 90 ≫ deadline
+    80 s, before the 300 s arrival re-arms; batch: interior lag gap),
+    then trails off (deadline 360 s < closing watermark 390 s — the
+    no-data final micro-batch fires it); user 3 never alerts."""
+    import datetime as dt
+
+    from kinesis_stream_video_project_spark.plans.queries_round6 import (
+        silent_periods_frame,
+    )
+    from kinesis_stream_video_project_spark.streaming import jobs
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, user, sec):
+        return (int(eid), base + dt.timedelta(seconds=sec), user, 1.0)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    eid = iter(range(1000))
+    files = [
+        [ev(next(eid), 1, 0), ev(next(eid), 1, 10), ev(next(eid), 2, 0),
+         ev(next(eid), 2, 20)]
+        + [ev(next(eid), 3, s) for s in range(0, 31, 10)],
+        [ev(next(eid), 3, s) for s in range(40, 101, 10)],
+        [ev(next(eid), 3, s) for s in range(110, 201, 10)],
+        [ev(next(eid), 2, 300)]
+        + [ev(next(eid), 3, s) for s in range(210, 301, 10)],
+        [ev(next(eid), 3, s) for s in range(310, 401, 10)],
+    ]
+    src = tmp_path / "silent_periods_src"
+    for i, batch in enumerate(files):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(batch, schema), src, f"b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.silence_alerts(stream, silence_us=60_000_000, watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("silent_periods_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_got = {
+        (r.user_id, r.last_seen_us, r.silent_after_us)
+        for r in spark.sql("SELECT * FROM silent_periods_stream_out").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [e for f in files for e in f], schema
+    )
+    batch_got = {
+        (r.user_id, r.last_seen_us, r.silent_after_us)
+        for r in silent_periods_frame(batch_df, 60_000_000).collect()
+    }
+    base_us = int(base.timestamp()) * 1_000_000
+    want = {
+        (1, base_us + 10_000_000, base_us + 70_000_000),
+        (2, base_us + 20_000_000, base_us + 80_000_000),
+        (2, base_us + 300_000_000, base_us + 360_000_000),
+    }
+    assert batch_got == want
+    assert stream_got == want
