@@ -267,16 +267,33 @@ def pagerank_int(
         F.countDistinct("src").alias("n_nodes"),
         (F.max("w") if weight_col is not None else F.lit(1)).alias("w_max"),
     ).first()
-    worst = 85 * guard["n_nodes"] * base * int(guard["w_max"])
-    if worst > 2**63 - 1:
-        safe_base = (2**63 - 1) // (85 * guard["n_nodes"] * int(guard["w_max"]))
-        raise ValueError(
-            f"pagerank_int: 85 * |V| * base * max(w) = {worst} exceeds BIGINT "
-            f"— integer ranks would silently wrap. Lower base to <= "
-            f"{safe_base} (|V|={guard['n_nodes']}, max weight "
-            f"{guard['w_max']}); resolution degrades but exactness holds."
-        )
-    ranks = deg.select(F.col("src").alias("p"), F.lit(base).alias("rank_scaled"))
+    # Empty graph: no rows to rank and F.max over zero rows is null —
+    # skip the guard and fall through to the (empty) loop result.
+    if guard["n_nodes"] and guard["w_max"] is not None:
+        w_max = int(guard["w_max"])
+        worst = 85 * guard["n_nodes"] * base * w_max
+        if worst > 2**63 - 1:
+            safe_base = (2**63 - 1) // (85 * guard["n_nodes"] * w_max)
+            if safe_base < 1:
+                raise ValueError(
+                    f"pagerank_int: no BIGINT-safe base exists — 85 * |V| * "
+                    f"max(w) = {85 * guard['n_nodes'] * w_max} already "
+                    f"exceeds 2^63 (|V|={guard['n_nodes']}, max weight "
+                    f"{w_max}); rescale the edge weights or partition the "
+                    f"graph."
+                )
+            raise ValueError(
+                f"pagerank_int: 85 * |V| * base * max(w) = {worst} exceeds "
+                f"BIGINT — integer ranks would silently wrap. Lower base to "
+                f"<= {safe_base} (|V|={guard['n_nodes']}, max weight "
+                f"{w_max}); resolution degrades but exactness holds."
+            )
+    # cast("long"): a base ≤ 2^31 becomes an INT literal, and ANSI
+    # constant-folding of 85 * rank_scaled then overflows int32 in the
+    # first iteration's contribution expression.
+    ranks = deg.select(
+        F.col("src").alias("p"), F.lit(base).cast("long").alias("rank_scaled")
+    )
     teleport = (15 * base) // 100
     for _ in range(iters):
         contrib_expr = (

@@ -38,6 +38,19 @@ except ImportError:  # pragma: no cover - container ships no codecs
 Decoder = Callable[[bytes], "tuple[float, float] | None"]
 
 
+def _gray_stats(arr: np.ndarray) -> tuple[float, float]:
+    """(mean, Shannon entropy) of a uint8 array — the ONE implementation
+    all three decode tiers share (stub bytes, PIL pixels, stdlib-PNG
+    pixels): the empty-input guard and the entropy formula must stay in
+    lockstep across tiers or the r4-rounding parity documented in
+    decode_features diverges per tier."""
+    if arr.size == 0:
+        return 0.0, 0.0
+    counts = np.bincount(arr, minlength=256)
+    p = counts[counts > 0] / arr.size
+    return float(arr.mean()), float(-(p * np.log2(p)).sum())
+
+
 def _pil_decode(payload: bytes) -> tuple[float, float] | None:
     """Real decode via PIL: grayscale pixel mean + pixel-value entropy.
     Returns None for payloads PIL cannot open (→ stub fallback)."""
@@ -50,11 +63,12 @@ def _pil_decode(payload: bytes) -> tuple[float, float] | None:
             arr = np.asarray(im.convert("L"), dtype=np.uint8).ravel()
     except Exception:
         return None
-    if arr.size == 0:
-        return 0.0, 0.0
-    counts = np.bincount(arr, minlength=256)
-    p = counts[counts > 0] / arr.size
-    return float(arr.mean()), float(-(p * np.log2(p)).sum())
+    return _gray_stats(arr)
+
+
+# Dimension cap for the stdlib PNG tier: 16M pixels (~a 4k×4k gray-8
+# frame) bounds the int64 working buffer at 128 MB per payload.
+_MAX_PIXELS = 1 << 24
 
 
 def _png_decode(payload: bytes) -> tuple[float, float] | None:
@@ -69,7 +83,13 @@ def _png_decode(payload: bytes) -> tuple[float, float] | None:
 
     Implements all five PNG scanline filters (None/Sub/Up/Average/
     Paeth); bytes-per-pixel is 1 for gray-8, so the "left" reference is
-    simply the previous byte."""
+    simply the previous byte. None/Up/Sub rows are vectorized; Average/
+    Paeth rows are a per-pixel Python loop (genuinely sequential), so
+    this tier is sized for fixture/thumbnail images — a production
+    corpus of large filtered PNGs belongs on the PIL tier, which
+    supersedes this one whenever importable. Dimensions are capped at
+    _MAX_PIXELS and inflation at the exact scanline volume before any
+    allocation (decompression-bomb guard)."""
     if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import struct as _struct
@@ -99,10 +119,20 @@ def _png_decode(payload: bytes) -> tuple[float, float] | None:
         )
         if (depth, color, interlace) != (8, 0, 0) or w == 0 or h == 0:
             return None
-        raw = _zlib.decompress(idat)
+        # Decompression-bomb guard (this tier is on the DEFAULT path, so
+        # it sees arbitrary payloads): reject declared dimensions past a
+        # sane cap BEFORE inflating, and never inflate past the exact
+        # expected scanline volume — a crafted 4 MB IDAT claiming to
+        # inflate to gigabytes stops at expected+1 and is rejected as
+        # oversized (PIL's MAX_IMAGE_PIXELS plays the same role).
+        if w * h > _MAX_PIXELS:
+            return None
+        expected = h * (w + 1)
+        d = _zlib.decompressobj()
+        raw = d.decompress(idat, expected + 1)
     except Exception:
         return None
-    if len(raw) != h * (w + 1):
+    if len(raw) != expected or d.unconsumed_tail or d.decompress(b"", 1):
         return None
     px = np.zeros((h, w), dtype=np.int64)
     for r in range(h):
@@ -115,13 +145,15 @@ def _png_decode(payload: bytes) -> tuple[float, float] | None:
             px[r] = row
         elif ftype == 2:
             px[r] = (row + up) & 0xFF
-        elif ftype in (1, 3, 4):
+        elif ftype == 1:
+            # Sub: p[c] = (raw[c] + p[c-1]) mod 256 — a running sum mod
+            # 256, vectorizable as cumsum&0xFF (mod distributes over +).
+            px[r] = np.cumsum(row) & 0xFF
+        elif ftype in (3, 4):
             left = 0
             for c in range(w):
                 b = int(up[c])
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (left + b) // 2
                 else:  # Paeth
                     a, cdiag = left, int(up[c - 1]) if c else 0
@@ -132,10 +164,7 @@ def _png_decode(payload: bytes) -> tuple[float, float] | None:
                 px[r, c] = left
         else:
             return None
-    arr = px.ravel().astype(np.uint8)
-    counts = np.bincount(arr, minlength=256)
-    p = counts[counts > 0] / arr.size
-    return float(arr.mean()), float(-(p * np.log2(p)).sum())
+    return _gray_stats(px.ravel().astype(np.uint8))
 
 
 def _default_decode(payload: bytes) -> tuple[float, float] | None:
@@ -184,13 +213,7 @@ def _fake_decode(payload: bytes) -> tuple[float, float]:
     Returns deterministic pseudo-features (mean byte value, byte entropy)
     so tests can assert exact values.
     """
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    if arr.size == 0:
-        return 0.0, 0.0
-    counts = np.bincount(arr, minlength=256)
-    p = counts[counts > 0] / arr.size
-    entropy = float(-(p * np.log2(p)).sum())
-    return float(arr.mean()), entropy
+    return _gray_stats(np.frombuffer(payload, dtype=np.uint8))
 
 
 _USE_DEFAULT = object()
@@ -203,9 +226,13 @@ def decode_features(manifest: DataFrame, decoder=_USE_DEFAULT) -> DataFrame:
     partition size — the property that matters when payloads are megabytes.
 
     ``decoder``: optional real codec (bytes -> (mean, entropy) or None).
-    Defaults to PIL when importable (DEFAULT_DECODER); any payload the
-    decoder declines (returns None) falls back to the deterministic stub,
-    so mixed corpora — and codec-less containers — always produce rows.
+    Defaults to the three-tier chain (DEFAULT_DECODER: PIL when
+    importable → stdlib PNG gray-8 → stub), so a gray-8 PNG payload gets
+    PIXEL statistics even in a codec-less container; any payload every
+    real tier declines falls back to the deterministic byte stub, so
+    mixed corpora always produce rows. Pass ``decoder=None`` to force
+    the stub (what the oracle-paired queries do — their hash must not
+    depend on which decode tiers the environment ships).
     """
     use_decoder: Decoder | None = (
         DEFAULT_DECODER if decoder is _USE_DEFAULT else decoder

@@ -87,22 +87,22 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_EDGES_CTE},
 b AS (SELECT p1 AS src, p2 AS dst FROM e UNION ALL SELECT p2, p1 FROM e),
 deg AS (SELECT src, COUNT(*) AS d FROM b GROUP BY src),
-r0 AS (SELECT src AS p, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+r0 AS (SELECT src AS p, CAST(10000000000 AS BIGINT) AS r FROM deg),
 r1 AS (
   SELECT b.dst AS p,
-         CAST(150000000000 + SUM((85 * r0.r) // (100 * deg.d)) AS BIGINT) AS r
+         CAST(1500000000 + SUM((85 * r0.r) // (100 * deg.d)) AS BIGINT) AS r
   FROM b JOIN deg ON deg.src = b.src JOIN r0 ON r0.p = b.src
   GROUP BY b.dst
 ),
 r2 AS (
   SELECT b.dst AS p,
-         CAST(150000000000 + SUM((85 * r1.r) // (100 * deg.d)) AS BIGINT) AS r
+         CAST(1500000000 + SUM((85 * r1.r) // (100 * deg.d)) AS BIGINT) AS r
   FROM b JOIN deg ON deg.src = b.src JOIN r1 ON r1.p = b.src
   GROUP BY b.dst
 ),
 r3 AS (
   SELECT b.dst AS p,
-         CAST(150000000000 + SUM((85 * r2.r) // (100 * deg.d)) AS BIGINT) AS r
+         CAST(1500000000 + SUM((85 * r2.r) // (100 * deg.d)) AS BIGINT) AS r
   FROM b JOIN deg ON deg.src = b.src JOIN r2 ON r2.p = b.src
   GROUP BY b.dst
 )
@@ -112,7 +112,14 @@ FROM r3 ORDER BY r DESC, p LIMIT 20
 )
 def pagerank_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by deterministic integer PageRank (3 iterations,
-    damping 0.85, ranks scaled by 10^12) over the co-purchase graph.
+    damping 0.85, ranks scaled by 10^10) over the co-purchase graph.
+
+    Base 10^10, not the operator default 10^12 (r6): the enforced
+    overflow guard refuses past 85·|V|·base — 10^12 clears only
+    |V| ≈ 10^5 (sf ~0.5 of this fixture's part population) where 10^10
+    holds to |V| ≈ 10^7 (sf ~50); the query keeps availability headroom
+    at two orders of magnitude of scale for a 10^-10 relative rank
+    quantization nobody can observe at top-20 granularity.
 
     Bit-stable cross-engine by construction: scaled-BIGINT ranks,
     truncating integer division per contribution (Spark ``div`` ≡ DuckDB
@@ -122,7 +129,7 @@ def pagerank_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order. Scale: 2 exchanges per iteration, both keyed on the node
     id; no driver-side collect (see operators/graph.py)."""
     edges = graph.copurchase_edges(io.load_table(spark, sf_dir, "lineitem"))
-    ranks = graph.pagerank_int(edges, iters=3, base=10**12)
+    ranks = graph.pagerank_int(edges, iters=3, base=10**10)
     return (
         ranks.orderBy(F.col("rank_scaled").desc(), F.col("p").asc())
         .limit(20)

@@ -51,11 +51,13 @@ e AS (
   GROUP BY 1, 2
 )"""
 
-# Weighted PageRank base: 10^11, not the unweighted query's 10^12 — the
-# enforced bound is 85·|V|·base·max(w); the fixture co-purchase graph has
-# |V| = 2·10^5·sf and max weight ≤ 5, so 10^11 clears the guard through
-# sf1 (85·2e5·1e11·5 ≈ 8.5e18 < 2^63) where 10^12 would refuse at sf0.1.
-_WPR_BASE = 10**11
+# Weighted PageRank base: 10^9, well under the operator default 10^12 —
+# the enforced bound is 85·|V|·base·max(w); the fixture co-purchase graph
+# has |V| = 2·10^5·sf and max weight ≤ 5, so 10^9 clears the guard to
+# |V| ≈ 2·10^7 (sf ~100) where 10^12 would refuse already at sf0.1.
+# Same availability-over-unobservable-resolution trade as
+# pagerank_copurchase_topk's base 10^10 (queries_round5d.py, r6 note).
+_WPR_BASE = 10**9
 
 
 @register(
@@ -99,7 +101,7 @@ def weighted_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights reduce exactly to the unweighted form, pinned in
     tests/test_round5d.py).
 
-    Differs from the unweighted query in base (10^11 — see _WPR_BASE:
+    Differs from the unweighted query in base (10^9 — see _WPR_BASE:
     the overflow guard enforces 85·|V|·base·max(w) < 2^63, and the
     weighted worst case is max(w)× the unweighted one) and in ranking:
     multiplicity-weighted centrality surfaces parts that co-sell OFTEN
@@ -199,22 +201,9 @@ def _peel_cte(i: int) -> str:
 )"""
 
 
-@register(
-    "kcore_parts",
-    tags=("NS-graph", "O-11"),
-    oracle=f"""
-WITH {_EDGES_CTE},
-b AS MATERIALIZED (
-  SELECT p1 AS src, p2 AS dst FROM e UNION ALL SELECT p2, p1 FROM e
-),
-a0 AS MATERIALIZED (SELECT DISTINCT src AS p FROM b),
-{",".join(_peel_cte(i) for i in range(1, 9))}
-SELECT p AS part_id FROM a8
-""",
-)
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The {_KCORE_K}-core of the co-purchase graph — the unique maximal
-    induced subgraph where every part co-sells with ≥ {_KCORE_K} others
+    """The {k}-core of the co-purchase graph — the unique maximal
+    induced subgraph where every part co-sells with ≥ {k} others
     inside the subgraph; the standard dense-cohort extraction (fixed
     point of repeated low-degree peeling, order-independent so no
     tie-breaking enters the cross-engine argument).
@@ -229,6 +218,26 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.copurchase_edges(io.load_table(spark, sf_dir, "lineitem"))
     core = graph.kcore(edges, _KCORE_K, max_iters=30)
     return core.select(F.col("p").alias("part_id"))
+
+
+# Docstrings can't be f-strings, and register() snapshots __doc__ at
+# decoration — so fill the {k} placeholders first, then register (keeps
+# the threshold single-sourced in _KCORE_K; QUERIES.md renders the real
+# number).
+kcore_parts.__doc__ = kcore_parts.__doc__.format(k=_KCORE_K)
+kcore_parts = register(
+    "kcore_parts",
+    tags=("NS-graph", "O-11"),
+    oracle=f"""
+WITH {_EDGES_CTE},
+b AS MATERIALIZED (
+  SELECT p1 AS src, p2 AS dst FROM e UNION ALL SELECT p2, p1 FROM e
+),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS p FROM b),
+{",".join(_peel_cte(i) for i in range(1, 9))}
+SELECT p AS part_id FROM a8
+""",
+)(kcore_parts)
 
 
 _VU = sql_scaled_long("value", 1000000)

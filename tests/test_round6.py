@@ -203,3 +203,131 @@ def test_silent_periods_batch_matches_stream_drain(spark, tmp_path):
     }
     assert batch_got == want
     assert stream_got == want
+
+
+def _plan_of(spark, sf_dir, name: str) -> str:
+    from kinesis_stream_video_project_spark.plans import registry
+
+    spec = registry.all_queries()[name]
+    return spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lpa_iteration_shuffle_budget(spark, sf_dir):
+    """2 LPA rounds must stay at a bounded exchange count: each round is
+    one label join onto the localCheckpoint'd edge list + one
+    (dst, label) count + one per-dst argmax window (≈3 exchanges/round)
+    plus the final community sizing — a superlinear count would mean the
+    loop re-derives history (the 66-vs-10 pagerank failure mode)."""
+    plan = _plan_of(spark, sf_dir, "lpa_communities")
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 14, f"LPA exchange count {n_ex}\n{plan}"
+
+
+def test_weighted_pagerank_shuffle_budget_matches_unweighted(spark, sf_dir):
+    """The weighted variant must keep the unweighted loop's exchange
+    discipline (same budget as test_round5d's pin — the weight column
+    rides the existing adjacency, it must not add shuffles)."""
+    plan = _plan_of(spark, sf_dir, "weighted_pagerank_topk")
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 24, f"weighted pagerank exchange count {n_ex}\n{plan}"
+
+
+def test_round6_plans_have_no_cartesian_products(spark, sf_dir):
+    """Round-6 joins are keyed (node id, event_type, user_id, col_name);
+    the only broadcast nested loops allowed are 1-row scalar crossJoins
+    (silent_periods' global max; the graph size guards)."""
+    for name in (
+        "lpa_communities",
+        "robust_value_stats",
+        "winsorized_value_stats",
+        "table_drift_report",
+        "silent_periods",
+        "curation_pipeline_v3",
+        "weighted_pagerank_topk",
+    ):
+        plan = _plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_kcore_alive_set_reaches_fixed_point_on_fixture(spark, sf_dir):
+    """The registered 65-core must be its own fixed point: every returned
+    node's induced degree ≥ 65, and one more peel is the identity (the
+    uniqueness argument the oracle's bounded unroll leans on)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_video_project_spark import io
+    from kinesis_stream_video_project_spark.operators import graph
+
+    edges = graph.copurchase_edges(io.load_table(spark, sf_dir, "lineitem"))
+    core = graph.kcore(edges, 65, max_iters=30)
+    alive = {r["p"] for r in core.collect()}
+    sub = edges.filter(
+        F.col("p1").isin(alive) & F.col("p2").isin(alive)
+    )
+    deg = {
+        r["p"]: r["d"]
+        for r in sub.select(F.col("p1").alias("p"))
+        .unionAll(sub.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    assert set(deg) == alive
+    assert all(d >= 65 for d in deg.values())
+
+
+def test_pagerank_empty_edge_list_returns_empty(spark):
+    """Review finding (r6): the overflow guard must short-circuit on an
+    empty graph — F.max over zero rows is null, and int(None) raised
+    where pre-guard code returned an empty result. Both modes."""
+    empty_w = spark.createDataFrame(
+        [], "p1 bigint, p2 bigint, n_orders bigint"
+    )
+    assert graph.pagerank_int(empty_w, iters=1, weight_col="n_orders").count() == 0
+    assert graph.pagerank_int(empty_w.drop("n_orders"), iters=1).count() == 0
+
+
+def test_pagerank_refusal_when_no_safe_base_exists(spark):
+    """85·|V|·max(w) alone past 2^63 must produce the no-safe-base error,
+    never 'lower base to <= 0' (which base=0 would satisfy while
+    yielding all-zero ranks)."""
+    e = spark.createDataFrame(
+        [(1, 2, 2**60), (2, 3, 2**60)], "p1 bigint, p2 bigint, n_orders bigint"
+    )
+    with pytest.raises(ValueError, match="no BIGINT-safe base"):
+        graph.pagerank_int(e, iters=1, base=1, weight_col="n_orders")
+
+
+def test_png_decoder_rejects_decompression_bombs():
+    """Review finding (r6): the stdlib tier sits on the DEFAULT decode
+    path, so a payload declaring huge dimensions (or inflating past the
+    scanline volume) must be REJECTED before allocation, not inflated."""
+    import struct
+    import zlib
+
+    from kinesis_stream_video_project_spark.operators import multimodal
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png_of(w, h, raw):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # (a) dimensions past the cap: rejected before any inflation
+    assert multimodal._png_decode(png_of(1 << 16, 1 << 16, b"")) is None
+    # (b) small declared dims but an IDAT inflating way past the
+    #     scanline volume: the limited decompress stops at expected+1
+    assert multimodal._png_decode(png_of(2, 2, b"\x00" * 10_000_000)) is None
+    # (c) control: a legitimate tiny PNG still decodes
+    good = png_of(2, 2, b"\x00\x05\x06\x00\x07\x08")
+    assert multimodal._png_decode(good) is not None
