@@ -1,0 +1,93 @@
+"""Corpus language-model scoring operators (r7 registration queue).
+
+`bigram_surprisal` upgrades the unigram quality gate
+(plans/queries_round4.py::surprisal_score) to a conditional model: a
+document is surprising when its ADJACENT token pairs are corpus-rare,
+not merely its tokens — catching shuffled/boilerplate text whose
+unigram profile looks normal (the standard perplexity-filter signal in
+training-data curation, Wenzek et al.'s CCNet pipeline being the public
+reference).
+
+Numeric strategy (the surprisal_score discipline, one level up): the
+per-pair term is the RATIONAL inverse conditional probability
+1/P̂(cur|prev) = C(prev·)/C(prev,cur), carried as the scaled integer
+``(C(prev·) * scale) div C(prev,cur)`` — floor division identical in
+both engines — and summed as DECIMAL(38,0) (order-insensitive, unlike
+float log-sums, and overflow-proof where a BIGINT sum would wrap in
+Spark but promote to HUGEINT in DuckDB). No log anywhere, so the oracle
+is exact: log-space scoring ranks identically for gating thresholds
+computed on the same scale. Self-corpus scoring means every observed
+bigram has C ≥ 1 — the unigram-backoff branch of a held-out scorer
+never triggers, so it is deliberately absent rather than dead code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark.functions.text import tokens
+
+_SCALE = 10**9
+
+
+def doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, prev, cur) for every adjacent token pair — the zip-with-
+    shifted-self form (phrase_search_docs rationale: constant 2 array
+    references per ROW; shingles_of's per-element lambda re-tokenizes
+    per reference under CollapseProject). The padded tail pair carries a
+    null `cur` and is filtered after the explode."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    shifted = F.slice(F.col("_toks"), 2, 1000000)  # 10^6 cap: see phrase_search
+    pairs = F.zip_with(
+        F.col("_toks"),
+        shifted,
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    return (
+        toked.select("doc_id", F.explode_outer(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        .filter(F.col("cur").isNotNull())
+    )
+
+
+def bigram_surprisal(docs: DataFrame, scale: int = _SCALE) -> DataFrame:
+    """Per-document bigram surprisal: mean scaled inverse conditional
+    probability of its adjacent token pairs under the self-corpus bigram
+    model. Output (doc_id, n_bigrams, surprisal) with surprisal =
+    r4(Σ terms / n / scale) — a document of corpus-unique continuations
+    scores ≈ C(prev·)-sized, formulaic text scores ≈ 1.
+
+    Scale shape: one (prev, cur) bigram-count aggregate and one prev
+    marginal DERIVED from it (sum over cur — no second pass over the
+    corpus), joined back onto the exploded pairs (two shuffles on the
+    bigram/prev keys), then one per-doc aggregate. The bigram join has
+    the same Zipf-hot-prev skew as the token joins — at stopword-skew
+    scale wrap it with operators/skew.salted_join (the
+    surprisal_score_salted lever, unchanged)."""
+    bgs = doc_bigrams(docs)
+    bg_counts = bgs.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c_bigram")
+    )
+    prev_counts = bg_counts.groupBy("prev").agg(
+        F.sum("c_bigram").alias("c_prev")
+    )
+    scored = (
+        bgs.join(bg_counts, ["prev", "cur"])
+        .join(prev_counts, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.expr(f"CAST((c_prev * {scale}) DIV c_bigram AS DECIMAL(38,0))")
+            ).alias("_s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        r4(
+            F.col("_s").cast("double") / F.col("n_bigrams") / F.lit(float(scale))
+        ).alias("surprisal"),
+    )

@@ -134,9 +134,17 @@ def ols_slope_exact(
     )
 
 
+def _group_cols(group_col: "str | Sequence[str]") -> list[str]:
+    """Normalize the group spec — every quantile/robust operator accepts a
+    single column name or a composite key (e.g. (event_type, hour) for
+    seasonal baselines) and partitions every window/aggregate on the full
+    tuple."""
+    return [group_col] if isinstance(group_col, str) else list(group_col)
+
+
 def exact_quantiles(
     df: DataFrame,
-    group_col: str,
+    group_col: "str | Sequence[str]",
     value_col: str,
     fractions: Sequence[tuple[int, int, str]],
 ) -> DataFrame:
@@ -150,30 +158,32 @@ def exact_quantiles(
     exchanges as one). Null values are excluded up front: Spark windows
     order nulls FIRST, so an unfiltered null row would inflate tw and
     shift every quantile downward (same defense as rolling_zscore_flags).
-    ``fractions`` is [(num, den, out_col), ...]; returns (group, *outs)."""
+    ``fractions`` is [(num, den, out_col), ...]; returns (group, *outs).
+    ``group_col`` may be a composite key (list of names)."""
     for num, den, _name in fractions:
         if not (0 < num <= den):
             raise ValueError(
                 f"quantile {num}/{den} must satisfy 0 < num <= den"
             )
+    gcols = _group_cols(group_col)
     cnt = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(group_col, value_col)
+        .groupBy(*gcols, value_col)
         .agg(F.count(F.lit(1)).alias("w"))
     )
     w_cum = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*gcols)
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_tot = Window.partitionBy(group_col)
+    w_tot = Window.partitionBy(*gcols)
     c = cnt.select(
-        group_col,
+        *gcols,
         value_col,
         F.sum("w").over(w_cum).alias("cw"),
         F.sum("w").over(w_tot).alias("tw"),
     )
-    return c.groupBy(group_col).agg(
+    return c.groupBy(*gcols).agg(
         *[
             F.min(
                 F.when(
@@ -188,7 +198,7 @@ def exact_quantiles(
 
 def exact_quantile(
     df: DataFrame,
-    group_col: str,
+    group_col: "str | Sequence[str]",
     value_col: str,
     num: int = 1,
     den: int = 2,
@@ -198,14 +208,16 @@ def exact_quantile(
     return exact_quantiles(df, group_col, value_col, [(num, den, out_col)])
 
 
-def _lower_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def _lower_median(
+    df: DataFrame, group_col: "str | Sequence[str]", value_col: str
+) -> DataFrame:
     """Exact lower median per group — :func:`exact_quantile` at 1/2."""
     return exact_quantile(df, group_col, value_col, 1, 2, out_col="med")
 
 
 def winsorize(
     df: DataFrame,
-    group_col: str,
+    group_col: "str | Sequence[str]",
     value_col: str,
     lo: tuple[int, int] = (5, 100),
     hi: tuple[int, int] = (95, 100),
@@ -233,7 +245,7 @@ def winsorize(
         [(lo[0], lo[1], "_qlo"), (hi[0], hi[1], "_qhi")],
     )
     return (
-        df.join(F.broadcast(bounds), group_col)
+        df.join(F.broadcast(bounds), _group_cols(group_col))
         .withColumn(
             out_col,
             F.when(
@@ -248,7 +260,7 @@ def winsorize(
 
 
 def robust_center_spread(
-    df: DataFrame, group_col: str, value_col: str
+    df: DataFrame, group_col: "str | Sequence[str]", value_col: str
 ) -> DataFrame:
     """Exact robust center/spread per group: lower median and MAD (median
     absolute deviation, same lower-median rule over |v − median|) of an
@@ -262,21 +274,77 @@ def robust_center_spread(
     total, every window partitioned by the group. Output: (group, med,
     mad, n_rows) — hash-exact in any engine.
 
-    Registration note: operator + pytest in round 5; registry entry
-    queued for the round-6 driver window (round-5's 50-slot window is
-    saturated — plans/registry.py header)."""
-    med = _lower_median(df, group_col, value_col)
-    dev = df.join(F.broadcast(med), group_col).select(
-        group_col,
+    Registered as `robust_value_stats` (r6); also accepts a composite
+    group key (e.g. (event_type, hour) seasonal baselines — see
+    seasonal_residual_flags)."""
+    gcols = _group_cols(group_col)
+    med = _lower_median(df, gcols, value_col)
+    dev = df.join(F.broadcast(med), gcols).select(
+        *gcols,
         F.abs(F.col(value_col) - F.col("med")).alias("_adev"),
     )
     mad = (
-        _lower_median(dev, group_col, "_adev")
+        _lower_median(dev, gcols, "_adev")
         .withColumnRenamed("med", "mad")
     )
-    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    n = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n_rows"))
     return (
-        med.join(mad, group_col)
-        .join(n, group_col)
-        .select(group_col, "med", "mad", "n_rows")
+        med.join(mad, gcols)
+        .join(n, gcols)
+        .select(*gcols, "med", "mad", "n_rows")
+    )
+
+
+def seasonal_residual_flags(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    season_col,
+    value_col: str,
+    id_cols: Sequence[str],
+    mad_mult: int = 4,
+) -> DataFrame:
+    """Seasonal robust anomaly detection (r7 registration queue): learn a
+    per-(key, season-bucket) baseline — lower median and MAD of the
+    INTEGER metric — and flag rows whose deviation exceeds
+    ``mad_mult``·MAD. The season bucket (e.g. ``hour(ts)``) makes this
+    the calendar-aware twin of rolling_zscore_flags: a nightly batch job
+    spiking at 03:00 is NORMAL at 03:00 and anomalous at 14:00, which a
+    single per-key threshold can't express; median/MAD (not mean/σ)
+    keeps the learned baseline itself immune to the outliers it hunts
+    (the robust_center_spread breakdown argument).
+
+    All-integer: the baseline is two chained exact-median walks on the
+    composite (key, season) group, the flag an integer comparison —
+    hash-exact in any engine. Rows in groups with MAD = 0 flag on ANY
+    deviation (a constant-metric season treats every departure as
+    anomalous — the degenerate case is documented behavior, not an
+    accident).
+
+    Scale: the walks partition on (key, season) — finer than per-key, so
+    MORE parallel; the baseline table is |keys × seasons| rows,
+    broadcast back. One final scan emits flagged rows only.
+
+    ``season_col``: a Column expression (e.g. ``F.hour("ts")``); it is
+    materialized as ``season`` in the output. ``id_cols``: row identity
+    columns carried through to the flagged output."""
+    base = df.select(
+        *id_cols, *key_cols, season_col.alias("season"), value_col
+    )
+    grp = [*key_cols, "season"]
+    bounds = robust_center_spread(
+        base.select(*grp, value_col), grp, value_col
+    ).select(*grp, "med", "mad")
+    return (
+        base.join(F.broadcast(bounds), grp)
+        .filter(
+            F.abs(F.col(value_col) - F.col("med"))
+            > F.lit(mad_mult) * F.col("mad")
+        )
+        .select(
+            *id_cols,
+            *grp,
+            F.col(value_col),
+            "med",
+            "mad",
+        )
     )

@@ -1146,3 +1146,116 @@ def silence_alerts_tws(
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (O-11's streaming form; r7 registration queue)
+# ---------------------------------------------------------------------------
+
+_FOLLOWUP_WITHIN_US = 4 * 3600 * 1_000_000
+
+
+def followup_pairs_batch(
+    events: DataFrame,
+    trigger_type: str = "error",
+    response_type: str = "purchase",
+    within_us: int = _FOLLOWUP_WITHIN_US,
+) -> DataFrame:
+    """Batch twin of :func:`followup_join_stream`: every (trigger,
+    response) event pair per user with the response inside
+    ``(trigger_ts, trigger_ts + within_us]`` — the "did the user act
+    after the failure" correlation the reference's operator would read
+    off CloudWatch by hand (restart.sh reacts to the error signal; this
+    measures what follows it). Emits ALL pairs (the deliberately
+    order-free semantics a stream-stream inner join can reproduce
+    incrementally; a first-response-only variant needs a per-trigger
+    argmin, which streams only with another aggregation stage).
+
+    Scale: an equi-join on user_id with the interval as a residual range
+    predicate — shuffles both sides once on the key; per-key work is the
+    per-user trigger×response product inside the window, bounded by the
+    signal's own sparsity. 12/141/1466 pairs at sf0.001/0.01/0.1 with
+    the 4 h default — non-degenerate at every SF."""
+    t = events.filter(F.col("event_type") == trigger_type).select(
+        "user_id",
+        F.col("event_id").alias("trigger_event_id"),
+        F.unix_micros("ts").alias("_t_us"),
+    )
+    r = events.filter(F.col("event_type") == response_type).select(
+        F.col("user_id").alias("_r_user"),
+        F.col("event_id").alias("response_event_id"),
+        F.unix_micros("ts").alias("_r_us"),
+    )
+    return (
+        t.join(
+            r,
+            (t["user_id"] == r["_r_user"])
+            & (r["_r_us"] > t["_t_us"])
+            & (r["_r_us"] <= t["_t_us"] + F.lit(within_us)),
+        )
+        .select(
+            "user_id",
+            "trigger_event_id",
+            "response_event_id",
+            (F.col("_r_us") - F.col("_t_us")).alias("lag_us"),
+        )
+    )
+
+
+def followup_join_stream(
+    events: DataFrame,
+    trigger_type: str = "error",
+    response_type: str = "purchase",
+    within_us: int = _FOLLOWUP_WITHIN_US,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """STREAM-STREAM interval self-join — the one join class no other job
+    covers: both sides are unbounded, so Spark must buffer each side's
+    rows in state and the TIME-RANGE condition + watermarks are what
+    bound that state (triggers older than watermark − within can never
+    match a future response and are evicted; responses older than the
+    watermark likewise). An inner join emits pairs as soon as both sides
+    have arrived — no watermark wait on the emission path, only on state
+    cleanup — so a bounded drain produces exactly the batch twin's pair
+    set (pinned in tests/test_streaming.py).
+
+    The join condition must stay on the WATERMARKED event-time columns
+    AND in a shape StreamingJoinHelper can analyze — ``t_ts + INTERVAL
+    … MICROSECOND`` (TimeAdd of a literal interval). ``timestampadd(…)``
+    or arithmetic over unix_micros() ints read identically but the state
+    watermark extractor declines them ("Failed to extract state value
+    watermark"), silently falling back to keep-forever join state — the
+    100 TB failure mode this operator exists to avoid; the executed-plan
+    pin in tests/test_streaming.py holds the analyzable shape in
+    place."""
+    t = (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == trigger_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("trigger_event_id"),
+            F.col("ts").alias("t_ts"),
+        )
+    )
+    r = (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == response_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("response_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = t.join(
+        r,
+        F.expr(
+            f"user_id = r_user AND r_ts > t_ts "
+            f"AND r_ts <= t_ts + INTERVAL {within_us} MICROSECOND"
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "trigger_event_id",
+        "response_event_id",
+        (F.unix_micros("r_ts") - F.unix_micros("t_ts")).alias("lag_us"),
+    )

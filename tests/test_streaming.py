@@ -1053,3 +1053,75 @@ def test_silence_alerts_tws_matches_group_state_form(spark, tmp_path):
     ]
     base_us = int(base.timestamp()) * 1_000_000
     assert got == [(1, base_us + 10_000_000, base_us + 70_000_000)]
+
+
+def test_followup_stream_stream_join_matches_batch(spark, tmp_path, events_df):
+    """Stream-stream interval self-join (the only unbounded×unbounded
+    join class) drained over the real events fixture must emit exactly
+    the batch twin's (trigger, response, lag) pair set — inner joins
+    emit on arrival of both sides, so a bounded drain recovers every
+    in-window pair; the watermark only bounds buffered state."""
+    src = tmp_path / "followup_src"
+    events_df.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(events_df.schema).parquet(str(src))
+    q = (
+        jobs.followup_join_stream(stream)
+        .writeStream.format("memory")
+        .queryName("followup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_followup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.trigger_event_id, r.response_event_id, r.lag_us)
+        for r in spark.sql("SELECT * FROM followup_out").collect()
+    }
+    want = {
+        (r.user_id, r.trigger_event_id, r.response_event_id, r.lag_us)
+        for r in jobs.followup_pairs_batch(events_df).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_followup_join_state_is_watermark_bounded(spark, tmp_path):
+    """The physical plan must carry a StreamingSymmetricHashJoin with a
+    state watermark derived from the interval predicate — if the range
+    condition ever drifts off the watermarked ts columns (e.g. onto
+    unix_micros ints), Spark silently keeps join state forever; this
+    pins the eviction analysis instead of trusting the docstring."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (1, base, 7, "error", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 7, "purchase", 2.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = tmp_path / "followup_plan_src"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = jobs.followup_join_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("followup_plan_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_followup_plan"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT COUNT(*) AS n FROM followup_plan_out").first().n == 1
+    # Inspect the executed plan: the symmetric hash join must carry
+    # EXTRACTED state-cleanup value predicates on both buffered sides
+    # (the INTERVAL arithmetic shape). A timestampadd() condition reads
+    # identically but logs "Failed to extract state value watermark" and
+    # keeps join state forever — this pin caught exactly that.
+    jplan = q._jsq.explainInternal(False)
+    assert "StreamingSymmetricHashJoin" in jplan, jplan
+    assert "left value predicate: (t_ts" in jplan, jplan
+    assert "right value predicate: (r_ts" in jplan, jplan
