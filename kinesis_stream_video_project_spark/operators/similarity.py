@@ -302,3 +302,137 @@ def embedding_near_dups(
         .select("vec_a", "vec_b", r4(cos).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def hyperplane_signs(planes: int, dims: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components for embedding SimHash:
+    sign(p, i) from the low bit of md5(f"{p}:{i}") — reproducible in any
+    engine/language, no RNG state anywhere. Returned as plain Python
+    lists so both the Spark plan and the DuckDB oracle embed the SAME
+    literal arrays (identical by construction beats re-deriving md5 in
+    two SQL dialects)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{p}:{i}".encode()).digest()[-1] & 1
+            else -1
+            for i in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def simhash_embedding_buckets(
+    corpus: DataFrame,
+    tables: int = 4,
+    planes: int = 8,
+    dims: int = 64,
+    scale: int = 10**6,
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane SimHash over an embedding column — the LSH
+    bucketing tier for embedding near-dup at 100 TB (r7 registration
+    queue), in the standard AND-OR construction: ``tables`` independent
+    signatures of ``planes`` bits each (plane t·planes+p belongs to
+    table t). Two vectors at angle θ share one table's bucket with
+    probability (1 − θ/π)^planes and become candidates if ANY table
+    collides — 1 − (1 − (1−θ/π)^planes)^tables ≈ 0.75 at cosine 0.9
+    with the 4×8 default, against ~2^-8 per table for unrelated
+    vectors. Output one (id, table, bucket) row per table: the
+    candidate join keys on (table, bucket).
+
+    Exactness (what makes bucket ids hash-checkable cross-engine): each
+    float component is scaled ONCE to an integer (floor(e·scale + 0.5),
+    the engine-wide portable scaling; floor BEFORE the long cast keeps
+    negative components exact), and a plane's bit is sign(Σ ±e_scaled)
+    over INTEGER addition — no float summation order anywhere, so
+    every bucket id is bit-stable in any engine and partitioning. Ties
+    (Σ = 0) take bit 0 by definition.
+
+    Scale: one projection per row (tables × planes × dims integer
+    mul-adds riding whole-stage codegen), output rows = tables × corpus
+    with 24 B payloads — the shuffle the candidate join pays carries
+    ids, never embeddings."""
+    signs = hyperplane_signs(tables * planes, dims)
+    scaled = F.transform(
+        F.col(vec),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    projected = corpus.select(F.col(corpus_id), scaled.alias("_sc"))
+    buckets = []
+    for t in range(tables):
+        bucket = None
+        for p in range(planes):
+            sgn = signs[t * planes + p]
+            sgn_arr = F.array(*[F.lit(v) for v in sgn])
+            proj = F.aggregate(
+                F.zip_with(F.col("_sc"), sgn_arr, lambda e, sv: e * sv),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        buckets.append(
+            F.struct(F.lit(t).alias("table"), bucket.cast("long").alias("bucket"))
+        )
+    return projected.select(
+        F.col(corpus_id), F.explode(F.array(*buckets)).alias("_tb")
+    ).select(
+        corpus_id,
+        F.col("_tb.table").alias("table"),
+        F.col("_tb.bucket").alias("bucket"),
+    )
+
+
+def simhash_embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    tables: int = 4,
+    planes: int = 8,
+    dims: int = 64,
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SimHash-bucketed embedding near-dup pairs: candidates = same
+    bucket in ANY table ((table, bucket)-keyed self-join, id-only
+    through the shuffle — the LSH pair discipline), deduped, then
+    exact-cosine verification at ``threshold`` — the same hoisted-norm
+    verify expression as embedding_near_dups, so the tiers agree on
+    every shared pair. The containment claim "every reported pair is a
+    true ≥ threshold pair" is exact; recall follows the AND-OR
+    collision curve (tables/planes are the levers)."""
+    b = simhash_embedding_buckets(
+        corpus, tables, planes, dims, corpus_id=corpus_id, vec=vec
+    )
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), ["table", "bucket"])
+        .filter(F.col(f"x.{corpus_id}") < F.col(f"y.{corpus_id}"))
+        .select(
+            F.col(f"x.{corpus_id}").alias("vec_a"),
+            F.col(f"y.{corpus_id}").alias("vec_b"),
+        )
+        .distinct()
+    )
+    a = corpus.select(
+        F.col(corpus_id).alias("vec_a"),
+        F.col(vec).alias("emb_a"),
+        l2_norm(F.col(vec)).alias("_norm_a"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_b"),
+        F.col(vec).alias("emb_b"),
+        l2_norm(F.col(vec)).alias("_norm_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("_norm_a") * F.col("_norm_b")
+    )
+    return (
+        pairs.join(a, "vec_a")
+        .join(c, "vec_b")
+        .select("vec_a", "vec_b", r4(cos).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
