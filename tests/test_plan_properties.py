@@ -284,3 +284,47 @@ def test_salted_surprisal_join_carries_salt_keys(spark, sf_dir):
     assert m and "__salt" in m.group(0), (
         "token join must include the salt in its keys\n" + plan[:3000]
     )
+
+
+def test_runtime_bloom_filter_join_lever(spark, sf_dir):
+    """The 100 TB selective-star-join lever: with runtime bloom filters
+    enabled, a shuffle join whose build side is filtered selectively gets
+    a bloom_filter_agg injected on the probe side (lineitem rows that
+    can't match are dropped BEFORE the shuffle). Pins both directions:
+    the filter appears when the conf is on (with the application-side
+    scan threshold lowered to fixture scale), and not when off — so the
+    lever's preconditions are recorded next to the skew levers rather
+    than rediscovered at cluster scale."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def plan_of() -> str:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert "bloom_filter_agg" in plan_of()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        assert "bloom_filter_agg" not in plan_of()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -320,3 +320,82 @@ def test_weighted_pagerank_random_graphs(spark, triples):
         for r in graph.pagerank_int(df, iters=2, weight_col="wt").collect()
     }
     assert got == _weighted_pagerank_ref(triples, iters=2)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_composite_key_median_matches_bruteforce(spark, rows):
+    """r6 composite-key quantile walk: lower median per (g1, g2) equals
+    the plain-Python reference on random frames."""
+    df = spark.createDataFrame(rows, "g1 string, g2 int, v long")
+    got = {
+        (r.g1, r.g2): r.q
+        for r in stats.exact_quantile(df, ["g1", "g2"], "v", 1, 2).collect()
+    }
+    byg: dict = {}
+    for g1, g2, v in rows:
+        byg.setdefault((g1, g2), []).append(v)
+    want = {}
+    for k, vs in byg.items():
+        vs = sorted(vs)
+        want[k] = vs[(len(vs) - 1) // 2]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),     # user
+            st.integers(min_value=0, max_value=3600),  # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=60, max_value=600),
+)
+@settings(max_examples=15, deadline=None)
+def test_silent_periods_frame_matches_bruteforce(spark, evs, silence_s):
+    """r6 batch silence twin: interior gaps + trailing silence equal the
+    plain-Python replay on random event sets."""
+    import datetime as dt
+
+    from kinesis_stream_video_project_spark.plans.queries_round6 import (
+        silent_periods_frame,
+    )
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (i, base + dt.timedelta(seconds=sec), u)
+        for i, (u, sec) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    silence_us = silence_s * 1_000_000
+    got = {
+        (r.user_id, r.last_seen_us, r.silent_after_us)
+        for r in silent_periods_frame(df, silence_us).collect()
+    }
+    base_us = int(base.timestamp()) * 1_000_000
+    byu: dict = {}
+    for i, (u, sec) in enumerate(evs):
+        byu.setdefault(u, []).append(base_us + sec * 1_000_000)
+    gmax = max(us for uss in byu.values() for us in uss)
+    want = set()
+    for u, uss in byu.items():
+        uss = sorted(uss)
+        for a, b in zip(uss, uss[1:]):
+            if b - a > silence_us:
+                want.add((u, a, a + silence_us))
+        if gmax - uss[-1] > silence_us:
+            want.add((u, uss[-1], uss[-1] + silence_us))
+    assert got == want
