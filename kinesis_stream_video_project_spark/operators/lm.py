@@ -73,6 +73,19 @@ def bigram_surprisal(docs: DataFrame, scale: int = _SCALE) -> DataFrame:
     prev_counts = bg_counts.groupBy("prev").agg(
         F.sum("c_bigram").alias("c_prev")
     )
+    # Overflow envelope, ENFORCED (the pagerank_int guard discipline —
+    # refuse loudly, never wrap): the per-term product c_prev·scale is a
+    # BIGINT multiply, so the hottest prev bounds the safe scale. At a
+    # 100 TB corpus a stopword prev reaches ~10^11 and the default 10^9
+    # scale must drop to ~10^7 — resolution a mean-of-terms consumer
+    # cannot observe. Cost: one |vocab|-row aggregate per call.
+    mx = prev_counts.agg(F.max("c_prev").alias("m")).first()["m"]
+    if mx is not None and mx * scale > 2**63 - 1:
+        raise ValueError(
+            f"bigram_surprisal: hottest prev count {mx} * scale {scale} "
+            f"exceeds BIGINT — the per-term product would wrap (Spark) or "
+            f"error (DuckDB). Lower scale to <= {(2**63 - 1) // mx}."
+        )
     scored = (
         bgs.join(bg_counts, ["prev", "cur"])
         .join(prev_counts, "prev")

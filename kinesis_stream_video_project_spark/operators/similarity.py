@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark.functions.numeric import r4, scaled_long
 from kinesis_stream_video_project_spark.functions.vectors import cosine, dot, l2_norm
 
 
@@ -357,11 +357,25 @@ def simhash_embedding_buckets(
     with 24 B payloads — the shuffle the candidate join pays carries
     ids, never embeddings."""
     signs = hyperplane_signs(tables * planes, dims)
+    # scaled_long IS the engine-wide portable scaling contract — reusing
+    # it (not an inline floor copy) keeps the SimHash tier in lockstep
+    # with every other scaled-integer operator and its Python replay.
     scaled = F.transform(
-        F.col(vec),
-        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        F.col(vec), lambda x: scaled_long(x.cast("double"), scale)
     )
     projected = corpus.select(F.col(corpus_id), scaled.alias("_sc"))
+    # Dimension guard (refuse loudly): a dims mismatch null-pads every
+    # zip_with, the plane sums go null, and EVERY vector lands in bucket
+    # 0 of every table — the candidate join degenerates to the O(n²)
+    # cross product this tier exists to prevent, with no error. One
+    # limit(1) probe per call buys the loud failure.
+    bad = corpus.filter(F.size(F.col(vec)) != dims).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"simhash_embedding_buckets: an embedding's length != dims="
+            f"{dims}; a mismatch silently collapses all signatures to "
+            f"bucket 0 (null-padded zip_with), so it is refused instead."
+        )
     buckets = []
     for t in range(tables):
         bucket = None
@@ -384,6 +398,39 @@ def simhash_embedding_buckets(
         corpus_id,
         F.col("_tb.table").alias("table"),
         F.col("_tb.bucket").alias("bucket"),
+    )
+
+
+def _pair_cosine_verify(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    corpus_id: str,
+    vec: str,
+) -> DataFrame:
+    """Exact-cosine verification of an (vec_a, vec_b) candidate pair set
+    — THE verify expression of the embedding near-dup family (hoisted
+    norms, dot/(na·nb), r4, >= threshold). One definition so LSH-tier /
+    blocked-tier agreement on shared pairs (pinned in tests) can never
+    drift from a divergent copy."""
+    a = corpus.select(
+        F.col(corpus_id).alias("vec_a"),
+        F.col(vec).alias("emb_a"),
+        l2_norm(F.col(vec)).alias("_norm_a"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_b"),
+        F.col(vec).alias("emb_b"),
+        l2_norm(F.col(vec)).alias("_norm_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("_norm_a") * F.col("_norm_b")
+    )
+    return (
+        pairs.join(a, "vec_a")
+        .join(c, "vec_b")
+        .select("vec_a", "vec_b", r4(cos).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -417,22 +464,4 @@ def simhash_embedding_near_dups(
         )
         .distinct()
     )
-    a = corpus.select(
-        F.col(corpus_id).alias("vec_a"),
-        F.col(vec).alias("emb_a"),
-        l2_norm(F.col(vec)).alias("_norm_a"),
-    )
-    c = corpus.select(
-        F.col(corpus_id).alias("vec_b"),
-        F.col(vec).alias("emb_b"),
-        l2_norm(F.col(vec)).alias("_norm_b"),
-    )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("_norm_a") * F.col("_norm_b")
-    )
-    return (
-        pairs.join(a, "vec_a")
-        .join(c, "vec_b")
-        .select("vec_a", "vec_b", r4(cos).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    return _pair_cosine_verify(pairs, corpus, threshold, corpus_id, vec)

@@ -1209,10 +1209,11 @@ def followup_join_stream(
     within_us: int = _FOLLOWUP_WITHIN_US,
     watermark: str = "10 seconds",
 ) -> DataFrame:
-    """STREAM-STREAM interval self-join — the one join class no other job
-    covers: both sides are unbounded, so Spark must buffer each side's
-    rows in state and the TIME-RANGE condition + watermarks are what
-    bound that state (triggers older than watermark − within can never
+    """STREAM-STREAM interval SELF-join (complementing
+    correlate_probe_metric's two-stream form with the one-stream
+    filtered-twice shape, and adding the executed-plan state-cleanup
+    pin): both sides are unbounded, so Spark buffers each side's rows in
+    state and the TIME-RANGE condition + watermarks are what bound it (triggers older than watermark − within can never
     match a future response and are evicted; responses older than the
     watermark likewise). An inner join emits pairs as soon as both sides
     have arrived — no watermark wait on the emission path, only on state
@@ -1258,4 +1259,42 @@ def followup_join_stream(
         "trigger_event_id",
         "response_event_id",
         (F.unix_micros("r_ts") - F.unix_micros("t_ts")).alias("lag_us"),
+    )
+
+
+def seasonal_flags_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    mad_mult: int = 4,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming application of a batch-learned seasonal baseline — the
+    train-batch / score-stream split every production detector ends up
+    with: `stats.seasonal_residual_flags` learns the per-(event_type,
+    hour) median/MAD table offline (a broadcast-sized model), and this
+    job flags live events against it with a stream-static join — no
+    state at all, so throughput is scan-bound and the job restarts
+    freely. The tradeoff vs the batch form is explicit: the stream
+    scores against YESTERDAY's baseline (models update by swapping the
+    static side at redeploy), while the batch twin's baseline includes
+    the scored rows themselves; on identical inputs with the same
+    baseline table the flag sets are identical (pinned in
+    tests/test_streaming.py).
+
+    ``baseline``: (event_type, season, med, mad) — the
+    robust_center_spread output on a composite key; must be small
+    enough to broadcast (|types × 24| rows here)."""
+    vu = events.withWatermark("ts", watermark).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.hour("ts").alias("season"),
+        F.col("vu"),
+    )
+    return (
+        vu.join(F.broadcast(baseline), ["event_type", "season"])
+        .filter(
+            F.abs(F.col("vu") - F.col("med")) > F.lit(mad_mult) * F.col("mad")
+        )
+        .select("event_id", "user_id", "event_type", "season", "vu", "med", "mad")
     )

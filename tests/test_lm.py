@@ -253,3 +253,17 @@ WHERE ABS(v.vu - med.med) > 4 * mad.mad
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_bigram_surprisal_overflow_guard(spark):
+    """The per-term product c_prev·scale past BIGINT must refuse with a
+    usable scale suggestion, never wrap (review finding, r6)."""
+    import re
+
+    import pytest
+
+    d = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exceeds BIGINT") as ei:
+        lm.bigram_surprisal(d, scale=10**19)
+    safe = int(re.search(r"scale to <= (\d+)", str(ei.value)).group(1))
+    assert lm.bigram_surprisal(d, scale=safe).count() == 1

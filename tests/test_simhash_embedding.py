@@ -88,3 +88,18 @@ def test_simhash_buckets_partition_invariant(spark, sf_dir):
         for r in similarity.simhash_embedding_buckets(e.coalesce(1)).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_simhash_refuses_dims_mismatch(spark):
+    """A dims mismatch null-pads zip_with and would silently collapse
+    every signature to bucket 0 (O(n²) candidates) — refused instead
+    (review finding, r6)."""
+    import pytest
+
+    e = spark.createDataFrame(
+        [(1, [0.1] * 32), (2, [0.2] * 32)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="dims"):
+        similarity.simhash_embedding_buckets(e)  # default dims=64
+    assert similarity.simhash_embedding_buckets(e, dims=32).count() == 8

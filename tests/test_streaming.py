@@ -1125,3 +1125,54 @@ def test_followup_join_state_is_watermark_bounded(spark, tmp_path):
     assert "StreamingSymmetricHashJoin" in jplan, jplan
     assert "left value predicate: (t_ts" in jplan, jplan
     assert "right value predicate: (r_ts" in jplan, jplan
+
+
+def test_seasonal_flags_stream_matches_batch_on_shared_baseline(
+    spark, tmp_path, events_df
+):
+    """Train-batch / score-stream: with the SAME baseline table, the
+    stateless stream-static scorer must flag exactly the rows the batch
+    operator flags on the fixture events."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+    from kinesis_stream_video_project_spark.operators import stats
+
+    e = events_df.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        scaled_long(F.col("value"), 1000000).alias("vu"),
+    )
+    baseline = stats.robust_center_spread(
+        e.select("event_type", F.hour("ts").alias("season"), "vu"),
+        ["event_type", "season"],
+        "vu",
+    ).select("event_type", "season", "med", "mad")
+    batch_flags = {
+        (r.event_id, r.season)
+        for r in stats.seasonal_residual_flags(
+            e,
+            key_cols=["event_type"],
+            season_col=F.hour("ts"),
+            value_col="vu",
+            id_cols=["event_id"],
+        ).collect()
+    }
+    src = tmp_path / "seasonal_src"
+    e.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(e.schema).parquet(str(src))
+    q = (
+        jobs.seasonal_flags_stream(stream, baseline)
+        .writeStream.format("memory")
+        .queryName("seasonal_flags_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_seasonal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_id, r.season)
+        for r in spark.sql("SELECT * FROM seasonal_flags_out").collect()
+    }
+    assert got == batch_flags and len(got) > 0
