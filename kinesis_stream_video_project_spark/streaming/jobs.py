@@ -1298,3 +1298,146 @@ def seasonal_flags_stream(
         )
         .select("event_id", "user_id", "event_type", "season", "vu", "med", "mad")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup candidate detection (online MinHash-LSH; r7 queue)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_OUT_SCHEMA = (
+    StructType()
+    .add("doc_a", "long")
+    .add("doc_b", "long")
+    .add("bucket", "long")
+)
+_NEARDUP_STATE_SCHEMA = (
+    StructType()
+    .add("ids", ArrayType(LongType()))
+    .add("ts_us", ArrayType(LongType()))
+)
+
+
+def near_dup_candidates_stream(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 6,
+    shingle_k: int = 3,
+    horizon_us: int = 24 * 3600 * 1_000_000,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """ONLINE MinHash-LSH: emit near-duplicate CANDIDATE pairs as
+    documents arrive — the streaming form of the batch LSH tier's bucket
+    self-join (operators/dedup.py::minhash_lsh_near_dups), for the
+    ingest-time curation question "is this document a near-copy of
+    something already in the last N hours of crawl" that a daily batch
+    join answers a day too late.
+
+    Plan: the signature pipeline is the SAME public primitives as the
+    batch tier (tokens → distinct shingles → md5 basis → minhash
+    signature → banded bucket keys; the staged-projection discipline and
+    its CollapseProject rationale live in dedup.py — divergence between
+    the two pipelines is caught by the stream==batch candidate-set
+    equality test). Each (band, bucket) group then holds its member ids
+    in state: a new arrival emits one pair per existing member and
+    joins the member list. Emitted pairs are CANDIDATES — exact-Jaccard
+    verification joins token sets back in batch (the id-only pair
+    discipline: state and shuffle carry 16-byte ids, never token sets);
+    the same pair can surface from several bands, deduped downstream
+    with the verification join exactly like the batch tier's distinct.
+
+    State bound: members older than ``horizon_us`` of event time are
+    trimmed on every update (the crawl-window semantics — a candidate
+    against a year-old document is the BATCH tier's job), so each
+    bucket's state is the bucket's arrival rate × horizon, and idle
+    buckets clear fully via EventTimeTimeout one horizon after their
+    newest member."""
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signature_from_hashes,
+        shingle_hash,
+        shingles_of,
+    )
+    from kinesis_stream_video_project_spark.functions.text import tokens
+
+    rows_per_band = n_hashes // n_bands
+    tokenized = docs.withWatermark("ts", watermark).select(
+        "doc_id", "ts", tokens(F.col("text")).alias("_toks")
+    )
+    shingled = tokenized.select(
+        "doc_id",
+        "ts",
+        F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("tok_set"),
+    )
+    hashed = shingled.select(
+        "doc_id", "ts", F.transform(F.col("tok_set"), shingle_hash).alias("_hs")
+    )
+    base = hashed.select(
+        "doc_id",
+        "ts",
+        minhash_signature_from_hashes(F.col("_hs"), n_hashes).alias("sig"),
+    )
+    banded = base.select(
+        "doc_id",
+        "ts",
+        F.explode_outer(
+            F.array_distinct(lsh_band_keys(F.col("sig"), n_bands, rows_per_band))
+        ).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, tss = state.get
+            members = list(zip(ids, tss))
+        else:
+            members = []
+        batch = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for r in pdf.itertuples(index=False):
+                batch.append((int(r.doc_id), int(r.ts.value) // 1000))
+        # (ts, id) arrival order keeps the emitted pair set deterministic
+        # under any micro-batch chunking (pinned in tests).
+        batch.sort(key=lambda t: (t[1], t[0]))
+        out_a: list[int] = []
+        out_b: list[int] = []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for doc_id, ts_us in batch:
+            floor_us = max(ts_us, wm_us) - horizon_us
+            members = [m for m in members if m[1] >= floor_us]
+            for mid, _mts in members:
+                if mid == doc_id:
+                    continue
+                out_a.append(min(mid, doc_id))
+                out_b.append(max(mid, doc_id))
+            members.append((doc_id, ts_us))
+        if members:
+            state.update(
+                ([m[0] for m in members], [m[1] for m in members])
+            )
+            newest_ms = max(m[1] for m in members) // 1000
+            state.setTimeoutTimestamp(
+                max(newest_ms + horizon_us // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "doc_a": out_a,
+                    "doc_b": out_b,
+                    "bucket": [int(bucket)] * len(out_a),
+                }
+            )
+
+    return banded.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=_NEARDUP_OUT_SCHEMA,
+        stateStructType=_NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1176,3 +1176,154 @@ def test_seasonal_flags_stream_matches_batch_on_shared_baseline(
         for r in spark.sql("SELECT * FROM seasonal_flags_out").collect()
     }
     assert got == batch_flags and len(got) > 0
+
+
+def _banded_static(df, n_hashes=16, n_bands=6, shingle_k=3):
+    from kinesis_stream_video_project_spark.functions.text import tokens as _tokens
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signature_from_hashes,
+        shingle_hash,
+        shingles_of,
+    )
+
+    t = df.select("doc_id", _tokens(F.col("text")).alias("_toks"))
+    sh = t.select(
+        "doc_id",
+        F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("ts_"),
+    )
+    h = sh.select("doc_id", F.transform(F.col("ts_"), shingle_hash).alias("_hs"))
+    base = h.select(
+        "doc_id",
+        minhash_signature_from_hashes(F.col("_hs"), n_hashes).alias("sig"),
+    )
+    return base.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(lsh_band_keys(F.col("sig"), n_bands, n_hashes // n_bands))
+        ).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+
+
+def test_streaming_near_dup_candidates_match_batch_bucket_join(
+    spark, tmp_path, sf_dir
+):
+    """Online LSH ≡ batch bucket self-join: draining the corpus (synthetic
+    arrival times inside one horizon) must emit exactly the batch banded
+    candidate pair set, and the set must be invariant to micro-batch
+    chunking (1 file vs 3)."""
+    docs = (
+        io.load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double")),
+        )
+    )
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in (
+            _banded_static(docs.select("doc_id", "text"))
+            .alias("l")
+            .join(_banded_static(docs.select("doc_id", "text")).alias("r"), "bucket")
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    n_docs = docs.count()
+    got_by_split = []
+    for nfiles in (1, 3):
+        # Time-ordered file slices: arrival order must respect event time
+        # or the advancing watermark drops genuinely-late rows — correct
+        # streaming semantics, but not what this equality test probes.
+        src = tmp_path / f"neardup_src_{nfiles}"
+        step = -(-n_docs // nfiles)
+        for i in range(nfiles):
+            if i:
+                time.sleep(1.1)
+            _write_single_file(
+                docs.filter(
+                    (F.col("doc_id") >= i * step)
+                    & (F.col("doc_id") < (i + 1) * step)
+                ),
+                src,
+                f"b{i}.parquet",
+            )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.near_dup_candidates_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"neardup_out_{nfiles}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_nd_{nfiles}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got_by_split.append(
+            {
+                (r.doc_a, r.doc_b)
+                for r in spark.sql(
+                    f"SELECT DISTINCT doc_a, doc_b FROM neardup_out_{nfiles}"
+                ).collect()
+            }
+        )
+    assert got_by_split[0] == got_by_split[1] == want and len(want) > 0
+
+
+def test_streaming_near_dup_horizon_evicts_old_members(spark, tmp_path):
+    """Identical docs: B arrives within the horizon of A (pair), C
+    arrives past it (no pair with A; pair with B only if within B's
+    horizon — here also past, so C pairs with nobody)."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    horizon_us = 3600 * 1_000_000  # 1 h
+    rows = [
+        (1, text, base),
+        (2, text, base + dt.timedelta(minutes=30)),   # pairs with 1
+        (3, text, base + dt.timedelta(hours=3)),      # both others evicted
+        (4, "unrelated words entirely different content here now", base),
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    files = [[rows[0], rows[3]], [rows[1]], [rows[2]]]
+    src = tmp_path / "neardup_horizon_src"
+    for i, batch in enumerate(files):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(batch, schema), src, f"b{i}.parquet"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.near_dup_candidates_stream(stream, horizon_us=horizon_us)
+        .writeStream.format("memory")
+        .queryName("neardup_horizon_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd_h"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql(
+            "SELECT DISTINCT doc_a, doc_b FROM neardup_horizon_out"
+        ).collect()
+    }
+    assert got == {(1, 2)}
