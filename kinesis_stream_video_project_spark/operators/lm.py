@@ -73,28 +73,32 @@ def bigram_surprisal(docs: DataFrame, scale: int = _SCALE) -> DataFrame:
     prev_counts = bg_counts.groupBy("prev").agg(
         F.sum("c_bigram").alias("c_prev")
     )
-    # Overflow envelope, ENFORCED (the pagerank_int guard discipline —
-    # refuse loudly, never wrap): the per-term product c_prev·scale is a
-    # BIGINT multiply, so the hottest prev bounds the safe scale. At a
-    # 100 TB corpus a stopword prev reaches ~10^11 and the default 10^9
-    # scale must drop to ~10^7 — resolution a mean-of-terms consumer
-    # cannot observe. Cost: one |vocab|-row aggregate per call.
-    mx = prev_counts.agg(F.max("c_prev").alias("m")).first()["m"]
-    if mx is not None and mx * scale > 2**63 - 1:
-        raise ValueError(
-            f"bigram_surprisal: hottest prev count {mx} * scale {scale} "
-            f"exceeds BIGINT — the per-term product would wrap (Spark) or "
-            f"error (DuckDB). Lower scale to <= {(2**63 - 1) // mx}."
-        )
+    # Overflow envelope, ENFORCED IN-PLAN (the pagerank_int refuse-loudly
+    # discipline, pushed to the right altitude): the per-term product
+    # c_prev·scale is a BIGINT multiply, so the hottest prev bounds the
+    # safe scale — at a 100 TB corpus a stopword prev reaches ~10^11 and
+    # the default 10^9 scale must drop to ~10^7, resolution a
+    # mean-of-terms consumer cannot observe. The guard is a per-row
+    # raise_error branch rather than a driver-side max() probe: a probe
+    # would re-run the whole tokenize+count pipeline as an extra job per
+    # call, while the branch costs one comparison inside the term
+    # expression and fails at first violation.
+    safe_max = (2**63 - 1) // scale
+    term = (
+        f"CASE WHEN c_prev <= {safe_max} "
+        f"THEN CAST((c_prev * {scale}) DIV c_bigram AS DECIMAL(38,0)) "
+        f"ELSE CAST(raise_error(concat('bigram_surprisal: prev count ', "
+        f"c_prev, ' * scale {scale} exceeds BIGINT - the per-term product "
+        f"would wrap (Spark) or error (DuckDB); lower scale to <= ', "
+        f"CAST({2**63 - 1} DIV c_prev AS STRING))) AS DECIMAL(38,0)) END"
+    )
     scored = (
         bgs.join(bg_counts, ["prev", "cur"])
         .join(prev_counts, "prev")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(
-                F.expr(f"CAST((c_prev * {scale}) DIV c_bigram AS DECIMAL(38,0))")
-            ).alias("_s"),
+            F.sum(F.expr(term)).alias("_s"),
         )
     )
     return scored.select(

@@ -363,19 +363,27 @@ def simhash_embedding_buckets(
     scaled = F.transform(
         F.col(vec), lambda x: scaled_long(x.cast("double"), scale)
     )
-    projected = corpus.select(F.col(corpus_id), scaled.alias("_sc"))
-    # Dimension guard (refuse loudly): a dims mismatch null-pads every
-    # zip_with, the plane sums go null, and EVERY vector lands in bucket
-    # 0 of every table — the candidate join degenerates to the O(n²)
-    # cross product this tier exists to prevent, with no error. One
-    # limit(1) probe per call buys the loud failure.
-    bad = corpus.filter(F.size(F.col(vec)) != dims).limit(1).count()
-    if bad:
-        raise ValueError(
-            f"simhash_embedding_buckets: an embedding's length != dims="
-            f"{dims}; a mismatch silently collapses all signatures to "
-            f"bucket 0 (null-padded zip_with), so it is refused instead."
+    # Dimension guard (refuse loudly, IN-PLAN): a dims mismatch
+    # null-pads every zip_with, the plane sums go null, and EVERY vector
+    # lands in bucket 0 of every table — the candidate join degenerates
+    # to the O(n²) cross product this tier exists to prevent, with no
+    # error. A raise_error branch on the scaled projection costs one
+    # per-row size comparison and fails at the first violating row; a
+    # driver-side probe would add a full corpus scan job per call.
+    guarded = F.when(F.size(F.col(vec)) == dims, scaled).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("simhash_embedding_buckets: embedding length "),
+                F.size(F.col(vec)).cast("string"),
+                F.lit(
+                    f" != dims={dims}; a mismatch silently collapses all "
+                    "signatures to bucket 0 (null-padded zip_with), so it "
+                    "is refused instead."
+                ),
+            )
         )
+    )
+    projected = corpus.select(F.col(corpus_id), guarded.alias("_sc"))
     buckets = []
     for t in range(tables):
         bucket = None

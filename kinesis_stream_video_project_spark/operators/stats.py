@@ -295,6 +295,18 @@ def robust_center_spread(
     )
 
 
+def residual_outlier(value_col: str, mad_mult: int):
+    """The seasonal-residual flag predicate — |v − med| > mult·MAD over
+    joined-in baseline columns. ONE definition shared by the batch
+    operator below and the streaming scorer
+    (streaming/jobs.py::seasonal_flags_stream): the batch==stream
+    flag-set equality pinned in tests holds only while both forms apply
+    the identical comparison."""
+    return F.abs(F.col(value_col) - F.col("med")) > F.lit(mad_mult) * F.col(
+        "mad"
+    )
+
+
 def seasonal_residual_flags(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -336,10 +348,7 @@ def seasonal_residual_flags(
     ).select(*grp, "med", "mad")
     return (
         base.join(F.broadcast(bounds), grp)
-        .filter(
-            F.abs(F.col(value_col) - F.col("med"))
-            > F.lit(mad_mult) * F.col("mad")
-        )
+        .filter(residual_outlier(value_col, mad_mult))
         .select(
             *id_cols,
             *grp,

@@ -1291,11 +1291,13 @@ def seasonal_flags_stream(
         F.hour("ts").alias("season"),
         F.col("vu"),
     )
+    from kinesis_stream_video_project_spark.operators.stats import (
+        residual_outlier,
+    )
+
     return (
         vu.join(F.broadcast(baseline), ["event_type", "season"])
-        .filter(
-            F.abs(F.col("vu") - F.col("med")) > F.lit(mad_mult) * F.col("mad")
-        )
+        .filter(residual_outlier("vu", mad_mult))
         .select("event_id", "user_id", "event_type", "season", "vu", "med", "mad")
     )
 
@@ -1400,23 +1402,30 @@ def near_dup_candidates_stream(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            for r in pdf.itertuples(index=False):
-                batch.append((int(r.doc_id), int(r.ts.value) // 1000))
+            ids = pdf["doc_id"].astype("int64")
+            tss = pdf["ts"].astype("int64") // 1000  # ns → µs, vectorized
+            batch.extend(zip(ids.tolist(), tss.tolist()))
         # (ts, id) arrival order keeps the emitted pair set deterministic
         # under any micro-batch chunking (pinned in tests).
         batch.sort(key=lambda t: (t[1], t[0]))
         out_a: list[int] = []
         out_b: list[int] = []
         wm_us = state.getCurrentWatermarkMs() * 1000
+        # members stays in arrival (= ts) order, so horizon trimming is a
+        # monotone front pointer, not a per-doc list rebuild (the floors
+        # are nondecreasing over the sorted batch).
+        start = 0
         for doc_id, ts_us in batch:
             floor_us = max(ts_us, wm_us) - horizon_us
-            members = [m for m in members if m[1] >= floor_us]
-            for mid, _mts in members:
+            while start < len(members) and members[start][1] < floor_us:
+                start += 1
+            for mid, _mts in members[start:]:
                 if mid == doc_id:
                     continue
                 out_a.append(min(mid, doc_id))
                 out_b.append(max(mid, doc_id))
             members.append((doc_id, ts_us))
+        members = members[start:]
         if members:
             state.update(
                 ([m[0] for m in members], [m[1] for m in members])

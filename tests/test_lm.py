@@ -257,13 +257,18 @@ WHERE ABS(v.vu - med.med) > 4 * mad.mad
 
 def test_bigram_surprisal_overflow_guard(spark):
     """The per-term product c_prev·scale past BIGINT must refuse with a
-    usable scale suggestion, never wrap (review finding, r6)."""
+    usable scale suggestion, never wrap (review finding, r6; the guard is
+    an in-plan raise_error branch, so it surfaces at the first violating
+    row of an action rather than as an extra driver-side scan job)."""
     import re
 
     import pytest
 
     d = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
-    with pytest.raises(ValueError, match="exceeds BIGINT") as ei:
-        lm.bigram_surprisal(d, scale=10**19)
+    with pytest.raises(Exception, match="exceeds BIGINT") as ei:
+        # collect(), not count(): column pruning would drop the guarded
+        # term entirely from a count-only plan (wrong values are never
+        # OBSERVABLE without evaluating the term, so that is sound).
+        lm.bigram_surprisal(d, scale=10**19).collect()
     safe = int(re.search(r"scale to <= (\d+)", str(ei.value)).group(1))
-    assert lm.bigram_surprisal(d, scale=safe).count() == 1
+    assert lm.bigram_surprisal(d, scale=safe).collect()[0]["n_bigrams"] == 3

@@ -100,6 +100,6 @@ def test_simhash_refuses_dims_mismatch(spark):
         [(1, [0.1] * 32), (2, [0.2] * 32)],
         "vec_id long, embedding array<float>",
     )
-    with pytest.raises(ValueError, match="dims"):
-        similarity.simhash_embedding_buckets(e)  # default dims=64
+    with pytest.raises(Exception, match="dims=64"):
+        similarity.simhash_embedding_buckets(e).collect()  # default dims=64
     assert similarity.simhash_embedding_buckets(e, dims=32).count() == 8
