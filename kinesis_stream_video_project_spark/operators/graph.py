@@ -424,3 +424,62 @@ def kcore(
             "graphs peel ~2 nodes/round); raise max_iters"
         )
     return alive
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    reliable_checkpoint: bool = False,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Exact BFS hop distances from a source node set over the undirected
+    ``(p1, p2)`` edge list — ``(p, hops)`` for every node within
+    ``max_hops``, hops = length of the shortest path to the NEAREST
+    source (0 for the sources themselves). The "blast radius" primitive:
+    which parts sit within k co-purchase hops of the recalled part set,
+    which devices within k shared-gateway hops of the failed one.
+
+    Exactness: hop levels are small integers with no arithmetic at all —
+    each round's frontier is (neighbors of the previous frontier) minus
+    (already-visited), a join + anti-join on node ids, so the result is
+    set-exact in any engine and the oracle unrolls the same rounds as
+    chained CTEs. ``max_hops`` is fixed (not converged) so plans stay
+    static and SQL-expressible; the loop short-circuits early when a
+    frontier empties (count probe on the materialized frontier, the
+    kcore convergence discipline).
+
+    Scale: the adjacency is materialized ONCE (localCheckpoint /
+    reliable checkpoint — pagerank_int's loop rule); each round is ONE
+    shuffle-or-broadcast join of the frontier against it plus a distinct
+    and an anti-join against the visited set. ``broadcast_frontier``
+    follows the broadcast_ranks trade: frontiers are usually a tiny
+    fraction of |V| (drop it for expander graphs where a frontier
+    approaches |V|). Visited state grows monotonically like the
+    components alive-set — localCheckpoint'd per round so the plan never
+    re-derives prior rounds."""
+    both = _materialize(_both_directions(edges), reliable_checkpoint)
+    visited = _materialize(
+        sources.select(F.col("p").cast("long").alias("p")).distinct().select(
+            "p", F.lit(0).alias("hops")
+        ),
+        reliable_checkpoint,
+    )
+    frontier = visited.select("p")
+    for hop in range(1, max_hops + 1):
+        f_side = F.broadcast(frontier) if broadcast_frontier else frontier
+        nxt = (
+            both.join(f_side, both["src"] == frontier["p"])
+            .select(F.col("dst").alias("p"))
+            .distinct()
+            .join(visited.select("p"), "p", "left_anti")
+        )
+        nxt = _materialize(nxt, reliable_checkpoint)
+        if nxt.isEmpty():
+            break
+        visited = _materialize(
+            visited.unionAll(nxt.select("p", F.lit(hop).alias("hops"))),
+            reliable_checkpoint,
+        )
+        frontier = nxt
+    return visited

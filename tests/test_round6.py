@@ -331,3 +331,117 @@ def test_png_decoder_rejects_decompression_bombs():
     # (c) control: a legitimate tiny PNG still decodes
     good = png_of(2, 2, b"\x00\x05\x06\x00\x07\x08")
     assert multimodal._png_decode(good) is not None
+
+
+def test_bfs_hops_known_graph(spark):
+    """Path 1-2-3-4-5 with source {1}: hops = index; max_hops caps the
+    horizon; the empty-frontier short-circuit stops a max_hops=50 run at
+    the path end without error."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    src = spark.createDataFrame([(1,)], "p bigint")
+    got = {
+        (r.p, r.hops)
+        for r in graph.bfs_hops(e, src, max_hops=2).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2)}
+    full = {
+        (r.p, r.hops)
+        for r in graph.bfs_hops(e, src, max_hops=50).collect()
+    }
+    assert full == {(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)}
+
+
+def test_bfs_hops_nearest_source_wins(spark):
+    """Multiple sources: every node gets the distance to its NEAREST
+    source (sources at both path ends meet in the middle)."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    src = spark.createDataFrame([(1,), (5,)], "p bigint")
+    got = {
+        (r.p, r.hops)
+        for r in graph.bfs_hops(e, src, max_hops=10).collect()
+    }
+    assert got == {(1, 0), (5, 0), (2, 1), (4, 1), (3, 2)}
+
+
+def test_bfs_hops_matches_bruteforce_on_copurchase(spark, sf_dir):
+    """Driver-side BFS replay on the real co-purchase graph from the two
+    smallest part ids — exact level sets, any engine."""
+    from kinesis_stream_video_project_spark import io
+
+    edges = graph.copurchase_edges(io.load_table(spark, sf_dir, "lineitem"))
+    pairs = [(r.p1, r.p2) for r in edges.select("p1", "p2").collect()]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sources = sorted(adj)[:2]
+    src = spark.createDataFrame([(s,) for s in sources], "p bigint")
+    got = {
+        (r.p, r.hops)
+        for r in graph.bfs_hops(edges, src, max_hops=2).collect()
+    }
+    want = {(s, 0) for s in sources}
+    frontier, seen = set(sources), set(sources)
+    for hop in (1, 2):
+        nxt = {v for u in frontier for v in adj[u]} - seen
+        want |= {(v, hop) for v in nxt}
+        seen |= nxt
+        frontier = nxt
+    assert got == want
+
+
+def test_bfs_hops_broadcast_param_invariant_and_oracle_shape(spark, sf_dir):
+    """broadcast_frontier=False must not change the level sets, and the
+    unrolled-CTE DuckDB oracle the r7 registration will ship reproduces
+    them exactly."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark import io
+
+    edges = graph.copurchase_edges(io.load_table(spark, sf_dir, "lineitem"))
+    src = spark.createDataFrame([(1,), (2,)], "p bigint")
+    a = {
+        (r.p, r.hops)
+        for r in graph.bfs_hops(edges, src, max_hops=2).collect()
+    }
+    b = {
+        (r.p, r.hops)
+        for r in graph.bfs_hops(
+            edges, src, max_hops=2, broadcast_frontier=False
+        ).collect()
+    }
+    assert a == b and len(a) > 2
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    want = {
+        (r[0], r[1])
+        for r in con.sql(
+            """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+b AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e UNION ALL SELECT p2, p1 FROM e),
+v0 AS (SELECT CAST(p AS BIGINT) AS p FROM (VALUES (1), (2)) t(p)),
+f1 AS MATERIALIZED (
+  SELECT DISTINCT b.dst AS p FROM b
+  WHERE b.src IN (SELECT p FROM v0) AND b.dst NOT IN (SELECT p FROM v0)
+),
+f2 AS (
+  SELECT DISTINCT b.dst AS p FROM b
+  WHERE b.src IN (SELECT p FROM f1)
+    AND b.dst NOT IN (SELECT p FROM v0)
+    AND b.dst NOT IN (SELECT p FROM f1)
+)
+SELECT p, 0 AS hops FROM v0
+UNION ALL SELECT p, 1 FROM f1
+UNION ALL SELECT p, 2 FROM f2
+"""
+        ).fetchall()
+    }
+    assert a == want
