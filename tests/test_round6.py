@@ -445,3 +445,46 @@ UNION ALL SELECT p, 2 FROM f2
         ).fetchall()
     }
     assert a == want
+
+
+def test_followup_pairs_oracle_shape_matches(spark, sf_dir):
+    """The DuckDB twin the r7 `error_followup_pairs` registration will
+    ship — validated now (the bigram/seasonal/BFS discipline: paste,
+    don't debug)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark import io
+    from kinesis_stream_video_project_spark.streaming import jobs
+
+    e = io.load_table(spark, sf_dir, "events")
+    got = (
+        jobs.followup_pairs_batch(e)
+        .orderBy("user_id", "trigger_event_id", "response_event_id")
+        .toPandas()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = (
+        con.sql(
+            """
+SELECT t.user_id,
+       t.event_id AS trigger_event_id,
+       r.event_id AS response_event_id,
+       epoch_us(r.ts) - epoch_us(t.ts) AS lag_us
+FROM events t
+JOIN events r
+  ON r.user_id = t.user_id
+ AND t.event_type = 'error' AND r.event_type = 'purchase'
+ AND r.ts > t.ts
+ AND epoch_us(r.ts) - epoch_us(t.ts) <= 14400000000
+ORDER BY t.user_id, trigger_event_id, response_event_id
+"""
+        )
+        .df()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) > 0
