@@ -1450,3 +1450,133 @@ def near_dup_candidates_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def near_dup_candidates_stream_tws(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 6,
+    shingle_k: int = 3,
+    horizon_us: int = 24 * 3600 * 1_000_000,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`near_dup_candidates_stream` — the third op carried on BOTH
+    stateful APIs (watchdog, silence detector, now online LSH), pinned
+    to emit the identical candidate pair set on the same drain. The
+    bucket-member list lives in ValueState; horizon trimming runs on
+    every update, and a timer one horizon past the newest member clears
+    idle buckets from the store (the GroupState form's EventTimeTimeout,
+    expressed as the explicit registerTimer/deleteTimer management this
+    API provides). Needs RocksDB + protobuf like the other TWS forms;
+    the applyInPandasWithState form remains the portable one."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from kinesis_stream_video_project_spark.functions.text import tokens
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signature_from_hashes,
+        shingle_hash,
+        shingles_of,
+    )
+
+    rows_per_band = n_hashes // n_bands
+    tokenized = docs.withWatermark("ts", watermark).select(
+        "doc_id", "ts", tokens(F.col("text")).alias("_toks")
+    )
+    shingled = tokenized.select(
+        "doc_id",
+        "ts",
+        F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("tok_set"),
+    )
+    hashed = shingled.select(
+        "doc_id", "ts", F.transform(F.col("tok_set"), shingle_hash).alias("_hs")
+    )
+    base = hashed.select(
+        "doc_id",
+        "ts",
+        minhash_signature_from_hashes(F.col("_hs"), n_hashes).alias("sig"),
+    )
+    banded = base.select(
+        "doc_id",
+        "ts",
+        F.explode_outer(
+            F.array_distinct(lsh_band_keys(F.col("sig"), n_bands, rows_per_band))
+        ).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+
+    class NearDupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._members = handle.getValueState(
+                "members",
+                StructType()
+                .add("ids", ArrayType(LongType()))
+                .add("ts_us", ArrayType(LongType())),
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (bucket,) = key
+            held = self._members.get()
+            members = list(zip(held[0], held[1])) if held is not None else []
+            batch: list[tuple[int, int]] = []
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                ids = pdf["doc_id"].astype("int64")
+                tss = pdf["ts"].astype("int64") // 1000
+                batch.extend(zip(ids.tolist(), tss.tolist()))
+            batch.sort(key=lambda t: (t[1], t[0]))
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+            out_a: list[int] = []
+            out_b: list[int] = []
+            start = 0
+            for doc_id, ts_us in batch:
+                floor_us = max(ts_us, wm_us) - horizon_us
+                while start < len(members) and members[start][1] < floor_us:
+                    start += 1
+                for i in range(start, len(members)):
+                    mid = members[i][0]
+                    if mid == doc_id:
+                        continue
+                    out_a.append(min(mid, doc_id))
+                    out_b.append(max(mid, doc_id))
+                members.append((doc_id, ts_us))
+            members = members[start:]
+            if members:
+                self._members.update(
+                    ([m[0] for m in members], [m[1] for m in members])
+                )
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                newest_ms = max(m[1] for m in members) // 1000
+                self._handle.registerTimer(
+                    max(
+                        newest_ms + horizon_us // 1000,
+                        timerValues.getCurrentWatermarkInMs() + 1,
+                    )
+                )
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "doc_a": out_a,
+                        "doc_b": out_b,
+                        "bucket": [int(bucket)] * len(out_a),
+                    }
+                )
+
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            self._members.clear()
+            yield from ()
+
+        def close(self) -> None:
+            pass
+
+    return banded.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=NearDupProcessor(),
+        outputStructType=_NEARDUP_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -1327,3 +1327,62 @@ def test_streaming_near_dup_horizon_evicts_old_members(spark, tmp_path):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_near_dup_candidates_tws_matches_group_state_form(spark, tmp_path):
+    """The Spark-4 transformWithState form must emit the identical
+    candidate pair set as the GroupState form on the same drain — the
+    third op on both stateful APIs (watchdog, silence, online LSH)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        (1, text_a, base),
+        (2, text_a, base + dt.timedelta(minutes=5)),
+        (3, text_b, base + dt.timedelta(minutes=10)),
+        (4, "unrelated totally different words here and now", base),
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    files = [[rows[0], rows[3]], [rows[1]], [rows[2]]]
+    src = tmp_path / "nd_tws_src"
+    for i, batch in enumerate(files):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(batch, schema), src, f"b{i}.parquet"
+        )
+
+    got = {}
+    for tag, job in (
+        ("gs", jobs.near_dup_candidates_stream),
+        ("tws", jobs.near_dup_candidates_stream_tws),
+    ):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            job(stream)
+            .writeStream.format("memory")
+            .queryName(f"nd_{tag}_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_nd_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got[tag] = {
+            (r.doc_a, r.doc_b)
+            for r in spark.sql(
+                f"SELECT DISTINCT doc_a, doc_b FROM nd_{tag}_out"
+            ).collect()
+        }
+    assert got["gs"] == got["tws"]
+    assert (1, 2) in got["gs"]  # identical texts must be candidates
