@@ -166,6 +166,78 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def banded_bucket_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: "tuple[str, ...]" = (),
+    n_hashes: int = 24,
+    n_bands: int = 6,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, *extra_cols, bucket): one row per LSH band bucket of each
+    document — the signature stage shared by BOTH streaming forms
+    (streaming/jobs.py::near_dup_candidates_stream and its
+    transformWithState twin) and the stream==batch equality test. The
+    batch tier below keeps its own fused staging (its mid-pipeline
+    doc_id repartition is the shared exchange the verification join
+    reuses — returning intermediates from here would tangle the API);
+    semantic agreement between the two stagings rides the SHARED
+    primitives (shingles_of / shingle_hash / minhash_signature /
+    lsh_band_keys) and is pinned end-to-end by
+    tests/test_streaming.py::test_banded_bucket_keys_agrees_with_batch_tier
+    (every batch-verified pair must be a helper candidate).
+
+    Four-step projection ON PURPOSE (shingles_of's warning): tokens
+    materialize once, then the shingle set (whose lambda references the
+    token array k times per position), then the md5 basis hashes (one
+    md5 per shingle), then the signature (which references the hash
+    array n_hashes times — inlining the md5 transform would re-hash
+    every shingle once per hash function; the 25×-class trap measured on
+    the xxhash64 predecessor). Materialized columns keep CollapseProject
+    from re-substituting (it refuses to duplicate a multiply-referenced
+    non-cheap alias). explode_outer + isNotNull: a non-outer Generate
+    gets a size()>0 filter inferred and pushed below the signature chain
+    with the ENTIRE pipeline inlined (blocked_jaccard_near_dups
+    rationale). The band-key array is array_distinct'ed per doc before
+    the explode, so (doc_id, bucket) needs no further distinct."""
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} must divide evenly into n_bands="
+            f"{n_bands} bands — a remainder silently discards signature "
+            f"values and changes the collision curve"
+        )
+    rows_per_band = n_hashes // n_bands
+    carry = [F.col(c) for c in extra_cols]
+    tokenized = df.select(
+        F.col(id_col).alias("doc_id"),
+        *carry,
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    shingled = tokenized.select(
+        "doc_id",
+        *extra_cols,
+        F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("tok_set"),
+    )
+    hashed = shingled.select(
+        "doc_id",
+        *extra_cols,
+        F.transform(F.col("tok_set"), shingle_hash).alias("_hs"),
+    )
+    base = hashed.select(
+        "doc_id",
+        *extra_cols,
+        minhash_signature_from_hashes(F.col("_hs"), n_hashes).alias("sig"),
+    )
+    return base.select(
+        "doc_id",
+        *extra_cols,
+        F.explode_outer(
+            F.array_distinct(lsh_band_keys(F.col("sig"), n_bands, rows_per_band))
+        ).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+
+
 def minhash_lsh_near_dups(
     df: DataFrame,
     text_col: str = "text",

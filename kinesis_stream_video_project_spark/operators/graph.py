@@ -432,6 +432,7 @@ def bfs_hops(
     max_hops: int = 3,
     reliable_checkpoint: bool = False,
     broadcast_frontier: bool = True,
+    source_col: str = "p",
 ) -> DataFrame:
     """Exact BFS hop distances from a source node set over the undirected
     ``(p1, p2)`` edge list — ``(p, hops)`` for every node within
@@ -457,12 +458,17 @@ def bfs_hops(
     fraction of |V| (drop it for expander graphs where a frontier
     approaches |V|). Visited state grows monotonically like the
     components alive-set — localCheckpoint'd per round so the plan never
-    re-derives prior rounds."""
+    re-derives prior rounds.
+
+    Schema contract: ``edges`` is the family's ``(p1, p2)`` shape;
+    ``sources`` is a one-column node set read from ``source_col``
+    (default ``p`` — pass the name when feeding another query's output
+    directly, e.g. ``source_col="part_id"``)."""
     both = _materialize(_both_directions(edges), reliable_checkpoint)
     visited = _materialize(
-        sources.select(F.col("p").cast("long").alias("p")).distinct().select(
-            "p", F.lit(0).alias("hops")
-        ),
+        sources.select(F.col(source_col).cast("long").alias("p"))
+        .distinct()
+        .select("p", F.lit(0).alias("hops")),
         reliable_checkpoint,
     )
     frontier = visited.select("p")

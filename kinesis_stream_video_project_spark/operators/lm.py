@@ -84,13 +84,20 @@ def bigram_surprisal(docs: DataFrame, scale: int = _SCALE) -> DataFrame:
     # call, while the branch costs one comparison inside the term
     # expression and fails at first violation.
     safe_max = (2**63 - 1) // scale
+    # The error reports the bound from THIS row's count; the binding
+    # corpus-wide bound is 2^63 div max(c_prev), which a per-row branch
+    # cannot see (and which row fails first is partition-order
+    # nondeterministic) — so the message says "at most", and callers
+    # should derive the final scale from their hottest prev count.
     term = (
         f"CASE WHEN c_prev <= {safe_max} "
         f"THEN CAST((c_prev * {scale}) DIV c_bigram AS DECIMAL(38,0)) "
         f"ELSE CAST(raise_error(concat('bigram_surprisal: prev count ', "
         f"c_prev, ' * scale {scale} exceeds BIGINT - the per-term product "
-        f"would wrap (Spark) or error (DuckDB); lower scale to <= ', "
-        f"CAST({2**63 - 1} DIV c_prev AS STRING))) AS DECIMAL(38,0)) END"
+        f"would wrap (Spark) or error (DuckDB); scale must be at most ', "
+        f"CAST({2**63 - 1} DIV c_prev AS STRING), ' for this prev alone - "
+        f"size it from the corpus'' hottest prev count')) "
+        f"AS DECIMAL(38,0)) END"
     )
     scored = (
         bgs.join(bg_counts, ["prev", "cur"])

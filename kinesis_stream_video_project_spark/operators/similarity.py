@@ -363,22 +363,28 @@ def simhash_embedding_buckets(
     scaled = F.transform(
         F.col(vec), lambda x: scaled_long(x.cast("double"), scale)
     )
-    # Dimension guard (refuse loudly, IN-PLAN): a dims mismatch
-    # null-pads every zip_with, the plane sums go null, and EVERY vector
-    # lands in bucket 0 of every table — the candidate join degenerates
-    # to the O(n²) cross product this tier exists to prevent, with no
-    # error. A raise_error branch on the scaled projection costs one
-    # per-row size comparison and fails at the first violating row; a
-    # driver-side probe would add a full corpus scan job per call.
-    guarded = F.when(F.size(F.col(vec)) == dims, scaled).otherwise(
+    # Input guard (refuse loudly, IN-PLAN): a dims mismatch null-pads
+    # every zip_with — and a NULL component (or a null vector) nulls the
+    # plane sums directly — so EVERY affected vector lands in bucket 0
+    # of every table and the candidate join degenerates toward the
+    # O(n²) cross product this tier exists to prevent, with no error.
+    # The raise_error branch costs one per-row size+null check and
+    # fails at the first violating row; a driver-side probe would add a
+    # full corpus scan job per call. coalesce in the message: size(NULL)
+    # is null and concat would otherwise null the whole diagnostic.
+    well_formed = (F.size(F.col(vec)) == dims) & ~F.exists(
+        F.col(vec), lambda x: x.isNull()
+    )
+    guarded = F.when(well_formed, scaled).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("simhash_embedding_buckets: embedding length "),
-                F.size(F.col(vec)).cast("string"),
+                F.coalesce(F.size(F.col(vec)).cast("string"), F.lit("NULL")),
                 F.lit(
-                    f" != dims={dims}; a mismatch silently collapses all "
-                    "signatures to bucket 0 (null-padded zip_with), so it "
-                    "is refused instead."
+                    f" != dims={dims} or the vector contains null "
+                    "components; either silently collapses the signature "
+                    "to bucket 0 (null-padded/propagated sums), so it is "
+                    "refused instead."
                 ),
             )
         )

@@ -1319,9 +1319,68 @@ _NEARDUP_STATE_SCHEMA = (
 )
 
 
+def _neardup_banded(
+    docs: DataFrame,
+    n_hashes: int,
+    n_bands: int,
+    shingle_k: int,
+    watermark: str,
+) -> DataFrame:
+    """Watermarked (doc_id, ts, bucket) rows — dedup.banded_bucket_keys
+    (the ONE signature staging both stream forms and the equality test
+    share) applied to the document stream."""
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        banded_bucket_keys,
+    )
+
+    return banded_bucket_keys(
+        docs.withWatermark("ts", watermark),
+        extra_cols=("ts",),
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        shingle_k=shingle_k,
+    )
+
+
+def _neardup_fold(
+    members: "list[tuple[int, int]]",
+    batch: "list[tuple[int, int]]",
+    wm_us: int,
+    horizon_us: int,
+) -> "tuple[list[int], list[int], list[tuple[int, int]]]":
+    """Pure per-bucket candidate fold shared by BOTH stateful APIs (and
+    directly testable): ``members`` is the bucket's (id, ts_us) state,
+    ``batch`` the new arrivals. Emits one (min, max) id pair per new doc
+    × in-horizon member and returns the trimmed member list.
+
+    Members are kept SORTED by (ts, id) — inserts use bisect, because
+    late-but-valid rows (inside the watermark delay) arrive out of
+    event-time order and a plain append would let the monotone trim
+    pointer skip over an expired member hidden behind a newer one,
+    emitting pairs past the horizon and making the output depend on
+    micro-batch chunking (review finding, r6)."""
+    import bisect
+
+    out_a: list[int] = []
+    out_b: list[int] = []
+    batch = sorted(batch, key=lambda t: (t[1], t[0]))
+    for doc_id, ts_us in batch:
+        floor_us = max(ts_us, wm_us) - horizon_us
+        cut = bisect.bisect_left(members, floor_us, key=lambda m: m[1])
+        if cut:
+            del members[:cut]
+        for mid, _mts in members:
+            if mid == doc_id:
+                continue
+            out_a.append(min(mid, doc_id))
+            out_b.append(max(mid, doc_id))
+        bisect.insort(members, (doc_id, ts_us), key=lambda m: (m[1], m[0]))
+    return out_a, out_b, members
+
+
 def near_dup_candidates_stream(
     docs: DataFrame,
-    n_hashes: int = 16,
+    n_hashes: int = 24,
     n_bands: int = 6,
     shingle_k: int = 3,
     horizon_us: int = 24 * 3600 * 1_000_000,
@@ -1332,16 +1391,16 @@ def near_dup_candidates_stream(
     self-join (operators/dedup.py::minhash_lsh_near_dups), for the
     ingest-time curation question "is this document a near-copy of
     something already in the last N hours of crawl" that a daily batch
-    join answers a day too late.
+    join answers a day too late. Signature defaults (24 hashes × 6
+    bands) MATCH the batch tier's — a default call of both tiers sees
+    the same collision curve, and n_hashes must divide n_bands evenly
+    (enforced in banded_bucket_keys; 16/6 would silently discard four
+    signature values and double the per-band false-collision rate).
 
-    Plan: the signature pipeline is the SAME public primitives as the
-    batch tier (tokens → distinct shingles → md5 basis → minhash
-    signature → banded bucket keys; the staged-projection discipline and
-    its CollapseProject rationale live in dedup.py — divergence between
-    the two pipelines is caught by the stream==batch candidate-set
-    equality test). Each (band, bucket) group then holds its member ids
-    in state: a new arrival emits one pair per existing member and
-    joins the member list. Emitted pairs are CANDIDATES — exact-Jaccard
+    Plan: dedup.banded_bucket_keys — the SAME staging both stream forms
+    and the equality test share — then per-(band, bucket) member state:
+    a new arrival emits one pair per in-horizon member and joins the
+    member list. Emitted pairs are CANDIDATES — exact-Jaccard
     verification joins token sets back in batch (the id-only pair
     discipline: state and shuffle carry 16-byte ids, never token sets);
     the same pair can surface from several bands, deduped downstream
@@ -1353,38 +1412,7 @@ def near_dup_candidates_stream(
     bucket's state is the bucket's arrival rate × horizon, and idle
     buckets clear fully via EventTimeTimeout one horizon after their
     newest member."""
-    from kinesis_stream_video_project_spark.operators.dedup import (
-        lsh_band_keys,
-        minhash_signature_from_hashes,
-        shingle_hash,
-        shingles_of,
-    )
-    from kinesis_stream_video_project_spark.functions.text import tokens
-
-    rows_per_band = n_hashes // n_bands
-    tokenized = docs.withWatermark("ts", watermark).select(
-        "doc_id", "ts", tokens(F.col("text")).alias("_toks")
-    )
-    shingled = tokenized.select(
-        "doc_id",
-        "ts",
-        F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("tok_set"),
-    )
-    hashed = shingled.select(
-        "doc_id", "ts", F.transform(F.col("tok_set"), shingle_hash).alias("_hs")
-    )
-    base = hashed.select(
-        "doc_id",
-        "ts",
-        minhash_signature_from_hashes(F.col("_hs"), n_hashes).alias("sig"),
-    )
-    banded = base.select(
-        "doc_id",
-        "ts",
-        F.explode_outer(
-            F.array_distinct(lsh_band_keys(F.col("sig"), n_bands, rows_per_band))
-        ).alias("bucket"),
-    ).filter(F.col("bucket").isNotNull())
+    banded = _neardup_banded(docs, n_hashes, n_bands, shingle_k, watermark)
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -1398,34 +1426,17 @@ def near_dup_candidates_stream(
             members = list(zip(ids, tss))
         else:
             members = []
-        batch = []
+        batch: list[tuple[int, int]] = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
             ids = pdf["doc_id"].astype("int64")
             tss = pdf["ts"].astype("int64") // 1000  # ns → µs, vectorized
             batch.extend(zip(ids.tolist(), tss.tolist()))
-        # (ts, id) arrival order keeps the emitted pair set deterministic
-        # under any micro-batch chunking (pinned in tests).
-        batch.sort(key=lambda t: (t[1], t[0]))
-        out_a: list[int] = []
-        out_b: list[int] = []
         wm_us = state.getCurrentWatermarkMs() * 1000
-        # members stays in arrival (= ts) order, so horizon trimming is a
-        # monotone front pointer, not a per-doc list rebuild (the floors
-        # are nondecreasing over the sorted batch).
-        start = 0
-        for doc_id, ts_us in batch:
-            floor_us = max(ts_us, wm_us) - horizon_us
-            while start < len(members) and members[start][1] < floor_us:
-                start += 1
-            for mid, _mts in members[start:]:
-                if mid == doc_id:
-                    continue
-                out_a.append(min(mid, doc_id))
-                out_b.append(max(mid, doc_id))
-            members.append((doc_id, ts_us))
-        members = members[start:]
+        out_a, out_b, members = _neardup_fold(
+            members, batch, wm_us, horizon_us
+        )
         if members:
             state.update(
                 ([m[0] for m in members], [m[1] for m in members])
@@ -1454,7 +1465,7 @@ def near_dup_candidates_stream(
 
 def near_dup_candidates_stream_tws(
     docs: DataFrame,
-    n_hashes: int = 16,
+    n_hashes: int = 24,
     n_bands: int = 6,
     shingle_k: int = 3,
     horizon_us: int = 24 * 3600 * 1_000_000,
@@ -1463,56 +1474,23 @@ def near_dup_candidates_stream_tws(
     """Spark-4 ``transformWithStateInPandas`` twin of
     :func:`near_dup_candidates_stream` — the third op carried on BOTH
     stateful APIs (watchdog, silence detector, now online LSH), pinned
-    to emit the identical candidate pair set on the same drain. The
-    bucket-member list lives in ValueState; horizon trimming runs on
-    every update, and a timer one horizon past the newest member clears
-    idle buckets from the store (the GroupState form's EventTimeTimeout,
-    expressed as the explicit registerTimer/deleteTimer management this
-    API provides). Needs RocksDB + protobuf like the other TWS forms;
-    the applyInPandasWithState form remains the portable one."""
+    to emit the identical candidate pair set on the same drain. Both
+    the signature staging (dedup.banded_bucket_keys) and the per-bucket
+    fold (_neardup_fold, with the sorted-member late-arrival handling)
+    are the SHARED implementations — only the state/timer plumbing
+    differs (ValueState + explicit registerTimer/deleteTimer vs
+    GroupState's EventTimeTimeout). Needs RocksDB + protobuf like the
+    other TWS forms; the applyInPandasWithState form is the portable
+    one."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-    from kinesis_stream_video_project_spark.functions.text import tokens
-    from kinesis_stream_video_project_spark.operators.dedup import (
-        lsh_band_keys,
-        minhash_signature_from_hashes,
-        shingle_hash,
-        shingles_of,
-    )
-
-    rows_per_band = n_hashes // n_bands
-    tokenized = docs.withWatermark("ts", watermark).select(
-        "doc_id", "ts", tokens(F.col("text")).alias("_toks")
-    )
-    shingled = tokenized.select(
-        "doc_id",
-        "ts",
-        F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("tok_set"),
-    )
-    hashed = shingled.select(
-        "doc_id", "ts", F.transform(F.col("tok_set"), shingle_hash).alias("_hs")
-    )
-    base = hashed.select(
-        "doc_id",
-        "ts",
-        minhash_signature_from_hashes(F.col("_hs"), n_hashes).alias("sig"),
-    )
-    banded = base.select(
-        "doc_id",
-        "ts",
-        F.explode_outer(
-            F.array_distinct(lsh_band_keys(F.col("sig"), n_bands, rows_per_band))
-        ).alias("bucket"),
-    ).filter(F.col("bucket").isNotNull())
+    banded = _neardup_banded(docs, n_hashes, n_bands, shingle_k, watermark)
 
     class NearDupProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
             self._members = handle.getValueState(
-                "members",
-                StructType()
-                .add("ids", ArrayType(LongType()))
-                .add("ts_us", ArrayType(LongType())),
+                "members", _NEARDUP_STATE_SCHEMA
             )
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
@@ -1526,23 +1504,10 @@ def near_dup_candidates_stream_tws(
                 ids = pdf["doc_id"].astype("int64")
                 tss = pdf["ts"].astype("int64") // 1000
                 batch.extend(zip(ids.tolist(), tss.tolist()))
-            batch.sort(key=lambda t: (t[1], t[0]))
             wm_us = timerValues.getCurrentWatermarkInMs() * 1000
-            out_a: list[int] = []
-            out_b: list[int] = []
-            start = 0
-            for doc_id, ts_us in batch:
-                floor_us = max(ts_us, wm_us) - horizon_us
-                while start < len(members) and members[start][1] < floor_us:
-                    start += 1
-                for i in range(start, len(members)):
-                    mid = members[i][0]
-                    if mid == doc_id:
-                        continue
-                    out_a.append(min(mid, doc_id))
-                    out_b.append(max(mid, doc_id))
-                members.append((doc_id, ts_us))
-            members = members[start:]
+            out_a, out_b, members = _neardup_fold(
+                members, batch, wm_us, horizon_us
+            )
             if members:
                 self._members.update(
                     ([m[0] for m in members], [m[1] for m in members])

@@ -1178,31 +1178,44 @@ def test_seasonal_flags_stream_matches_batch_on_shared_baseline(
     assert got == batch_flags and len(got) > 0
 
 
-def _banded_static(df, n_hashes=16, n_bands=6, shingle_k=3):
-    from kinesis_stream_video_project_spark.functions.text import tokens as _tokens
+def _banded_static(df):
+    """The shared signature staging (dedup.banded_bucket_keys) at the
+    stream forms' defaults — the independent derivation the equality
+    test compares the drained stream against."""
     from kinesis_stream_video_project_spark.operators.dedup import (
-        lsh_band_keys,
-        minhash_signature_from_hashes,
-        shingle_hash,
-        shingles_of,
+        banded_bucket_keys,
     )
 
-    t = df.select("doc_id", _tokens(F.col("text")).alias("_toks"))
-    sh = t.select(
-        "doc_id",
-        F.array_distinct(shingles_of(F.col("_toks"), shingle_k)).alias("ts_"),
+    return banded_bucket_keys(df)
+
+
+def test_banded_bucket_keys_agrees_with_batch_tier(spark, sf_dir):
+    """The helper staging and the batch tier's fused staging must agree
+    semantically: every pair the batch tier VERIFIES must be a helper
+    candidate (same band keys → same buckets), pinning the two stagings
+    to the shared signature primitives."""
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        banded_bucket_keys,
+        minhash_lsh_near_dups,
     )
-    h = sh.select("doc_id", F.transform(F.col("ts_"), shingle_hash).alias("_hs"))
-    base = h.select(
-        "doc_id",
-        minhash_signature_from_hashes(F.col("_hs"), n_hashes).alias("sig"),
-    )
-    return base.select(
-        "doc_id",
-        F.explode_outer(
-            F.array_distinct(lsh_band_keys(F.col("sig"), n_bands, n_hashes // n_bands))
-        ).alias("bucket"),
-    ).filter(F.col("bucket").isNotNull())
+
+    d = io.load_table(spark, sf_dir, "documents")
+    b = banded_bucket_keys(d)
+    candidates = {
+        (r.doc_a, r.doc_b)
+        for r in b.alias("l")
+        .join(b.alias("r"), "bucket")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_near_dups(d).collect()
+    }
+    assert verified and verified <= candidates
 
 
 def test_streaming_near_dup_candidates_match_batch_bucket_join(
@@ -1386,3 +1399,25 @@ def test_near_dup_candidates_tws_matches_group_state_form(spark, tmp_path):
         }
     assert got["gs"] == got["tws"]
     assert (1, 2) in got["gs"]  # identical texts must be candidates
+
+
+def test_neardup_fold_trims_late_members_regardless_of_arrival_order():
+    """Review finding (r6): a late-but-valid row appended after a newer
+    member must still be trimmed once it falls outside a new doc's
+    horizon — the fold keeps members ts-sorted (bisect insert), so the
+    emitted pair set cannot depend on arrival order."""
+    h = 1_000_000  # 1 s horizon in µs
+
+    # batch 1: A at t=10s, then LATE B at t=9.0s (arrives after A)
+    members: list = []
+    _, _, members = jobs._neardup_fold(members, [(1, 10_000_000)], 0, h)
+    _, _, members = jobs._neardup_fold(members, [(2, 9_000_000)], 0, h)
+    assert [m[0] for m in members] == [2, 1]  # ts-sorted, not arrival-sorted
+
+    # batch 2: C at t=10.5s → horizon floor 9.5s: B (9.0s) must be
+    # trimmed and NOT pair with C; A (10s) must pair.
+    out_a, out_b, members = jobs._neardup_fold(
+        members, [(3, 10_500_000)], 0, h
+    )
+    assert set(zip(out_a, out_b)) == {(1, 3)}
+    assert [m[0] for m in members] == [1, 3]
