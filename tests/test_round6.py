@@ -488,3 +488,39 @@ ORDER BY t.user_id, trigger_event_id, response_event_id
     )
     assert list(got.columns) == list(want.columns)
     assert got.equals(want) and len(got) > 0
+
+
+def test_weighted_lpa_uniform_reduction_and_strong_tie(spark):
+    """weight_col with uniform weights must equal the unweighted form;
+    a single strong tie must outvote two weak ones (the weight-aware
+    adoption the unweighted count cannot express)."""
+    pairs = _K4 + [(10, 11), (11, 12), (10, 12)]
+    uni = _edges(spark, pairs, [1] * len(pairs))
+    a = {
+        (r["p"], r["community"])
+        for r in graph.label_propagation(uni.drop("n_orders"), iters=2).collect()
+    }
+    b = {
+        (r["p"], r["community"])
+        for r in graph.label_propagation(
+            uni, iters=2, weight_col="n_orders"
+        ).collect()
+    }
+    assert a == b
+    # node 5 has two weak ties into the {1..4} clique side and one
+    # strong tie to 9: weighted round 1 adopts 9's label, unweighted
+    # adopts the smaller clique label.
+    tie_pairs = [(1, 5), (2, 5), (5, 9)]
+    tie_w = [1, 1, 10]
+    e = _edges(spark, tie_pairs, tie_w)
+    w1 = {
+        r["p"]: r["community"]
+        for r in graph.label_propagation(
+            e, iters=1, weight_col="n_orders"
+        ).collect()
+    }
+    u1 = {
+        r["p"]: r["community"]
+        for r in graph.label_propagation(e.drop("n_orders"), iters=1).collect()
+    }
+    assert w1[5] == 9 and u1[5] == 1
