@@ -76,56 +76,74 @@ BENCH_QUERIES = [
 # iterative queries whose build step does real work — the pagerank/LPA/
 # k-core family localCheckpoints and probes during construction).
 #
-# r6 window policy: after r5 EVERY registered query has a timed row, so
-# staleness is uniform — the r6 rotation aligns with the r6
-# DRIVER_PRIORITY correctness window instead (minus stable-set members,
-# which the stable child times every round): the queries getting a fresh
-# correctness row this round get a fresh perf row in the same artifact,
-# led by the 8 new round-6 registrations (first timed row lands the
-# round a query is born).
+# r7 window policy (same as r6): the rotation aligns with the r7
+# DRIVER_PRIORITY correctness window (minus stable-set members, which the
+# stable child times every round): the queries getting a fresh correctness
+# row this round get a fresh perf row in the same artifact, led by the 7
+# new round-7 registrations (first timed row lands the round a query is
+# born). The four ~1.4x r6 rotation drifters (approx_percentiles_value,
+# important_part_shares, dormant_rich_customers, brand_volume_suppliers)
+# are re-measured out-of-window at the tail (VERDICT r6 item 3 — suspected
+# fresh-JVM variance at sub-second scale; confirm or root-cause).
 BENCH_ROTATION = [
-    # new round-6 registrations
-    "lpa_communities",
-    "kcore_parts",
-    "robust_value_stats",
-    "winsorized_value_stats",
-    "table_drift_report",
-    "silent_periods",
-    "weighted_pagerank_topk",
-    "curation_pipeline_v3",
-    # r6-changed code path (overflow-guard count now inside the span)
-    "pagerank_copurchase_topk",
-    # the r2-latest correctness-refresh cohort (minus stable-set members)
-    "approx_distinct",
+    # new round-7 registrations
+    "error_followup_pairs",
+    "bigram_surprisal_score",
+    "seasonal_value_anomalies",
+    "simhash_bucket_pairs",
+    "copurchase_blast_radius",
+    "token_budget_waterfall",
+    "near_dup_candidates_horizon",
+    # the r3-latest correctness-refresh cohort (minus stable-set members:
+    # q1_pricing_summary is in BENCH_QUERIES)
+    "ann_tier_claims",
+    "anti_join_customers",
+    "asof_forward_metric",
+    "cohort_ltv_curve",
+    "customer_order_distribution",
+    "dedup_first_event",
+    "disjunctive_predicate_join",
+    "doc_length_histogram",
+    "domain_mixture_weights",
+    "exact_group_percentiles",
+    "fill_forward_last_purchase",
+    "forecast_revenue_change",
+    "heavy_hitters_claim",
+    "json_extract",
+    "market_share_by_year",
+    "nation_pair_trade",
+    "pii_scrub",
+    "pivot_priority_revenue",
+    "priority_late_shipment_counts",
+    "product_type_profit",
+    "promo_revenue_share",
+    "range_join_shipping",
+    "repetition_score",
+    "returned_item_customers",
+    "simhash_dup_consistency",
+    "split_leakage_check",
+    "table_profile",
+    "top_revenue_supplier",
+    "topn_orders_per_nation",
+    "trending_event_types",
+    "unpivot_part_metrics",
+    "unsupplied_parts",
+    "value_outliers",
+    "waiting_suppliers",
+    "window_rank_lag",
+    # r4-latest refreshes in the r7 correctness window (minus stable-set
+    # members asof_probe_metric — stable — and the rest)
+    "ann_recall_eval",
+    "argmax_order_per_customer",
+    "array_funcs",
+    "boilerplate_prefixes",
+    "catalog_filter_project",
+    "catalog_json_roundtrip",
+    # r6 rotation drifters re-measured (not in the r7 correctness window)
     "approx_percentiles_value",
-    "bpe_regex_tokens",
-    "brand_volume_suppliers",
-    "dedup_survivors",
-    "deterministic_sample_docs",
-    "doc_fingerprint",
-    "dormant_rich_customers",
-    "event_transitions",
-    "frame_sample",
-    "fuzzy_pairs_levenshtein",
-    "grouped_pandas_stats",
     "important_part_shares",
-    "lang_id_ngram",
-    "lang_stats",
-    "large_volume_customers",
-    "min_cost_supplier",
-    "multimodal_features",
-    "multimodal_resized",
-    "normalized_dedup_docs",
-    "pandas_udf_token_count",
-    "salted_join_orders",
-    "sliding_windows",
-    "small_quantity_revenue",
-    "stratified_sample_docs",
-    "streaming_dedup_twin",
-    "time_range_moving_window",
-    "train_test_split_counts",
-    "udtf_explode_tokens",
-    "window_distribution_funcs",
+    "dormant_rich_customers",
+    "brand_volume_suppliers",
 ]
 
 

@@ -39,7 +39,9 @@ def budget_fill(
     taken in ascending ``id_col`` order; a document is taken iff it fits
     the remaining budget ENTIRELY (whole-doc granularity — truncation is
     the chunker's job, not the mixer's). Sources past the budget emit
-    (source, 0, 0) so the report always covers the input source set.
+    (source, 0, 0) so the report always covers the input source set —
+    exactly ONE row per source: a zero-token source (every doc empty)
+    reports via the whole-source branch as (source, n_docs, 0), taken.
 
     Note the fill is "first gap stops the source": within a source docs
     are taken while the running total fits — a later small doc does NOT
@@ -84,7 +86,15 @@ def budget_fill(
         F.col("_src_docs").alias("n_docs_taken"),
         F.col("_src_tokens").alias("tokens_taken"),
     )
-    empty = ledger.filter(F.col("_remaining") <= 0).select(
+    # Branches must be DISJOINT (review finding, r6): a zero-token source
+    # has _remaining == 0 == _src_tokens and satisfies both the whole-
+    # source predicate (>=) and a bare `_remaining <= 0` — emitting two
+    # contradictory rows. The canonical row for a zero-token source is
+    # the WHOLE branch's (source, n_docs, 0): all of its (zero-token)
+    # docs fit any budget, so the report says they were taken.
+    empty = ledger.filter(
+        (F.col("_remaining") <= 0) & (F.col("_src_tokens") > 0)
+    ).select(
         "source",
         F.lit(0).cast("long").alias("n_docs_taken"),
         F.lit(0).cast("long").alias("tokens_taken"),

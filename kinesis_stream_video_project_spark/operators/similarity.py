@@ -423,10 +423,15 @@ def _pair_cosine_verify(
     vec: str,
 ) -> DataFrame:
     """Exact-cosine verification of an (vec_a, vec_b) candidate pair set
-    — THE verify expression of the embedding near-dup family (hoisted
-    norms, dot/(na·nb), r4, >= threshold). One definition so LSH-tier /
-    blocked-tier agreement on shared pairs (pinned in tests) can never
-    drift from a divergent copy."""
+    — the verify expression of the CANDIDATE-PAIR tiers (hoisted norms,
+    dot/(na·nb), r4, >= threshold), used wherever pairs arrive id-only
+    (the LSH tiers). :func:`embedding_near_dups` deliberately does NOT
+    delegate here: its block self-join carries the embeddings through
+    ONE join, so routing it through an id-pair + two re-joins would
+    triple its join count for no semantic gain — instead it inlines the
+    textually identical expression, and the tier-agreement test
+    (test_simhash_embedding.py: same cos_sim on every shared pair) is
+    the drift guard."""
     a = corpus.select(
         F.col(corpus_id).alias("vec_a"),
         F.col(vec).alias("emb_a"),

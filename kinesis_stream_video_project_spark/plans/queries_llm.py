@@ -124,17 +124,19 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.blocked_jaccard_near_dups(d, threshold=0.6)
 
 
-def _minhash_lsh_oracle_sql() -> str:
-    """DuckDB replay of the FULL MinHash-LSH pipeline — possible since r4's
-    portable hash family (operators/dedup.py::shingle_hash): shingles →
-    md5-derived 60-bit basis split into 30-bit (h1, h2) → 24
-    Kirsch-Mitzenmacher minhashes mod the shared prime → 6 integer
-    polynomial band buckets (r5: pure bigint fold, no per-band md5 — see
-    operators/dedup.py::lsh_band_keys) → candidate pairs → exact-Jaccard
-    verification. Every step is integer/md5 arithmetic both engines compute
-    identically (validated exact at sf0.001/0.01/0.1). The band fold below
-    is GENERATED from the same (MULT, PRIME) constants the Spark expression
-    uses, so the two cannot drift independently."""
+def dd_lsh_banded_cte() -> str:
+    """The shingled→banded DuckDB CTE chain of the MinHash-LSH replay
+    (shingle sets → portable md5 basis hashes → 24 Kirsch-Mitzenmacher
+    minhashes → 6 integer polynomial band buckets), exposed as a reusable
+    fragment: :func:`_minhash_lsh_oracle_sql` appends Jaccard
+    verification; queries_round7's ``near_dup_candidates_horizon``
+    appends the time-horizon candidate join (the online-LSH stream's
+    batch-replay semantics). ONE definition so the bucket math cannot
+    drift between oracles. The band fold is GENERATED from the same
+    (MULT, PRIME) constants the Spark expression uses. Defines CTEs
+    ``shingled``, ``posts``, ``hashed``, ``basis``, ``sig``, ``sigl``,
+    ``banded`` (callers may also reuse ``posts``/``shingled`` for
+    verification stages)."""
     from kinesis_stream_video_project_spark.operators.dedup import (
         LSH_BAND_MULT,
         MINHASH_PRIME,
@@ -148,7 +150,7 @@ def _minhash_lsh_oracle_sql() -> str:
         fold = f"(({fold}) * {LSH_BAND_MULT} + s[4*b.b + {r}]) % {MINHASH_PRIME}"
 
     return f"""
-WITH shingled AS (
+shingled AS (
   SELECT doc_id, list_distinct({_dd_ngrams(3)}) AS tok_set FROM documents
 ),
 posts AS (
@@ -173,7 +175,15 @@ sigl AS (
 banded AS (
   SELECT DISTINCT doc_id, {fold} AS bucket
   FROM sigl CROSS JOIN (SELECT UNNEST(generate_series(0, 5)) AS b) b
-),
+)"""
+
+
+def _minhash_lsh_oracle_sql() -> str:
+    """Full MinHash-LSH replay: the shared banded staging
+    (:func:`dd_lsh_banded_cte`) + candidate join + exact-Jaccard
+    verification (validated exact at sf0.001/0.01/0.1)."""
+    return f"""
+WITH {dd_lsh_banded_cte()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id

@@ -60,85 +60,80 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. Cross-round state entering r6: 179 registered (171 + the 8 new
-# round-6 queries), every pre-r6 query has a green HASH row, latest-green
-# distribution r5=50, r4=44, r3=38, r2=39 (VERDICT r5). The r6 window is
-# budgeted 8+1+39+2:
-# (a) the 8 NEW round-6 queries (queries_round6.py — the r5 operator queue
-#     promoted to registrations: lpa_communities, kcore_parts,
-#     robust_value_stats, winsorized_value_stats, table_drift_report,
-#     silent_periods, weighted_pagerank_topk, curation_pipeline_v3) — a
-#     query registered in round N must be in round N's window;
-# (b) the 1 query whose code path CHANGED in r6:
-#     pagerank_copurchase_topk (pagerank_int grew the enforced BIGINT
-#     overflow guard + parameterized broadcast hint — output-invariant by
-#     design, but changed code outranks merely-stale entries; LPA's and
-#     profile_drift's r6 edits are covered by the NEW queries above, and
-#     triangle_count/kcore/stats operators are untouched);
-# (c) all 39 queries whose latest green row dates from r2 (the full
-#     oldest-green staleness tail — VERDICT r5 item 3: after r6 nothing
-#     is older than r3);
-# (d) 2 refreshes from the r3-latest cohort: stream_health_60s (the
-#     flagship — its green row should never age past two rounds) and
-#     consecutive_failures (stable bench-set member, same rationale).
-#     The other 36 r3-latest entries defer to r7 (r3-green satisfies the
-#     nothing-older-than-r3 bound).
+# round. Cross-round state entering r7: 186 registered (179 + the 7 new
+# round-7 queries), every pre-r7 query has a green HASH row, latest-green
+# distribution r6=50, r5=49, r4=44, r3=36 (VERDICT r6). The r7 window is
+# budgeted 7+36+7:
+# (a) the 7 NEW round-7 queries (queries_round7.py — the r6 operator queue
+#     promoted to registrations: error_followup_pairs,
+#     bigram_surprisal_score, seasonal_value_anomalies,
+#     simhash_bucket_pairs, copurchase_blast_radius,
+#     token_budget_waterfall, near_dup_candidates_horizon) — a query
+#     registered in round N must be in round N's window. The r7 ADVICE
+#     fixes (mixture zero-token branch disjointness; lm/similarity
+#     docstrings) are covered by token_budget_waterfall /
+#     bigram_surprisal_score being new entries;
+# (b) all 36 queries whose latest green row dates from r3 (the full
+#     oldest-green staleness tail — VERDICT r6 item 2: after r7 nothing
+#     is older than r4);
+# (c) 7 refreshes from the r4-latest cohort, oldest-registered first.
+#     The other 37 r4-latest entries defer to r8 (r4-green satisfies the
+#     nothing-older-than-r4 bound).
 # Queries not listed keep registration order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (a) new round-6 registrations (8) ---
-    "lpa_communities",
-    "kcore_parts",
-    "robust_value_stats",
-    "winsorized_value_stats",
-    "table_drift_report",
-    "silent_periods",
-    "weighted_pagerank_topk",
-    "curation_pipeline_v3",
-    # --- (b) r6-changed code path (1) ---
-    "pagerank_copurchase_topk",
-    # --- (c) the full r2-latest staleness tail (39) ---
-    "approx_distinct",
-    "approx_percentiles_value",
-    "bpe_regex_tokens",
-    "brand_volume_suppliers",
-    "cosine_topk",
-    "curation_pipeline",
-    "dedup_survivors",
-    "deterministic_sample_docs",
-    "doc_fingerprint",
-    "dormant_rich_customers",
-    "event_transitions",
-    "exact_dedup_docs",
-    "frame_sample",
-    "fuzzy_pairs_levenshtein",
-    "grouped_pandas_stats",
-    "important_part_shares",
-    "lang_id_ngram",
-    "lang_stats",
-    "large_volume_customers",
-    "min_cost_supplier",
-    "multimodal_features",
-    "multimodal_resized",
-    "normalized_dedup_docs",
-    "pandas_udf_token_count",
-    "quality_score",
-    "salted_join_orders",
-    "session_windows",
-    "sliding_windows",
-    "small_quantity_revenue",
-    "stratified_sample_docs",
-    "streaming_dedup_twin",
-    "time_range_moving_window",
-    "token_stats",
-    "train_test_split_counts",
-    "tumbling_hourly",
-    "udtf_explode_tokens",
-    "weekly_retention",
-    "window_distribution_funcs",
-    "window_running_agg",
-    # --- (d) r3-latest refreshes (2 of 38; rest defer to r7) ---
-    "stream_health_60s",
-    "consecutive_failures",
+    # --- (a) new round-7 registrations (7) ---
+    "error_followup_pairs",
+    "bigram_surprisal_score",
+    "seasonal_value_anomalies",
+    "simhash_bucket_pairs",
+    "copurchase_blast_radius",
+    "token_budget_waterfall",
+    "near_dup_candidates_horizon",
+    # --- (b) the full r3-latest staleness tail (36) ---
+    "ann_tier_claims",
+    "anti_join_customers",
+    "asof_forward_metric",
+    "cohort_ltv_curve",
+    "customer_order_distribution",
+    "dedup_first_event",
+    "disjunctive_predicate_join",
+    "doc_length_histogram",
+    "domain_mixture_weights",
+    "exact_group_percentiles",
+    "fill_forward_last_purchase",
+    "forecast_revenue_change",
+    "heavy_hitters_claim",
+    "json_extract",
+    "market_share_by_year",
+    "nation_pair_trade",
+    "pii_scrub",
+    "pivot_priority_revenue",
+    "priority_late_shipment_counts",
+    "product_type_profit",
+    "promo_revenue_share",
+    "q1_pricing_summary",
+    "range_join_shipping",
+    "repetition_score",
+    "returned_item_customers",
+    "simhash_dup_consistency",
+    "split_leakage_check",
+    "table_profile",
+    "top_revenue_supplier",
+    "topn_orders_per_nation",
+    "trending_event_types",
+    "unpivot_part_metrics",
+    "unsupplied_parts",
+    "value_outliers",
+    "waiting_suppliers",
+    "window_rank_lag",
+    # --- (c) r4-latest refreshes (7 of 44; rest defer to r8) ---
+    "ann_recall_eval",
+    "argmax_order_per_customer",
+    "array_funcs",
+    "asof_probe_metric",
+    "boilerplate_prefixes",
+    "catalog_filter_project",
+    "catalog_json_roundtrip",
 )
 
 
@@ -190,6 +185,7 @@ def _load_all() -> None:
         queries_round5d,
         queries_round5e,
         queries_round6,
+        queries_round7,
         queries_streaming_twins,
     )
 

@@ -45,7 +45,7 @@ FROM led WHERE remaining >= src_tokens
 UNION ALL
 SELECT source, n_docs_taken, tokens_taken FROM part
 UNION ALL
-SELECT source, 0, 0 FROM led WHERE remaining <= 0
+SELECT source, 0, 0 FROM led WHERE remaining <= 0 AND src_tokens > 0
 UNION ALL
 SELECT source, 0, 0 FROM led
 WHERE remaining > 0 AND remaining < src_tokens
@@ -85,6 +85,27 @@ def test_budget_fill_first_doc_overflow_boundary(spark):
         for r in mixture.budget_fill(df, budget_tokens=50).collect()
     }
     assert got == {"a": (1, 10), "b": (0, 0), "c": (0, 0)}
+
+
+def test_budget_fill_zero_token_source_single_row(spark):
+    """A source whose total token count is 0 satisfied BOTH the
+    whole-source (>=) and empty (<=0) branch predicates and emitted two
+    contradictory rows (review finding, r6). The canonical row is the
+    whole branch's (source, n_docs, 0) — every zero-token doc fits any
+    budget — and each source must appear exactly once, budget 0
+    included."""
+    rows = [("a", 1, 10), ("b", 2, 0), ("b", 3, 0), ("c", 4, 5)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = mixture.budget_fill(df, budget_tokens=10).collect()
+    assert len(out) == 3  # one row per source, no duplicates
+    got = {r.source: (r.n_docs_taken, r.tokens_taken) for r in out}
+    assert got == {"a": (1, 10), "b": (2, 0), "c": (0, 0)}
+    # budget exhausted before the zero-token source: still one row,
+    # still "taken" (its docs cost nothing).
+    out0 = mixture.budget_fill(df, budget_tokens=0).collect()
+    assert len(out0) == 3
+    got0 = {r.source: (r.n_docs_taken, r.tokens_taken) for r in out0}
+    assert got0 == {"a": (0, 0), "b": (2, 0), "c": (0, 0)}
 
 
 def test_budget_fill_matches_bruteforce_on_fixture(spark, sf_dir):
