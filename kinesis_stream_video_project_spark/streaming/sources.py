@@ -170,12 +170,56 @@ def decode_kinesis_records(raw: DataFrame) -> DataFrame:
     ).select("e.*", "_stream", "_shard", "_seq")
 
 
+def _is_kinesis_error(exc: Exception, code: str) -> bool:
+    """Match a Kinesis API error by its AWS error code, covering both real
+    botocore exceptions (generated classes named after the code, with the
+    code also in ``response["Error"]["Code"]``) and test fakes that raise
+    plain exceptions carrying the code in their class name."""
+    if code in type(exc).__name__:
+        return True
+    response = getattr(exc, "response", None)
+    return bool(response) and response.get("Error", {}).get("Code") == code
+
+
+def _get_records_with_retry(
+    client,
+    iterator: str,
+    limit: int,
+    max_throttle_retries: int,
+    sleep,
+):
+    """``get_records`` with exponential backoff on
+    ``ProvisionedThroughputExceededException`` — Kinesis throttles reads at
+    5 tx/s/shard and the documented client contract is retry-with-backoff,
+    not failure (the reference's scripts get this for free from the AWS CLI's
+    built-in retry mode). Re-raises after ``max_throttle_retries``
+    consecutive throttles so a misconfigured hot shard surfaces instead of
+    spinning forever; any other error propagates immediately."""
+    delay = 0.1
+    for attempt in range(max_throttle_retries + 1):
+        try:
+            return client.get_records(ShardIterator=iterator, Limit=limit)
+        except Exception as exc:
+            if (
+                not _is_kinesis_error(
+                    exc, "ProvisionedThroughputExceededException"
+                )
+                or attempt == max_throttle_retries
+            ):
+                raise
+            sleep(delay)
+            delay = min(delay * 2, 2.0)
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
 def kinesis_snapshot_df(
     spark: SparkSession,
     client,
     stream_name: str,
     starting_position: str = "TRIM_HORIZON",
     max_polls_per_shard: int = 10,
+    max_throttle_retries: int = 5,
+    sleep=None,
 ) -> DataFrame:
     """Drain a Kinesis stream's current contents through a boto3 client into
     a batch DataFrame of connector-shaped records (KINESIS_RAW_SCHEMA).
@@ -192,7 +236,26 @@ def kinesis_snapshot_df(
     connector's job; this exists so a LOCAL endpoint (moto's Kinesis API,
     tests/test_kinesis_contract.py) can feed the real decode path live.
     Raises ValueError for an invalid starting position, mirroring
-    kinesis_reader_options' validation."""
+    kinesis_reader_options' validation.
+
+    Production failure modes handled (the two the real consumer API
+    documents beyond resharding):
+
+    * **Read throttling** — get_records is retried with exponential
+      backoff on ProvisionedThroughputExceededException
+      (``max_throttle_retries`` consecutive throttles before giving up;
+      ``sleep`` is injectable for tests).
+    * **Iterator expiry** — a shard iterator is only valid for 5 minutes;
+      on ExpiredIteratorException the drain re-acquires its position
+      EXACTLY-ONCE-wise via AFTER_SEQUENCE_NUMBER of the last record it
+      ingested from that shard (or the original starting position if
+      none yet) and continues — the documented recovery, losing nothing
+      and re-reading nothing. The re-acquire poll does not count against
+      ``max_polls_per_shard``."""
+    import time as _time
+
+    if sleep is None:
+        sleep = _time.sleep
     if starting_position.upper() not in ("LATEST", "TRIM_HORIZON"):
         raise ValueError(
             "kinesis_snapshot_df supports LATEST/TRIM_HORIZON starting "
@@ -214,8 +277,40 @@ def kinesis_snapshot_df(
             ShardId=sh["ShardId"],
             ShardIteratorType=starting_position.upper(),
         )["ShardIterator"]
-        for _ in range(max_polls_per_shard):
-            resp = client.get_records(ShardIterator=it, Limit=10000)
+        last_seq: str | None = None
+        polls = 0
+        expiries = 0
+        while polls < max_polls_per_shard:
+            try:
+                resp = _get_records_with_retry(
+                    client, it, 10000, max_throttle_retries, sleep
+                )
+            except Exception as exc:
+                if not _is_kinesis_error(exc, "ExpiredIteratorException"):
+                    raise
+                # An iterator that expires on EVERY poll means the position
+                # itself is gone (e.g. aged past the retention window) —
+                # surface it instead of re-acquiring forever.
+                expiries += 1
+                if expiries > max_polls_per_shard:
+                    raise
+                # Re-acquire the shard position: just after the last record
+                # ingested, or the original starting position if none yet.
+                if last_seq is not None:
+                    it = client.get_shard_iterator(
+                        StreamName=stream_name,
+                        ShardId=sh["ShardId"],
+                        ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+                        StartingSequenceNumber=last_seq,
+                    )["ShardIterator"]
+                else:
+                    it = client.get_shard_iterator(
+                        StreamName=stream_name,
+                        ShardId=sh["ShardId"],
+                        ShardIteratorType=starting_position.upper(),
+                    )["ShardIterator"]
+                continue
+            polls += 1
             for r in resp["Records"]:
                 rows.append(
                     (
@@ -227,6 +322,7 @@ def kinesis_snapshot_df(
                         sh["ShardId"],
                     )
                 )
+                last_seq = r["SequenceNumber"]
             it = resp.get("NextShardIterator")
             if not it or not resp["Records"]:
                 break

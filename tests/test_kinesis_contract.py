@@ -451,3 +451,150 @@ def test_kinesis_snapshot_paginates_list_shards(spark):
     df = sources.kinesis_snapshot_df(spark, PagingClient(), "s", "TRIM_HORIZON")
     got = {bytes(r.data).decode() for r in df.collect()}
     assert got == {"shardId-000000000000", "shardId-000000000001"}
+
+
+def test_kinesis_snapshot_retries_throttling_with_backoff(spark):
+    """VERDICT r6 item 7 — read throttling: Kinesis caps reads at
+    5 tx/s/shard and the documented client contract is exponential-backoff
+    retry on ProvisionedThroughputExceededException, not failure. The fake
+    throttles twice before each successful page; the drain must deliver
+    every record, sleep with growing delays, and re-raise once the
+    consecutive-throttle budget is exhausted."""
+    import datetime as dt
+
+    arrival = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    class ProvisionedThroughputExceededException(Exception):
+        pass
+
+    class ThrottlingClient:
+        def __init__(self, throttles_per_page):
+            self.throttles_per_page = throttles_per_page
+            self._left = throttles_per_page
+
+        def list_shards(self, StreamName):
+            return {"Shards": [{"ShardId": "shardId-000000000000"}]}
+
+        def get_shard_iterator(self, StreamName, ShardId, ShardIteratorType):
+            return {"ShardIterator": f"{ShardId}#0"}
+
+        def get_records(self, ShardIterator, Limit):
+            if self._left > 0:
+                self._left -= 1
+                raise ProvisionedThroughputExceededException("slow down")
+            self._left = self.throttles_per_page
+            shard, page = ShardIterator.split("#")
+            if int(page) >= 2:
+                return {"Records": [], "NextShardIterator": None}
+            return {
+                "Records": [{
+                    "Data": f"rec{page}".encode(),
+                    "PartitionKey": "pk",
+                    "SequenceNumber": page,
+                    "ApproximateArrivalTimestamp": arrival,
+                }],
+                "NextShardIterator": f"{shard}#{int(page) + 1}",
+            }
+
+    delays: list[float] = []
+    df = sources.kinesis_snapshot_df(
+        spark, ThrottlingClient(2), "s", "TRIM_HORIZON", sleep=delays.append
+    )
+    assert {bytes(r.data).decode() for r in df.collect()} == {"rec0", "rec1"}
+    # two throttles per successful poll (3 polls: rec0, rec1, empty tip)
+    assert len(delays) == 6
+    assert delays[1] > delays[0], "backoff must grow between consecutive retries"
+
+    # budget exhausted -> the throttle surfaces instead of spinning forever
+    with pytest.raises(ProvisionedThroughputExceededException):
+        sources.kinesis_snapshot_df(
+            spark,
+            ThrottlingClient(10),
+            "s",
+            "TRIM_HORIZON",
+            max_throttle_retries=3,
+            sleep=lambda _s: None,
+        )
+
+
+def test_kinesis_snapshot_recovers_expired_iterator(spark):
+    """VERDICT r6 item 7 — iterator expiry: a shard iterator lives 5
+    minutes; on ExpiredIteratorException the drain must re-acquire its
+    position via AFTER_SEQUENCE_NUMBER of the last ingested record (or the
+    original starting position if none yet) and continue — nothing lost,
+    nothing re-read. A position that expires on every poll must surface
+    instead of re-acquiring forever."""
+    import datetime as dt
+
+    arrival = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    class ExpiredIteratorException(Exception):
+        pass
+
+    class ExpiringClient:
+        """Page 1 hands back an iterator that expires ONCE before the
+        re-acquired replacement works."""
+
+        def __init__(self):
+            self.expired_once = False
+            self.reacquires: list[tuple[str, str | None]] = []
+
+        def list_shards(self, StreamName):
+            return {"Shards": [{"ShardId": "shardId-000000000000"}]}
+
+        def get_shard_iterator(
+            self,
+            StreamName,
+            ShardId,
+            ShardIteratorType,
+            StartingSequenceNumber=None,
+        ):
+            self.reacquires.append((ShardIteratorType, StartingSequenceNumber))
+            if ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
+                return {"ShardIterator": f"{ShardId}#{int(StartingSequenceNumber)}"}
+            return {"ShardIterator": f"{ShardId}#0"}
+
+        def get_records(self, ShardIterator, Limit):
+            shard, page = ShardIterator.split("#")
+            page = int(page)
+            if page == 1 and not self.expired_once:
+                self.expired_once = True
+                raise ExpiredIteratorException("iterator past its 5 minutes")
+            if page >= 2:
+                return {"Records": [], "NextShardIterator": None}
+            return {
+                "Records": [{
+                    "Data": f"rec{page}".encode(),
+                    "PartitionKey": "pk",
+                    # sequence numbers 1-based so AFTER_SEQUENCE_NUMBER(seq)
+                    # lands on the next page index
+                    "SequenceNumber": str(page + 1),
+                    "ApproximateArrivalTimestamp": arrival,
+                }],
+                "NextShardIterator": f"{shard}#{page + 1}",
+            }
+
+    client = ExpiringClient()
+    df = sources.kinesis_snapshot_df(spark, client, "s", "TRIM_HORIZON")
+    assert {bytes(r.data).decode() for r in df.collect()} == {"rec0", "rec1"}
+    assert ("AFTER_SEQUENCE_NUMBER", "1") in client.reacquires, (
+        "expiry mid-shard must resume after the last ingested sequence "
+        f"number, got {client.reacquires}"
+    )
+
+    class AlwaysExpiredClient:
+        def list_shards(self, StreamName):
+            return {"Shards": [{"ShardId": "shardId-000000000000"}]}
+
+        def get_shard_iterator(self, StreamName, ShardId, ShardIteratorType,
+                               StartingSequenceNumber=None):
+            return {"ShardIterator": "it"}
+
+        def get_records(self, ShardIterator, Limit):
+            raise ExpiredIteratorException("retention window passed")
+
+    with pytest.raises(ExpiredIteratorException):
+        sources.kinesis_snapshot_df(
+            spark, AlwaysExpiredClient(), "s", "TRIM_HORIZON",
+            max_polls_per_shard=3,
+        )
