@@ -510,3 +510,60 @@ def bfs_hops(
         )
         frontier = nxt
     return visited
+
+
+def ra_link_prediction(
+    edges: DataFrame,
+    scale: int = 10**9,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """Resource-Allocation link prediction over the undirected ``(p1,
+    p2)`` edge list (r8 registration queue): for every NON-adjacent node
+    pair sharing at least one neighbor, ``ra_scaled = Σ_{c ∈ N(a)∩N(b)}
+    scale div deg(c)`` — Zhou/Lü/Zhang's RA index (Eur. Phys. J. B 71,
+    2009), the strongest of the simple common-neighbor indices in their
+    benchmark and, unlike Adamic-Adar's 1/log deg, EXACTLY computable in
+    integers: per-neighbor contributions are ``scale div deg`` truncating
+    divisions and the sum is order-independent — hash-identical in any
+    engine, no libm log anywhere (the tfidf_topk rationale one level up).
+    Output ``(p_a, p_b, ra_scaled)``, p_a < p_b.
+
+    Scale shape: ONE wedge self-join — the directed adjacency grouped by
+    center c joins its out-lists pairwise via (c→a)⋈(c→b), a < b, so
+    shuffle keys are node ids and per-center work is deg(c)² (the
+    triangle-count trade without the orientation trick, because RA needs
+    BOTH endpoints' full neighborhoods, not a DAG). The optional
+    ``max_wedge_degree`` drops centers with deg > the cap BEFORE the
+    join: a 10^6-degree hub contributes deg² wedge rows each worth only
+    scale/10^6 ≈ nothing — the classic hub-suppression lever (same
+    economics as spans.verbatim_span_pairs' max_df guard); exact mode
+    (None) keeps every center. The final anti-join removes
+    already-adjacent pairs (prediction targets NEW links)."""
+    both = _both_directions(edges)
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    centered = both.join(deg, "src").select(
+        F.col("src").alias("c"), "dst", "deg"
+    )
+    if max_wedge_degree is not None:
+        centered = centered.filter(F.col("deg") <= max_wedge_degree)
+    a = centered.select("c", F.col("dst").alias("p_a"), "deg")
+    b = centered.select("c", F.col("dst").alias("p_b"))
+    wedges = (
+        a.join(b, "c")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .select(
+            "p_a",
+            "p_b",
+            # integer DIV, not float /: double division + cast truncation
+            # agrees with integer division only while scale/deg round-trips
+            # a double exactly — DIV needs no such argument (pagerank rule)
+            F.expr(f"CAST({scale} AS BIGINT) DIV deg").alias("_contrib"),
+        )
+    )
+    scored = wedges.groupBy("p_a", "p_b").agg(
+        F.sum("_contrib").cast("long").alias("ra_scaled")
+    )
+    existing = edges.select(
+        F.col("p1").alias("p_a"), F.col("p2").alias("p_b")
+    )
+    return scored.join(existing, ["p_a", "p_b"], "left_anti")

@@ -59,6 +59,14 @@ def bigram_surprisal(docs: DataFrame, scale: int = _SCALE) -> DataFrame:
     r4(Σ terms / n / scale) — a document of corpus-unique continuations
     scores ≈ C(prev·)-sized, formulaic text scores ≈ 1.
 
+    Output contract: documents with FEWER THAN TWO tokens produce no
+    bigrams and therefore NO OUTPUT ROW (pinned in tests — a 0-token or
+    1-token doc is absent, not scored 0). A gating consumer must LEFT
+    join docs to these scores and decide the policy for the missing rows
+    explicitly (too-short docs usually fail a length gate long before a
+    perplexity gate; silently inheriting a join-direction-dependent fate
+    is the bug this note exists to prevent).
+
     Scale shape: one (prev, cur) bigram-count aggregate and one prev
     marginal DERIVED from it (sum over cur — no second pass over the
     corpus), joined back onto the exploded pairs (two shuffles on the
@@ -115,3 +123,31 @@ def bigram_surprisal(docs: DataFrame, scale: int = _SCALE) -> DataFrame:
             F.col("_s").cast("double") / F.col("n_bigrams") / F.lit(float(scale))
         ).alias("surprisal"),
     )
+
+
+def bpe_merge_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-``k`` adjacent-token-pair counts — the candidate table of ONE
+    BPE merge step at token granularity (r8 registration queue): vocab
+    induction (Sennrich et al. 2016) repeatedly merges the most frequent
+    adjacent pair, and at corpus scale the per-step candidate ranking is
+    exactly this aggregate; an engine that feeds tokenizer training owns
+    it next to the token/bigram statistics it already serves.
+    Output ``(prev, cur, n_pairs, rnk)``, ranked by (count desc, prev,
+    cur) — a total order, so the cut is deterministic in any engine.
+
+    Scale: rides :func:`doc_bigrams` (zip-with-shifted-self, no
+    re-tokenization) → one (prev, cur) count aggregate →
+    TakeOrderedAndProject top-k (rank attached AFTER the sort+limit,
+    the tfidf_topk rule). All-integer."""
+    from pyspark.sql import Window
+
+    counts = (
+        doc_bigrams(docs)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    top = counts.orderBy(
+        F.col("n_pairs").desc(), F.col("prev"), F.col("cur")
+    ).limit(k)
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("prev"), F.col("cur"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -359,3 +359,65 @@ def sample_frames(
 
     videos = manifest.filter(F.col("media_type") == "video")
     return videos.mapInPandas(sample, FRAME_SCHEMA)
+
+
+# Schema of per-frame audio energy rows (1:N explode per payload).
+AUDIO_FRAME_SCHEMA = (
+    "media_id bigint, frame_no bigint, n_samples bigint, "
+    "energy_ssq bigint, peak bigint"
+)
+
+
+def audio_energy_frames(
+    manifest: DataFrame, frame_samples: int = 256
+) -> DataFrame:
+    """Per-frame audio energy over the binary payload column (r8
+    registration queue) — the audio twin of decode_features: treat the
+    payload as PCM16 little-endian mono (the WAV data-chunk layout) and
+    emit one row per FULL ``frame_samples``-sample frame with
+    ``energy_ssq`` = Σ sample² (the frame's energy, the standard VAD /
+    silence-trimming signal) and ``peak`` = max |sample| (clipping
+    detection). A trailing odd byte and a trailing partial frame are
+    dropped — the contract a fixed-frame feature extractor needs, stated
+    rather than implied. All-integer (Σ x² of ≤2^15 samples over a
+    256-frame is < 2^38), so the output is hash-exact and — on the
+    ASCII fixture payloads, where byte values equal code points — the
+    DuckDB oracle replays the exact int16 reassembly.
+
+    Scale: mapInPandas streams Arrow record batches (constant memory per
+    task however large the payloads); no shuffle, partition-preserving,
+    embarrassingly parallel — the numpy frombuffer/reshape per batch IS
+    the vectorized decode loop a real PCM pipeline runs."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fno: list[int] = []
+            nsm: list[int] = []
+            ssq: list[int] = []
+            pk: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n = (len(buf) // 2) * 2
+                samples = np.frombuffer(buf[:n], dtype="<i2").astype(np.int64)
+                full = (samples.size // frame_samples) * frame_samples
+                if full == 0:
+                    continue
+                fr = samples[:full].reshape(-1, frame_samples)
+                for i in range(fr.shape[0]):
+                    ids.append(int(mid))
+                    fno.append(i)
+                    nsm.append(frame_samples)
+                    ssq.append(int((fr[i] * fr[i]).sum()))
+                    pk.append(int(np.abs(fr[i]).max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fno, dtype="int64"),
+                    "n_samples": pd.Series(nsm, dtype="int64"),
+                    "energy_ssq": pd.Series(ssq, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int64"),
+                }
+            )
+
+    return manifest.mapInPandas(frames, AUDIO_FRAME_SCHEMA)

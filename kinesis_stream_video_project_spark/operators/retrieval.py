@@ -1,0 +1,91 @@
+"""Lexical retrieval scoring (r8 registration queue).
+
+``bm25_topk`` upgrades the tfidf_topk lexical tier
+(plans/queries_llm2.py) to Okapi BM25 (Robertson/Walker et al., TREC-3;
+the Robertson & Zaragoza 2009 survey is the public reference): term-
+frequency SATURATION (k1) and document-length normalization (b) — the
+two effects raw tf/dl scoring lacks, and the default ranking function
+of every mainstream search engine.
+
+Numeric strategy (the tfidf_topk discipline, unchanged): the idf is the
+RATIONAL BM25 core (N − df + 0.5)/(df + 0.5) WITHOUT the log — log
+implementations differ across libm builds by ulps, which a hash check
+cannot tolerate, while +, ×, / are IEEE-exact in both engines and the
+per-term ranking is the same monotone order. k1 = 1.2 and b = 0.75
+(the standard defaults) are double literals both engines parse to the
+same bits; every per-term expression evaluates in a fixed operation
+order; only the ≤|Q|-term per-doc summation is order-sensitive, so the
+emitted score is ``r4``-rounded and ranking runs over the ROUNDED score
+with a doc_id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark.functions.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    k: int = 20,
+    n_query_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against the corpus's
+    ``n_query_terms`` highest-document-frequency terms (the same
+    deterministic self-derived query set as tfidf_topk, so the two
+    lexical tiers rank the same workload). Output
+    ``(doc_id, score, rnk)``.
+
+    score(d) = Σ_t idf_core(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    Scale shape: postings (doc_id, term, tf) shuffle once on term for
+    the df aggregate; the query-term set and the 1-row (N, avgdl)
+    aggregate broadcast back onto the postings; top-k rides
+    TakeOrderedAndProject. At 100 TB the postings table is the
+    materialized inverted index and avgdl a stored corpus statistic."""
+    toks = tokens(F.col("text"))
+    tok = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode_outer(toks).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.size(tokens(F.col("text"))).alias("_dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("_dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    q = df_.orderBy(F.col("df").desc(), F.col("term")).limit(n_query_terms)
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    sat = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * sat).alias("_raw"))
+        .select("doc_id", r4(F.col("_raw")).alias("score"))
+    )
+    # Top-k FIRST (sort+limit => TakeOrderedAndProject), THEN rank the k
+    # survivors — the tfidf_topk rule: an unpartitioned window over the
+    # full corpus would funnel every doc through one task.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

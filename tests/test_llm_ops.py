@@ -788,3 +788,74 @@ def test_dedup_tiers_on_stacked_duplicate_corpus(spark, sf_dir):
     }
     missing = [s for s in sample if (s, s + n) not in found]
     assert not missing, f"LSH missed verbatim cross-copy twins: {missing}"
+
+
+def test_default_decode_chain_every_branch(monkeypatch):
+    """VERDICT r6 item 6 — every branch of the _default_decode dispatch
+    chain must EXECUTE under test. The container ships no Pillow wheel, so
+    the PIL tier is exercised by injecting a fake PIL Image module through
+    the same ``_PILImage`` seam the import populates (the chain's logic —
+    precedence, decline-fallthrough, final stub handoff — is identical
+    with the real wheel; only the codec surface differs, which the crafted
+    gray-8 PNG pins separately against the stdlib tier)."""
+    import numpy as np
+
+    from kinesis_stream_video_project_spark.operators import multimodal
+
+    gray_png = _build_png_gray8([[0, 64], [128, 255]])
+    png_stats = multimodal._png_decode(gray_png)
+    assert png_stats is not None
+
+    class _FakeIm:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.array([[10, 10], [10, 10]], dtype=np.uint8)
+
+    class _OpeningPIL:  # PIL tier succeeds
+        @staticmethod
+        def open(_bio):
+            return _FakeIm()
+
+    class _DecliningPIL:  # PIL tier declines (cannot open the payload)
+        @staticmethod
+        def open(_bio):
+            raise OSError("cannot identify image file")
+
+    # Branch 1: PIL present and opens the payload — the PIL tier's result
+    # SUPERSEDES the stdlib PNG tier (constant-10 image: mean 10, entropy
+    # 0 — distinguishable from the real PNG stats).
+    monkeypatch.setattr(multimodal, "_PILImage", _OpeningPIL)
+    assert multimodal._default_decode(gray_png) == (10.0, 0.0)
+
+    # Branch 2: PIL present but DECLINES — the chain falls through to the
+    # stdlib PNG tier, reproducing its exact stats.
+    monkeypatch.setattr(multimodal, "_PILImage", _DecliningPIL)
+    assert multimodal._default_decode(gray_png) == png_stats
+
+    # Branch 3: PIL present, declines, and the payload is no PNG either —
+    # chain returns None (the stub handoff).
+    assert multimodal._default_decode(b"not an image at all") is None
+
+    # Branch 4: PIL absent (the container default) — stdlib tier decodes
+    # gray-8, declines non-gray-8 (RGB IHDR, CRC re-stamped) to the stub.
+    import struct as _st
+    import zlib as _zl
+
+    monkeypatch.setattr(multimodal, "_PILImage", None)
+    assert multimodal._default_decode(gray_png) == png_stats
+    rgb_ihdr = _st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    rgb_png = (
+        gray_png[:8]
+        + _st.pack(">I", 13)
+        + b"IHDR"
+        + rgb_ihdr
+        + _st.pack(">I", _zl.crc32(b"IHDR" + rgb_ihdr) & 0xFFFFFFFF)
+        + gray_png[8 + 25 :]
+    )
+    assert multimodal._default_decode(rgb_png) is None
