@@ -1,0 +1,99 @@
+"""Ordered multi-step funnel analysis over the events stream (r8
+registration queue).
+
+The classic product-analytics question — how many users progressed
+view → click → purchase IN ORDER — that the reference's CloudWatch
+dashboards answer with per-metric counts but cannot sequence (its
+scripts count stream-health events independently; ordering across
+event types is exactly what a query engine adds). Public semantics
+follow the standard "unordered events, ordered funnel" definition
+(e.g. the windowFunnel aggregate documented by ClickHouse, and every
+product-analytics SaaS): a user is AT step i if there exist events
+e_1 … e_i of the step types with strictly increasing timestamps.
+
+Strictness: each later step must be STRICTLY after the previous
+matched step (ties do not advance the funnel — two step types sharing
+one timestamp are simultaneous, not sequenced; stated, not implied).
+Earliest-match semantics: step i matches at the MINIMUM timestamp
+> t_{i-1}, which maximizes reachability (any valid chain implies the
+greedy earliest chain is valid), so "n_users at step i" is exact, not
+an artifact of match choice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_horizon_s: int | None = None,
+) -> DataFrame:
+    """Count users reaching each funnel stage in order. Output one row
+    per stage: ``(step_no, step, n_users)`` with step_no 1-based and
+    n_users weakly decreasing (each stage requires the previous).
+
+    ``step_horizon_s`` bounds each step's CONVERSION WINDOW: step i must
+    land in ``(t_{i-1}, t_{i-1} + horizon]`` — per-STEP, not whole-chain
+    (the windowFunnel convention is whole-chain; per-step composes the
+    same greedy argument and keeps each stage a single aggregate).
+    Timestamp arithmetic is exact integer microseconds, so the bound is
+    hash-stable across engines. None = unbounded (pure ordering).
+    Greedy-earliest stays exact under a horizon: matching step i as
+    early as possible maximizes every later step's window.
+
+    Scale shape: stage i is ONE user-keyed aggregate of the step-i
+    event slice joined against the (≤|users|-row) stage-(i-1) frontier
+    — min(ts > t_prev) per user. Every shuffle keys on ``user_col``
+    (the events scan is filtered to one step type BEFORE its exchange,
+    so each pass moves only that step's slice, and AQE sizes the
+    frontier join; after the first exchange the frontiers are already
+    co-partitioned). The per-stage results are ≤|users|-row frames
+    whose counts union into a |steps|-row report — no unpartitioned
+    window anywhere. Greedy-earliest is one aggregate per stage;
+    a backtracking definition would need per-user event sorting
+    (applyInPandas) for the same user set."""
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    out = [
+        frontier.agg(
+            F.lit(1).cast("long").alias("step_no"),
+            F.lit(steps[0]).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        staged = (
+            events.filter(F.col(type_col) == step)
+            .join(frontier, user_col)
+            .filter(F.col(ts_col) > F.col("_t"))
+        )
+        if step_horizon_s is not None:
+            staged = staged.filter(
+                F.col(ts_col)
+                <= F.col("_t") + F.expr(f"INTERVAL {step_horizon_s} SECONDS")
+            )
+        frontier = staged.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        out.append(
+            frontier.agg(
+                F.lit(i).cast("long").alias("step_no"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

@@ -125,6 +125,134 @@ def bigram_surprisal(docs: DataFrame, scale: int = _SCALE) -> DataFrame:
     )
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Top-``k`` collocations by scaled pointwise mutual information over
+    adjacent token pairs (r8 registration queue): PMI = log
+    P(a,b)/(P(a)P(b)) is THE classic collocation statistic (Church &
+    Hanks 1990), and in training-data pipelines it drives phrase-vocab
+    induction and term-association features next to the raw BPE-merge
+    counts. Output ``(prev, cur, n_pairs, pmi_scaled, rnk)``.
+
+    Numeric strategy: the log is dropped (monotone — ranking by the
+    rational core ranks by PMI) and the core c_ab·N/(c_prev·c_cur) is
+    carried as TWO staged truncating integer divisions,
+    ``t1 = (c_ab·scale) div c_prev`` then ``(t1·N) div c_cur`` — each
+    stage identical in both engines, so the emitted integer is
+    hash-exact with no float or libm anywhere. Marginals are the bigram
+    row/column sums (one corpus pass: both derive from the (prev, cur)
+    aggregate). ``min_count`` floors c_ab — bare-PMI famously promotes
+    hapax pairs (c_ab = 1 rows top the ranking), the standard filter in
+    every collocation reference.
+
+    Overflow envelope, ENFORCED IN-PLAN (the bigram_surprisal branch,
+    same altitude): t1 ≤ scale (c_ab ≤ c_prev), so the binding product
+    is t1·N ≤ scale·N and c_ab·scale ≤ c_prev·scale ≤ N·scale — one
+    guard on N covers both stages. At a 100 TB corpus N ≈ 10^13 caps
+    scale at ~10^5; the raise_error branch reports the exact bound
+    instead of wrapping (Spark) or erroring opaquely (DuckDB).
+
+    Scale shape: doc_bigrams → ONE (prev, cur) count aggregate; both
+    marginals and the 1-row N re-aggregate the (already tiny) pair-count
+    table; N broadcasts back via a 1-row cross join (the
+    queries_round6 global-aggregate pattern) and the marginal joins key
+    on prev/cur. Top-k rides TakeOrderedAndProject, rank attached after
+    the sort+limit (the tfidf_topk rule)."""
+    from pyspark.sql import Window
+
+    counts = (
+        doc_bigrams(docs)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    prev_m = counts.groupBy("prev").agg(F.sum("n_pairs").alias("c_prev"))
+    cur_m = counts.groupBy("cur").agg(F.sum("n_pairs").alias("c_cur"))
+    total = counts.agg(F.sum("n_pairs").alias("n_total"))
+    safe_max = (2**63 - 1) // scale
+    score = (
+        f"CASE WHEN n_total <= {safe_max} "
+        f"THEN (((n_pairs * {scale}) DIV c_prev) * n_total) DIV c_cur "
+        f"ELSE raise_error(concat('pmi_collocations: corpus bigram total ', "
+        f"n_total, ' * scale {scale} exceeds BIGINT - scale must be at "
+        f"most ', CAST({2**63 - 1} DIV n_total AS STRING))) END"
+    )
+    scored = (
+        counts.filter(F.col("n_pairs") >= min_count)
+        .join(prev_m, "prev")
+        .join(cur_m, "cur")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prev",
+            "cur",
+            "n_pairs",
+            F.expr(score).cast("long").alias("pmi_scaled"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi_scaled").desc(), F.col("prev"), F.col("cur")
+    ).limit(k)
+    w = Window.orderBy(F.col("pmi_scaled").desc(), F.col("prev"), F.col("cur"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def vocab_oov_scores(docs: DataFrame, vocab_size: int = 500) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary (r8 registration queue): the
+    fixed-vocab coverage signal every tokenizer-bound pipeline needs —
+    a document whose tokens fall outside the working vocabulary inflates
+    UNK rates / fertility downstream, and "OOV rate vs a reference
+    vocab" is a standard cheap quality gate next to the stopword and
+    repetition ratios. Output ``(doc_id, n_tokens, n_oov,
+    oov_permille)`` with ``oov_permille = (n_oov·1000) div n_tokens`` —
+    all-integer, hash-exact.
+
+    The vocabulary is the top-``vocab_size`` terms by total occurrence
+    count with a lexicographic tiebreak — a TOTAL order, so the cut is
+    deterministic in any engine (the bpe_merge_topk rule). Note the
+    whitespace tokenizer maps empty text to one empty-string token, so
+    n_tokens ≥ 1 and the permille division is total.
+
+    Scale shape: one term-count aggregate → TakeOrderedAndProject
+    top-V → the ≤V-row vocab BROADCASTS back onto the exploded tokens
+    (membership = broadcast left join, no shuffle of the corpus beyond
+    the per-doc re-aggregate); one (doc_id) count/sum aggregate. At
+    100 TB the vocab is a stored artifact and the scan is one pass."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000) DIV n_tokens").alias("oov_permille"),
+        )
+    )
+
+
 def bpe_merge_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     """Top-``k`` adjacent-token-pair counts — the candidate table of ONE
     BPE merge step at token granularity (r8 registration queue): vocab

@@ -352,3 +352,263 @@ def test_audio_energy_frames_oracle_shape_matches(spark, sf_dir):
     )
     assert list(got.columns) == list(want.columns)
     assert got.equals(want) and len(got) > 0
+
+
+PMI_ORACLE_SHAPE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bgs AS (
+  SELECT t[i] AS prev, t[i + 1] AS cur
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+),
+c AS (SELECT prev, cur, COUNT(*) AS n_pairs FROM bgs GROUP BY 1, 2),
+pm AS (SELECT prev, CAST(SUM(n_pairs) AS BIGINT) AS c_prev FROM c GROUP BY 1),
+cm AS (SELECT cur, CAST(SUM(n_pairs) AS BIGINT) AS c_cur FROM c GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM c),
+sc AS (
+  SELECT c.prev, c.cur, c.n_pairs,
+         CAST((((c.n_pairs * {scale}) // pm.c_prev) * tot.n_total)
+              // cm.c_cur AS BIGINT) AS pmi_scaled
+  FROM c JOIN pm USING (prev) JOIN cm USING (cur) CROSS JOIN tot
+  WHERE c.n_pairs >= {min_count}
+)
+SELECT prev, cur, CAST(n_pairs AS BIGINT) AS n_pairs, pmi_scaled,
+       CAST(row_number() OVER (ORDER BY pmi_scaled DESC, prev, cur)
+            AS BIGINT) AS rnk
+FROM sc
+QUALIFY rnk <= {k}
+"""
+
+
+def test_pmi_collocations_handchecked(spark):
+    """4 docs of 'a b' + 1 doc of 'a c' + 1 doc of 'd b': bigram table
+    (a,b)=4 (a,c)=1 (d,b)=1, N=6, c_prev(a)=5, c_cur(b)=5.
+    PMI core for (a,b) with scale 1000: ((4000 div 5)*6) div 5 = 960
+    (vs independence 1000 -> negatively associated through the shared
+    marginals); min_count=2 drops the hapax pairs."""
+    from kinesis_stream_video_project_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(i, "a b") for i in range(4)] + [(4, "a c"), (5, "d b")],
+        "doc_id long, text string",
+    )
+    rows = lm.pmi_collocations(docs, k=5, min_count=2, scale=1000).collect()
+    assert [(r.prev, r.cur, r.n_pairs, r.pmi_scaled, r.rnk) for r in rows] == [
+        ("a", "b", 4, 960, 1)
+    ]
+
+
+def test_pmi_collocations_oracle_shape_matches(spark, sf_dir):
+    """Bit-exact vs the DuckDB oracle the r8 registration ships, and
+    non-empty at the oracle SF (the degenerate-predicate audit: the
+    fixture's 31-term vocabulary yields ~900 pairs with n >= 5)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.operators import lm
+
+    d = io.load_table(spark, sf_dir, "documents")
+    got = (
+        lm.pmi_collocations(d, k=20, min_count=5, scale=10**6)
+        .orderBy("rnk")
+        .toPandas()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.sql(
+            PMI_ORACLE_SHAPE.format(scale=10**6, min_count=5, k=20)
+            + " ORDER BY rnk"
+        )
+        .df()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) == 20
+
+
+VOCAB_ORACLE_SHAPE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+vc AS (SELECT term, COUNT(*) AS n_occ FROM tok GROUP BY term),
+vocab AS (SELECT term FROM vc ORDER BY n_occ DESC, term LIMIT {vsize}),
+agg AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (term)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST((n_oov * 1000) // n_tokens AS BIGINT) AS oov_permille
+FROM agg
+"""
+
+
+def test_vocab_oov_handchecked(spark):
+    """vocab_size=1 keeps only the most frequent term ('a', 3 occ): doc
+    0 'a a b' -> 1/3 OOV = 333 permille; doc 1 'c' -> 1000 permille."""
+    from kinesis_stream_video_project_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_permille)
+        for r in lm.vocab_oov_scores(docs, vocab_size=1).collect()
+    }
+    assert got == {0: (3, 1, 333), 1: (1, 1, 1000)}
+
+
+def test_vocab_oov_tiebreak_deterministic(spark):
+    """Equal-count boundary terms cut lexicographically: b and c tie at
+    the vocab_size=2 boundary with count 1 -> b is in, c is out."""
+    from kinesis_stream_video_project_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(0, "a a c b")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_permille)
+        for r in lm.vocab_oov_scores(docs, vocab_size=2).collect()
+    }
+    assert got == {0: (4, 1, 250)}
+
+
+def test_vocab_oov_oracle_shape_matches(spark, sf_dir):
+    """Bit-exact vs the DuckDB oracle at vocab_size=20 (the fixture's
+    vocabulary is 31 terms, so ~1/3 of occurrences are OOV — the
+    registered default must NOT be a size that swallows the whole
+    vocabulary and degenerates to all-zero OOV)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.operators import lm
+
+    d = io.load_table(spark, sf_dir, "documents")
+    got = (
+        lm.vocab_oov_scores(d, vocab_size=20)
+        .orderBy("doc_id")
+        .toPandas()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.sql(VOCAB_ORACLE_SHAPE.format(vsize=20) + " ORDER BY doc_id")
+        .df()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) > 0
+    assert (got["n_oov"].astype(int) > 0).any()
+
+
+FUNNEL_ORACLE_SHAPE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = '{a}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{b}' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL {h} SECOND
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{c}' AND e.ts > s2.t
+    AND e.ts <= s2.t + INTERVAL {h} SECOND
+  GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS step_no, '{a}' AS step,
+       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, '{b}', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, '{c}', (SELECT COUNT(*) FROM s3)
+"""
+
+
+def test_funnel_handchecked(spark):
+    """Ordering, strict ties, and the horizon: user 1 converts in order;
+    user 2 has click BEFORE view (no advance); user 3's click shares
+    view's timestamp (strict > -> no advance); user 4 clicks past the
+    horizon."""
+    from kinesis_stream_video_project_spark.operators import funnel
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:10:00", "click"),
+        (1, "2024-01-01 00:20:00", "purchase"),
+        (2, "2024-01-01 01:00:00", "click"),
+        (2, "2024-01-01 02:00:00", "view"),
+        (3, "2024-01-01 03:00:00", "view"),
+        (3, "2024-01-01 03:00:00", "click"),
+        (4, "2024-01-01 04:00:00", "view"),
+        (4, "2024-01-01 06:00:01", "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows],
+        "user_id long, ts_s string, event_type string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    got = {
+        r.step_no: (r.step, r.n_users)
+        for r in funnel.funnel_counts(
+            ev, ["view", "click", "purchase"], step_horizon_s=7200
+        ).collect()
+    }
+    assert got == {1: ("view", 4), 2: ("click", 1), 3: ("purchase", 1)}
+    # unbounded horizon: user 2 still blocked (order), user 3 still
+    # blocked (strict tie), user 4 now converts its click
+    got = {
+        r.step_no: r.n_users
+        for r in funnel.funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 4, 2: 2, 3: 1}
+
+
+def test_funnel_oracle_shape_matches(spark, sf_dir):
+    """Bit-exact vs the DuckDB oracle at the 24 h conversion window the
+    r8 registration ships (probed: 150/60/25 users at sf0.01 — every
+    stage non-empty and strictly decreasing, not a degenerate window)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.operators import funnel
+
+    ev = io.load_table(spark, sf_dir, "events")
+    got = (
+        funnel.funnel_counts(
+            ev, ["view", "click", "purchase"], step_horizon_s=86400
+        )
+        .orderBy("step_no")
+        .toPandas()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = (
+        con.sql(
+            FUNNEL_ORACLE_SHAPE.format(
+                a="view", b="click", c="purchase", h=86400
+            )
+            + " ORDER BY step_no"
+        )
+        .df()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want)
+    ns = [int(x) for x in got["n_users"]]
+    assert ns[0] > ns[1] > ns[2] > 0
