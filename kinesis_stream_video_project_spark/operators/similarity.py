@@ -470,9 +470,15 @@ def simhash_embedding_near_dups(
     every shared pair. The containment claim "every reported pair is a
     true ≥ threshold pair" is exact; recall follows the AND-OR
     collision curve (tables/planes are the levers)."""
+    # The explicit repartition on the join keys makes BOTH self-join
+    # sides hang off ONE identical Exchange, so ReuseExchange computes
+    # the signature projection (tables·planes·dims integer mul-adds per
+    # row) ONCE — without it Spark broadcasts one side and re-runs the
+    # whole staging for it (observed in the r7 plan audit). AQE still
+    # owns the join strategy downstream of the materialized shuffle.
     b = simhash_embedding_buckets(
         corpus, tables, planes, dims, corpus_id=corpus_id, vec=vec
-    )
+    ).repartition("table", "bucket")
     pairs = (
         b.alias("x")
         .join(b.alias("y"), ["table", "bucket"])

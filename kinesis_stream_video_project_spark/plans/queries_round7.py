@@ -474,7 +474,12 @@ def near_dup_candidates_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         (F.col("doc_id") * F.lit(60_000_000)).alias("ts_us"),
     )
-    b = banded_bucket_keys(d, extra_cols=("ts_us",))
+    # Repartition on the join key so both self-join sides share ONE
+    # exchange (ReuseExchange): the expensive part is the staging
+    # (tokenize → shingle md5 → 24 minhashes → band fold), and without
+    # the explicit shuffle Spark broadcasts one side and computes the
+    # whole signature pipeline twice (r7 plan audit).
+    b = banded_bucket_keys(d, extra_cols=("ts_us",)).repartition("bucket")
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(y, "bucket")
