@@ -1545,3 +1545,171 @@ def near_dup_candidates_stream_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online funnel progression (the streaming twin of operators/funnel.py)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_OUT_SCHEMA = "user_id bigint, step_no bigint, step string, ts_us bigint"
+_FUNNEL_STATE_SCHEMA = "stage bigint, t_prev bigint"
+
+
+def _funnel_fold(
+    stage: int,
+    t_prev: int,
+    steps: list,
+    horizon_us,
+    rows: list,
+) -> tuple:
+    """Pure per-user funnel step shared by BOTH stateful API forms:
+    ``rows`` is [(ts_us, event_type)] ALREADY sorted by (ts, event_id);
+    returns (stage', t_prev', emits) with one emit per stage advance.
+    Greedy-earliest is exactly the batch operator's min(ts > t_prev)
+    when rows arrive in event-time order: the first qualifying event of
+    the awaited type IS the minimum. Strict > on ties and the per-step
+    horizon mirror operators/funnel.py::funnel_counts verbatim."""
+    emits = []
+    for ts, etype in rows:
+        if stage >= len(steps) or etype != steps[stage]:
+            continue
+        if stage > 0:
+            if ts <= t_prev:
+                continue
+            if horizon_us is not None and ts > t_prev + horizon_us:
+                continue
+        stage += 1
+        t_prev = ts
+        emits.append((stage, steps[stage - 1], ts))
+    return stage, t_prev, emits
+
+
+def funnel_stage_stream(
+    events: DataFrame,
+    steps: list,
+    step_horizon_s: int | None = None,
+) -> DataFrame:
+    """ONLINE ordered-funnel progression: emit ``(user_id, step_no,
+    step, ts_us)`` the moment a user ADVANCES a funnel stage — the
+    streaming form of :func:`operators.funnel.funnel_counts` (the batch
+    report is the per-stage distinct-user count of these advance events,
+    pinned in tests). The product question it answers in real time is
+    "who just converted", which the daily batch funnel answers a day
+    late.
+
+    Ordering contract: advances are exact (identical to the batch
+    greedy-earliest matching) when each user's events ARRIVE in
+    event-time order across micro-batches — the guarantee a
+    user-id-partition-keyed Kinesis stream provides per shard
+    (sources.py decode path). Within a micro-batch, rows are sorted by
+    (ts, event_id) before the fold, so intra-batch disorder is
+    absorbed; a CROSS-batch straggler older than the user's matched
+    frontier is ignored by the strict ts > t_prev guard rather than
+    retroactively re-matching (re-matching would retract emitted rows —
+    an update-mode semantics; this job is append-mode by design).
+
+    State bound: two BIGINTs per user, forever (a completed funnel must
+    STAY completed — clearing state would restart the funnel and
+    re-emit on the user's next event). |users|·16 B is the floor for
+    any per-user lifetime funnel; no timer, NoTimeout."""
+    horizon_us = None if step_horizon_s is None else step_horizon_s * 1_000_000
+    steps = list(steps)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        stage, t_prev = state.get if state.exists else (0, 0)
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])
+            rows = list(
+                zip(
+                    (batch["ts"].astype("int64") // 1000).tolist(),
+                    batch["event_type"].tolist(),
+                )
+            )
+            stage, t_prev, emits = _funnel_fold(
+                stage, t_prev, steps, horizon_us, rows
+            )
+            state.update((stage, t_prev))
+            if emits:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(user_id)] * len(emits),
+                        "step_no": [e[0] for e in emits],
+                        "step": [e[1] for e in emits],
+                        "ts_us": [e[2] for e in emits],
+                    }
+                )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_stage_stream_tws(
+    events: DataFrame,
+    steps: list,
+    step_horizon_s: int | None = None,
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`funnel_stage_stream` — the fourth op carried on BOTH stateful
+    APIs (watchdog, silence detector, online LSH, now the funnel),
+    pinned to emit the identical advance set on the same drain. The
+    per-user fold is the SHARED :func:`_funnel_fold`; only the state
+    plumbing differs (ValueState vs GroupState). ProcessingTime
+    timeMode with no timers — the funnel keys no decisions off the
+    watermark, so the twin stays drain-order agnostic like the GS
+    form."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    horizon_us = None if step_horizon_s is None else step_horizon_s * 1_000_000
+    steps_l = list(steps)
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("funnel", _FUNNEL_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            held = self._state.get()
+            stage, t_prev = held if held is not None else (0, 0)
+            frames = [p for p in rows if len(p)]
+            if frames:
+                batch = pd.concat(frames, ignore_index=True)
+                batch = batch.sort_values(["ts", "event_id"])
+                rws = list(
+                    zip(
+                        (batch["ts"].astype("int64") // 1000).tolist(),
+                        batch["event_type"].tolist(),
+                    )
+                )
+                stage, t_prev, emits = _funnel_fold(
+                    stage, t_prev, steps_l, horizon_us, rws
+                )
+                self._state.update((stage, t_prev))
+                if emits:
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [int(user_id)] * len(emits),
+                            "step_no": [e[0] for e in emits],
+                            "step": [e[1] for e in emits],
+                            "ts_us": [e[2] for e in emits],
+                        }
+                    )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FunnelProcessor(),
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -1421,3 +1421,243 @@ def test_neardup_fold_trims_late_members_regardless_of_arrival_order():
     )
     assert set(zip(out_a, out_b)) == {(1, 3)}
     assert [m[0] for m in members] == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# Online funnel progression (both stateful APIs)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_H = 86400
+
+
+def _funnel_replay(rows, steps, horizon_us):
+    """Independent python derivation of the expected advance set:
+    per-user (ts, event_id)-sorted greedy-earliest matching."""
+    by_user: dict = {}
+    for user_id, ts_us, event_id, etype in rows:
+        by_user.setdefault(user_id, []).append((ts_us, event_id, etype))
+    want = set()
+    for user_id, evs in by_user.items():
+        evs.sort(key=lambda r: (r[0], r[1]))
+        stage, t_prev = 0, 0
+        for ts, _eid, etype in evs:
+            if stage >= len(steps) or etype != steps[stage]:
+                continue
+            if stage > 0 and (
+                ts <= t_prev
+                or (horizon_us is not None and ts > t_prev + horizon_us)
+            ):
+                continue
+            stage += 1
+            t_prev = ts
+            want.add((user_id, stage, steps[stage - 1], ts))
+    return want
+
+
+def test_funnel_stream_matches_replay_and_batch_counts(
+    spark, tmp_path, sf_dir
+):
+    """Draining the events fixture in event-time order must emit exactly
+    the greedy-earliest advance set (independent python replay), with
+    per-stage distinct-user counts equal to the batch operator's report,
+    invariant to micro-batch chunking (1 file vs 3 time slices)."""
+    from kinesis_stream_video_project_spark.operators import funnel
+
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    collected = [
+        (r.user_id, int(r.ts.timestamp() * 1_000_000), r.event_id, r.event_type)
+        for r in ev.collect()
+    ]
+    want = _funnel_replay(collected, _FUNNEL_STEPS, _FUNNEL_H * 1_000_000)
+    want_counts = {
+        r.step_no: r.n_users
+        for r in funnel.funnel_counts(
+            io.load_table(spark, sf_dir, "events"),
+            _FUNNEL_STEPS,
+            step_horizon_s=_FUNNEL_H,
+        ).collect()
+    }
+
+    got_by_split = []
+    for nfiles in (1, 3):
+        src = tmp_path / f"funnel_src_{nfiles}"
+        ordered = ev.orderBy("ts", "event_id").collect()
+        step = -(-len(ordered) // nfiles)
+        for i in range(nfiles):
+            if i:
+                time.sleep(1.1)
+            _write_single_file(
+                spark.createDataFrame(
+                    ordered[i * step : (i + 1) * step], ev.schema
+                ),
+                src,
+                f"b{i}.parquet",
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.funnel_stage_stream(
+                stream, _FUNNEL_STEPS, step_horizon_s=_FUNNEL_H
+            )
+            .writeStream.format("memory")
+            .queryName(f"funnel_out_{nfiles}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_fn_{nfiles}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got_by_split.append(
+            {
+                (r.user_id, r.step_no, r.step, r.ts_us)
+                for r in spark.sql(f"SELECT * FROM funnel_out_{nfiles}").collect()
+            }
+        )
+    assert got_by_split[0] == got_by_split[1] == want and len(want) > 0
+    for step_no, n in want_counts.items():
+        assert (
+            len({u for (u, s, _st, _t) in want if s == step_no}) == n
+        ), step_no
+
+
+def test_funnel_stream_ignores_cross_batch_stragglers(spark, tmp_path):
+    """The documented append-mode divergence from batch: a cross-batch
+    straggler OLDER than the user's matched frontier is ignored (strict
+    ts > t_prev), not retroactively re-matched — the stream never
+    retracts an emitted advance. Within a batch, disorder is absorbed
+    by the (ts, event_id) sort."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def at(s):
+        return base + dt.timedelta(seconds=s)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    # batch 1 (disordered within batch): click@200 arrives before view@100
+    # -> sort absorbs it; user matches view@100, click@200.
+    b1 = [(2, at(200), 1, "click"), (1, at(100), 1, "view")]
+    # batch 2: straggler click@150 (valid for batch greedy matching,
+    # which would prefer min ts > 100 = 150) + purchase@300.
+    b2 = [(3, at(150), 1, "click"), (4, at(300), 1, "purchase")]
+    src = tmp_path / "funnel_straggler_src"
+    _write_single_file(spark.createDataFrame(b1, schema), src, "b0.parquet")
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b2, schema), src, "b1.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.funnel_stage_stream(stream, _FUNNEL_STEPS)
+        .writeStream.format("memory")
+        .queryName("funnel_straggler_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fn_straggler"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.step_no, r.ts_us // 1_000_000 - int(base.timestamp()))
+        for r in spark.sql("SELECT * FROM funnel_straggler_out").collect()
+    }
+    # click matched at 200 (batch-1 frontier), straggler 150 ignored,
+    # purchase advances from 200.
+    assert got == {(1, 100), (2, 200), (3, 300)}
+
+
+def test_funnel_tws_matches_group_state_form(spark, tmp_path):
+    """The Spark-4 transformWithState form must emit the identical
+    advance set as the GroupState form on the same drain — the fourth
+    op on both stateful APIs."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def at(s):
+        return base + dt.timedelta(seconds=s)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    files = [
+        [
+            (1, at(0), 1, "view"),
+            (2, at(10), 1, "click"),
+            (3, at(0), 2, "view"),
+            (4, at(0), 2, "click"),  # tie with view -> strict > blocks
+        ],
+        [
+            (5, at(20), 1, "purchase"),
+            (6, at(5), 2, "click"),
+            (7, at(999999), 2, "purchase"),  # past any horizon? no horizon set
+        ],
+    ]
+    src = tmp_path / "funnel_tws_src"
+    for i, batch in enumerate(files):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(batch, schema), src, f"b{i}.parquet"
+        )
+    got = {}
+    for tag, job in (
+        ("gs", jobs.funnel_stage_stream),
+        ("tws", jobs.funnel_stage_stream_tws),
+    ):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            job(stream, _FUNNEL_STEPS)
+            .writeStream.format("memory")
+            .queryName(f"funnel_{tag}_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_fn_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got[tag] = {
+            (r.user_id, r.step_no, r.step, r.ts_us)
+            for r in spark.sql(f"SELECT * FROM funnel_{tag}_out").collect()
+        }
+    assert got["gs"] == got["tws"]
+    assert {(u, s) for (u, s, _st, _t) in got["gs"]} == {
+        (1, 1),
+        (1, 2),
+        (1, 3),
+        (2, 1),
+        (2, 2),
+        (2, 3),
+    }
+
+
+def test_funnel_fold_strictness_and_horizon():
+    """Pure-fold pins: strict tie, horizon boundary inclusive, wrong
+    order, completion idempotence."""
+    steps = ["a", "b"]
+    # tie: b at the same ts as a does not advance
+    st, tp, em = jobs._funnel_fold(0, 0, steps, None, [(5, "a"), (5, "b")])
+    assert (st, tp, em) == (1, 5, [(1, "a", 5)])
+    # horizon inclusive at exactly t_prev + h
+    st, tp, em = jobs._funnel_fold(1, 5, steps, 10, [(15, "b")])
+    assert em == [(2, "b", 15)]
+    # one past the horizon: no advance
+    st, tp, em = jobs._funnel_fold(1, 5, steps, 10, [(16, "b")])
+    assert em == []
+    # completed funnel ignores further events
+    st, tp, em = jobs._funnel_fold(2, 20, steps, None, [(30, "a"), (31, "b")])
+    assert (st, em) == (2, [])
