@@ -612,3 +612,100 @@ def test_funnel_oracle_shape_matches(spark, sf_dir):
     assert got.equals(want)
     ns = [int(x) for x in got["n_users"]]
     assert ns[0] > ns[1] > ns[2] > 0
+
+
+GRAM_ORACLE_SHAPE = """
+WITH pairs AS (
+  SELECT i.i AS i, j.j AS j
+  FROM UNNEST(generate_series(1, {dims})) AS i(i),
+       UNNEST(generate_series(1, {dims})) AS j(j)
+  WHERE i.i <= j.j
+),
+terms AS (
+  SELECT p.i, p.j,
+         CAST(floor(CAST(e.embedding[p.i] AS DOUBLE)
+                    * CAST(e.embedding[p.j] AS DOUBLE)
+                    * {scale}.0 + 0.5) AS BIGINT) AS t
+  FROM embeddings e CROSS JOIN pairs p
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       CAST(SUM(t) AS BIGINT) AS gram_scaled
+FROM terms GROUP BY 1, 2
+"""
+
+
+def test_embedding_gram_handchecked(spark):
+    """Two 2-dim vectors (1, 2) and (3, -1): G = [[10, -1], [-1, 5]],
+    scaled by 100 -> 1000/-100/500 on the upper triangle."""
+    from kinesis_stream_video_project_spark.operators import linalg
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.i, r.j): r.gram_scaled
+        for r in linalg.embedding_gram(e, dims=2, scale=100).collect()
+    }
+    assert got == {(1, 1): 1000, (1, 2): -100, (2, 2): 500}
+
+
+def test_embedding_gram_refuses_null_vector(spark):
+    from kinesis_stream_video_project_spark.operators import linalg
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    try:
+        linalg.embedding_gram(e, dims=2).collect()
+    except Exception as exc:  # Py4J wraps the worker's ValueError
+        assert "null embedding" in str(exc)
+    else:
+        raise AssertionError("null vector must be refused")
+
+
+def test_embedding_gram_partition_invariant_and_oracle(spark, sf_dir):
+    """Bit-exact vs the DuckDB oracle AND invariant to repartitioning
+    (integer partials are order-independent — the whole design
+    argument); the power-iteration consumer recovers numpy's top
+    eigenpair from the collected integer Gram."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark import io as kio
+    from kinesis_stream_video_project_spark.operators import linalg
+
+    e = kio.load_table(spark, sf_dir, "embeddings")
+    base = {
+        (r.i, r.j): r.gram_scaled
+        for r in linalg.embedding_gram(e).collect()
+    }
+    rep = {
+        (r.i, r.j): r.gram_scaled
+        for r in linalg.embedding_gram(e.repartition(13)).collect()
+    }
+    assert base == rep and len(base) == 64 * 65 // 2
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(
+            GRAM_ORACLE_SHAPE.format(dims=64, scale=10**9)
+        ).fetchall()
+    }
+    assert base == want
+
+    lam, v = linalg.gram_top_component(
+        [(i, j, g) for (i, j), g in base.items()]
+    )
+    import numpy as np
+
+    G = np.zeros((64, 64))
+    for (i, j), g in base.items():
+        G[i - 1, j - 1] = G[j - 1, i - 1] = g / 1e9
+    evals, evecs = np.linalg.eigh(G)
+    assert abs(lam - evals[-1]) < 1e-6 * max(1.0, abs(evals[-1]))
+    top = evecs[:, -1]
+    assert min(np.linalg.norm(v - top), np.linalg.norm(v + top)) < 1e-5
