@@ -131,14 +131,16 @@ BENCH_ROTATION = [
     "value_outliers",
     "waiting_suppliers",
     "window_rank_lag",
-    # r4-latest refreshes in the r7 correctness window (minus stable-set
-    # members asof_probe_metric — stable — and the rest)
-    "ann_recall_eval",
-    "argmax_order_per_customer",
-    "array_funcs",
-    "boilerplate_prefixes",
-    "catalog_filter_project",
-    "catalog_json_roundtrip",
+    # early round-8 registrations (first timed row lands the round a
+    # query is born; these replaced the r4-latest refresh slots in the
+    # r7 correctness window)
+    "bm25_lexical_topk",
+    "verbatim_spans",
+    "ra_linkpred_smallbasket",
+    "pmi_collocations_topk",
+    "vocab_oov_rate",
+    "funnel_conversion",
+    "embedding_gram_matrix",
     # r6 rotation drifters re-measured (not in the r7 correctness window)
     "approx_percentiles_value",
     "important_part_shares",

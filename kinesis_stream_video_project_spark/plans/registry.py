@@ -60,10 +60,10 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. Cross-round state entering r7: 186 registered (179 + the 7 new
-# round-7 queries), every pre-r7 query has a green HASH row, latest-green
-# distribution r6=50, r5=49, r4=44, r3=36 (VERDICT r6). The r7 window is
-# budgeted 7+36+7:
+# round. Cross-round state entering r7: 193 registered (179 + the 7 new
+# round-7 queries + the 7 early round-8 registrations), every pre-r7 query
+# has a green HASH row, latest-green distribution r6=50, r5=49, r4=44,
+# r3=36 (VERDICT r6). The r7 window is budgeted 7+36+7:
 # (a) the 7 NEW round-7 queries (queries_round7.py — the r6 operator queue
 #     promoted to registrations: error_followup_pairs,
 #     bigram_surprisal_score, seasonal_value_anomalies,
@@ -76,9 +76,14 @@ def register(
 # (b) all 36 queries whose latest green row dates from r3 (the full
 #     oldest-green staleness tail — VERDICT r6 item 2: after r7 nothing
 #     is older than r4);
-# (c) 7 refreshes from the r4-latest cohort, oldest-registered first.
-#     The other 37 r4-latest entries defer to r8 (r4-green satisfies the
-#     nothing-older-than-r4 bound).
+# (c) the 7 EARLY round-8 registrations (queries_round8.py — the r8
+#     operator queue's first promotions: bm25_lexical_topk,
+#     verbatim_spans, ra_linkpred_smallbasket, pmi_collocations_topk,
+#     vocab_oov_rate, funnel_conversion, embedding_gram_matrix). These
+#     slots were originally budgeted as r4-latest refreshes; spending
+#     them on never-driver-checked NEW queries dominates — the full
+#     44-query r4-latest cohort stays r4-green, which still satisfies
+#     the nothing-older-than-r4 bound, and defers to r8.
 # Queries not listed keep registration order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- (a) new round-7 registrations (7) ---
@@ -126,14 +131,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "value_outliers",
     "waiting_suppliers",
     "window_rank_lag",
-    # --- (c) r4-latest refreshes (7 of 44; rest defer to r8) ---
-    "ann_recall_eval",
-    "argmax_order_per_customer",
-    "array_funcs",
-    "asof_probe_metric",
-    "boilerplate_prefixes",
-    "catalog_filter_project",
-    "catalog_json_roundtrip",
+    # --- (c) early round-8 registrations (7; r4 refreshes defer to r8) ---
+    "bm25_lexical_topk",
+    "verbatim_spans",
+    "ra_linkpred_smallbasket",
+    "pmi_collocations_topk",
+    "vocab_oov_rate",
+    "funnel_conversion",
+    "embedding_gram_matrix",
 )
 
 
@@ -186,6 +191,7 @@ def _load_all() -> None:
         queries_round5e,
         queries_round6,
         queries_round7,
+        queries_round8,
         queries_streaming_twins,
     )
 

@@ -709,3 +709,35 @@ def test_embedding_gram_partition_invariant_and_oracle(spark, sf_dir):
     assert abs(lam - evals[-1]) < 1e-6 * max(1.0, abs(evals[-1]))
     top = evecs[:, -1]
     assert min(np.linalg.norm(v - top), np.linalg.norm(v + top)) < 1e-5
+
+
+def test_ra_smallbasket_registration_oracle(spark, sf_dir):
+    """The REGISTERED RA variant restricts edges to ≤2-part baskets (the
+    fixture's full co-purchase graph has median degree ~115, where RA
+    degenerates to ~all-pairs hub noise). Validate the registered
+    Spark/oracle pair bit-exact and non-empty — the basket filter is a
+    new moving part the unfiltered oracle test above doesn't cover."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.plans import registry
+
+    spec = registry.all_queries()["ra_linkpred_smallbasket"]
+    got = (
+        spec.fn(spark, sf_dir)
+        .orderBy("p_a", "p_b")
+        .toPandas()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    want = (
+        con.sql(spec.oracle + " ORDER BY p_a, p_b")
+        .df()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) > 0
