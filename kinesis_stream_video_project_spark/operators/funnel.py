@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -97,3 +97,61 @@ def funnel_counts(
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def session_paths(
+    events: DataFrame,
+    gap_s: int = 86400,
+    path_len: int = 3,
+    k: int = 20,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` most frequent length-``path_len`` event-type paths
+    within gap-based sessions (r8/r9 registration queue) — the
+    path-mining complement of the funnel: the funnel counts a path YOU
+    name, this surfaces the paths the data contains (the "behavior
+    flow" view of every product-analytics suite). Output
+    ``(path, n_paths, rnk)`` with ``path`` = '>'-joined types.
+
+    Sessionization is gaps-and-islands (new session when the gap to the
+    previous event exceeds ``gap_s``), deterministic on the
+    (ts, event_id) total order; paths are sliding windows of
+    consecutive events WITHIN a session (lead() chains — a path never
+    crosses a session boundary). Gap comparison runs on exact integer
+    microseconds. Top-k is the (count desc, path) total order — the
+    bpe_merge_topk rule.
+
+    Scale: two window passes partitioned by user / (user, session) —
+    never global — over the one events scan, then a tiny |distinct
+    paths|-row count aggregate (≤ |event types|^path_len);
+    TakeOrderedAndProject for the cut."""
+    us = F.unix_micros(F.col(ts_col))
+    w_user = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    brk = (
+        F.when(
+            F.lag(us).over(w_user).isNull()
+            | (us - F.lag(us).over(w_user) > F.lit(gap_s * 1_000_000)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_brk")
+    )
+    sess = events.select(
+        user_col, ts_col, id_col, type_col, brk
+    ).withColumn("_sess", F.sum("_brk").over(w_user))
+    w_sess = Window.partitionBy(user_col, "_sess").orderBy(ts_col, id_col)
+    hops = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w_sess) for i in range(1, path_len)
+    ]
+    paths = (
+        sess.select(F.concat_ws(">", *hops).alias("path"), hops[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    top = paths.orderBy(F.col("n_paths").desc(), F.col("path")).limit(k)
+    w_rank = Window.orderBy(F.col("n_paths").desc(), F.col("path"))
+    return top.withColumn("rnk", F.row_number().over(w_rank).cast("long"))

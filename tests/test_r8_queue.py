@@ -741,3 +741,182 @@ def test_ra_smallbasket_registration_oracle(spark, sf_dir):
     )
     assert list(got.columns) == list(want.columns)
     assert got.equals(want) and len(got) > 0
+
+
+SSSP_ORACLE_SHAPE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+b AS MATERIALIZED (
+  SELECT p1 AS src, p2 AS dst, 1000 // n_orders AS w FROM e
+  UNION ALL SELECT p2, p1, 1000 // n_orders FROM e
+),
+d0 AS (SELECT CAST(p AS BIGINT) AS p, CAST(0 AS BIGINT) AS dist
+       FROM (VALUES (1), (2)) t(p)),
+d1 AS (
+  SELECT p, MIN(dist) AS dist FROM (
+    SELECT b.dst AS p, d0.dist + b.w AS dist FROM b JOIN d0 ON b.src = d0.p
+    UNION ALL SELECT p, dist FROM d0
+  ) GROUP BY p
+),
+d2 AS (
+  SELECT p, MIN(dist) AS dist FROM (
+    SELECT b.dst AS p, d1.dist + b.w AS dist FROM b JOIN d1 ON b.src = d1.p
+    UNION ALL SELECT p, dist FROM d1
+  ) GROUP BY p
+),
+d3 AS (
+  SELECT p, MIN(dist) AS dist FROM (
+    SELECT b.dst AS p, d2.dist + b.w AS dist FROM b JOIN d2 ON b.src = d2.p
+    UNION ALL SELECT p, dist FROM d2
+  ) GROUP BY p
+)
+SELECT p, dist FROM d3
+"""
+
+
+def test_sssp_handchecked(spark):
+    """Weighted path beats hop-count path: 1-2-3 with strong edges
+    (n_orders=4 -> w=250 each) vs direct 1-3 weak edge (w=1000):
+    dist(3) = 500 via the 2-edge path."""
+    e = spark.createDataFrame(
+        [(1, 2, 4), (2, 3, 4), (1, 3, 1)],
+        "p1 long, p2 long, n_orders long",
+    )
+    src = spark.createDataFrame([(1,)], "p long")
+    got = {
+        r.p: r.dist for r in graph.sssp_bounded(e, src, max_rounds=3).collect()
+    }
+    assert got == {1: 0, 2: 250, 3: 500}
+    # one round only: the 2-edge path is out of budget -> direct edge
+    got1 = {
+        r.p: r.dist for r in graph.sssp_bounded(e, src, max_rounds=1).collect()
+    }
+    assert got1 == {1: 0, 2: 250, 3: 1000}
+
+
+def test_sssp_matches_bruteforce_and_oracle(spark, sf_dir):
+    """Fixture co-purchase graph from sources {1, 2}: python Bellman-Ford
+    replay AND the unrolled-CTE DuckDB oracle shape (3 rounds)."""
+    import duckdb
+
+    li = io.load_table(spark, sf_dir, "lineitem")
+    edges = graph.copurchase_edges(li)
+    src = spark.createDataFrame([(1,), (2,)], "p long")
+    got = {
+        r.p: r.dist
+        for r in graph.sssp_bounded(edges, src, max_rounds=3).collect()
+    }
+
+    adj: dict = {}
+    for r in edges.collect():
+        w = 1000 // r.n_orders
+        adj.setdefault(r.p1, []).append((r.p2, w))
+        adj.setdefault(r.p2, []).append((r.p1, w))
+    dist = {1: 0, 2: 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, []):
+                if d + w < nxt.get(v, float("inf")):
+                    nxt[v] = d + w
+        dist = nxt
+    assert got == dist and len(got) > 2
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    want = {r[0]: r[1] for r in con.sql(SSSP_ORACLE_SHAPE).fetchall()}
+    assert got == want
+
+
+PATHS_ORACLE_SHAPE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM o
+),
+t AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER w2 AS b,
+         lead(event_type, 2) OVER w2 AS c
+  FROM s
+  WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+),
+pc AS (
+  SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS n_paths
+  FROM t WHERE c IS NOT NULL GROUP BY 1
+)
+SELECT path, CAST(n_paths AS BIGINT) AS n_paths,
+       CAST(row_number() OVER (ORDER BY n_paths DESC, path) AS BIGINT) AS rnk
+FROM pc
+QUALIFY rnk <= 20
+"""
+
+
+def test_session_paths_handchecked(spark):
+    """Two sessions for user 1 (gap 100 s, events at 0/10/20 then
+    1000/1010/1020): paths never cross the session boundary -> two
+    a>b>c trigrams, none spanning 20 -> 1000."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (1, base + dt.timedelta(seconds=s), 1, t)
+        for s, t in [(0, "a"), (10, "b"), (20, "c"),
+                     (1000, "a"), (1010, "b"), (1020, "c")]
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t) for i, (u, ts, _one, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    from kinesis_stream_video_project_spark.operators import funnel
+
+    got = [
+        (r.path, r.n_paths, r.rnk)
+        for r in funnel.session_paths(ev, gap_s=100).orderBy("rnk").collect()
+    ]
+    assert got == [("a>b>c", 2, 1)]
+
+
+def test_session_paths_oracle_shape_matches(spark, sf_dir):
+    """Bit-exact vs the DuckDB oracle at the 24 h session gap (probed:
+    791/7731/77514 trigrams at the three SFs — non-degenerate)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.operators import funnel
+
+    ev = io.load_table(spark, sf_dir, "events")
+    got = (
+        funnel.session_paths(ev)
+        .orderBy("rnk")
+        .toPandas()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = (
+        con.sql(
+            PATHS_ORACLE_SHAPE.format(gap_us=86400 * 1_000_000)
+            + " ORDER BY rnk"
+        )
+        .df()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) == 20
