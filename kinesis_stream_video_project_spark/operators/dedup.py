@@ -531,3 +531,68 @@ def blocked_containment_near_dups(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-pair content-overlap matrix (r8/r9 registration queue):
+    for every source pair, the count of shared DISTINCT token
+    ``shingle_k``-shingles and the shingle-set Jaccard in permille —
+    the split-leakage / decontamination signal at SOURCE granularity
+    (which corpora overlap enough that sampling both double-counts
+    content; the doc-level form is near_dup_split_leakage). Exact-dup
+    sha overlap is the wrong statistic here: fixture-probed 0 shared
+    texts across sources at sf≤0.01 while shingle overlap is dense —
+    content leaks as phrases, not whole documents. Output ``(src_a,
+    src_b, n_shared, jaccard_permille)``, src_a < src_b,
+    ``jaccard_permille = n_shared·1000 div (n_a + n_b − n_shared)`` —
+    all-integer.
+
+    Scale: ONE (source, shingle-hash) distinct aggregate (64-bit
+    portable hashes through the shuffle, never text — the postings
+    discipline); the pair join keys on the hash so per-shingle work is
+    (sources containing it)², bounded by |sources|; per-source set
+    sizes re-aggregate the same postings. |sources|²/2 output rows."""
+    posts = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                shingles_of(tokens(F.col(text_col)), shingle_k)
+            ).alias("_sh"),
+        )
+        .select("src", shingle_hash(F.col("_sh")).alias("h"))
+        .distinct()
+    )
+    sizes = posts.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        posts.alias("a")
+        .join(posts.alias("b"), "h")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .select(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnsRenamed({"src": "src_a", "n_sh": "n_a"})),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"src": "src_b", "n_sh": "n_b"})),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.expr("(n_shared * 1000) DIV (n_a + n_b - n_shared)").alias(
+                "jaccard_permille"
+            ),
+        )
+    )

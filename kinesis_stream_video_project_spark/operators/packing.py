@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from kinesis_stream_video_project_spark.functions.text import tokens
 from kinesis_stream_video_project_spark.operators.sampling import hash_bucket
 
 
@@ -98,4 +99,55 @@ def pack_sequences(
         )
         .groupBy(group_col, "shard")
         .applyInPandas(pack, out_schema)
+    )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunk table (r8/r9 registration queue): one row
+    per ``(doc, chunk)`` with 1-based token bounds — the
+    overlapping-chunk primitive of RAG indexing and long-document
+    training prep (stride < chunk_tokens ⇒ consecutive chunks overlap
+    by chunk_tokens − stride tokens, so no boundary-straddling span is
+    lost; pack_sequences is the NON-overlapping budget-fill form).
+    Output ``(doc_id, chunk_no, start_tok, end_tok, n_chunk_tokens)``;
+    chunk starts are 1, 1+stride, … while start ≤ n_tokens (the final
+    chunk may be short — emitted, because dropping it would silently
+    lose the document tail; stated, not implied). All-integer.
+
+    Scale: one sequence-generate + explode per row (fan-out
+    n/stride), no shuffle, no second tokenization — the chunk table
+    carries BOUNDS, not text (the consumer slices lazily)."""
+    n = F.size(tokens(F.col(text_col)))
+    return (
+        docs.select(
+            id_col,
+            n.alias("_n"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+            ).alias("start_tok"),
+        )
+        .select(
+            id_col,
+            (
+                (F.col("start_tok") - F.lit(1)) / F.lit(stride) + F.lit(1)
+            )
+            .cast("long")
+            .alias("chunk_no"),
+            F.col("start_tok").cast("long"),
+            F.least(
+                F.col("start_tok") + F.lit(chunk_tokens - 1), F.col("_n")
+            )
+            .cast("long")
+            .alias("end_tok"),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            (F.col("end_tok") - F.col("start_tok") + F.lit(1)).cast("long"),
+        )
     )

@@ -357,3 +357,42 @@ def seasonal_residual_flags(
             "mad",
         )
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: "str | Sequence[str]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-group percentile-rank normalization in permille (r8/r9
+    registration queue): ``pct_permille = (rank − 1)·1000 div (n − 1)``
+    with ``rank`` = SQL rank() over value within the group (ties share
+    a rank, so the output is value-determined — id-independent) — the
+    cross-source score-harmonization step of mixture curation: raw
+    quality scores are not comparable across sources with different
+    score distributions, within-source percentile ranks are (the
+    classic quantile-normalization move). Singleton groups emit 0 (the
+    n = 1 branch is explicit, not a division error). All-integer.
+
+    Scale: ONE window pass partitioned by the group (count + rank over
+    the same partition ordering — one exchange, no global window)."""
+    groups = _group_cols(group_col)
+    w = Window.partitionBy(*groups)
+    w_rank = w.orderBy(F.col(value_col))
+    staged = df.select(
+        *groups,
+        id_col,
+        value_col,
+        F.rank().over(w_rank).alias("_rank"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    return staged.select(
+        *groups,
+        id_col,
+        value_col,
+        F.expr(
+            "CASE WHEN _n = 1 THEN CAST(0 AS BIGINT) "
+            "ELSE ((_rank - 1) * 1000) DIV (_n - 1) END"
+        ).alias("pct_permille"),
+    )

@@ -920,3 +920,204 @@ def test_session_paths_oracle_shape_matches(spark, sf_dir):
     )
     assert list(got.columns) == list(want.columns)
     assert got.equals(want) and len(got) == 20
+
+
+OVERLAP_ORACLE_SHAPE = """
+WITH posts AS (
+  SELECT DISTINCT source AS src,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT source,
+           UNNEST(list_transform(
+             generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+           )) AS g
+    FROM documents
+  )
+),
+sizes AS (SELECT src, COUNT(*) AS n_sh FROM posts GROUP BY src),
+shared AS (
+  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+  FROM posts a JOIN posts b ON a.h = b.h AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST((n_shared * 1000) // (sa.n_sh + sb.n_sh - n_shared) AS BIGINT)
+         AS jaccard_permille
+FROM shared
+JOIN sizes sa ON sa.src = src_a
+JOIN sizes sb ON sb.src = src_b
+"""
+
+
+def test_source_overlap_handchecked(spark):
+    """Sources X={'a b c'} (shingle set {abc}), Y={'a b c d'} (shingles
+    {abc, bcd}): shared 1, jaccard 1000 div (1+2-1) = 500. Z disjoint:
+    no overlap rows with Z above 0... Z shares nothing -> pair rows
+    absent entirely (inner join semantics — absent, not zero)."""
+    from kinesis_stream_video_project_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "X"), (2, "a b c d", "Y"), (3, "q r s t u", "Z")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.src_a, r.src_b): (r.n_shared, r.jaccard_permille)
+        for r in dd.source_overlap_matrix(docs).collect()
+    }
+    assert got == {("X", "Y"): (1, 500)}
+
+
+def test_source_overlap_oracle_shape_matches(spark, sf_dir):
+    """Bit-exact vs the DuckDB oracle; dense at every SF (every source
+    pair shares common shingles of the 31-term vocabulary) — probed 0
+    EXACT cross-source dup texts at sf<=0.01, which is why the matrix
+    is shingle-based."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.operators import dedup as dd
+
+    d = io.load_table(spark, sf_dir, "documents")
+    got = (
+        dd.source_overlap_matrix(d)
+        .orderBy("src_a", "src_b")
+        .toPandas()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.sql(OVERLAP_ORACLE_SHAPE + " ORDER BY src_a, src_b")
+        .df()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) == 190  # C(20 sources, 2)
+
+
+RANKNORM_ORACLE_SHAPE = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         rank() OVER (PARTITION BY source ORDER BY n_chars) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN n = 1 THEN 0
+                 ELSE ((rnk - 1) * 1000) // (n - 1) END AS BIGINT)
+         AS pct_permille
+FROM r
+"""
+
+
+def test_rank_normalize_handchecked(spark):
+    """Group g: values 10, 20, 20, 40 -> ranks 1, 2, 2, 4 -> permille
+    0, 333, 333, 1000 (ties share value-determined ranks). Singleton
+    group h -> 0."""
+    from kinesis_stream_video_project_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(1, "g", 10), (2, "g", 20), (3, "g", 20), (4, "g", 40), (5, "h", 7)],
+        "doc_id long, source string, v long",
+    )
+    got = {
+        r.doc_id: r.pct_permille
+        for r in stats.rank_normalize(df, "v", "source").collect()
+    }
+    assert got == {1: 0, 2: 333, 3: 333, 4: 1000, 5: 0}
+
+
+def test_rank_normalize_oracle_shape_matches(spark, sf_dir):
+    import duckdb
+
+    from kinesis_stream_video_project_spark.operators import stats
+
+    d = io.load_table(spark, sf_dir, "documents")
+    got = (
+        stats.rank_normalize(d, "n_chars", "source")
+        .orderBy("source", "doc_id")
+        .toPandas()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.sql(RANKNORM_ORACLE_SHAPE + " ORDER BY source, doc_id")
+        .df()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) > 0
+
+
+CHUNKS_ORACLE_SHAPE = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+starts AS (
+  SELECT doc_id, n, UNNEST(generate_series(1, greatest(n, 1), {stride})) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST((start_tok - 1) // {stride} + 1 AS BIGINT) AS chunk_no,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least(start_tok + {cm1}, n) AS BIGINT) AS end_tok,
+       CAST(least(start_tok + {cm1}, n) - start_tok + 1 AS BIGINT)
+         AS n_chunk_tokens
+FROM starts
+"""
+
+
+def test_sliding_chunks_handchecked(spark):
+    """10 tokens, chunk 4, stride 3: starts 1/4/7/10, ends 4/7/10/10 —
+    the tail chunk is short but PRESENT."""
+    from kinesis_stream_video_project_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    got = [
+        (r.chunk_no, r.start_tok, r.end_tok, r.n_chunk_tokens)
+        for r in packing.sliding_chunks(docs, chunk_tokens=4, stride=3)
+        .orderBy("chunk_no")
+        .collect()
+    ]
+    assert got == [(1, 1, 4, 4), (2, 4, 7, 4), (3, 7, 10, 4), (4, 10, 10, 1)]
+
+
+def test_sliding_chunks_oracle_shape_matches(spark, sf_dir):
+    import duckdb
+
+    from kinesis_stream_video_project_spark.operators import packing
+
+    d = io.load_table(spark, sf_dir, "documents")
+    got = (
+        packing.sliding_chunks(d)
+        .orderBy("doc_id", "chunk_no")
+        .toPandas()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.sql(
+            CHUNKS_ORACLE_SHAPE.format(stride=48, cm1=63)
+            + " ORDER BY doc_id, chunk_no"
+        )
+        .df()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) > 0
