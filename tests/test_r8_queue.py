@@ -1121,3 +1121,57 @@ def test_sliding_chunks_oracle_shape_matches(spark, sf_dir):
     )
     assert list(got.columns) == list(want.columns)
     assert got.equals(want) and len(got) > 0
+
+
+def test_funnel_fold_matches_exists_chain_hypothesis():
+    """Property: on ts-sorted input, the greedy fold's reached stage
+    equals the definitional semantics — the longest prefix of `steps`
+    realizable as a strictly-increasing (and horizon-bounded) event
+    chain. Hypothesis drives random event sequences through both."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.operators import funnel as _f
+    from kinesis_stream_video_project_spark.streaming import jobs
+
+    steps = ["a", "b", "c"]
+
+    def best_stage(rows, horizon):
+        # definitional: DP over events — best[k] = earliest t at which
+        # the first k steps complete (greedy-earliest optimality is the
+        # claim under test, so derive independently).
+        best = {0: None}
+        for ts, et in rows:
+            for k in sorted(best, reverse=True):
+                if k == len(steps) or et != steps[k]:
+                    continue
+                t_prev = best[k]
+                if k > 0 and (
+                    ts <= t_prev
+                    or (horizon is not None and ts > t_prev + horizon)
+                ):
+                    continue
+                if k + 1 not in best or ts < best[k + 1]:
+                    best[k + 1] = ts
+        return max(best)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.sampled_from(["a", "b", "c", "x"]),
+            ),
+            max_size=12,
+        ),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=10)),
+    )
+    def check(rows, horizon):
+        rows = sorted(rows)
+        stage, _t, emits = jobs._funnel_fold(0, 0, steps, horizon, rows)
+        assert stage == best_stage(rows, horizon)
+        assert [e[0] for e in emits] == list(
+            range(stage - len(emits) + 1, stage + 1)
+        )
+
+    check()
