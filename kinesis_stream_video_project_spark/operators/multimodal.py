@@ -72,14 +72,22 @@ _MAX_PIXELS = 1 << 24
 
 
 def _png_decode(payload: bytes) -> tuple[float, float] | None:
+    """Stats form of the stdlib PNG tier: ``_gray_stats`` over
+    :func:`_png_pixels` (one pixel decoder, two consumers — the dHash
+    path reuses the pixels without duplicating the filter logic)."""
+    px = _png_pixels(payload)
+    return None if px is None else _gray_stats(px.ravel().astype(np.uint8))
+
+
+def _png_pixels(payload: bytes) -> "np.ndarray | None":
     """Pure-stdlib PNG decode (zlib + struct): 8-bit GRAYSCALE,
     non-interlaced only — the real-decoder tier that runs even in this
     codec-less container (VERDICT r5 item 7: the decode path must
-    EXECUTE, not just exist behind an import gate). Returns the same
-    (pixel mean, pixel-value entropy) contract as ``_pil_decode`` —
-    bit-identical to PIL on gray-8 input, where ``convert("L")`` is the
-    identity — and ``None`` for anything else (other color types, bit
-    depths, interlacing, or non-PNG bytes → next tier / stub).
+    EXECUTE, not just exist behind an import gate). Returns the (h, w)
+    int64 pixel array — bit-identical to PIL on gray-8 input, where
+    ``convert("L")`` is the identity — and ``None`` for anything else
+    (other color types, bit depths, interlacing, or non-PNG bytes →
+    next tier / stub).
 
     Implements all five PNG scanline filters (None/Sub/Up/Average/
     Paeth); bytes-per-pixel is 1 for gray-8, so the "left" reference is
@@ -164,7 +172,7 @@ def _png_decode(payload: bytes) -> tuple[float, float] | None:
                 px[r, c] = left
         else:
             return None
-    return _gray_stats(px.ravel().astype(np.uint8))
+    return px
 
 
 def _default_decode(payload: bytes) -> tuple[float, float] | None:
@@ -421,3 +429,89 @@ def audio_energy_frames(
             )
 
     return manifest.mapInPandas(frames, AUDIO_FRAME_SCHEMA)
+
+
+def _pil_pixels(payload: bytes) -> "np.ndarray | None":
+    """Grayscale pixel array via PIL (any format it opens); None when
+    PIL is absent or declines — same tier order as the stats chain."""
+    if _PILImage is None:
+        return None
+    import io as _io
+
+    try:
+        with _PILImage.open(_io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8).astype(np.int64)
+    except Exception:
+        return None
+
+
+def _default_pixels(payload: bytes) -> np.ndarray:
+    """Pixel chain mirroring ``_default_decode``: PIL → stdlib PNG
+    gray-8 → bytes-as-gray STUB (the flat uint8 byte array — the
+    deterministic stand-in this codec-less container's fixture payloads
+    always take, keeping oracle hashes environment-free; a deployment
+    with PIL hashes real pixels with zero code change)."""
+    px = _pil_pixels(payload)
+    if px is None:
+        px = _png_pixels(payload)
+    if px is None:
+        px = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    return px
+
+
+_DHASH_GRID = 8  # 8×8 block-mean grid → 7 comparisons × 8 rows = 56 bits
+
+
+def dhash56(flat: np.ndarray) -> int:
+    """56-bit difference hash over a flat gray sequence: 64 block means
+    (truncating integer division — ``sum div count``, the portable
+    form) laid out row-major 8×8, bit (r, c) = 1 iff block (r, c+1) >
+    block (r, c) — the classic dHash gradient signature, 7 bits per row
+    so the integer stays far inside BIGINT (a 64-bit variant would
+    need sign gymnastics in every engine). Block b covers
+    ``[b·L div 64, (b+1)·L div 64)``; empty slices (L < 64) score 0.
+    All-integer ⇒ the DuckDB oracle replays it exactly on the stub
+    tier's byte payloads."""
+    L = int(flat.size)
+    g = _DHASH_GRID
+    vals = []
+    for b in range(g * g):
+        lo, hi = (b * L) // (g * g), ((b + 1) * L) // (g * g)
+        vals.append(int(flat[lo:hi].sum()) // (hi - lo) if hi > lo else 0)
+    h = 0
+    for r in range(g):
+        for c in range(g - 1):
+            if vals[r * g + c + 1] > vals[r * g + c]:
+                h |= 1 << (r * (g - 1) + c)
+    return h
+
+
+def image_dhash(manifest: DataFrame) -> DataFrame:
+    """Per-media perceptual difference hash ``(media_id, dhash)`` — the
+    image near-dup primitive (decode → dHash → group/bucket-join is the
+    standard image-dedup pipeline at corpus scale; identical payloads
+    always collide, visually-similar images usually do). Pixels come
+    from the ``_default_pixels`` chain (PIL → PNG gray-8 → bytes-as-
+    gray stub), so the REAL decode path feeds the hash when a codec
+    exists and the fixture stays deterministic without one.
+
+    Scale: Arrow ``mapInPandas`` record-batch streaming, no shuffle,
+    partition-preserving — the downstream exact-group or banded-
+    hamming join shuffles 16-byte (id, hash) rows, never payloads."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, hs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(int(mid))
+                hs.append(dhash56(_default_pixels(bytes(payload)).ravel()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return manifest.mapInPandas(hashes, "media_id bigint, dhash bigint")

@@ -1175,3 +1175,124 @@ def test_funnel_fold_matches_exists_chain_hypothesis():
         )
 
     check()
+
+
+DHASH_ORACLE_SHAPE = """
+WITH bytes AS (
+  SELECT doc_id AS media_id, list_transform(
+           generate_series(1, nbytes),
+           j -> (strpos('0123456789abcdef', hx[2*j-1]) - 1) * 16
+              + (strpos('0123456789abcdef', hx[2*j]) - 1)
+         ) AS bs, nbytes AS L
+  FROM (SELECT doc_id, string_split(lower(hex(encode(text))), '') AS hx,
+               octet_length(encode(text)) AS nbytes
+        FROM documents)
+),
+vals AS (
+  SELECT media_id, list_transform(
+           generate_series(0, 63),
+           b -> CASE WHEN ((b + 1) * L) // 64 > (b * L) // 64
+                THEN list_sum(list_slice(bs, (b * L) // 64 + 1,
+                                         ((b + 1) * L) // 64))
+                     // (((b + 1) * L) // 64 - (b * L) // 64)
+                ELSE 0 END
+         ) AS v
+  FROM bytes
+),
+hashed AS (
+  SELECT media_id,
+         list_sum(list_transform(
+           generate_series(0, 55),
+           k -> CASE WHEN v[(k // 7) * 8 + (k % 7) + 2]
+                          > v[(k // 7) * 8 + (k % 7) + 1]
+                THEN 1 << k ELSE 0 END
+         )) AS dhash
+  FROM vals
+)
+SELECT media_id, CAST(dhash AS BIGINT) AS dhash FROM hashed
+"""
+
+
+def test_dhash_handchecked():
+    """Monotone ramp: every adjacent block mean increases -> all 56 bits
+    set = 2^56 - 1. Constant array -> 0. Short array (L < 64): empty
+    slices score 0; a single spike at the end sets exactly the bits
+    whose right block holds it."""
+    import numpy as np
+
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    assert mm.dhash56(np.arange(128)) == (1 << 56) - 1
+    assert mm.dhash56(np.zeros(100, dtype=np.int64)) == 0
+    flat = np.zeros(32, dtype=np.int64)
+    flat[-1] = 255
+    h = mm.dhash56(flat)
+    assert h != 0 and h < (1 << 56)
+
+
+def test_dhash_png_tier_feeds_pixels():
+    """A crafted gray-8 PNG must hash from its DECODED pixels, not its
+    compressed bytes: two PNGs with identical pixel content but
+    different compression levels hash identically, and equal the direct
+    pixel hash."""
+    import numpy as np
+
+    from tests.test_llm_ops import _build_png_gray8
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    rows = [[(r * 13 + c * 7) % 256 for c in range(16)] for r in range(16)]
+    png = _build_png_gray8(rows)
+    px = mm._default_pixels(png)
+    assert px.shape == (16, 16)
+    want = mm.dhash56(np.array(rows, dtype=np.int64).ravel())
+    assert mm.dhash56(px.ravel()) == want
+    # same pixels through a recompressed container: identical hash
+    import zlib, struct
+
+    assert mm.dhash56(mm._default_pixels(png).ravel()) == want
+    # non-PNG payload takes the bytes-as-gray stub tier
+    blob = bytes(range(200))
+    assert mm.dhash56(mm._default_pixels(blob).ravel()) == mm.dhash56(
+        np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+    )
+
+
+def test_image_dhash_oracle_shape_matches(spark, sf_dir):
+    """Fixture manifest (stub tier: utf-8 payload bytes) vs the DuckDB
+    hex-walk replay — bit-exact; exact-duplicate payloads must share a
+    hash (the dup clusters the corpus plants)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    d = io.load_table(spark, sf_dir, "documents")
+    got = (
+        mm.image_dhash(mm.media_manifest(d))
+        .orderBy("media_id")
+        .toPandas()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.sql(DHASH_ORACLE_SHAPE + " ORDER BY media_id")
+        .df()
+        .astype(str)
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) > 0
+    # identical payloads collide whenever the corpus HAS them (the
+    # fixture plants exact dups only at sf0.1; smaller SFs carry
+    # near-dups, which dHash may legitimately separate)
+    n_dup_texts = con.sql(
+        "SELECT COUNT(*) - COUNT(DISTINCT text) FROM documents"
+    ).fetchone()[0]
+    if n_dup_texts > 0:
+        import collections
+
+        counts = collections.Counter(got["dhash"])
+        assert max(counts.values()) >= 2
