@@ -1713,3 +1713,174 @@ def funnel_stage_stream_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (Space-Saving sketch, sharded by key hash)
+# ---------------------------------------------------------------------------
+
+_HH_OUT_SCHEMA = (
+    "shard int, seq bigint, key string, count_hi bigint, count_lo bigint"
+)
+_HH_STATE_SCHEMA = (
+    "seq bigint, keys array<string>, counts array<long>, errs array<long>"
+)
+
+
+def _spacesaving_fold(
+    keys: list, counts: list, errs: list, rows: list, capacity: int
+) -> tuple:
+    """Pure Space-Saving step (Metwally/Agrawal/El Abbadi 2005) shared
+    by BOTH stateful API forms: fold ``rows`` (key strings, ALREADY in
+    (ts, event_id) order) into the bounded counter table. A full table
+    evicts the minimum-count entry — ties broken by key string, so the
+    fold is a deterministic function of the arrival order — and the
+    newcomer inherits its count as both count and error (the classic
+    over-estimate bookkeeping: true count ∈ [count − err, count]).
+    Returns (keys', counts', errs') with entries key-sorted (state
+    order is part of the deterministic contract)."""
+    d = {k: (c, e) for k, c, e in zip(keys, counts, errs)}
+    for k in rows:
+        if k in d:
+            c, e = d[k]
+            d[k] = (c + 1, e)
+        elif len(d) < capacity:
+            d[k] = (1, 0)
+        else:
+            mk = min(d, key=lambda x: (d[x][0], x))
+            mc, _ = d.pop(mk)
+            d[k] = (mc + 1, mc)
+    items = sorted(d.items())
+    return (
+        [k for k, _ in items],
+        [v[0] for _, v in items],
+        [v[1] for _, v in items],
+    )
+
+
+def _hh_batch_keys(pdfs, key_col: str) -> list:
+    """Concatenate a trigger's Arrow chunks and return the key strings
+    in (ts, event_id) order — the same intra-batch disorder absorption
+    as the funnel stream; across time-ordered batches the concatenated
+    order equals the global (ts, event_id) order, making the drain
+    chunking-invariant for in-order feeds."""
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return []
+    batch = pd.concat(frames, ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"])
+    return [str(k) for k in batch[key_col].tolist()]
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = 64,
+    shards: int = 4,
+) -> DataFrame:
+    """ONLINE heavy hitters: per hash-shard Space-Saving counter tables
+    over ``key_col``, memory bounded by ``shards·capacity`` entries
+    however many distinct keys the stream carries — the batch
+    `heavy_hitters_claim`'s streaming form (freqItems is the same
+    Misra-Gries family). After each trigger a shard emits its FULL
+    sketch snapshot stamped with a shard-local ``seq`` (append mode
+    cannot retract, so consumers read the max-seq snapshot per shard —
+    stated, not implied). Guarantee (per shard, any drain): every key
+    with true count > N_shard/capacity is present, and true count ∈
+    [count_lo, count_hi] for every surviving entry.
+
+    Sharding keys the state by hash(key) mod shards, so ALL occurrences
+    of one key land in one shard — each shard's sketch sees its keys'
+    exact arrival stream and the per-shard guarantee composes over the
+    union. State: capacity-bounded parallel arrays per shard."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        seq, keys, counts, errs = (
+            state.get if state.exists else (0, [], [], [])
+        )
+        rows = _hh_batch_keys(pdfs, key_col)
+        if not rows:
+            return
+        keys, counts, errs = _spacesaving_fold(
+            list(keys or []), list(counts or []), list(errs or []),
+            rows, capacity,
+        )
+        seq += 1
+        state.update((seq, keys, counts, errs))
+        yield pd.DataFrame(
+            {
+                "shard": [int(shard)] * len(keys),
+                "seq": [seq] * len(keys),
+                "key": keys,
+                "count_hi": counts,
+                "count_lo": [c - e for c, e in zip(counts, errs)],
+            }
+        )
+
+    sharded = events.withColumn(
+        "_shard", F.pmod(F.hash(F.col(key_col)), F.lit(shards)).cast("int")
+    )
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def heavy_hitters_stream_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    capacity: int = 64,
+    shards: int = 4,
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`heavy_hitters_stream` — the sixth op carried on BOTH
+    stateful APIs, pinned to emit identical snapshots on the same
+    drain. Shared fold and batch-ordering helpers; only the state
+    plumbing differs."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class HHProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("sketch", _HH_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (shard,) = key
+            held = self._state.get()
+            seq, keys, counts, errs = held if held is not None else (0, [], [], [])
+            rws = _hh_batch_keys(rows, key_col)
+            if not rws:
+                return
+            keys, counts, errs = _spacesaving_fold(
+                list(keys or []), list(counts or []), list(errs or []),
+                rws, capacity,
+            )
+            seq += 1
+            self._state.update((seq, keys, counts, errs))
+            yield pd.DataFrame(
+                {
+                    "shard": [int(shard)] * len(keys),
+                    "seq": [seq] * len(keys),
+                    "key": keys,
+                    "count_hi": counts,
+                    "count_lo": [c - e for c, e in zip(counts, errs)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    sharded = events.withColumn(
+        "_shard", F.pmod(F.hash(F.col(key_col)), F.lit(shards)).cast("int")
+    )
+    return sharded.groupBy("_shard").transformWithStateInPandas(
+        statefulProcessor=HHProcessor(),
+        outputStructType=_HH_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

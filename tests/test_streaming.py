@@ -1661,3 +1661,182 @@ def test_funnel_fold_strictness_and_horizon():
     # completed funnel ignores further events
     st, tp, em = jobs._funnel_fold(2, 20, steps, None, [(30, "a"), (31, "b")])
     assert (st, em) == (2, [])
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (both stateful APIs)
+# ---------------------------------------------------------------------------
+
+
+def test_spacesaving_fold_guarantee_hypothesis():
+    """Property (300 random streams): every key with true count >
+    N/capacity survives, true count ∈ [count_lo, count_hi] for every
+    surviving key, and the table never exceeds capacity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.sampled_from("abcdefgh"), max_size=60),
+        st.integers(min_value=2, max_value=5),
+    )
+    def check(rows, capacity):
+        keys, counts, errs = jobs._spacesaving_fold([], [], [], rows, capacity)
+        assert len(keys) <= capacity
+        true = {k: rows.count(k) for k in set(rows)}
+        for k, c, e in zip(keys, counts, errs):
+            assert c - e <= true[k] <= c
+        thresh = len(rows) / capacity
+        for k, n in true.items():
+            if n > thresh:
+                assert k in keys, (k, n, thresh, rows)
+
+    check()
+
+
+def _hh_replay(rows, capacity, shards):
+    """Python replay of the sharded drain: rows = (shard, key_str) in
+    global (ts, event_id) order."""
+    state: dict = {}
+    for shard, k in rows:
+        ks, cs, es = state.get(shard, ([], [], []))
+        state[shard] = jobs._spacesaving_fold(ks, cs, es, [k], capacity)
+    out = set()
+    for shard, (ks, cs, es) in state.items():
+        for k, c, e in zip(ks, cs, es):
+            out.add((shard, k, c, c - e))
+    return out
+
+
+def test_heavy_hitters_stream_matches_replay(spark, tmp_path, sf_dir):
+    """Fixture drain in event-time order: the max-seq snapshot per shard
+    equals the python replay, is invariant to micro-batch chunking
+    (time-ordered slices), and satisfies the per-shard guarantee against
+    exact batch counts."""
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    capacity, shards = 16, 2
+    ordered = ev.orderBy("ts", "event_id").collect()
+    shard_of = {
+        r[0]: r[1]
+        for r in ev.select(
+            "user_id",
+            F.pmod(F.hash(F.col("user_id")), F.lit(shards)).cast("int"),
+        )
+        .distinct()
+        .collect()
+    }
+    want = _hh_replay(
+        [(shard_of[r.user_id], str(r.user_id)) for r in ordered],
+        capacity,
+        shards,
+    )
+
+    got_by_split = []
+    for nfiles in (1, 3):
+        src = tmp_path / f"hh_src_{nfiles}"
+        step = -(-len(ordered) // nfiles)
+        for i in range(nfiles):
+            if i:
+                time.sleep(1.1)
+            _write_single_file(
+                spark.createDataFrame(
+                    ordered[i * step : (i + 1) * step], ev.schema
+                ),
+                src,
+                f"b{i}.parquet",
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.heavy_hitters_stream(
+                stream, capacity=capacity, shards=shards
+            )
+            .writeStream.format("memory")
+            .queryName(f"hh_out_{nfiles}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_hh_{nfiles}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        snap = spark.sql(
+            f"""SELECT shard, key, count_hi, count_lo FROM hh_out_{nfiles} o
+                WHERE seq = (SELECT MAX(seq) FROM hh_out_{nfiles} i
+                             WHERE i.shard = o.shard)"""
+        ).collect()
+        got_by_split.append(
+            {(r.shard, r.key, r.count_hi, r.count_lo) for r in snap}
+        )
+    assert got_by_split[0] == got_by_split[1] == want and len(want) > 0
+
+    # guarantee vs exact batch counts
+    true = {
+        str(r.user_id): r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    shard_totals: dict = {}
+    for u, n in true.items():
+        s = shard_of[int(u)]
+        shard_totals[s] = shard_totals.get(s, 0) + n
+    surviving = {(s, k) for (s, k, _hi, _lo) in want}
+    for u, n in true.items():
+        s = shard_of[int(u)]
+        if n > shard_totals[s] / capacity:
+            assert (s, u) in surviving, (u, n)
+    for s, k, hi, lo in want:
+        assert lo <= true[k] <= hi, (k, lo, true[k], hi)
+
+
+def test_heavy_hitters_tws_matches_group_state_form(spark, tmp_path):
+    """GS ≡ TWS on the same drain — the sixth op on both stateful
+    APIs."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = [
+        (i, base + dt.timedelta(seconds=i), uid, "view")
+        for i, uid in enumerate([1, 2, 1, 3, 1, 2, 4, 5, 1, 6])
+    ]
+    files = [rows[:5], rows[5:]]
+    src = tmp_path / "hh_tws_src"
+    for i, batch in enumerate(files):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(batch, schema), src, f"b{i}.parquet"
+        )
+    got = {}
+    for tag, job in (
+        ("gs", jobs.heavy_hitters_stream),
+        ("tws", jobs.heavy_hitters_stream_tws),
+    ):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            job(stream, capacity=3, shards=2)
+            .writeStream.format("memory")
+            .queryName(f"hh_{tag}_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_hhx_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got[tag] = {
+            (r.shard, r.seq, r.key, r.count_hi, r.count_lo)
+            for r in spark.sql(f"SELECT * FROM hh_{tag}_out").collect()
+        }
+    assert got["gs"] == got["tws"] and len(got["gs"]) > 0
