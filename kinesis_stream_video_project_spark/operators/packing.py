@@ -120,9 +120,23 @@ def sliding_chunks(
     chunk may be short — emitted, because dropping it would silently
     lose the document tail; stated, not implied). All-integer.
 
+    Coverage law (hypothesis-found, then enforced): every token
+    position is covered by some chunk IFF stride ≤ chunk_tokens — a
+    larger stride leaves inter-chunk gaps and can strand the document
+    tail entirely (n=3, chunk=2, stride=3 covers only tokens 1-2), so
+    the constructor REFUSES it rather than silently losing data;
+    sampled (gappy) chunking is a different operator, not a parameter
+    of this one.
+
     Scale: one sequence-generate + explode per row (fan-out
     n/stride), no shuffle, no second tokenization — the chunk table
     carries BOUNDS, not text (the consumer slices lazily)."""
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"sliding_chunks: stride {stride} > chunk_tokens "
+            f"{chunk_tokens} leaves coverage gaps (tail tokens would be "
+            "silently lost); use stride <= chunk_tokens"
+        )
     n = F.size(tokens(F.col(text_col)))
     return (
         docs.select(

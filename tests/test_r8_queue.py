@@ -1296,3 +1296,59 @@ def test_image_dhash_oracle_shape_matches(spark, sf_dir):
 
         counts = collections.Counter(got["dhash"])
         assert max(counts.values()) >= 2
+
+
+def test_sliding_chunks_coverage_laws_hypothesis(spark):
+    """Property (random doc lengths / chunk / stride): chunks cover
+    every token position (union of [start, end] = [1, n]), consecutive
+    chunks overlap by exactly chunk - stride when both are full,
+    chunk_no is dense 1..k, and no chunk exceeds the token count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.operators import packing
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=2, max_value=10),
+        st.integers(min_value=1, max_value=10),
+    )
+    def check(n, chunk, stride):
+        if stride > chunk:
+            # refused by contract (coverage gaps) — pinned below
+            return
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(n)))],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r.chunk_no, r.start_tok, r.end_tok, r.n_chunk_tokens)
+            for r in packing.sliding_chunks(
+                docs, chunk_tokens=chunk, stride=stride
+            ).collect()
+        )
+        assert [c for c, *_ in rows] == list(range(1, len(rows) + 1))
+        covered = set()
+        for _c, s, e, m in rows:
+            assert 1 <= s <= e <= n and m == e - s + 1 and m <= chunk
+            covered.update(range(s, e + 1))
+        assert covered == set(range(1, n + 1))
+        for (c1, s1, e1, _m1), (_c2, s2, _e2, _m2) in zip(rows, rows[1:]):
+            assert s2 - s1 == stride
+
+    check()
+
+
+def test_sliding_chunks_refuses_gap_stride(spark):
+    """Hypothesis found the gap (n=3, chunk=2, stride=3 strands token
+    3); the operator now refuses stride > chunk_tokens outright."""
+    from kinesis_stream_video_project_spark.operators import packing
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    try:
+        packing.sliding_chunks(docs, chunk_tokens=2, stride=3)
+    except ValueError as exc:
+        assert "coverage gaps" in str(exc)
+    else:
+        raise AssertionError("gap stride must be refused")
