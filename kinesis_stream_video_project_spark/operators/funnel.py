@@ -59,7 +59,15 @@ def funnel_counts(
     whose counts union into a |steps|-row report — no unpartitioned
     window anywhere. Greedy-earliest is one aggregate per stage;
     a backtracking definition would need per-user event sorting
-    (applyInPandas) for the same user set."""
+    (applyInPandas) for the same user set.
+
+    Plan-shape caveat for LONG funnels: each frontier is a lazy chain,
+    so stage i's branch re-derives stages 1..i-1 in the plan — O(k²)
+    scans/joins for k steps (cheap at the registered k=3; the stage-1
+    exchange is reused, but the per-stage joins replay). Past ~6 steps,
+    localCheckpoint each frontier (the repo's iterative-operator rule:
+    sssp_bounded/pagerank_int materialize per round) to keep the plan
+    linear in k."""
     if not steps:
         raise ValueError("funnel_counts: steps must be non-empty")
     frontier = (

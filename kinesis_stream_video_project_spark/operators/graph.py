@@ -538,7 +538,10 @@ def ra_link_prediction(
     scale/10^6 ≈ nothing — the classic hub-suppression lever (same
     economics as spans.verbatim_span_pairs' max_df guard); exact mode
     (None) keeps every center. The final anti-join removes
-    already-adjacent pairs (prediction targets NEW links)."""
+    already-adjacent pairs (prediction targets NEW links); the edge
+    list needs no canonical orientation — the anti-join normalizes each
+    edge via least/greatest, so a caller passing (b, a) rows still gets
+    its adjacent pairs excluded."""
     both = _both_directions(edges)
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     centered = both.join(deg, "src").select(
@@ -564,7 +567,7 @@ def ra_link_prediction(
         F.sum("_contrib").cast("long").alias("ra_scaled")
     )
     existing = edges.select(
-        F.col("p1").alias("p_a"), F.col("p2").alias("p_b")
+        F.least("p1", "p2").alias("p_a"), F.greatest("p1", "p2").alias("p_b")
     )
     return scored.join(existing, ["p_a", "p_b"], "left_anti")
 
@@ -601,8 +604,19 @@ def sssp_bounded(
     ≤|V|-row distance frame against it plus a min-aggregate —
     ``broadcast_dist`` follows the broadcast_ranks trade (drop it when
     the reached set approaches |V| on a giant graph). Rounds
-    localCheckpoint so the plan never re-derives prior rounds."""
-    cost = F.expr(f"CAST({weight_scale} AS BIGINT) DIV n_orders")
+    localCheckpoint so the plan never re-derives prior rounds.
+
+    Refuse-loudly guard (the pagerank_int/bigram rule): an edge with
+    multiplicity > ``weight_scale`` would floor to cost 0 — free
+    traversal, silently collapsing the metric toward BFS — so the cost
+    projection raise_errors in-plan instead of saturating."""
+    cost = F.expr(
+        f"CASE WHEN n_orders > {weight_scale} THEN raise_error(concat("
+        f"'sssp_bounded: edge multiplicity ', CAST(n_orders AS STRING), "
+        f"' exceeds weight_scale {weight_scale} - integer cost floors "
+        f"to 0 (free traversal); raise weight_scale')) "
+        f"ELSE CAST({weight_scale} AS BIGINT) DIV n_orders END"
+    )
     both = _materialize(
         edges.select(
             F.col("p1").alias("src"), F.col("p2").alias("dst"), cost.alias("w")
@@ -637,11 +651,11 @@ def sssp_bounded(
         # Convergence short-circuit: a round that changes nothing ends
         # the walk early (same count+join probe economics as kcore —
         # here a simple changed-row count on the two tiny dist frames).
-        changed = (
+        converged = (
             nxt.join(dist, ["p", "dist"], "left_anti").isEmpty()
             and nxt.count() == dist.count()
         )
         dist = nxt
-        if changed:
+        if converged:
             break
     return dist

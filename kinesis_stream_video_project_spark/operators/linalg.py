@@ -78,13 +78,20 @@ def embedding_gram(
                 S = X[lo : lo + _CHUNK]
                 P = S[:, :, None] * S[:, None, :]
                 G += np.floor(P * scale + 0.5).astype(np.int64).sum(axis=0)
+                # Per-SLAB bound check (not per batch): one Arrow batch
+                # can hold many slabs of extreme-magnitude vectors, and
+                # an int64 wrap inside the batch would corrupt the
+                # partial silently before a batch-tail check ran. The
+                # 2^62 ceiling leaves one slab's worth of headroom
+                # (_CHUNK * scale * max|x_i*x_j| must stay under 2^62).
+                if np.abs(G).max() >= 2**62:
+                    raise ValueError(
+                        "embedding_gram: partition partial approaching "
+                        f"BIGINT - lower scale below {scale} (bound: "
+                        "rows * scale * max|x_i*x_j| must stay under "
+                        "2^62 per partition)"
+                    )
             seen = True
-            if np.abs(G).max() >= 2**62:
-                raise ValueError(
-                    "embedding_gram: partition partial approaching BIGINT - "
-                    f"lower scale below {scale} (bound: rows * scale * "
-                    "max|x_i*x_j| must stay under 2^62 per partition)"
-                )
         if seen:
             iu = np.triu_indices(dims)
             yield pd.DataFrame(

@@ -799,6 +799,39 @@ def test_sssp_handchecked(spark):
     assert got1 == {1: 0, 2: 250, 3: 1000}
 
 
+def test_sssp_refuses_zero_cost_edge(spark):
+    """weight_scale DIV n_orders floors to 0 for multiplicity >
+    weight_scale — free traversal that silently collapses the metric
+    toward BFS. The cost projection raise_errors in-plan instead
+    (the pagerank_int/bigram refuse-loudly rule), pinned before the
+    r8 registration per VERDICT r7 item 5."""
+    e = spark.createDataFrame(
+        [(1, 2, 1001)], "p1 long, p2 long, n_orders long"
+    )
+    src = spark.createDataFrame([(1,)], "p long")
+    try:
+        graph.sssp_bounded(e, src, max_rounds=1, weight_scale=1000).collect()
+    except Exception as exc:
+        assert "cost floors" in str(exc) or "free traversal" in str(exc)
+    else:
+        raise AssertionError("zero-cost edge must be refused")
+
+
+def test_ra_linkpred_orientation_normalized(spark):
+    """ADVICE r7: a caller passing reversed (p2 < p1) edge rows must
+    still get adjacent pairs excluded — the anti-join normalizes via
+    least/greatest. Path 3-2, 2-1 passed REVERSED: only (1, 3) is a
+    predicted link; (1, 2)/(2, 3) stay excluded."""
+    rev = spark.createDataFrame(
+        [(2, 1, 1), (3, 2, 1)], "p1 long, p2 long, n_orders long"
+    )
+    got = {
+        (r.p_a, r.p_b): r.ra_scaled
+        for r in graph.ra_link_prediction(rev, scale=_SCALE).collect()
+    }
+    assert got == {(1, 3): _SCALE // 2}
+
+
 def test_sssp_matches_bruteforce_and_oracle(spark, sf_dir):
     """Fixture co-purchase graph from sources {1, 2}: python Bellman-Ford
     replay AND the unrolled-CTE DuckDB oracle shape (3 rounds)."""
