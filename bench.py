@@ -76,17 +76,28 @@ BENCH_QUERIES = [
 # iterative queries whose build step does real work — the pagerank/LPA/
 # k-core family localCheckpoints and probes during construction).
 #
-# r7 window policy (same as r6): the rotation aligns with the r7
-# DRIVER_PRIORITY correctness window (minus stable-set members, which the
-# stable child times every round): the queries getting a fresh correctness
-# row this round get a fresh perf row in the same artifact, led by the 7
-# new round-7 registrations (first timed row lands the round a query is
-# born). The four ~1.4x r6 rotation drifters (approx_percentiles_value,
-# important_part_shares, dormant_rich_customers, brand_volume_suppliers)
-# are re-measured out-of-window at the tail (VERDICT r6 item 3 — suspected
-# fresh-JVM variance at sub-second scale; confirm or root-cause).
+# r8 window policy: the rotation aligns with the r8 DRIVER_PRIORITY
+# correctness window (minus stable-set members, which the stable child
+# times every round), led by the 10 new round-8 registrations (first timed
+# row lands the round a query is born), followed by the first-drift
+# re-measures of the 14 round-7 registrations (their only timings are
+# first-runs, the noisiest kind — VERDICT r7 item 7; this includes the
+# mandated post-ReuseExchange re-timings of near_dup_candidates_horizon
+# and simhash_bucket_pairs), then the r4-latest correctness-refresh
+# cohort.
 BENCH_ROTATION = [
-    # new round-7 registrations
+    # new round-8 registrations
+    "bpe_merge_topk",
+    "audio_energy_frames",
+    "sssp_bounded",
+    "session_paths",
+    "source_overlap_matrix",
+    "rank_normalize",
+    "sliding_chunks",
+    "image_dhash",
+    "funnel_user_advances",
+    "heavy_hitters_certificate",
+    # round-7 registrations re-measured (first-drift check)
     "error_followup_pairs",
     "bigram_surprisal_score",
     "seasonal_value_anomalies",
@@ -94,46 +105,6 @@ BENCH_ROTATION = [
     "copurchase_blast_radius",
     "token_budget_waterfall",
     "near_dup_candidates_horizon",
-    # the r3-latest correctness-refresh cohort (minus stable-set members:
-    # q1_pricing_summary is in BENCH_QUERIES)
-    "ann_tier_claims",
-    "anti_join_customers",
-    "asof_forward_metric",
-    "cohort_ltv_curve",
-    "customer_order_distribution",
-    "dedup_first_event",
-    "disjunctive_predicate_join",
-    "doc_length_histogram",
-    "domain_mixture_weights",
-    "exact_group_percentiles",
-    "fill_forward_last_purchase",
-    "forecast_revenue_change",
-    "heavy_hitters_claim",
-    "json_extract",
-    "market_share_by_year",
-    "nation_pair_trade",
-    "pii_scrub",
-    "pivot_priority_revenue",
-    "priority_late_shipment_counts",
-    "product_type_profit",
-    "promo_revenue_share",
-    "range_join_shipping",
-    "repetition_score",
-    "returned_item_customers",
-    "simhash_dup_consistency",
-    "split_leakage_check",
-    "table_profile",
-    "top_revenue_supplier",
-    "topn_orders_per_nation",
-    "trending_event_types",
-    "unpivot_part_metrics",
-    "unsupplied_parts",
-    "value_outliers",
-    "waiting_suppliers",
-    "window_rank_lag",
-    # early round-8 registrations (first timed row lands the round a
-    # query is born; these replaced the r4-latest refresh slots in the
-    # r7 correctness window)
     "bm25_lexical_topk",
     "verbatim_spans",
     "ra_linkpred_smallbasket",
@@ -141,11 +112,52 @@ BENCH_ROTATION = [
     "vocab_oov_rate",
     "funnel_conversion",
     "embedding_gram_matrix",
-    # r6 rotation drifters re-measured (not in the r7 correctness window)
-    "approx_percentiles_value",
-    "important_part_shares",
-    "dormant_rich_customers",
-    "brand_volume_suppliers",
+    # the r4-latest correctness-refresh cohort (minus the 9 stable-set
+    # members the stable child times every round: join_star_revenue,
+    # topk_orders, asof_probe_metric, ivf_topk, tfidf_topk,
+    # decontaminate_ngram_overlap, shipping_priority_top10,
+    # local_supplier_volume, join_left_outer)
+    "ann_recall_eval",
+    "argmax_order_per_customer",
+    "boilerplate_prefixes",
+    "catalog_filter_project",
+    "catalog_json_roundtrip",
+    "chunk_documents",
+    "corpus_shuffle",
+    "corpus_vocab_topk",
+    "cube_agg",
+    "distinct_ops",
+    "escalation_actions",
+    "exists_correlated",
+    "filter_predicates",
+    "filtered_cosine_topk",
+    "gap_filled_windows",
+    "ivf_kmeans_topk",
+    "multimodal_decoded",
+    "null_funcs",
+    "percentiles_by_status",
+    "rare_token_ratio",
+    "salted_agg_events",
+    "scd2_user_status",
+    "seq_pack_docs",
+    "set_ops_nations",
+    "simhash_sketch",
+    "struct_map_funcs",
+    "surprisal_score",
+    "top_terms_per_lang",
+    "unpivot_lineitem_metrics",
+    "watchdog_null_guard",
+    "watchdog_state_machine",
+]
+
+# The rows that MUST survive the driver's 2000-char tail capture (VERDICT
+# r7 item 3: the r7 artifact lost every r7-queue first-timing to head
+# truncation): the new registrations' first timings plus the mandated
+# post-ReuseExchange re-timings. Emitted as a separate small map near the
+# END of the JSON line (see key-order note in main()).
+BENCH_ROTATION_HEAD = BENCH_ROTATION[:10] + [
+    "near_dup_candidates_horizon",
+    "simhash_bucket_pairs",
 ]
 
 
@@ -293,13 +305,14 @@ def main() -> None:
     rotation = child("rotation")
     total = round(sum(timings.values()), 3)
 
-    # Key ORDER is load-bearing (VERDICT r5 item 4): the round driver
-    # archives only the tail of this line, so the big per-query map goes
-    # FIRST and the headline fields — the stable per-query timings and
-    # "value" — go LAST, guaranteeing they land inside the captured tail
-    # (the r5 artifact lost its stable-set numbers to exactly this
-    # truncation). Same keys as before plus "stable"; any JSON consumer
-    # is order-insensitive.
+    # Key ORDER is load-bearing (VERDICT r5 item 4 + r7 item 3): the round
+    # driver archives only the LAST ~2000 chars of this line, so the big
+    # combined per-query map goes FIRST (its head is what truncation eats)
+    # and the fields that must survive go LAST: "rotation_head" (the new
+    # registrations' first timings + mandated re-timings — the r7 artifact
+    # lost exactly these), the stable per-query timings, and "value".
+    # rotation_head + stable + scalars ≈ 1.3 KB, inside the captured tail.
+    # Any JSON consumer is order-insensitive.
     print(
         json.dumps(
             {
@@ -308,6 +321,9 @@ def main() -> None:
                 "metric": f"headline_query_set_total_sf{sf}",
                 "unit": "sec",
                 "sf": float(sf),
+                "rotation_head": {
+                    k: rotation[k] for k in BENCH_ROTATION_HEAD if k in rotation
+                },
                 "stable": timings,
                 "value": total,
             }

@@ -163,3 +163,69 @@ def session_paths(
     top = paths.orderBy(F.col("n_paths").desc(), F.col("path")).limit(k)
     w_rank = Window.orderBy(F.col("n_paths").desc(), F.col("path"))
     return top.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+
+
+def funnel_user_stages(
+    events: DataFrame,
+    steps: Sequence[str],
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_horizon_s: int | None = None,
+) -> DataFrame:
+    """Per-user funnel ADVANCE events: one row ``(user_id, step_no,
+    step, ts_us)`` per stage each user reaches, at the greedy-earliest
+    matched timestamp — the BATCH REPLAY of the online funnel
+    (streaming/jobs.py::funnel_stage_stream and its
+    transformWithState twin): with events arriving in event-time
+    order, the stream's per-user fold emits exactly these rows
+    (``_funnel_fold`` greedy-earliest ≡ the min(ts > t_prev) frontier
+    chain — the property pinned by
+    tests/test_r8_queue.py::test_funnel_fold_matches_exists_chain).
+    ``funnel_counts`` is the per-stage DISTINCT-user count of this
+    frame; this form keeps WHO advanced and WHEN, which the count
+    report discards.
+
+    Same strictness/horizon semantics as :func:`funnel_counts`
+    (strict ts > t_prev; per-step ``(t_prev, t_prev + horizon]``
+    window; exact integer-microsecond arithmetic — ts_us is
+    unix_micros of the matched event).
+
+    Scale: identical to funnel_counts — stage i is ONE user-keyed
+    aggregate of the step-i slice joined to the ≤|users|-row previous
+    frontier; the union of per-stage frontiers is |advances| rows.
+    Same O(k²) lazy-plan caveat for long funnels."""
+    if not steps:
+        raise ValueError("funnel_user_stages: steps must be non-empty")
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+
+    def emit(fr: DataFrame, i: int, step: str) -> DataFrame:
+        return fr.select(
+            F.col(user_col),
+            F.lit(i).cast("long").alias("step_no"),
+            F.lit(step).alias("step"),
+            F.unix_micros(F.col("_t")).alias("ts_us"),
+        )
+
+    out = [emit(frontier, 1, steps[0])]
+    for i, step in enumerate(steps[1:], start=2):
+        staged = (
+            events.filter(F.col(type_col) == step)
+            .join(frontier, user_col)
+            .filter(F.col(ts_col) > F.col("_t"))
+        )
+        if step_horizon_s is not None:
+            staged = staged.filter(
+                F.col(ts_col)
+                <= F.col("_t") + F.expr(f"INTERVAL {step_horizon_s} SECONDS")
+            )
+        frontier = staged.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        out.append(emit(frontier, i, step))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

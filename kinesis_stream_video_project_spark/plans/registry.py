@@ -60,85 +60,80 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. Cross-round state entering r7: 193 registered (179 + the 7 new
-# round-7 queries + the 7 early round-8 registrations), every pre-r7 query
-# has a green HASH row, latest-green distribution r6=50, r5=49, r4=44,
-# r3=36 (VERDICT r6). The r7 window is budgeted 7+36+7:
-# (a) the 7 NEW round-7 queries (queries_round7.py — the r6 operator queue
-#     promoted to registrations: error_followup_pairs,
-#     bigram_surprisal_score, seasonal_value_anomalies,
-#     simhash_bucket_pairs, copurchase_blast_radius,
-#     token_budget_waterfall, near_dup_candidates_horizon) — a query
-#     registered in round N must be in round N's window. The r7 ADVICE
-#     fixes (mixture zero-token branch disjointness; lm/similarity
-#     docstrings) are covered by token_budget_waterfall /
-#     bigram_surprisal_score being new entries;
-# (b) all 36 queries whose latest green row dates from r3 (the full
-#     oldest-green staleness tail — VERDICT r6 item 2: after r7 nothing
-#     is older than r4);
-# (c) the 7 EARLY round-8 registrations (queries_round8.py — the r8
-#     operator queue's first promotions: bm25_lexical_topk,
-#     verbatim_spans, ra_linkpred_smallbasket, pmi_collocations_topk,
-#     vocab_oov_rate, funnel_conversion, embedding_gram_matrix). These
-#     slots were originally budgeted as r4-latest refreshes; spending
-#     them on never-driver-checked NEW queries dominates — the full
-#     44-query r4-latest cohort stays r4-green, which still satisfies
-#     the nothing-older-than-r4 bound, and defers to r8.
+# round. Cross-round state entering r8: 203 registered (193 + the 10
+# round-8-window registrations below), every pre-r8 query has a green HASH
+# row, latest-green distribution r7=50, r6=50, r5=49, r4=44 (VERDICT r7).
+# The r8 window is budgeted 10+40:
+# (a) the 10 NEW round-8 registrations (queries_round8b.py — the r8
+#     operator queue promoted: bpe_merge_topk, audio_energy_frames,
+#     sssp_bounded, session_paths, source_overlap_matrix, rank_normalize,
+#     sliding_chunks, image_dhash, plus the two streaming-op replays
+#     funnel_user_advances and heavy_hitters_certificate that put the
+#     online funnel / heavy-hitters tiers under the hash gate) — a query
+#     registered in round N must be in round N's window;
+# (b) 40 of the 44 queries whose latest green row dates from r4
+#     (VERDICT r7 item 2). The 4 deferred to the r9 window head —
+#     array_funcs, datetime_funcs, math_funcs, string_funcs — are the
+#     cohort members whose operator family has a SIBLING query green at
+#     r5+ (array: bpe_regex_tokens r6; datetime: datetime_funcs2 r5;
+#     math: cast_truncate r5; string: string_funcs2 r5), so deferring
+#     them leaves no operator with only-r4 evidence.
 # Queries not listed keep registration order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (a) new round-7 registrations (7) ---
-    "error_followup_pairs",
-    "bigram_surprisal_score",
-    "seasonal_value_anomalies",
-    "simhash_bucket_pairs",
-    "copurchase_blast_radius",
-    "token_budget_waterfall",
-    "near_dup_candidates_horizon",
-    # --- (b) the full r3-latest staleness tail (36) ---
-    "ann_tier_claims",
-    "anti_join_customers",
-    "asof_forward_metric",
-    "cohort_ltv_curve",
-    "customer_order_distribution",
-    "dedup_first_event",
-    "disjunctive_predicate_join",
-    "doc_length_histogram",
-    "domain_mixture_weights",
-    "exact_group_percentiles",
-    "fill_forward_last_purchase",
-    "forecast_revenue_change",
-    "heavy_hitters_claim",
-    "json_extract",
-    "market_share_by_year",
-    "nation_pair_trade",
-    "pii_scrub",
-    "pivot_priority_revenue",
-    "priority_late_shipment_counts",
-    "product_type_profit",
-    "promo_revenue_share",
-    "q1_pricing_summary",
-    "range_join_shipping",
-    "repetition_score",
-    "returned_item_customers",
-    "simhash_dup_consistency",
-    "split_leakage_check",
-    "table_profile",
-    "top_revenue_supplier",
-    "topn_orders_per_nation",
-    "trending_event_types",
-    "unpivot_part_metrics",
-    "unsupplied_parts",
-    "value_outliers",
-    "waiting_suppliers",
-    "window_rank_lag",
-    # --- (c) early round-8 registrations (7; r4 refreshes defer to r8) ---
-    "bm25_lexical_topk",
-    "verbatim_spans",
-    "ra_linkpred_smallbasket",
-    "pmi_collocations_topk",
-    "vocab_oov_rate",
-    "funnel_conversion",
-    "embedding_gram_matrix",
+    # --- (a) new round-8 registrations (10) ---
+    "bpe_merge_topk",
+    "audio_energy_frames",
+    "sssp_bounded",
+    "session_paths",
+    "source_overlap_matrix",
+    "rank_normalize",
+    "sliding_chunks",
+    "image_dhash",
+    "funnel_user_advances",
+    "heavy_hitters_certificate",
+    # --- (b) the r4-latest staleness cohort (40 of 44; 4 family-covered
+    #     entries defer to r9: array_funcs, datetime_funcs, math_funcs,
+    #     string_funcs) ---
+    "ann_recall_eval",
+    "argmax_order_per_customer",
+    "asof_probe_metric",
+    "boilerplate_prefixes",
+    "catalog_filter_project",
+    "catalog_json_roundtrip",
+    "chunk_documents",
+    "corpus_shuffle",
+    "corpus_vocab_topk",
+    "cube_agg",
+    "decontaminate_ngram_overlap",
+    "distinct_ops",
+    "escalation_actions",
+    "exists_correlated",
+    "filter_predicates",
+    "filtered_cosine_topk",
+    "gap_filled_windows",
+    "ivf_kmeans_topk",
+    "ivf_topk",
+    "join_left_outer",
+    "join_star_revenue",
+    "local_supplier_volume",
+    "multimodal_decoded",
+    "null_funcs",
+    "percentiles_by_status",
+    "rare_token_ratio",
+    "salted_agg_events",
+    "scd2_user_status",
+    "seq_pack_docs",
+    "set_ops_nations",
+    "shipping_priority_top10",
+    "simhash_sketch",
+    "struct_map_funcs",
+    "surprisal_score",
+    "tfidf_topk",
+    "top_terms_per_lang",
+    "topk_orders",
+    "unpivot_lineitem_metrics",
+    "watchdog_null_guard",
+    "watchdog_state_machine",
 )
 
 
@@ -192,6 +187,7 @@ def _load_all() -> None:
         queries_round6,
         queries_round7,
         queries_round8,
+        queries_round8b,
         queries_streaming_twins,
     )
 

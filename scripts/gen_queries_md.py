@@ -17,7 +17,7 @@ sys.path.insert(0, ".")
 
 from kinesis_stream_video_project_spark.plans import registry  # noqa: E402
 
-ROUND = 7  # current round: queries with no CORRECTNESS row are `new`
+ROUND = 8  # current round: queries with no CORRECTNESS row are `new`
 
 
 def _load_correctness() -> list[tuple[int, dict]]:
@@ -53,13 +53,23 @@ def summary(doc: str, limit: int = 68) -> str:
 
 
 def main() -> None:
-    specs = registry.all_queries()
+    # Canonical order (VERDICT r7 item 5): the 50-entry driver window in
+    # its export order (that order IS the verification budget), then every
+    # remaining query sorted by name — regeneration on a clean tree is a
+    # no-op regardless of module import order, so doc drift is
+    # diff-detectable.
+    raw = registry.all_queries()
+    window = list(raw.items())[:50]
+    rest = sorted(list(raw.items())[50:], key=lambda kv: kv[0])
+    specs = dict(window + rest)
     lines = [
         "# QUERIES — generated catalog of the registered surface",
         "",
         "Generated from `plans/registry.py` by `scripts/gen_queries_md.py`.",
-        "One row per `queries()` entry, in export order (the first 50 form",
-        f"the round-{ROUND} driver verification window). Driver column:",
+        "One row per `queries()` entry: the first 50 (the",
+        f"round-{ROUND} driver verification window) in export order, the",
+        "rest sorted by name (canonical — regeneration is drift-detectable",
+        "by diff). Driver column:",
         "r1..r4 = latest round with a green CORRECTNESS row; "
         f"w{ROUND} = in the round-{ROUND} window (checked this round); "
         f"`new` = registered in round {ROUND}.",

@@ -1385,3 +1385,67 @@ def test_sliding_chunks_refuses_gap_stride(spark):
         assert "coverage gaps" in str(exc)
     else:
         raise AssertionError("gap stride must be refused")
+
+
+def _rendered(df_pandas):
+    cols = sorted(df_pandas.columns)
+    return (
+        df_pandas[cols]
+        .astype(str)
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+
+
+def test_funnel_user_advances_registration_oracle(spark):
+    """The registered batch replay of the ONLINE funnel: rendered-value
+    exact vs its DuckDB oracle at every fixture SF (the registration
+    gate, pre-run). Advance counts 24/235/2253 — non-degenerate."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.plans import registry
+
+    spec = registry.all_queries()["funnel_user_advances"]
+    want_rows = {"sf0.001": 24, "sf0.01": 235, "sf0.1": 2253}
+    for sf, n in want_rows.items():
+        sf_dir = f"/root/testdata/{sf}"
+        got = _rendered(spec.fn(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = _rendered(con.sql(spec.oracle).df())
+        assert list(got.columns) == list(want.columns), sf
+        assert got.equals(want) and len(got) == n, sf
+
+
+def test_heavy_hitters_certificate_registration_oracle(spark):
+    """The Space-Saving certificate: rendered-value exact vs the
+    exact-counts oracle at every fixture SF. sf0.001 exercises the
+    no-eviction all-guaranteed-present path (4 users/shard < capacity
+    16); sf0.01/0.1 exercise eviction (37+ users/shard) plus the sum
+    invariant — both algorithmic regimes under the same gate."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.plans import registry
+
+    spec = registry.all_queries()["heavy_hitters_certificate"]
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        got = _rendered(spec.fn(spark, sf_dir).toPandas())
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = _rendered(con.sql(spec.oracle).df())
+        assert list(got.columns) == list(want.columns), sf
+        assert got.equals(want) and len(got) == 4, sf
+    # regime probes: eviction actually happened at sf0.01 (full table)
+    # and not at sf0.001 (exact sketch)
+    import pandas as pd
+
+    small = spec.fn(spark, "/root/testdata/sf0.001").toPandas()
+    big = spec.fn(spark, "/root/testdata/sf0.01").toPandas()
+    assert (small["n_entries"] < 16).all()
+    assert (small["n_guaranteed"] > 0).all()
+    assert (big["n_entries"] == 16).all()
