@@ -1,0 +1,130 @@
+"""Bloom-filter eval-set decontamination with false-positive accounting.
+
+The exact decontamination tier (`decontaminate_ngram_overlap`) joins
+training 5-grams against the broadcast eval 5-gram SET — exact, but the
+broadcast payload is the eval grams themselves. The production-scale
+alternative every large pipeline reaches for is a Bloom filter (Bloom,
+CACM 1970): k hash positions per gram into an m-bit array, membership =
+all k bits set — the broadcast shrinks to m/8 bytes regardless of eval
+size, at the price of false positives. A 100 TB decontamination pass
+cares because the filter rides in every executor's memory for the whole
+scan.
+
+This module implements the bitmap SEMANTICS with portable arithmetic so
+the whole tier is driver-hash-checkable: positions are md5-substring
+integers (the `hash_bucket` family — DuckDB computes the identical
+values), the "bit array" is the distinct-position set of the eval
+grams, and membership is an all-k-positions-present join. A physical
+long[] bitset is an executor-side representation change with identical
+semantics — what the oracle certifies here is the decision function,
+including its false positives: the output carries per-doc
+``n_bloom_hits`` AND exact ``n_true_hits``, so the FP overcount is
+measured on real data rather than assumed from the (1−e^{−kn/m})^k
+formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.functions.text import tokens
+
+#: Filter geometry: m = 2^16 bits, k = 3 positions per gram. Sized so the
+#: fixture SFs exercise BOTH regimes: at sf0.001 the eval set loads ~4% of
+#: the bits (FP ≈ 1e-4 — bloom_hits == true_hits almost everywhere) while
+#: sf0.1 loads a realistic double-digit fraction and produces measurable
+#: per-doc false positives. Production picks m from the eval-gram count
+#: and an FP budget; the semantics below are m-agnostic.
+M_BITS = 1 << 16
+K_HASHES = 3
+
+
+def bloom_positions(gram: Column) -> list[Column]:
+    """The k bit positions of one gram: disjoint 5-hex-digit (20-bit)
+    slices of md5(gram), each mod m — the portable-hash rule
+    (operators/sampling.py::hash_bucket); DuckDB derives bit-identical
+    integers via ('0x' || substr(md5(g), ...))::BIGINT % m."""
+    h = F.md5(gram)
+    return [
+        (
+            F.conv(F.substring(h, 1 + 5 * j, 5), 16, 10).cast("long")
+            % F.lit(M_BITS)
+        ).alias(f"_p{j}")
+        for j in range(K_HASHES)
+    ]
+
+
+def _doc_grams(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Distinct (doc_id, gram) pairs of whitespace n-grams. Tokens
+    materialize in their own projection before the slice transform (the
+    multi-reference lambda rule, operators/dedup.py::shingles_of)."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("_toks") - (n - 1), F.lit(1)),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice("_toks", i, F.lit(n))
+            ),
+        )
+    )
+    return (
+        toked.select("doc_id", F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .filter(F.size(F.split(F.col("g"), " ")) == n)
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Per-training-doc contamination counts through the Bloom tier:
+    ``(doc_id, n_grams, n_bloom_hits, n_true_hits, n_false_positives)``
+    where a gram bloom-hits when ALL k of its bit positions were set by
+    some eval gram, true-hits when the gram itself is in the eval set,
+    and n_false_positives = bloom − true (≥ 0 by construction — the
+    Bloom no-false-negative law, which a hash row certifies on real
+    data). Docs shorter than ``n`` tokens carry no gram and emit no row
+    (stated contract, the bigram <2-token rule).
+
+    Scale: the eval side reduces to ≤ k·|eval grams| DISTINCT bit
+    positions (the m-bit array's set bits) and the distinct eval gram
+    set — both tiny vs a 100 TB train corpus and marked broadcast; the
+    train side explodes to distinct (doc_id, gram) pairs ONCE, feeds
+    both membership joins locally (zero corpus shuffle), and aggregates
+    on the already-colocated doc_id. At production scale the position
+    set compiles into a physical m/8-byte bitset held per executor;
+    identical decision function."""
+    ev = _doc_grams(eval_docs, n)
+    eval_grams = F.broadcast(ev.select("g").distinct())
+    eval_bits = F.broadcast(
+        ev.select(F.explode(F.array(*bloom_positions(F.col("g")))).alias("p"))
+        .distinct()
+    )
+    tg = _doc_grams(train, n)
+    # one row per (doc, gram, position); a gram bloom-hits iff all k of
+    # its positions match the set-bit table
+    probed = (
+        tg.select(
+            "doc_id", "g", F.explode(F.array(*bloom_positions(F.col("g")))).alias("p")
+        )
+        .join(eval_bits.withColumn("_hit", F.lit(1)), "p", "left")
+        .groupBy("doc_id", "g")
+        .agg((F.count("_hit") == K_HASHES).cast("int").alias("_bloom"))
+    )
+    truth = probed.join(
+        eval_grams.withColumn("_true", F.lit(1)), "g", "left"
+    )
+    return truth.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_bloom").cast("long").alias("n_bloom_hits"),
+        F.sum(F.coalesce(F.col("_true"), F.lit(0))).cast("long").alias("n_true_hits"),
+        (F.sum("_bloom") - F.sum(F.coalesce(F.col("_true"), F.lit(0))))
+        .cast("long")
+        .alias("n_false_positives"),
+    )

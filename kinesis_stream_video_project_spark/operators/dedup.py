@@ -596,3 +596,54 @@ def source_overlap_matrix(
             ),
         )
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Per-document n-gram NOVELTY in doc_id (ingestion) order: of a
+    doc's distinct ``n``-grams, how many appear in NO earlier document
+    — ``(doc_id, n_grams, n_novel, novelty_permille)``. This is the
+    dedup-yield / dataset-growth statistic: a crawl whose marginal
+    novelty permille decays has exhausted its source (Lee et al.'s
+    near-dup analyses report exactly this curve), and a doc with
+    novelty 0 is fully covered by its predecessors — the streaming
+    intuition of ExactSubstr dedup as one number per doc. First-seen is
+    min(doc_id) per gram, so the measure is deterministic and
+    order-independent of execution (doc_id is the corpus's arrival
+    proxy). Docs with fewer than ``n`` tokens carry no gram and emit NO
+    row (the bigram <2-token contract).
+
+    Scale: distinct (doc_id, gram-hash) postings — 8-byte md5-substring
+    hashes (the portable-hash rule), never gram strings — shuffle once
+    keyed on hash for the min-doc aggregate, join back on the same key
+    (ReuseExchange), then one per-doc aggregate; all-integer permille
+    ((n_novel·1000) div n_grams)."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, F.lit(n))),
+        )
+    )
+    posts = toked.select(
+        "doc_id", F.explode_outer(grams).alias("_g")
+    ).filter(F.col("_g").isNotNull()).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gh"),
+    ).distinct()
+    posts = posts.repartition("gh")
+    first = posts.groupBy("gh").agg(F.min("doc_id").alias("_fd"))
+    joined = posts.join(first, "gh")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("_fd") == F.col("doc_id")).cast("int"))
+        .cast("long")
+        .alias("n_novel"),
+        F.expr(
+            "CAST((SUM(CASE WHEN _fd = doc_id THEN 1 ELSE 0 END) * 1000) "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("novelty_permille"),
+    )

@@ -279,3 +279,153 @@ def bpe_merge_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     ).limit(k)
     w = Window.orderBy(F.col("n_pairs").desc(), F.col("prev"), F.col("cur"))
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def doc_trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, w3) for every adjacent token TRIPLE — the
+    zip-with-shifted-self form one level deeper than :func:`doc_bigrams`
+    (two nested zip_with calls, constant array references per row).
+    Padded tails carry null w2/w3 and are filtered after the explode."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    s2 = F.slice(F.col("_toks"), 2, 1000000)
+    s3 = F.slice(F.col("_toks"), 3, 1000000)
+    pairs = F.zip_with(
+        F.col("_toks"), s2, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+    )
+    triples = F.zip_with(
+        pairs,
+        s3,
+        lambda p, c: F.struct(
+            p.getField("w1").alias("w1"),
+            p.getField("w2").alias("w2"),
+            c.alias("w3"),
+        ),
+    )
+    return (
+        toked.select("doc_id", F.explode_outer(triples).alias("tg"))
+        .select(
+            "doc_id",
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+        .filter(F.col("w3").isNotNull())
+    )
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    tri_budget: int = 2000,
+    bi_budget: int = 500,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-document trigram STUPID BACKOFF score under a budget-pruned
+    self-corpus model (Brants et al., "Large Language Models in Machine
+    Translation", EMNLP 2007 — the count-based LM actually used at
+    web scale because it needs no discounting math): each position
+    scores S(w3|w1w2) = c(w1w2w3)/c(w1w2) if the trigram is in the
+    model, else 0.4·c(w2w3)/c(w2) if the bigram is, else 0.4²·c(w3)/N.
+    Model PRUNING is by budget, not count threshold: the top
+    ``tri_budget`` trigrams / ``bi_budget`` bigrams by (count desc,
+    lexicographic) — how production LMs actually bound their table
+    memory, and (unlike an absolute min-count) it exercises all three
+    paths at every corpus size.
+
+    Integer exactness: scaled truncating divisions staged in a fixed
+    order — tri: (c123·scale) div c12; bi: ((c23·scale) div c2)·2
+    div 5 (0.4 = 2/5 exactly); uni: ((c3·scale) div N)·4 div 25. No
+    libm, no float — hash-identical in any engine. Per-doc sum is
+    bounded by positions·scale (≤ ~1e8 per fixture doc; each term
+    ≤ scale since c123 ≤ c12 etc.) — far inside BIGINT.
+
+    Output (doc_id, n_positions, n_tri, n_bi, n_uni, score_scaled).
+    Docs with < 3 tokens carry no trigram position and emit NO row (the
+    bigram_surprisal <2-token contract one order up).
+
+    Scale: the model tables are aggregates of the one corpus scan —
+    trigram counts → TakeOrderedAndProject budget cut (the cut orders
+    the MODEL TABLE, ≤|vocab|³ rows, never the corpus) — and every
+    model side BROADCASTS (tri_budget + bi_budget + |vocab| + 1 rows);
+    the only corpus shuffle is the per-doc aggregate."""
+    pos = doc_trigrams(docs)
+    tri_counts = pos.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    tri_kept = (
+        tri_counts.orderBy(
+            F.col("c123").desc(), F.col("w1"), F.col("w2"), F.col("w3")
+        )
+        .limit(tri_budget)
+    )
+    bg = doc_bigrams(docs)
+    bi_counts = bg.groupBy(
+        F.col("prev").alias("b1"), F.col("cur").alias("b2")
+    ).agg(F.count(F.lit(1)).alias("cb"))
+    bi_kept = bi_counts.orderBy(
+        F.col("cb").desc(), F.col("b1"), F.col("b2")
+    ).limit(bi_budget)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    uni = (
+        toked.select(F.explode_outer("_toks").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n_total = uni.agg(F.sum("cu").cast("long").alias("n_total"))
+
+    scored = (
+        pos.join(F.broadcast(tri_kept), ["w1", "w2", "w3"], "left")
+        .join(
+            F.broadcast(
+                bi_counts.select(
+                    F.col("b1").alias("w1"),
+                    F.col("b2").alias("w2"),
+                    F.col("cb").alias("c12"),
+                )
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                bi_kept.select(
+                    F.col("b1").alias("w2"),
+                    F.col("b2").alias("w3"),
+                    F.col("cb").alias("c23"),
+                )
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))),
+            "w2",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w3"), F.col("cu").alias("c3"))),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    term = F.expr(
+        f"CASE WHEN c123 IS NOT NULL THEN (c123 * {scale}) DIV c12 "
+        f"WHEN c23 IS NOT NULL THEN (((c23 * {scale}) DIV c2) * 2) DIV 5 "
+        f"ELSE (((c3 * {scale}) DIV n_total) * 4) DIV 25 END"
+    )
+    path = F.expr(
+        "CASE WHEN c123 IS NOT NULL THEN 'tri' "
+        "WHEN c23 IS NOT NULL THEN 'bi' ELSE 'uni' END"
+    )
+    return (
+        scored.select("doc_id", term.alias("_t"), path.alias("_p"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum((F.col("_p") == "tri").cast("int")).cast("long").alias("n_tri"),
+            F.sum((F.col("_p") == "bi").cast("int")).cast("long").alias("n_bi"),
+            F.sum((F.col("_p") == "uni").cast("int")).cast("long").alias("n_uni"),
+            F.sum("_t").cast("long").alias("score_scaled"),
+        )
+    )

@@ -515,3 +515,54 @@ def image_dhash(manifest: DataFrame) -> DataFrame:
             )
 
     return manifest.mapInPandas(hashes, "media_id bigint, dhash bigint")
+
+
+def audio_silence_runs(
+    manifest: DataFrame,
+    frame_samples: int = 64,
+    threshold_permille: int = 950,
+) -> DataFrame:
+    """Maximal runs of LOW-energy PCM16 frames per media — the
+    silence-detection / silence-trim primitive over
+    :func:`audio_energy_frames`: a frame is "silent" when its energy
+    falls below ``threshold_permille``/1000 of the media's own mean
+    frame energy (relative, because absolute loudness varies per
+    recording — the standard VAD normalization), and consecutive
+    silent frames merge into one run. Output ``(media_id,
+    start_frame, end_frame, n_frames)``.
+
+    Exactness: the threshold is the CROSS-MULTIPLIED integer predicate
+    ``energy · 1000 · n_media_frames < Σenergy · threshold_permille``
+    — no division anywhere, so no truncation-order argument is needed
+    (the table_drift_report idiom); runs are gaps-and-islands on
+    frame_no (operators/runs.py discipline), deterministic on the
+    (media_id, frame_no) order. Media whose every frame clears the
+    threshold emit no row (stated contract).
+
+    Scale: one window pass partitioned by media_id over the
+    frame-stats frame (the frames themselves never shuffle — stats are
+    (id, 3 ints) rows); both the mean and the islands key on
+    media_id."""
+    frames = audio_energy_frames(manifest, frame_samples=frame_samples)
+    from pyspark.sql import Window
+
+    w_media = Window.partitionBy("media_id")
+    flagged = frames.select(
+        "media_id",
+        "frame_no",
+        (
+            F.col("energy_ssq")
+            * F.lit(1000)
+            * F.count(F.lit(1)).over(w_media)
+            < F.sum("energy_ssq").over(w_media) * F.lit(threshold_permille)
+        ).alias("_silent"),
+    ).filter(F.col("_silent"))
+    w_order = Window.partitionBy("media_id").orderBy("frame_no")
+    isl = flagged.withColumn(
+        "_isl", F.col("frame_no") - F.row_number().over(w_order)
+    )
+    return isl.groupBy("media_id", "_isl").agg(
+        F.min("frame_no").alias("start_frame"),
+        F.max("frame_no").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+    ).drop("_isl").select("media_id", "start_frame", "end_frame", "n_frames")

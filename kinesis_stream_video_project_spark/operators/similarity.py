@@ -490,3 +490,109 @@ def simhash_embedding_near_dups(
         .distinct()
     )
     return _pair_cosine_verify(pairs, corpus, threshold, corpus_id, vec)
+
+
+def sq8_bounds(corpus: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Per-dimension [min, max] of the corpus, assembled into ONE row of
+    two aligned arrays ``(mins, maxs)`` — the codebook of scalar (SQ8)
+    quantization. posexplode → 64-row (dim, mn, mx) aggregate →
+    array_sort reassembly (the centroids_by_label pattern)."""
+    per_dim = (
+        corpus.select(F.posexplode(vec).alias("dim", "c"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("c").cast("double")).alias("mn"),
+            F.max(F.col("c").cast("double")).alias("mx"),
+        )
+    )
+    return per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mn", "mx"))
+        ).alias("_b")
+    ).select(
+        F.transform("_b", lambda s: s.getField("mn")).alias("mins"),
+        F.transform("_b", lambda s: s.getField("mx")).alias("maxs"),
+    )
+
+
+def _sq8_quantize(vec: Column, mins: Column, maxs: Column) -> Column:
+    """Element-wise int8 code: floor((x−mn)/(mx−mn)·254 + 0.5) − 127
+    ∈ [−127, 127]; a degenerate dimension (mx == mn) codes to 0. The
+    float part is three IEEE double ops in fixed order on exact
+    f32-widened inputs — the embedding_gram determinism argument — then
+    scaled_long's floor(v+0.5) boundary convention."""
+    z = F.arrays_zip(vec.alias("_x"), mins.alias("_mn"), maxs.alias("_mx"))
+    return F.transform(
+        z,
+        lambda s: F.when(
+            s.getField("_mx") == s.getField("_mn"), F.lit(0).cast("long")
+        ).otherwise(
+            F.floor(
+                (s.getField("_x").cast("double") - s.getField("_mn"))
+                / (s.getField("_mx") - s.getField("_mn"))
+                * F.lit(254.0)
+                + F.lit(0.5)
+            ).cast("long")
+            - F.lit(127)
+        ),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Top-k by INT8 scalar-quantized dot product — the
+    memory-compression ANN tier (SQ8: 4× smaller vectors than f32, the
+    entry-level trick of every vector store's storage hierarchy, cf.
+    the scalar-quantization baseline in the FAISS/PQ literature
+    [Jégou et al., TPAMI 2011]). Corpus and queries quantize against
+    the CORPUS per-dim [min, max] codebook; scores are pure BIGINT
+    dot products of the int8 codes (≤ 64·127² ≈ 10^6 — exact in any
+    engine), rank = (score desc, id). The recall this trades is
+    measured in pytest against the exact cosine tier (the
+    ann_recall_eval discipline).
+
+    Scale: the codebook is ONE broadcast row (2×d doubles); corpus
+    codes compute in-scan (no shuffle); the broadcast query set scans
+    the corpus once; TakeOrdered-style window top-k per query.
+    At 100 TB the int8 codes are the STORED column — the f32 originals
+    stay cold — which is the entire point of the tier."""
+    b = F.broadcast(sq8_bounds(corpus, vec))
+    q = F.broadcast(
+        queries.crossJoin(b).select(
+            F.col(query_id),
+            _sq8_quantize(F.col(vec), F.col("mins"), F.col("maxs")).alias(
+                "_qq"
+            ),
+        )
+    )
+    c = corpus.crossJoin(b).select(
+        F.col(corpus_id),
+        _sq8_quantize(F.col(vec), F.col("mins"), F.col("maxs")).alias("_cq"),
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("_qq"), F.col("_cq"), lambda a, b2: a * b2),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = c.join(q, c[corpus_id] != q[query_id]).select(
+        query_id, corpus_id, score.alias("score_q")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score_q").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            "score_q",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

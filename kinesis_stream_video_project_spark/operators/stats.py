@@ -396,3 +396,46 @@ def rank_normalize(
             "ELSE ((_rank - 1) * 1000) DIV (_n - 1) END"
         ).alias("pct_permille"),
     )
+
+
+def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary — the
+    classic marketing-analytics quartile coding): per customer, the
+    ``n_tiles``-quantile bucket of (a) last order date, (b) order
+    count, (c) lifetime spend, plus ``segment_code = 100·r + 10·f + m``
+    — 64 possible segments at quartiles, '444' the most recent,
+    frequent, highest-spending cohort. Buckets are ascending (1 =
+    oldest / fewest / least — consumers flip if they want "4 = best"
+    on recency; stated, not implied).
+
+    Determinism: each ntile runs over a TOTAL order ((metric, custkey)
+    — ties broken by key), and ntile's bucket-split rule (earlier
+    buckets larger by at most one) is the SQL standard both engines
+    implement, so the coding is hash-exact. Monetary sums in
+    DECIMAL(18,2) (exact; the r2 DECIMAL lesson).
+
+    Scale: the windows run over the PER-CUSTOMER aggregate
+    (|customers| rows, ~1.5% of orders), not the fact table — the
+    token_budget_waterfall ledger discipline. For a customer dimension
+    too big for one window partition, replace each ntile with the
+    two-phase 256-bucket distributed rank (operators/sampling.py::
+    corpus_shuffle's trick); the registered form states the simple
+    plan because the aggregate IS small here."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_r"),
+        F.count(F.lit(1)).alias("_f"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_m"),
+    )
+    w_r = Window.orderBy("_r", "o_custkey")
+    w_f = Window.orderBy("_f", "o_custkey")
+    w_m = Window.orderBy("_m", "o_custkey")
+    coded = per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        F.ntile(n_tiles).over(w_r).cast("long").alias("r_q"),
+        F.ntile(n_tiles).over(w_f).cast("long").alias("f_q"),
+        F.ntile(n_tiles).over(w_m).cast("long").alias("m_q"),
+    )
+    return coded.withColumn(
+        "segment_code",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("long"),
+    )
