@@ -237,18 +237,36 @@ def _run_stable(spark, specs, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def _run_rotation(spark, specs, sf_dir: str) -> dict[str, float]:
+def _run_rotation(spark, specs, sf_dir: str) -> tuple[dict, dict]:
+    """Returns (rotation, rotation_warm). Rotation numbers time
+    construction + materialization per run (min of 2) — comparable to
+    every prior round's artifact, and the only honest span for the
+    eager-construction iterative queries. For the head entries the
+    second map adds WARM re-execution of one already-analyzed plan
+    (min of 2): the giant-expression queries (simhash 32×64-literal
+    projection) pay ~2 s of Catalyst analysis per fresh fn() call,
+    which the cons+mat span charges on every run while a real
+    deployment compiles once — rotation_warm is the steady-state plan
+    cost the stable set reports (r8: simhash 3.5 cons+mat vs 1.0-1.2
+    warm, plan-identical)."""
     rotation: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in BENCH_ROTATION:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            df = specs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         rotation[name] = round(best, 3)
-    return rotation
+        if name in BENCH_ROTATION_HEAD:
+            wbest = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                wbest = min(wbest, time.perf_counter() - t0)
+            warm[name] = round(wbest, 3)
+    return rotation, warm
 
 
 def _run_part(part: str) -> None:
@@ -266,12 +284,12 @@ def _run_part(part: str) -> None:
     specs[BENCH_QUERIES[0]].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    timings = (
-        _run_stable(spark, specs, sf_dir)
-        if part == "stable"
-        else _run_rotation(spark, specs, sf_dir)
-    )
-    print(json.dumps({"queries": timings}))
+    if part == "stable":
+        payload = {"queries": _run_stable(spark, specs, sf_dir)}
+    else:
+        rotation, warm = _run_rotation(spark, specs, sf_dir)
+        payload = {"queries": rotation, "warm": warm}
+    print(json.dumps(payload))
     spark.stop()
 
 
@@ -298,11 +316,13 @@ def main() -> None:
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip().split("\r")[-1]
             if line.startswith("{"):
-                return json.loads(line)["queries"]
+                return json.loads(line)
         raise RuntimeError(f"bench part {part}: no JSON line in output")
 
-    timings = child("stable")
-    rotation = child("rotation")
+    timings = child("stable")["queries"]
+    rot_payload = child("rotation")
+    rotation = rot_payload["queries"]
+    rotation_warm = rot_payload.get("warm", {})
     total = round(sum(timings.values()), 3)
 
     # Key ORDER is load-bearing (VERDICT r5 item 4 + r7 item 3): the round
@@ -324,6 +344,7 @@ def main() -> None:
                 "rotation_head": {
                     k: rotation[k] for k in BENCH_ROTATION_HEAD if k in rotation
                 },
+                "rotation_warm": rotation_warm,
                 "stable": timings,
                 "value": total,
             }
