@@ -128,3 +128,99 @@ def bloom_decontaminate(
         .cast("long")
         .alias("n_false_positives"),
     )
+
+
+_POW32 = [1 << i for i in range(32)]
+
+
+def bloom_bitmap(eval_docs: DataFrame, n: int = 5) -> DataFrame:
+    """The PHYSICAL Bloom filter: one row holding a ``map<int, long>``
+    of 32-bit words covering the m-bit array (word w = bits
+    [32w, 32w+32); absent word = 0) — the m/8-byte broadcast payload
+    the module docstring promises. 32-bit words, not 64: dynamic bit
+    tests below run through a power-of-two lookup + bitwiseAND, and
+    staying under 2^31 keeps every word a positive long in BOTH
+    engines (bit 63 of a packed 64-bit word would need sign-aware
+    arithmetic)."""
+    ev = _doc_grams(eval_docs, n)
+    pows = F.array(*[F.lit(p) for p in _POW32])
+    pos = ev.select(
+        F.explode(F.array(*bloom_positions(F.col("g")))).alias("p")
+    ).distinct()
+    words = pos.groupBy((F.col("p") / 32).cast("int").alias("w")).agg(
+        F.bit_or(
+            F.element_at(pows, (F.col("p") % 32).cast("int") + 1)
+        ).alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("w", "bits")))
+        ).alias("_bm")
+    )
+
+
+def bloom_scores_rowlocal(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Per-doc Bloom contamination counts computed ROW-LOCALLY against
+    the broadcast bitmap: ``(doc_id, n_grams, n_bloom_hits)`` — the
+    INGEST-TIME form of :func:`bloom_decontaminate`. No explode, no
+    join per gram: each row derives its distinct grams in an array,
+    tests all k bit positions per gram via element_at + bitwiseAND on
+    the one-row map, and emits its counts — so the operator is
+    STATELESS and works identically on a batch frame or a streaming
+    frame (stream-static cross join against the 1-row bitmap; this is
+    what "decontaminate at ingest" means at 100 TB — an 8 KB filter
+    riding every executor, zero shuffle on the document stream).
+    n_true_hits needs the exact eval gram set and is deliberately NOT
+    here — not carrying the exact set is the point of the Bloom tier;
+    the batch audit form measures the FP gap offline.
+
+    Bloom-hit decisions are bit-identical to bloom_decontaminate's
+    position-set join (pinned): same md5 positions, and bitmap-bit-set
+    ⟺ position-in-set by construction. Docs under ``n`` tokens emit
+    no row (same contract)."""
+    pows = F.array(*[F.lit(p) for p in _POW32])
+
+    def bit_set(p):
+        word = F.coalesce(
+            F.element_at(F.col("_bm"), (p / 32).cast("int")), F.lit(0)
+        )
+        bit = F.element_at(pows, (p % 32).cast("int") + 1)
+        return word.bitwiseAND(bit) != 0
+
+    def gram_hits(g):
+        h = F.md5(g)
+        checks = [
+            bit_set(
+                F.conv(F.substring(h, 1 + 5 * j, 5), 16, 10).cast("long")
+                % F.lit(M_BITS)
+            )
+            for j in range(K_HASHES)
+        ]
+        out = checks[0]
+        for c in checks[1:]:
+            out = out & c
+        return out
+
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, F.lit(n))),
+        )
+    )
+    staged = toked.select("doc_id", grams.alias("_grams")).crossJoin(
+        F.broadcast(bloom_bitmap(eval_docs, n))
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_grams").cast("long").alias("n_grams"),
+        F.size(F.filter("_grams", gram_hits)).cast("long").alias(
+            "n_bloom_hits"
+        ),
+    )

@@ -596,3 +596,66 @@ def sq8_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def sq8_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: SQ8 int8 shortlist → EXACT cosine rerank —
+    the coarse-to-fine pattern every production vector store runs (scan
+    the cheap quantized codes for a ``shortlist``, pay full-precision
+    distance only on shortlist·|queries| pairs). Output
+    ``(query_id, vec_id, cos_sim, rank)`` with the cosine_topk ranking
+    discipline (r4-rounded cosine desc, id tiebreak).
+
+    Quality composition: stage-2 ordering among surviving candidates is
+    EXACT, so rerank@k recall equals the shortlist's recall@k ceiling —
+    the pinned claim is rerank-recall ≥ sq8-topk-recall at the same k
+    (reranking can only fix quantized ordering mistakes, never add
+    misses).
+
+    Scale: stage 1 is :func:`sq8_topk`'s int8 scan (the stored-code
+    tier); stage 2 joins the ≤ shortlist·|queries| id pairs back to the
+    f32 vectors (the cold column, touched for 50 rows per query instead
+    of the corpus) and windows per query."""
+    short = sq8_topk(
+        queries, corpus, k=shortlist, query_id=query_id,
+        corpus_id=corpus_id, vec=vec,
+    ).select(query_id, corpus_id)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id),
+            F.col(vec).alias("_qvec"),
+            l2_norm(F.col(vec)).alias("_qnorm"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec).alias("_cvec"),
+        l2_norm(F.col(vec)).alias("_cnorm"),
+    )
+    cos = dot(F.col("_qvec"), F.col("_cvec")) / (
+        F.col("_qnorm") * F.col("_cnorm")
+    )
+    scored = (
+        short.join(c, corpus_id)
+        .join(q, query_id)
+        .select(query_id, corpus_id, r4(cos).alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id, corpus_id, "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -752,3 +752,189 @@ def test_rfm_oracle_shape_matches(spark, sf_dir):
     assert list(got.columns) == list(want.columns)
     assert got.equals(want) and len(got) > 0
     assert pdf["segment_code"].nunique() >= 10
+
+
+# ---------------------------------------------------------------------------
+# Two-stage SQ8 shortlist -> exact rerank
+# ---------------------------------------------------------------------------
+
+RERANK_ORACLE_SHAPE = """
+WITH bounds AS (
+  SELECT i.i AS dim, MIN(CAST(e.embedding[i.i] AS DOUBLE)) AS mn,
+         MAX(CAST(e.embedding[i.i] AS DOUBLE)) AS mx
+  FROM embeddings e, UNNEST(generate_series(1, 64)) AS i(i)
+  GROUP BY i.i
+),
+codes AS (
+  SELECT v.vec_id, i.i AS dim,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE CAST(floor((CAST(v.embedding[i.i] AS DOUBLE) - b.mn)
+                              / (b.mx - b.mn) * 254.0 + 0.5) AS BIGINT) - 127
+         END AS code
+  FROM embeddings v, UNNEST(generate_series(1, 64)) AS i(i)
+  JOIN bounds b ON b.dim = i.i
+),
+q_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         CAST(SUM(q.code * c.code) AS BIGINT) AS score_q
+  FROM codes q JOIN codes c USING (dim)
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score_q DESC, vec_id) AS r
+    FROM q_scored
+  ) WHERE r <= 50
+),
+reranked AS (
+  SELECT s.query_id, s.vec_id,
+         (floor((
+            list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(qv.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(cv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))))
+          ) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+  FROM short s
+  JOIN embeddings qv ON qv.vec_id = s.query_id
+  JOIN embeddings cv ON cv.vec_id = s.vec_id
+)
+SELECT query_id, vec_id, cos_sim,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+       ) AS BIGINT) AS rank
+FROM reranked
+QUALIFY rank <= 10
+"""
+
+
+def test_sq8_rerank_oracle_shape_matches(spark, sf_dir):
+    """Bit-exact vs the DuckDB two-stage replay (int8 shortlist of 50,
+    exact r4-rounded cosine rerank to 10)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.operators import similarity as sim
+
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = _rendered(sim.sq8_rerank_topk(q, e, k=10, shortlist=50).toPandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = _rendered(con.sql(RERANK_ORACLE_SHAPE).df())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) == 50
+
+
+def test_sq8_rerank_dominates_raw_sq8(spark, sf_dir):
+    """The composition claim: reranking the shortlist with exact cosine
+    can only FIX quantized-ordering mistakes, never add misses — so
+    rerank recall@10 (vs the exact tier) >= raw sq8 recall@10, and the
+    reranked list's per-query cosine ordering is exact among
+    candidates."""
+    from kinesis_stream_video_project_spark.operators import similarity as sim
+
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.cosine_topk(q, e, k=10).select("query_id", "vec_id")
+    raw = sim.sq8_topk(q, e, k=10).select("query_id", "vec_id")
+    rer = sim.sq8_rerank_topk(q, e, k=10, shortlist=50).select(
+        "query_id", "vec_id"
+    )
+    raw_overlap = raw.join(exact, ["query_id", "vec_id"], "left_semi").count()
+    rer_overlap = rer.join(exact, ["query_id", "vec_id"], "left_semi").count()
+    assert rer_overlap >= raw_overlap
+    assert rer_overlap >= 0.7 * 50
+
+
+# ---------------------------------------------------------------------------
+# Row-local / streaming Bloom scorer (the physical-bitmap form)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_rowlocal_equals_join_form(spark, sf_dir):
+    """The physical-bitmap row-local scorer must make bit-identical
+    bloom decisions to the position-set join form on the fixture split
+    (bitmap-bit-set ⟺ position-in-set by construction; this pins the
+    packing arithmetic — 32-bit words, power lookup, bitwiseAND)."""
+    from kinesis_stream_video_project_spark.operators import bloom
+    from kinesis_stream_video_project_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    d = io.load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    train, ev = d.filter(b < 80), d.filter(b >= 90)
+    want = {
+        r.doc_id: (r.n_grams, r.n_bloom_hits)
+        for r in bloom.bloom_decontaminate(train, ev).collect()
+    }
+    got = {
+        r.doc_id: (r.n_grams, r.n_bloom_hits)
+        for r in bloom.bloom_scores_rowlocal(train, ev).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bloom_rowlocal_streaming_drain(spark, tmp_path):
+    """The same operator applied to a STREAMING frame: two-file
+    availableNow drain scores every arriving doc against the broadcast
+    bitmap (stream-static, stateless) and matches the batch run on the
+    union — the decontaminate-at-ingest path."""
+    import time
+
+    rows1 = [(1, "a b c d e f g"), (2, "q r s t u v")]
+    rows2 = [(3, "a b c d e zzz"), (4, "m n o p q r s")]
+    ev_rows = [(100, "a b c d e")]
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f2"))
+
+    from kinesis_stream_video_project_spark.operators import bloom
+
+    ev = spark.createDataFrame(ev_rows, schema)
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = bloom.bloom_scores_rowlocal(stream, ev)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_grams, r.n_bloom_hits)
+        for r in spark.sql("SELECT * FROM bloom_stream_out").collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r.doc_id, r.n_grams, r.n_bloom_hits)
+        for r in bloom.bloom_scores_rowlocal(batch, ev).collect()
+    }
+    assert got == want and len(got) == 4
+    # doc 1 contains the eval 5-gram -> at least one bloom hit
+    assert any(d == 1 and nb >= 1 for d, _ng, nb in got)
