@@ -1884,3 +1884,152 @@ def heavy_hitters_stream_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+_RATELIMIT_OUT_SCHEMA = (
+    StructType()
+    .add("user_id", "long")
+    .add("ts_us", "long")
+    .add("event_id", "long")
+    .add("admitted", "boolean")
+    .add("tokens_us_after", "long")
+)
+_RATELIMIT_STATE_SCHEMA = (
+    StructType().add("tokens_us", "long").add("last_us", "long")
+)
+
+
+def rate_limit_stream(
+    events: DataFrame,
+    refill_tokens: int = 1,
+    per_seconds: int = 14400,
+    capacity_tokens: int = 2,
+    cost_tokens: int = 1,
+) -> DataFrame:
+    """ONLINE per-key token-bucket admission: emit ``(user_id, ts_us,
+    event_id, admitted, tokens_us_after)`` for every arriving event —
+    the seventh op carried on BOTH stateful APIs. The fold is
+    ``operators.ratelimit.token_bucket_fold`` verbatim (all-integer
+    token-µs arithmetic; see its module doc for the semantics and the
+    full-bucket cold-start contract), so the online decisions equal the
+    batch replay's when each key's events arrive in event-time order;
+    intra-batch disorder is absorbed by the (ts, event_id) sort, and a
+    cross-batch straggler older than last_us refills NEGATIVELY — the
+    fold clamps nothing there by design, so feed in-order streams (the
+    per-shard Kinesis guarantee) or front a reorder buffer.
+
+    State: two BIGINTs per key, NoTimeout (a limiter must remember its
+    bucket as long as the key lives; 16 B/key is the floor)."""
+    from kinesis_stream_video_project_spark.operators.ratelimit import (
+        token_bucket_fold,
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        tokens_us, last_us = state.get if state.exists else (0, -1)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        batch = pd.concat(frames, ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        rows = list(
+            zip(
+                (batch["ts"].astype("int64") // 1000).tolist(),
+                batch["event_id"].astype("int64").tolist(),
+            )
+        )
+        tokens_us, last_us, emits = token_bucket_fold(
+            tokens_us, last_us, rows, refill_tokens, per_seconds,
+            capacity_tokens, cost_tokens,
+        )
+        state.update((int(tokens_us), int(last_us)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)] * len(emits),
+                "ts_us": [e[0] for e in emits],
+                "event_id": [e[1] for e in emits],
+                "admitted": [e[2] for e in emits],
+                "tokens_us_after": [e[3] for e in emits],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RATELIMIT_OUT_SCHEMA,
+        stateStructType=_RATELIMIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rate_limit_stream_tws(
+    events: DataFrame,
+    refill_tokens: int = 1,
+    per_seconds: int = 14400,
+    capacity_tokens: int = 2,
+    cost_tokens: int = 1,
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`rate_limit_stream` — shared fold, only the state plumbing
+    differs; decision-set equality is pytest-pinned on the same
+    drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from kinesis_stream_video_project_spark.operators.ratelimit import (
+        token_bucket_fold,
+    )
+
+    class RateLimitProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "bucket", _RATELIMIT_STATE_SCHEMA
+            )
+
+        def handleInputRows(
+            self, key, rows, timerValues
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            held = self._state.get()
+            tokens_us, last_us = held if held is not None else (0, -1)
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])
+            rws = list(
+                zip(
+                    (batch["ts"].astype("int64") // 1000).tolist(),
+                    batch["event_id"].astype("int64").tolist(),
+                )
+            )
+            tokens_us, last_us, emits = token_bucket_fold(
+                tokens_us,
+                last_us,
+                rws,
+                refill_tokens,
+                per_seconds,
+                capacity_tokens,
+                cost_tokens,
+            )
+            self._state.update((int(tokens_us), int(last_us)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(user_id)] * len(emits),
+                    "ts_us": [e[0] for e in emits],
+                    "event_id": [e[1] for e in emits],
+                    "admitted": [e[2] for e in emits],
+                    "tokens_us_after": [e[3] for e in emits],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RateLimitProcessor(),
+        outputStructType=_RATELIMIT_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -938,3 +938,164 @@ def test_bloom_rowlocal_streaming_drain(spark, tmp_path):
     assert got == want and len(got) == 4
     # doc 1 contains the eval 5-gram -> at least one bloom hit
     assert any(d == 1 and nb >= 1 for d, _ng, nb in got)
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate limiting (7th both-API stateful op)
+# ---------------------------------------------------------------------------
+
+RATELIMIT_ORACLE_SHAPE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+fold AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS tokens_us,
+         CAST(-1 AS BIGINT) AS last_us,
+         CAST(NULL AS BIGINT) AS ts_us, CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS BOOLEAN) AS admitted
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         CASE WHEN (CASE WHEN f.last_us < 0 THEN {cap}
+                    ELSE LEAST({cap}, f.tokens_us
+                         + ((e.ts_us - f.last_us) * {refill}) // {per_s}) END)
+                   >= {cost}
+              THEN (CASE WHEN f.last_us < 0 THEN {cap}
+                    ELSE LEAST({cap}, f.tokens_us
+                         + ((e.ts_us - f.last_us) * {refill}) // {per_s}) END)
+                   - {cost}
+              ELSE (CASE WHEN f.last_us < 0 THEN {cap}
+                    ELSE LEAST({cap}, f.tokens_us
+                         + ((e.ts_us - f.last_us) * {refill}) // {per_s}) END)
+         END,
+         e.ts_us, e.ts_us, e.event_id,
+         (CASE WHEN f.last_us < 0 THEN {cap}
+               ELSE LEAST({cap}, f.tokens_us
+                    + ((e.ts_us - f.last_us) * {refill}) // {per_s}) END)
+         >= {cost}
+  FROM fold f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+)
+SELECT user_id, ts_us, event_id, admitted, tokens_us AS tokens_us_after
+FROM fold WHERE rn > 0
+"""
+
+
+def _rl_oracle(cap_tokens=2, cost_tokens=1, refill=1, per_s=14400):
+    return RATELIMIT_ORACLE_SHAPE.format(
+        cap=cap_tokens * 1_000_000,
+        cost=cost_tokens * 1_000_000,
+        refill=refill,
+        per_s=per_s,
+    )
+
+
+def test_token_bucket_fold_handchecked():
+    """cap 2, cost 1, 1 token/10 s: cold start = full bucket (2). Burst
+    of 3 at t=0: admit, admit, REJECT (reject spends nothing). +5 s:
+    half a token — still reject. +10 s more: 1.5 tokens — admit (0.5
+    left). +100 s: clamped to cap, admit."""
+    from kinesis_stream_video_project_spark.operators.ratelimit import (
+        token_bucket_fold,
+    )
+
+    S = 1_000_000
+    rows = [
+        (0, 1), (0, 2), (0, 3),
+        (5 * S, 4),
+        (15 * S, 5),
+        (115 * S, 6),
+    ]
+    _t, _l, emits = token_bucket_fold(0, -1, rows, 1, 10, 2, 1)
+    assert [(e[1], e[2], e[3]) for e in emits] == [
+        (1, True, 1 * S),
+        (2, True, 0),
+        (3, False, 0),
+        (4, False, S // 2),
+        (5, True, S // 2),      # 0.5 + 1.0 gained - 1 cost
+        (6, True, 1 * S),       # clamped to 2, spend 1
+    ]
+
+
+def test_rate_limit_oracle_shape_matches(spark, sf_dir):
+    """The batch twin vs the recursive-CTE DuckDB fold at the probed
+    registration parameters (1 token/4 h, cap 2 — 5.3-5.7% rejected at
+    every SF; 1/7200/3 was probed at 0.1-0.7%, too thin to be a
+    meaningful gate)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.operators import ratelimit as rl
+
+    ev = io.load_table(spark, sf_dir, "events")
+    pdf = rl.rate_limit_decisions(ev).toPandas()
+    got = _rendered(pdf)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = _rendered(con.sql(_rl_oracle()).df())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) > 0
+    n_rej = (~pdf["admitted"]).sum()
+    assert n_rej > 0 and n_rej < len(pdf)
+
+
+def test_rate_limit_stream_equals_batch_both_apis(spark, tmp_path):
+    """Two-file event-time-ordered drain through BOTH stateful APIs
+    equals the batch replay decision-for-decision (shared fold; the
+    two-API discipline's seventh op)."""
+    import datetime as dt
+    import time
+
+    from kinesis_stream_video_project_spark.operators import ratelimit as rl
+    from kinesis_stream_video_project_spark.streaming import jobs
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    mk = lambda s, u, i: (i, base + dt.timedelta(seconds=s), u, "e")
+    rows1 = [mk(0, 1, 1), mk(1, 1, 2), mk(2, 1, 3), mk(0, 2, 4)]
+    rows2 = [mk(20000, 1, 5), mk(40000, 2, 6), mk(40001, 2, 7)]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = tmp_path / "rl_src"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        (r.user_id, r.ts_us, r.event_id, r.admitted, r.tokens_us_after)
+        for r in rl.rate_limit_decisions(
+            batch, refill_tokens=1, per_seconds=10000, capacity_tokens=2
+        ).collect()
+    }
+    for name, fn in [
+        ("gs", jobs.rate_limit_stream),
+        ("tws", jobs.rate_limit_stream_tws),
+    ]:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        out = fn(
+            stream, refill_tokens=1, per_seconds=10000, capacity_tokens=2
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"rl_out_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_rl_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.ts_us, r.event_id, r.admitted, r.tokens_us_after)
+            for r in spark.sql(f"SELECT * FROM rl_out_{name}").collect()
+        }
+        assert got == want, name
+    # the crafted sequence exercises both outcomes
+    assert any(not a for _u, _t, _e, a, _k in want)
+    assert any(a for _u, _t, _e, a, _k in want)
