@@ -97,6 +97,14 @@ BENCH_ROTATION = [
     "image_dhash",
     "funnel_user_advances",
     "heavy_hitters_certificate",
+    # early round-9 registrations (first timed row the round a query
+    # is born)
+    "bloom_decontaminate",
+    "stupid_backoff_score",
+    "ngram_novelty",
+    "sq8_rerank_topk",
+    "rate_limit_decisions",
+    "audio_silence_runs",
     # round-7 registrations re-measured (first-drift check)
     "error_followup_pairs",
     "bigram_surprisal_score",
@@ -155,7 +163,7 @@ BENCH_ROTATION = [
 # truncation): the new registrations' first timings plus the mandated
 # post-ReuseExchange re-timings. Emitted as a separate small map near the
 # END of the JSON line (see key-order note in main()).
-BENCH_ROTATION_HEAD = BENCH_ROTATION[:10] + [
+BENCH_ROTATION_HEAD = BENCH_ROTATION[:16] + [
     "near_dup_candidates_horizon",
     "simhash_bucket_pairs",
 ]
