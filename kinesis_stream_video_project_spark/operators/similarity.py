@@ -659,3 +659,188 @@ def sq8_rerank_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def pq_train_codes(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    n_iters: int = 1,
+    dims: int = 64,
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization training + encoding (Jégou/Douze/Schmid,
+    TPAMI 2011): split each vector into ``n_subspaces`` contiguous
+    sub-vectors, run deterministic Lloyd k-means per subspace
+    (init cell = vec_id % n_centroids — the kmeans_assign rule: no
+    RNG, reproducible anywhere; squared-L2 assignment with a
+    (distance, cell) tiebreak), and encode every vector as its
+    per-subspace nearest-centroid ids. Returns ``(codebooks, codes)``:
+    codebooks = (s, cell, centroid array), codes = (corpus_id, s,
+    code).
+
+    Memory story: at 8×16 the code is 8 nibbles = 4 BYTES per vector
+    against 256 bytes of f32 — the 64× compression tier below SQ8's
+    4×; the codebook is n_subspaces·n_centroids·(dims/n_subspaces)
+    doubles (4 KB here) and always broadcasts.
+
+    Scale: subspace slicing is row-local; each Lloyd iteration is one
+    (s, cell, dim)-keyed mean aggregate (map-side combine over
+    corpus×dims rows) plus one corpus-linear assignment against the
+    broadcast codebook — the distributed Lloyd step, n_iters a fixed
+    small constant (plan unrolls, no driver collect)."""
+    sub_d = dims // n_subspaces
+    subs = corpus.select(
+        F.col(corpus_id),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec), s * sub_d + 1, sub_d)
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("s", "_sv"),
+    ).select(
+        corpus_id,
+        "s",
+        F.transform("_sv", lambda x: x.cast("double")).alias("_sv"),
+    )
+    assigned = subs.withColumn(
+        "cell", (F.col(corpus_id) % n_centroids).cast("int")
+    )
+
+    def centroids_of(a: DataFrame) -> DataFrame:
+        per_dim = (
+            a.select("s", "cell", F.posexplode("_sv").alias("dim", "c"))
+            .groupBy("s", "cell", "dim")
+            .agg(F.avg("c").alias("mean_c"))
+        )
+        return (
+            per_dim.groupBy("s", "cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mean_c"))
+                ).alias("_p")
+            )
+            .select(
+                "s",
+                "cell",
+                F.transform("_p", lambda p: p.getField("mean_c")).alias(
+                    "centroid"
+                ),
+            )
+        )
+
+    def assign(a: DataFrame, cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("_sv"), F.col("centroid"), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = a.drop("cell").join(
+            F.broadcast(cents.withColumnRenamed("cell", "_cc")), "s"
+        )
+        w = Window.partitionBy(corpus_id, "s").orderBy(
+            d2.asc(), F.col("_cc").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(corpus_id, "s", "_sv", F.col("_cc").alias("cell"))
+        )
+
+    cents = centroids_of(assigned)
+    for _ in range(n_iters):
+        assigned = assign(subs, cents)
+        cents = centroids_of(assigned)
+    codes = assign(subs, cents).select(
+        corpus_id, "s", F.col("cell").alias("code")
+    )
+    return cents, codes
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    dims: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (the ADC of Jégou et al.): the
+    query stays FULL PRECISION; each corpus vector is its 4-byte PQ
+    code; score(q, v) = Σ_s dot(q_s, codebook[s][code_s(v)]) via a
+    per-query LOOKUP TABLE of |queries|·n_subspaces·n_centroids
+    precomputed partial dots — scoring a vector is 8 table lookups +
+    adds, never a d-dim dot. Output (query_id, vec_id, score_q, rank),
+    r4-rounded score, (score desc, id) rank; recall vs the exact tier
+    is measured in pytest (the ann_tier_claims discipline).
+
+    Scale: the LUT is tiny and broadcasts; the scoring join keys codes
+    (4 B payloads) against it — the corpus's f32 column is never read
+    at query time. This completes the engine's quantization ladder:
+    IVF (prune WHERE you scan) → SQ8 (shrink every stored dim) → PQ
+    (shrink to sub-vector codes + LUT scoring)."""
+    cents, codes = pq_train_codes(
+        corpus,
+        n_subspaces=n_subspaces,
+        n_centroids=n_centroids,
+        dims=dims,
+        corpus_id=corpus_id,
+        vec=vec,
+    )
+    sub_d = dims // n_subspaces
+    qsubs = queries.select(
+        F.col(query_id),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec), s * sub_d + 1, sub_d)
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("s", "_qv"),
+    ).select(
+        query_id,
+        "s",
+        F.transform("_qv", lambda x: x.cast("double")).alias("_qv"),
+    )
+    lut = F.broadcast(
+        qsubs.join(cents, "s").select(
+            query_id,
+            "s",
+            F.col("cell").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("_qv"), F.col("centroid"), lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_pdot"),
+        )
+    )
+    scored = (
+        codes.join(lut, ["s", "code"])
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .groupBy(query_id, corpus_id)
+        .agg(r4(F.sum("_pdot")).alias("score_q"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score_q").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            "score_q",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
