@@ -105,6 +105,7 @@ BENCH_ROTATION = [
     "sq8_rerank_topk",
     "rate_limit_decisions",
     "audio_silence_runs",
+    "curation_pipeline_v4",
     # round-7 registrations re-measured (first-drift check)
     "error_followup_pairs",
     "bigram_surprisal_score",
@@ -163,7 +164,7 @@ BENCH_ROTATION = [
 # truncation): the new registrations' first timings plus the mandated
 # post-ReuseExchange re-timings. Emitted as a separate small map near the
 # END of the JSON line (see key-order note in main()).
-BENCH_ROTATION_HEAD = BENCH_ROTATION[:16] + [
+BENCH_ROTATION_HEAD = BENCH_ROTATION[:17] + [
     "near_dup_candidates_horizon",
     "simhash_bucket_pairs",
 ]

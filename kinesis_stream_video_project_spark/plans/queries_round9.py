@@ -422,3 +422,144 @@ def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass partitioned by media_id."""
     d = io.load_table(spark, sf_dir, "documents")
     return multimodal.audio_silence_runs(multimodal.media_manifest(d))
+
+
+# ---------------------------------------------------------------------------
+# 7. Curation pipeline v4 — the round's gates composed end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline_v4",
+    tags=("NS-curation", "O-29", "O-31", "O-08"),
+    oracle="""
+WITH tg AS (
+  SELECT * FROM documents
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100) < 80
+),
+ev AS (
+  SELECT * FROM documents
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100) >= 90
+),
+evg AS (
+  SELECT DISTINCT array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ') AS g
+  FROM ev, UNNEST(generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1))) AS u(i)
+  WHERE len(string_split(text, ' ')) >= 5
+),
+tgg AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, UNNEST(list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')))) AS g
+    FROM tg
+  ) WHERE len(string_split(g, ' ')) = 5
+),
+contaminated AS (SELECT DISTINCT doc_id FROM tgg WHERE g IN (SELECT g FROM evg)),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM tg),
+posts AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+  FROM (
+    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 7),
+           i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+    FROM toks WHERE len(t) >= 8
+  )
+),
+fst AS (SELECT gh, MIN(doc_id) AS fd FROM posts GROUP BY 1),
+nov AS (
+  SELECT doc_id, COUNT(*) AS ng,
+         SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS nn
+  FROM posts JOIN fst USING (gh) GROUP BY doc_id
+),
+pos AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+),
+tric AS (SELECT w1, w2, w3, COUNT(*) AS c FROM pos GROUP BY 1, 2, 3),
+trik AS (SELECT w1, w2, w3 FROM tric ORDER BY c DESC, w1, w2, w3 LIMIT 2000),
+cov AS (
+  SELECT p.doc_id, COUNT(*) AS np,
+         SUM(CASE WHEN k.w1 IS NOT NULL THEN 1 ELSE 0 END) AS nt
+  FROM pos p LEFT JOIN trik k
+    ON k.w1 = p.w1 AND k.w2 = p.w2 AND k.w3 = p.w3
+  GROUP BY 1
+),
+kept AS (
+  SELECT t.doc_id, t.source, len(string_split(t.text, ' ')) AS n_toks,
+         (nov.nn * 1000) // nov.ng AS nov_pm,
+         (cov.nt * 1000) // cov.np AS cov_pm
+  FROM tg t
+  JOIN nov ON nov.doc_id = t.doc_id
+  JOIN cov ON cov.doc_id = t.doc_id
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND (nov.nn * 1000) // nov.ng >= 200
+    AND (cov.nt * 1000) // cov.np >= 100
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept,
+       CAST(SUM(nov_pm) // COUNT(*) AS BIGINT) AS mean_novelty_permille,
+       CAST(SUM(cov_pm) // COUNT(*) AS BIGINT) AS mean_tri_permille
+FROM kept GROUP BY source
+""",
+)
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation over THIS round's gates, composed from the
+    SAME registered stages a user runs individually (the v2/v3
+    discipline, applied to the documents side): (1) EXACT eval-set
+    decontamination — drop any train-split doc sharing a 5-gram with
+    the held-out split (the decontaminate_ngram_overlap join; the
+    Bloom tier is its ingest-time approximation and deliberately NOT
+    the pipeline gate — at sf0.1 the m=2^16 filter saturates and its
+    FPs would reject 99.7% of the corpus, which is the audit query's
+    point); (2) NOVELTY floor — ngram_novelty ≥ 200‰ (drop docs whose
+    8-grams are ≥80% covered by earlier docs); (3) LM-coverage gate —
+    stupid-backoff tri-path coverage ≥ 100‰ (docs the budget-pruned
+    model can barely trigram-cover are unrepresentative/shuffled
+    text). Emits the per-source clean-corpus budget: docs, tokens, and
+    all-integer mean novelty/coverage permilles. Funnel probed
+    non-degenerate at every SF: 395→372, 395→365, 3965→2482 docs.
+
+    Scale: each stage is its registered operator's plan (broadcast
+    eval grams; one hash-keyed postings shuffle; broadcast model
+    tables); the composition adds only doc_id-keyed joins of per-doc
+    gate columns and a |sources|-row summary."""
+    from kinesis_stream_video_project_spark.functions.text import tokens as _tokens
+
+    d = io.load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    train, ev = d.filter(b < 80), d.filter(b >= 90)
+    ev_grams = F.broadcast(bloom._doc_grams(ev).select("g").distinct())
+    contaminated = (
+        bloom._doc_grams(train)
+        .join(ev_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    nov = dd.ngram_novelty(train).select("doc_id", "novelty_permille")
+    cov = lm.stupid_backoff_scores(train).select(
+        "doc_id",
+        F.expr("CAST((n_tri * 1000) DIV n_positions AS BIGINT)").alias(
+            "_cov_pm"
+        ),
+    )
+    kept = (
+        train.select(
+            "doc_id", "source", F.size(_tokens(F.col("text"))).alias("_nt")
+        )
+        .join(contaminated, "doc_id", "left_anti")
+        .join(nov, "doc_id")
+        .join(cov, "doc_id")
+        .filter(
+            (F.col("novelty_permille") >= 200) & (F.col("_cov_pm") >= 100)
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("_nt").cast("long").alias("n_tokens_kept"),
+        F.expr(
+            "CAST(SUM(novelty_permille) DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_novelty_permille"),
+        F.expr("CAST(SUM(_cov_pm) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_tri_permille"
+        ),
+    )

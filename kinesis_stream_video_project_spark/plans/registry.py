@@ -63,7 +63,7 @@ def register(
 # round. Cross-round state entering r8: 203 registered (193 + the 10
 # round-8-window registrations below), every pre-r8 query has a green HASH
 # row, latest-green distribution r7=50, r6=50, r5=49, r4=44 (VERDICT r7).
-# The r8 window is budgeted 10+6+34:
+# The r8 window is budgeted 10+7+33:
 # (a) the 10 NEW round-8 registrations (queries_round8b.py — the r8
 #     operator queue promoted: bpe_merge_topk, audio_energy_frames,
 #     sssp_bounded, session_paths, source_overlap_matrix, rank_normalize,
@@ -71,13 +71,15 @@ def register(
 #     funnel_user_advances and heavy_hitters_certificate that put the
 #     online funnel / heavy-hitters tiers under the hash gate) — a query
 #     registered in round N must be in round N's window;
-# (b) 6 EARLY round-9 registrations (queries_round9.py — the r7
+# (b) 7 EARLY round-9 registrations (queries_round9.py — the r7
 #     precedent: slots on never-driver-checked queries dominate
 #     refresh slots): bloom_decontaminate, stupid_backoff_score,
 #     ngram_novelty, sq8_rerank_topk, rate_limit_decisions,
-#     audio_silence_runs;
-# (c) 34 of the 44 queries whose latest green row dates from r4
-#     (VERDICT r7 item 2). Each of the 10 deferred to the r9 window
+#     audio_silence_runs, plus curation_pipeline_v4 (the round's gates
+#     composed end to end — its slot comes from chunk_documents, whose
+#     packing family is covered by sliding_chunks IN THIS WINDOW);
+# (c) 33 of the 44 queries whose latest green row dates from r4
+#     (VERDICT r7 item 2). Each of the 11 deferred to the r9 window
 #     head has a SIBLING query covering the same operator family green
 #     at r5+: array_funcs (bpe_regex_tokens r6), datetime_funcs
 #     (datetime_funcs2 r5), math_funcs (cast_truncate r5), string_funcs
@@ -85,7 +87,8 @@ def register(
 #     (ann_tier_claims r7 — the k-means IVF recall claims), cube_agg
 #     (grouping_sets_agg + rollup_agg r5), distinct_ops
 #     (approx_distinct r6), exists_correlated (scalar_subquery +
-#     in_subquery r5), filtered_cosine_topk (cosine_topk r6) — so no
+#     in_subquery r5), filtered_cosine_topk (cosine_topk r6),
+#     chunk_documents (sliding_chunks, r8-new in this window) — so no
 #     OPERATOR's newest evidence is r4 even where a query's row is.
 # Queries not listed keep registration order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -100,21 +103,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "image_dhash",
     "funnel_user_advances",
     "heavy_hitters_certificate",
-    # --- (b) early round-9 registrations (6) ---
+    # --- (b) early round-9 registrations (7) ---
     "bloom_decontaminate",
     "stupid_backoff_score",
     "ngram_novelty",
     "sq8_rerank_topk",
     "rate_limit_decisions",
     "audio_silence_runs",
-    # --- (c) the r4-latest staleness cohort (34 of 44; 10 family-covered
+    "curation_pipeline_v4",
+    # --- (c) the r4-latest staleness cohort (33 of 44; 11 family-covered
     #     entries defer to r9 — see the budget note above) ---
     "argmax_order_per_customer",
     "asof_probe_metric",
     "boilerplate_prefixes",
     "catalog_filter_project",
     "catalog_json_roundtrip",
-    "chunk_documents",
     "corpus_shuffle",
     "corpus_vocab_topk",
     "decontaminate_ngram_overlap",

@@ -1236,3 +1236,22 @@ def test_pq_recall_floor(spark, sf_dir):
     )
     exact = sim.cosine_topk(q, e, k=10).select("query_id", "vec_id")
     assert pq.join(exact, ["query_id", "vec_id"], "left_semi").count() >= 10
+
+
+def test_curation_pipeline_v4_registration_oracle(spark, sf_dir):
+    """The composed pipeline's registered Spark/oracle pair,
+    rendered-value exact (funnel probed non-degenerate at every SF:
+    395→372 / 395→365 / 3965→2482 docs kept)."""
+    import duckdb
+
+    from kinesis_stream_video_project_spark.plans import registry
+
+    spec = registry.all_queries()["curation_pipeline_v4"]
+    got = _rendered(spec.fn(spark, sf_dir).toPandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = _rendered(con.sql(spec.oracle).df())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) == 20
