@@ -429,3 +429,57 @@ def stupid_backoff_scores(
             F.sum("_t").cast("long").alias("score_scaled"),
         )
     )
+
+
+def good_turing_counts(docs: DataFrame, scale: int = 10**6) -> DataFrame:
+    """Frequency-of-frequencies spectrum + Turing-adjusted counts — the
+    input statistic of Good-Turing smoothing (Good, Biometrika 1953;
+    Gale & Sampson's "simple Good-Turing", J. Quant. Linguistics 1995)
+    and the standard vocabulary-growth / crawl-exhaustion diagnostic
+    next to ``ngram_novelty``'s per-doc curve.
+
+    For every observed term frequency ``r``: ``n_r`` = how many distinct
+    terms occur exactly r times, and the raw Turing estimate
+    ``r* = (r+1) * n_{r+1} / n_r`` carried as the scaled integer
+    ``((r+1) * n_{r+1} * scale) div n_r`` — truncating division,
+    hash-identical in any engine, no float. Where ``n_{r+1} = 0`` (the
+    gappy high-r tail) the raw estimate is 0; simple GT replaces those
+    by a log-log regression — a float fit that belongs to the consumer,
+    not the hash-gated spectrum (documented, not dead code). The r=1
+    mass ``n_1 / N`` is the Turing unseen-probability estimate; emitting
+    the spectrum lets the consumer read it off the first row.
+
+    Scale: the corpus scan aggregates to term counts (the ONE
+    key-cardinality shuffle, map-side combined); the spectrum is
+    ``|distinct r|`` rows — tens, log-distributed — so the r+1 lookup
+    is a broadcast self-join of a tiny frame, never a window over data.
+    """
+    term_counts = (
+        docs.select(F.explode_outer(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").isNotNull() & (F.col("w") != ""))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    spectrum = term_counts.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    nxt = spectrum.select(
+        (F.col("r") - F.lit(1)).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        spectrum.join(F.broadcast(nxt), "r", "left")
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            (
+                (F.col("r") + F.lit(1)).cast("long")
+                * F.coalesce(F.col("n_r1"), F.lit(0)).cast("long")
+                * F.lit(scale).cast("long")
+            ).alias("_num"),
+        )
+        .withColumn(
+            "r_star_scaled",
+            F.expr("_num DIV n_r").cast("long"),
+        )
+        .drop("_num")
+    )

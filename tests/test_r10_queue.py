@@ -1,0 +1,312 @@
+"""Round-10 registration queue: Count-Min sketch audit, Good-Turing
+frequency spectrum, Z-order locality audit, exact range-partition
+bounds — pytest-verified with validated DuckDB oracle shapes before
+registration (the paste-don't-debug discipline, fifth round running)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.operators import cms, layout
+from kinesis_stream_video_project_spark.operators.lm import good_turing_counts
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def _rendered(df_pandas):
+    cols = sorted(df_pandas.columns)
+    return (
+        df_pandas[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    )
+
+
+def _con(sf):
+    con = duckdb.connect()
+    for t in ("events", "documents", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_ORACLE_SHAPE = """
+WITH ev AS (SELECT user_id FROM events),
+exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM ev GROUP BY user_id),
+cells AS (
+  SELECT j,
+         (('0x' || substr(md5(j || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {w}) AS bucket,
+         COUNT(*) AS cnt
+  FROM ev, (SELECT UNNEST([0, 1, 2]) AS j)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT e.user_id, e.exact_cnt, MIN(s.cnt) AS cms_est
+  FROM exact e, (SELECT UNNEST([0, 1, 2]) AS j) d
+  JOIN cells s
+    ON s.j = d.j
+   AND s.bucket = (('0x' || substr(md5(d.j || ':' || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % {w})
+  GROUP BY 1, 2
+)
+SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
+def test_cms_bucket_portable(spark):
+    """Row-j buckets must equal DuckDB's md5-substring derivation."""
+    df = spark.createDataFrame([(42,), (7,)], "user_id long")
+    got = {
+        (r["user_id"], j): r[f"b{j}"]
+        for r in df.select(
+            "user_id",
+            *[cms.cms_bucket(F.col("user_id"), j, 16).alias(f"b{j}") for j in range(3)],
+        ).collect()
+        for j in range(3)
+    }
+    for (k, j), b in got.items():
+        want = duckdb.sql(
+            f"SELECT ('0x' || substr(md5('{j}:{k}'), 1, 8))::BIGINT % 16"
+        ).fetchone()[0]
+        assert b == want, (k, j, b, want)
+
+
+def test_cms_handchecked(spark):
+    """3 keys, width 2: every estimate >= exact, sum invariant per row."""
+    rows = [(1,)] * 5 + [(2,)] * 3 + [(3,)] * 2
+    df = spark.createDataFrame(rows, "user_id long")
+    sk = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms.cms_sketch(df, "user_id", width=2, depth=3).collect()
+    }
+    for j in range(3):
+        assert sum(v for (jj, _), v in sk.items() if jj == j) == 10
+    est = cms.cms_estimates(df, "user_id", width=2, depth=3).collect()
+    exact = {1: 5, 2: 3, 3: 2}
+    assert len(est) == 3
+    for r in est:
+        assert r["exact_cnt"] == exact[r["user_id"]]
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["overcount"] == r["cms_est"] - r["exact_cnt"]
+
+
+def test_cms_rejects_degenerate_params(spark):
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError):
+        cms.cms_sketch(df, "user_id", width=1)
+    with pytest.raises(ValueError):
+        cms.cms_sketch(df, "user_id", width=8, depth=0)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_cms_oracle_shape_matches(spark, sf):
+    got = cms.cms_estimates(
+        io.load_table(spark, sf, "events"), "user_id", width=16, depth=3
+    )
+    con = _con(sf)
+    want = con.sql(CMS_ORACLE_SHAPE.format(w=16)).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+    # one-sided error law over EVERY key
+    assert got.filter(F.col("cms_est") < F.col("exact_cnt")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies (Good 1953; Gale & Sampson 1995)
+# ---------------------------------------------------------------------------
+
+GT_ORACLE_SHAPE = """
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+tc AS (SELECT w, COUNT(*) AS r FROM toks WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+spec AS (SELECT r, COUNT(*) AS n_r FROM tc GROUP BY r)
+SELECT CAST(s.r AS BIGINT) AS r, CAST(s.n_r AS BIGINT) AS n_r,
+       CAST(((s.r + 1) * COALESCE(n1.n_r, 0) * 1000000) // s.n_r AS BIGINT) AS r_star_scaled
+FROM spec s LEFT JOIN spec n1 ON n1.r = s.r + 1
+"""
+
+
+def test_good_turing_handchecked(spark):
+    # terms: a a a b b c  ->  r=1:{c}, r=2:{b}, r=3:{a}
+    df = spark.createDataFrame([(1, "a a a b b c")], "doc_id long, text string")
+    got = {r["r"]: (r["n_r"], r["r_star_scaled"]) for r in good_turing_counts(df).collect()}
+    # r=1: n_1=1, r* = 2*n_2/n_1 = 2*1/1 -> 2_000_000
+    # r=2: n_2=1, r* = 3*n_3/n_2 = 3*1/1 -> 3_000_000
+    # r=3: n_3=1, n_4=0 -> 0
+    assert got == {1: (1, 2_000_000), 2: (1, 3_000_000), 3: (1, 0)}
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_good_turing_oracle_shape_matches(spark, sf):
+    got = good_turing_counts(io.load_table(spark, sf, "documents"))
+    con = _con(sf)
+    want = con.sql(GT_ORACLE_SHAPE).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+
+
+# ---------------------------------------------------------------------------
+# Z-order locality audit
+# ---------------------------------------------------------------------------
+
+
+def _zorder_interleave_sql(xe: str, ye: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+ZORDER_ORACLE_SHAPE = """
+WITH base AS (
+  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+         CAST(o_custkey AS BIGINT) AS y
+  FROM orders
+),
+ymax AS (SELECT MAX(y) AS my FROM base),
+keyed AS (
+  SELECT (x BETWEEN 1460 AND 1825
+          AND y BETWEEN (SELECT my FROM ymax) // 10 AND (SELECT my FROM ymax) // 5) AS hit,
+         ({z}) >> {shift} AS zb,
+         ((x << {bits}) + y) >> {shift} AS rb
+  FROM base
+),
+zt AS (SELECT DISTINCT zb FROM keyed WHERE hit),
+rt AS (SELECT DISTINCT rb FROM keyed WHERE hit),
+z AS (
+  SELECT 'zorder' AS layout,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_rect_rows,
+         COUNT(DISTINCT zb) AS n_blocks_touched,
+         COUNT(*) AS n_rows_read
+  FROM keyed WHERE zb IN (SELECT zb FROM zt)
+),
+r AS (
+  SELECT 'rowmajor' AS layout,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_rect_rows,
+         COUNT(DISTINCT rb) AS n_blocks_touched,
+         COUNT(*) AS n_rows_read
+  FROM keyed WHERE rb IN (SELECT rb FROM rt)
+)
+SELECT layout, CAST(n_rect_rows AS BIGINT) AS n_rect_rows,
+       CAST(n_blocks_touched AS BIGINT) AS n_blocks_touched,
+       CAST(n_rows_read AS BIGINT) AS n_rows_read,
+       CAST((n_rows_read * 1000) // n_rect_rows AS BIGINT) AS read_amp_permille
+FROM (SELECT * FROM z UNION ALL SELECT * FROM r)
+"""
+
+
+def test_zorder_key_handchecked(spark):
+    # x=0b10, y=0b11 (bits=2) -> z = x0<<0 | y0<<1 | x1<<2 | y1<<3
+    #   x0=0, y0=1, x1=1, y1=1 -> 0 + 2 + 4 + 8 = 14
+    df = spark.createDataFrame([(2, 3)], "x long, y long")
+    got = df.select(layout.zorder_key(F.col("x"), F.col("y"), 2).alias("z")).collect()
+    assert got[0]["z"] == 14
+
+
+def test_zorder_refuses_overflow(spark):
+    df = spark.createDataFrame([(1 << 15, 1)], "x long, y long")
+    with pytest.raises(Exception, match="zorder_locality_audit"):
+        layout.zorder_locality_audit(
+            df, "x", "y", 0, 10, 10, 5, bits=14
+        ).collect()
+
+
+def _orders_xy(spark, sf):
+    return io.load_table(spark, sf, "orders").select(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("o_custkey").cast("long").alias("y"),
+    )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_zorder_oracle_shape_matches(spark, sf):
+    got = layout.zorder_locality_audit(
+        _orders_xy(spark, sf), "x", "y", 1460, 1825, 10, 5, bits=14, bucket_bits=8
+    )
+    z = _zorder_interleave_sql("x", "y", 14)
+    con = _con(sf)
+    want = con.sql(ZORDER_ORACLE_SHAPE.format(z=z, bits=14, shift=2 * 14 - 8)).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+
+
+def test_zorder_audit_is_decision_grade(spark, sf_dir):
+    """At sf0.1 the z-order layout must beat row-major on rows read —
+    the probed regime the docstring claims (at smaller SFs row-major
+    wins; the audit reports, the consumer decides)."""
+    rows = {
+        r["layout"]: r
+        for r in layout.zorder_locality_audit(
+            _orders_xy(spark, "/root/testdata/sf0.1"),
+            "x", "y", 1460, 1825, 10, 5, bits=14, bucket_bits=8,
+        ).collect()
+    }
+    assert rows["zorder"]["n_rows_read"] < rows["rowmajor"]["n_rows_read"]
+    assert rows["zorder"]["n_rect_rows"] == rows["rowmajor"]["n_rect_rows"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Exact range-partition bounds
+# ---------------------------------------------------------------------------
+
+BOUNDS_ORACLE_SHAPE = """
+WITH ledger AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS n_total FROM ledger),
+assigned AS (
+  SELECT v, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM ledger
+)
+SELECT CAST((cum_before * {n}) // (SELECT n_total FROM tot) AS BIGINT) AS part,
+       CAST(MAX(v) AS BIGINT) AS upper_value,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows
+FROM assigned
+GROUP BY 1
+"""
+
+
+def test_range_bounds_handchecked(spark):
+    # values: 1x4, 2x4, 3x2  (N=10, n_parts=2 -> target 5)
+    rows = [(1,)] * 4 + [(2,)] * 4 + [(3,)] * 2
+    df = spark.createDataFrame(rows, "v long")
+    got = {
+        r["part"]: (r["upper_value"], r["n_rows"])
+        for r in layout.range_partition_bounds(df, "v", 2).collect()
+    }
+    # v=1: cum_before 0 -> part 0; v=2: cum_before 4 -> part 0 (4*2//10=0);
+    # v=3: cum_before 8 -> part 1. Tie-group 2 cannot split: part 0 gets 8 rows.
+    assert got == {0: (2, 8), 1: (3, 2)}
+
+
+def test_range_bounds_giant_tie_leaves_parts_empty(spark):
+    df = spark.createDataFrame([(7,)] * 9 + [(9,)], "v long")
+    got = {
+        r["part"]: (r["upper_value"], r["n_rows"])
+        for r in layout.range_partition_bounds(df, "v", 4).collect()
+    }
+    # the 9-row tie at v=7 occupies part 0 entirely; v=9 starts at
+    # cum_before=9 -> part 3; parts 1-2 are empty (absent) — the skew
+    # the audit exists to expose.
+    assert got == {0: (7, 9), 3: (9, 1)}
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_range_bounds_oracle_shape_matches(spark, sf):
+    got = layout.range_partition_bounds(
+        io.load_table(spark, sf, "lineitem"), "l_quantity", 8
+    )
+    con = _con(sf)
+    want = con.sql(BOUNDS_ORACLE_SHAPE.format(n=8)).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+    # partition law: row counts sum to N
+    n = con.sql("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert got.agg(F.sum("n_rows")).collect()[0][0] == n
