@@ -432,3 +432,111 @@ def test_truncated_rerank_recall_floor_and_dominance(spark, sf):
     assert tot == 50
     assert rer_hits / tot >= 0.5, (sf, rer_hits, tot)
     assert rer_hits >= raw_hits, (sf, rer_hits, raw_hits)
+
+
+# ---------------------------------------------------------------------------
+# Video frame-difference energy and scene cuts
+# ---------------------------------------------------------------------------
+
+SAD_ORACLE_SHAPE = """
+WITH vids AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT media_id, text, (length(text) // {fs}) AS n_frames FROM vids),
+pairs AS (
+  SELECT media_id, t.i AS frame_no,
+         list_sum(list_transform(generate_series(1, {fs}),
+           j -> abs(ascii(substr(text, t.i * {fs} + j, 1))
+                  - ascii(substr(text, (t.i + 1) * {fs} + j, 1))))) AS sad
+  FROM fr, UNNEST(generate_series(0, n_frames - 2)) AS t(i)
+  WHERE n_frames >= 2
+)
+SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no, CAST(sad AS BIGINT) AS sad
+FROM pairs
+"""
+
+CUTS_ORACLE_SHAPE = (
+    SAD_ORACLE_SHAPE.replace(
+        "SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no, CAST(sad AS BIGINT) AS sad\nFROM pairs",
+        """
+, per_media AS (
+  SELECT media_id, SUM(sad) AS sum_sad, COUNT(*) AS n_pairs FROM pairs GROUP BY media_id
+)
+SELECT p.media_id, CAST(p.frame_no AS BIGINT) AS frame_no, CAST(p.sad AS BIGINT) AS sad,
+       CAST((m.sum_sad * 1000) // m.n_pairs AS BIGINT) AS mean_sad_scaled
+FROM pairs p JOIN per_media m USING (media_id)
+WHERE p.sad * m.n_pairs * {den} > m.sum_sad * {num}
+""",
+    )
+)
+
+
+def _manifest(spark, sf):
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    return mm.media_manifest(io.load_table(spark, sf, "documents"))
+
+
+def test_frame_diff_handchecked(spark):
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    # one video (media_id % 3 == 2): payload 'aaaabbbbcccc' at fs=4 ->
+    # frames [aaaa, bbbb, cccc]; SAD(0)=4*1, SAD(1)=4*1
+    df = spark.createDataFrame(
+        [(2, "video", bytearray(b"aaaabbbbcccc"))],
+        "media_id long, media_type string, payload binary",
+    )
+    got = {
+        r["frame_no"]: r["sad"]
+        for r in mm.frame_diff_energy(df, frame_size=4).collect()
+    }
+    assert got == {0: 4, 1: 4}
+
+
+def test_frame_diff_short_video_emits_no_row(spark):
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(2, "video", bytearray(b"aaaab"))],  # 1 full frame at fs=4
+        "media_id long, media_type string, payload binary",
+    )
+    assert mm.frame_diff_energy(df, frame_size=4).count() == 0
+
+
+def test_scene_cuts_handchecked(spark):
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    # frames: aaaa aaaa zzzz -> SADs [0, 100]; mean 50; num/den=9/8 ->
+    # cut iff sad*2*8 > 100*9 -> only the 100 spike (1600 > 900).
+    df = spark.createDataFrame(
+        [(2, "video", bytearray(b"aaaaaaaa" + b"zzzz"))],
+        "media_id long, media_type string, payload binary",
+    )
+    got = mm.scene_cuts(df, frame_size=4, num=9, den=8).collect()
+    assert len(got) == 1
+    assert (got[0]["frame_no"], got[0]["sad"], got[0]["mean_sad_scaled"]) == (
+        1,
+        4 * 25,
+        50 * 1000,
+    )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_frame_diff_oracle_shape_matches(spark, sf):
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    got = mm.frame_diff_energy(_manifest(spark, sf), frame_size=64)
+    con = _con(sf)
+    want = con.sql(SAD_ORACLE_SHAPE.format(fs=64)).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+    assert got.count() > 0
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_scene_cuts_oracle_shape_matches(spark, sf):
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    got = mm.scene_cuts(_manifest(spark, sf), frame_size=64, num=9, den=8)
+    con = _con(sf)
+    want = con.sql(CUTS_ORACLE_SHAPE.format(fs=64, num=9, den=8)).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+    n = got.count()
+    assert n > 0, f"{sf}: threshold degenerate (no cuts flagged)"
