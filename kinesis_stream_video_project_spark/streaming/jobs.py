@@ -2033,3 +2033,208 @@ def rate_limit_stream_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online sessionization (the streaming twin of the gap-based session report)
+# ---------------------------------------------------------------------------
+
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint"
+)
+_SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n_events bigint"
+
+
+def _session_fold(
+    start_us,
+    end_us,
+    n_events: int,
+    gap_us: int,
+    rows: list,
+) -> tuple:
+    """Pure per-user sessionization step shared by BOTH stateful API
+    forms: ``rows`` is a list of event-time µs ALREADY sorted ascending;
+    returns ``(start', end', n', emits)`` with one emit per CLOSED
+    session (a session closes when the next event's gap exceeds
+    ``gap_us``). Matches the batch gaps-and-islands definition exactly
+    for in-order feeds: island boundaries are precisely the > gap_us
+    jumps. A cross-batch straggler no older than the open session's
+    last event minus the gap is ABSORBED into the open session (n_events
+    grows; start/end only extend forward), so bounded disorder within
+    one session widens nothing; an older straggler would belong to an
+    already-closed session and is counted into the OPEN one instead —
+    the append-mode no-retraction contract (funnel discipline)."""
+    emits = []
+    for ts in rows:
+        if start_us is None:
+            start_us, end_us, n_events = ts, ts, 1
+        elif ts - end_us > gap_us:
+            emits.append((start_us, end_us, n_events))
+            start_us, end_us, n_events = ts, ts, 1
+        else:
+            end_us = max(end_us, ts)
+            n_events += 1
+    return start_us, end_us, n_events, emits
+
+
+def session_stream(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """ONLINE gap-based sessionization: emit ``(user_id,
+    session_start_us, session_end_us, n_events)`` for every CLOSED
+    session — closed either by the user's next event arriving after the
+    gap, or by the event-time TIMER when the watermark passes
+    ``last_event + gap`` (the idle flush; without it the last session of
+    a departed user never emits). The batch twin is the gaps-and-islands
+    session report (plans/queries_windows.py::session_windows
+    discipline); the streaming form answers "which sessions just ended"
+    at watermark latency instead of at the nightly batch.
+
+    Mechanics: state is ``(start_us, end_us, n_events)`` — 24 B per
+    ACTIVE user only, because the timer flush clears state (unlike the
+    funnel's lifetime state; an idle user costs nothing). Each update
+    folds the sorted batch through the shared :func:`_session_fold`,
+    emits closed sessions, re-arms an EventTimeTimeout at
+    ``end + gap`` (clamped above the current watermark, the
+    silence_alerts rule). Data beats timeout: an event inside the gap
+    re-arms before the timer can fire."""
+    gap_us = gap_s * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n_events = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(user_id)],
+                    "session_start_us": [start_us],
+                    "session_end_us": [end_us],
+                    "n_events": [n_events],
+                }
+            )
+            return
+        start_us, end_us, n_events = (
+            state.get if state.exists else (None, None, 0)
+        )
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"])
+            rows = (batch["ts"].astype("int64") // 1000).tolist()
+            start_us, end_us, n_events, emits = _session_fold(
+                start_us, end_us, n_events, gap_us, rows
+            )
+            state.update((start_us, end_us, n_events))
+            deadline_ms = (end_us + gap_us) // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
+            if emits:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(user_id)] * len(emits),
+                        "session_start_us": [e[0] for e in emits],
+                        "session_end_us": [e[1] for e in emits],
+                        "n_events": [e[2] for e in emits],
+                    }
+                )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def session_stream_tws(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`session_stream` — the EIGHTH op carried on BOTH stateful APIs
+    (watchdog, silence, online LSH, funnel, heavy hitters, rate limiter,
+    seasonal scorer's stateless join aside). Same shared
+    :func:`_session_fold`; the idle flush uses a real event-time timer
+    (re-armed per arrival via listTimers/deleteTimer, fired by the
+    watermark in ``handleExpiredTimer``), and the flush clears both the
+    ValueState and the timer so departed users cost nothing in RocksDB.
+    Needs the protobuf state-server runtime like every tws form;
+    :func:`session_stream` remains the portable twin, equality pinned on
+    the same drain in tests."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    gap_us = gap_s * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("session", _SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            held = self._sess.get()
+            start_us, end_us, n_events = held if held is not None else (None, None, 0)
+            frames = [p for p in rows if len(p)]
+            if frames:
+                batch = pd.concat(frames, ignore_index=True)
+                batch = batch.sort_values(["ts", "event_id"])
+                rws = (batch["ts"].astype("int64") // 1000).tolist()
+                start_us, end_us, n_events, emits = _session_fold(
+                    start_us, end_us, n_events, gap_us, rws
+                )
+                self._sess.update((start_us, end_us, n_events))
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer((end_us + gap_us) // 1000)
+                if emits:
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [int(user_id)] * len(emits),
+                            "session_start_us": [e[0] for e in emits],
+                            "session_end_us": [e[1] for e in emits],
+                            "n_events": [e[2] for e in emits],
+                        }
+                    )
+
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            held = self._sess.get()
+            if held is not None:
+                start_us, end_us, n_events = held
+                self._sess.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(user_id)],
+                        "session_start_us": [start_us],
+                        "session_end_us": [end_us],
+                        "n_events": [n_events],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

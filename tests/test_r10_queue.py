@@ -540,3 +540,76 @@ def test_scene_cuts_oracle_shape_matches(spark, sf):
     assert _rendered(got.toPandas()).equals(_rendered(want)), sf
     n = got.count()
     assert n > 0, f"{sf}: threshold degenerate (no cuts flagged)"
+
+
+# ---------------------------------------------------------------------------
+# Online sessionization: pure-fold laws (streaming/jobs.py::_session_fold)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _fold_all(ts_list, gap_us, chunks):
+    from kinesis_stream_video_project_spark.streaming.jobs import _session_fold
+
+    start = end = None
+    n = 0
+    emits = []
+    i = 0
+    for size in chunks:
+        start, end, n, e = _session_fold(start, end, n, gap_us, ts_list[i : i + size])
+        emits.extend(e)
+        i += size
+    start, end, n, e = _session_fold(start, end, n, gap_us, ts_list[i:])
+    emits.extend(e)
+    return start, end, n, emits
+
+
+class TestSessionFoldLaws:
+    @settings(max_examples=100, deadline=None)
+    @given(
+        ts=st.lists(st.integers(0, 10_000), min_size=0, max_size=40),
+        gap=st.integers(1, 2_000),
+        cut=st.data(),
+    )
+    def test_chunking_invariance_and_island_equivalence(self, ts, gap, cut):
+        """Folding an in-order feed through ANY chunk boundaries yields
+        the same emits and final state as one fold; and the closed
+        sessions equal the reference islands computation."""
+        ts = sorted(ts)
+        n_cuts = cut.draw(st.integers(0, 5))
+        sizes = [
+            cut.draw(st.integers(0, len(ts))) for _ in range(n_cuts)
+        ]
+        sizes = [s for s in sizes if s <= len(ts)]
+        one = _fold_all(ts, gap, [])
+        many = _fold_all(ts, gap, sizes)
+        assert one == many
+
+        # reference islands over the full list
+        want = []
+        cur = []
+        for t in ts:
+            if not cur or t - cur[-1] <= gap:
+                cur.append(t)
+            else:
+                want.append((cur[0], cur[-1], len(cur)))
+                cur = [t]
+        open_sess = (cur[0], cur[-1], len(cur)) if cur else None
+        start, end, n, emits = one
+        assert emits == want
+        if open_sess is None:
+            assert start is None and n == 0
+        else:
+            assert (start, end, n) == open_sess
+
+    def test_straggler_absorbed_not_retracted(self):
+        from kinesis_stream_video_project_spark.streaming.jobs import _session_fold
+
+        # open session [100, 200]; straggler at 150 arrives in a later
+        # chunk: absorbed (n grows), bounds unchanged — never retracts.
+        start, end, n, e = _session_fold(None, None, 0, 50, [100, 150, 200])
+        assert (start, end, n, e) == (100, 200, 3, [])
+        start, end, n, e = _session_fold(start, end, n, 50, [150])
+        assert (start, end, n, e) == (100, 200, 4, [])

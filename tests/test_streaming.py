@@ -1840,3 +1840,142 @@ def test_heavy_hitters_tws_matches_group_state_form(spark, tmp_path):
             for r in spark.sql(f"SELECT * FROM hh_{tag}_out").collect()
         }
     assert got["gs"] == got["tws"] and len(got["gs"]) > 0
+
+
+# ---------------------------------------------------------------------------
+# Online sessionization (both stateful APIs)
+# ---------------------------------------------------------------------------
+
+
+def _session_events(spark, tmp_path, name):
+    """Three micro-batches: user 1 has two sessions (0-40 s and 300 s),
+    user 2 one long session; a dummy user 9 event far in the future
+    advances the closing watermark so every real session FLUSHES."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, user, sec):
+        return (int(eid), base + dt.timedelta(seconds=sec), user, 1.0)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    b0 = [ev(1, 1, 0), ev(2, 1, 20), ev(3, 2, 5), ev(4, 1, 40)]
+    b1 = [ev(5, 1, 300), ev(6, 2, 60), ev(7, 2, 115)]
+    b2 = [ev(8, 9, 5000)]
+    src = tmp_path / name
+    for i, batch in enumerate([b0, b1, b2]):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(batch, schema), src, f"b{i}.parquet"
+        )
+    base_us = int(base.timestamp()) * 1_000_000
+    return src, schema, base_us
+
+
+def _drain_sessions(spark, tmp_path, fn, src, schema, qname):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream, gap_s=60, watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    )
+
+
+def test_session_stream_closes_on_gap_and_flushes_idle(spark, tmp_path):
+    """User 1: events at 0/20/40 s then 300 s with gap 60 s -> session
+    [0, 40]x3 closes ON DATA (the 300 s event), session [300, 300]x1
+    flushes on timer; user 2's [5, 115]x3 (gaps 55 s each, within 60)
+    flushes on timer. The dummy user 9 session also flushes? No — its
+    deadline (5060 s) is past the closing watermark (4990 s), so it
+    correctly stays open: the idle-flush contract, not a bug."""
+    src, schema, base_us = _session_events(spark, tmp_path, "sess_src")
+    got = _drain_sessions(
+        spark, tmp_path, jobs.session_stream, src, schema, "sess_out"
+    )
+    s = 1_000_000
+    assert got == [
+        (1, base_us + 0, base_us + 40 * s, 3),
+        (1, base_us + 300 * s, base_us + 300 * s, 1),
+        (2, base_us + 5 * s, base_us + 115 * s, 3),
+    ]
+
+
+def test_session_stream_matches_batch_islands(spark, tmp_path):
+    """Cross-twin equality: the drained closed+flushed session set must
+    equal the batch gaps-and-islands report over the same rows,
+    restricted to sessions whose flush deadline the closing watermark
+    passed (all real ones, by construction of the dummy closer)."""
+    from pyspark.sql import Window
+
+    src, schema, base_us = _session_events(spark, tmp_path, "sess_src2")
+    got = _drain_sessions(
+        spark, tmp_path, jobs.session_stream, src, schema, "sess_out2"
+    )
+    batch = spark.read.schema(schema).parquet(str(src))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 60 * 1_000_000
+    islands = (
+        batch.withColumn("_us", F.unix_micros("ts"))
+        .withColumn("_prev", F.lag("_us").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("_us") - F.col("_prev") > gap_us)).cast("long"),
+        )
+        .withColumn("_sid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.min("_us").alias("session_start_us"),
+            F.max("_us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    final_wm_us = (5000 - 10) * 1_000_000 + base_us
+    want = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in islands.filter(
+            F.col("session_end_us") + gap_us < final_wm_us
+        ).collect()
+    )
+    assert got == want and len(want) == 3
+
+
+def test_session_stream_tws_matches_group_state_form(spark, tmp_path):
+    """The Spark-4 timer form must emit the identical session set on the
+    identical drain — two APIs, one semantics (shared _session_fold)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs the protobuf runtime",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src, schema, base_us = _session_events(spark, tmp_path, "sess_src3")
+        got_gs = _drain_sessions(
+            spark, tmp_path, jobs.session_stream, src, schema, "sess_out3gs"
+        )
+        got_tws = _drain_sessions(
+            spark, tmp_path, jobs.session_stream_tws, src, schema, "sess_out3tws"
+        )
+        assert got_tws == got_gs and len(got_gs) == 3
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
