@@ -117,3 +117,75 @@ def profile_drift(
         (F.col("n_distinct_a") * F.col("n_rows_b")).alias("distinct_ratio_num"),
         (F.col("n_distinct_b") * F.col("n_rows_a")).alias("distinct_ratio_den"),
     )
+
+
+def join_size_profile(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_key: str | None = None,
+    right_key: str | None = None,
+) -> DataFrame:
+    """Exact join-cardinality and skew profile WITHOUT materializing the
+    join — the planning statistic a 100 TB shuffle needs BEFORE running:
+    ``|A ⋈ B| = Σ_k cA(k)·cB(k)`` over per-key counts, so the profile
+    costs two key-count aggregates plus a join of the (tiny relative to
+    the data) distinct-key frames, never the cross-product rows. This is
+    what decides broadcast vs shuffle vs salt: ``join_rows`` sizes the
+    output, ``max_key_rows`` (the largest single key's contribution) is
+    the straggler-task bound a hash join would hit, and
+    ``max_key_share_permille`` says whether AQE skew-split or manual
+    salting is warranted (the CBO's ndv/multiplicity estimate, computed
+    exactly — the audit twin of the sampled estimate a planner uses).
+
+    One output row::
+
+        n_left, n_right, n_common_keys, join_rows,
+        max_key, max_key_rows, max_key_share_permille
+
+    ``max_key`` ties break to the SMALLEST key with the max contribution
+    (a min over the ledger-sized per-key frame — deterministic without
+    max_by, whose tie order is engine-defined). All-integer; the row
+    product sums as DECIMAL(38,0) (overflow-proof profile) and casts
+    back to BIGINT — a join_rows near 2^63 is a join you must not run
+    anyway.
+    """
+    lk = left_key or key
+    rk = right_key or key
+    la = left.groupBy(F.col(lk).alias("k")).agg(F.count(F.lit(1)).alias("cl"))
+    ra = right.groupBy(F.col(rk).alias("k")).agg(F.count(F.lit(1)).alias("cr"))
+    per_key = la.join(ra, "k").select(
+        "k", (F.col("cl") * F.col("cr")).alias("rows_k")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_common_keys"),
+        F.sum(F.col("rows_k").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("join_rows"),
+        F.max("rows_k").alias("max_key_rows"),
+    )
+    top = (
+        per_key.join(
+            F.broadcast(stats.select("max_key_rows")),
+            per_key["rows_k"] == F.col("max_key_rows"),
+        )
+        .agg(F.min("k").alias("max_key"))
+    )
+    n_l = left.agg(F.count(F.lit(1)).alias("n_left"))
+    n_r = right.agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        stats.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(n_l))
+        .crossJoin(F.broadcast(n_r))
+        .select(
+            "n_left",
+            "n_right",
+            "n_common_keys",
+            "join_rows",
+            "max_key",
+            "max_key_rows",
+            F.expr("(max_key_rows * 1000) DIV join_rows").alias(
+                "max_key_share_permille"
+            ),
+        )
+    )

@@ -613,3 +613,77 @@ class TestSessionFoldLaws:
         assert (start, end, n, e) == (100, 200, 3, [])
         start, end, n, e = _session_fold(start, end, n, 50, [150])
         assert (start, end, n, e) == (100, 200, 4, [])
+
+
+# ---------------------------------------------------------------------------
+# Join-size / skew profile (exact planning statistic)
+# ---------------------------------------------------------------------------
+
+JOINPROF_ORACLE_SHAPE = """
+WITH la AS (SELECT user_id AS k, COUNT(*) AS cl FROM events GROUP BY 1),
+ra AS (SELECT user_id AS k, COUNT(*) AS cr FROM events GROUP BY 1),
+per_key AS (SELECT k, cl * cr AS rows_k FROM la JOIN ra USING (k)),
+stats AS (
+  SELECT COUNT(*) AS n_common_keys,
+         CAST(SUM(rows_k) AS BIGINT) AS join_rows,
+         CAST(MAX(rows_k) AS BIGINT) AS max_key_rows
+  FROM per_key
+),
+top AS (
+  SELECT MIN(k) AS max_key FROM per_key, stats WHERE rows_k = max_key_rows
+),
+n AS (SELECT COUNT(*) AS n_rows FROM events)
+SELECT CAST(n.n_rows AS BIGINT) AS n_left, CAST(n.n_rows AS BIGINT) AS n_right,
+       CAST(s.n_common_keys AS BIGINT) AS n_common_keys, s.join_rows,
+       t.max_key, s.max_key_rows,
+       CAST((s.max_key_rows * 1000) // s.join_rows AS BIGINT) AS max_key_share_permille
+FROM stats s, top t, n
+"""
+
+
+def test_join_size_profile_handchecked(spark):
+    from kinesis_stream_video_project_spark.operators.profiling import (
+        join_size_profile,
+    )
+
+    left = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+    r = join_size_profile(left, right, "k").collect()[0]
+    # common keys {1: 2*1, 2: 1*2} -> join_rows 4, max 2 shared by keys
+    # 1 and 2 -> max_key = 1 (smallest)
+    assert (
+        r["n_left"], r["n_right"], r["n_common_keys"], r["join_rows"],
+        r["max_key"], r["max_key_rows"], r["max_key_share_permille"],
+    ) == (4, 4, 2, 4, 1, 2, 500)
+
+
+def test_join_size_profile_equals_materialized_join(spark):
+    """The law the profile exists for: join_rows == COUNT(*) of the real
+    join, computed without running it."""
+    from kinesis_stream_video_project_spark.operators.profiling import (
+        join_size_profile,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = io.load_table(spark, sf, "orders")
+    li = io.load_table(spark, sf, "lineitem")
+    prof = join_size_profile(
+        o, li, key="", left_key="o_orderkey", right_key="l_orderkey"
+    ).collect()[0]
+    real = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
+    assert prof["join_rows"] == real > 0
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_join_size_profile_oracle_shape_matches(spark, sf):
+    """Self-join profile of events on user_id — the skew-audit shape
+    (join_rows = sum of per-user count squares)."""
+    from kinesis_stream_video_project_spark.operators.profiling import (
+        join_size_profile,
+    )
+
+    ev = io.load_table(spark, sf, "events")
+    got = join_size_profile(ev, ev, "user_id")
+    con = _con(sf)
+    want = con.sql(JOINPROF_ORACLE_SHAPE).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
