@@ -662,3 +662,73 @@ def scene_cuts(
             F.expr("(_sum_sad * 1000) DIV _n_pairs").alias("mean_sad_scaled"),
         )
     )
+
+
+def dhash_near_dups(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Image near-duplicate pairs within Hamming distance ``max_hamming``
+    of the 56-bit dHash, found by MULTI-INDEX banding (Norouzi, Punjani
+    & Fleet, "Fast Search in Hamming Space with Multi-Index Hashing",
+    CVPR 2012): split the hash into ``bands`` disjoint 14-bit segments;
+    by pigeonhole, two hashes within Hamming ``bands - 1`` must agree
+    EXACTLY on at least one segment, so candidates = same-(band, value)
+    pairs and the exact popcount verify never misses (completeness
+    guaranteed for ``max_hamming < bands``; constructor-refused
+    otherwise rather than silently incomplete).
+
+    The image twin of MinHash-LSH banding: one shared exchange keyed on
+    (band, value) feeds both self-join sides (ReusedExchange — the
+    signature pipeline runs once), band rows carry (id, hash) = 16 B,
+    pairs dedupe BEFORE the verify, and the verify is pure JVM bit
+    arithmetic (``bit_count(a ^ b)`` — identical in DuckDB, so the
+    whole pair set hash-checks). Output
+    ``(media_id_a, media_id_b, hamming)``; exact-duplicate payloads
+    (hamming 0) are included — the consumer splits exact from near by
+    the column.
+    """
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"dhash_near_dups: multi-index completeness needs "
+            f"0 <= max_hamming < bands, got {max_hamming} / {bands}"
+        )
+    seg_bits = 56 // bands
+    mask = (1 << seg_bits) - 1
+    banded = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftright(F.col("dhash"), seg_bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "media_id", "dhash", F.col("b.band_no").alias("band_no"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    banded = banded.repartition("band_no", "band_val")
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_no", "band_val"])
+        .filter(F.col("l.media_id") < F.col("r.media_id"))
+        .select(
+            F.col("l.media_id").alias("media_id_a"),
+            F.col("r.media_id").alias("media_id_b"),
+            F.col("l.dhash").alias("_ha"),
+            F.col("r.dhash").alias("_hb"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "media_id_a",
+        "media_id_b",
+        F.bit_count(F.expr("_ha ^ _hb")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

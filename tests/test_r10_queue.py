@@ -687,3 +687,133 @@ def test_join_size_profile_oracle_shape_matches(spark, sf):
     con = _con(sf)
     want = con.sql(JOINPROF_ORACLE_SHAPE).df()
     assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+
+
+# ---------------------------------------------------------------------------
+# dHash multi-index Hamming near-dups (Norouzi/Punjani/Fleet 2012)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_near_dups_handchecked(spark):
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    rows = [
+        (1, 0),            # baseline
+        (2, 1),            # hamming 1 from 1 -> pair
+        (3, 0b111 << 20),  # hamming 3 from 1 -> pair (band 1 differs only)
+        (4, 0xFF << 24),   # hamming 8 from 1 -> excluded
+    ]
+    h = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = sorted(
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in mm.dhash_near_dups(h, max_hamming=3).collect()
+    )
+    # (2,3) shares the all-zero bands 2-3 so it IS a candidate, but its
+    # hamming is 4 > 3 — the verify filters it; (1,4) differs in 8 bits.
+    assert got == [(1, 2, 1), (1, 3, 3)], got
+
+
+def test_dhash_near_dups_rejects_incomplete_params(spark):
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    h = spark.createDataFrame([(1, 0)], "media_id long, dhash long")
+    with pytest.raises(ValueError, match="completeness"):
+        mm.dhash_near_dups(h, max_hamming=4, bands=4)
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_dhash_near_dups_complete_vs_brute_force(spark, sf):
+    """Pigeonhole completeness on real hashes: the banded candidate
+    pipeline finds EXACTLY the all-pairs Hamming <= 3 set (the
+    definitional quadratic form — fine at oracle scale)."""
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    h = mm.image_dhash(
+        mm.media_manifest(io.load_table(spark, sf, "documents"))
+    ).cache()
+    got = sorted(
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in mm.dhash_near_dups(h, max_hamming=3).collect()
+    )
+    l, r = h.alias("l"), h.alias("r")
+    brute = sorted(
+        (x["media_id_a"], x["media_id_b"], x["hamming"])
+        for x in l.join(r, F.col("l.media_id") < F.col("r.media_id"))
+        .select(
+            F.col("l.media_id").alias("media_id_a"),
+            F.col("r.media_id").alias("media_id_b"),
+            F.bit_count(F.expr("l.dhash ^ r.dhash")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    )
+    h.unpersist()
+    assert got == brute
+
+
+DHASH_PAIRS_ORACLE_SHAPE = """
+WITH bytes AS (
+  SELECT doc_id AS media_id, list_transform(
+           generate_series(1, nbytes),
+           j -> (strpos('0123456789abcdef', hx[2*j-1]) - 1) * 16
+              + (strpos('0123456789abcdef', hx[2*j]) - 1)
+         ) AS bs, nbytes AS L
+  FROM (SELECT doc_id, string_split(lower(hex(encode(text))), '') AS hx,
+               octet_length(encode(text)) AS nbytes
+        FROM documents)
+),
+vals AS (
+  SELECT media_id, list_transform(
+           generate_series(0, 63),
+           b -> CASE WHEN ((b + 1) * L) // 64 > (b * L) // 64
+                THEN list_sum(list_slice(bs, (b * L) // 64 + 1,
+                                         ((b + 1) * L) // 64))
+                     // (((b + 1) * L) // 64 - (b * L) // 64)
+                ELSE 0 END
+         ) AS v
+  FROM bytes
+),
+hashed AS (
+  SELECT media_id,
+         list_sum(list_transform(
+           generate_series(0, 55),
+           k -> CASE WHEN v[(k // 7) * 8 + (k % 7) + 2]
+                          > v[(k // 7) * 8 + (k % 7) + 1]
+                THEN 1 << k ELSE 0 END
+         )) AS dhash
+  FROM vals
+),
+banded AS (
+  SELECT media_id, dhash, i.i AS band_no,
+         (dhash >> (14 * i.i)) & 16383 AS band_val
+  FROM hashed, UNNEST(generate_series(0, 3)) AS i(i)
+),
+pairs AS (
+  SELECT DISTINCT l.media_id AS media_id_a, r.media_id AS media_id_b,
+                  l.dhash AS ha, r.dhash AS hb
+  FROM banded l
+  JOIN banded r ON l.band_no = r.band_no AND l.band_val = r.band_val
+              AND l.media_id < r.media_id
+)
+SELECT media_id_a, media_id_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
+def test_dhash_near_dups_oracle_shape_matches_sf01(spark):
+    """Full-pipeline oracle at sf0.1 — the SF where the fixture plants
+    hash-identical payloads (8 pairs, all hamming 0; probed)."""
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    sf = "/root/testdata/sf0.1"
+    got = mm.dhash_near_dups(
+        mm.image_dhash(mm.media_manifest(io.load_table(spark, sf, "documents"))),
+        max_hamming=3,
+    )
+    con = _con(sf)
+    want = con.sql(DHASH_PAIRS_ORACLE_SHAPE).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want))
+    assert got.count() == 8
