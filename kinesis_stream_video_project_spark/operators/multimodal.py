@@ -677,12 +677,18 @@ def dhash_near_dups(
     guaranteed for ``max_hamming < bands``; constructor-refused
     otherwise rather than silently incomplete).
 
-    The image twin of MinHash-LSH banding: one shared exchange keyed on
-    (band, value) feeds both self-join sides (ReusedExchange — the
-    signature pipeline runs once), band rows carry (id, hash) = 16 B,
-    pairs dedupe BEFORE the verify, and the verify is pure JVM bit
-    arithmetic (``bit_count(a ^ b)`` — identical in DuckDB, so the
-    whole pair set hash-checks). Output
+    The image twin of MinHash-LSH banding, with one structural
+    difference: the LSH pipelines are pure JVM expressions whose
+    self-join sides canonicalize equal and share one exchange
+    (ReusedExchange), but subtrees containing PYTHON stages
+    (mapInPandas decode+hash) never canonicalize equal — so this
+    operator breaks lineage with an eager-on-first-use localCheckpoint
+    of the 16 B/row (id, hash) frame instead, which is what guarantees
+    the decode pipeline runs ONCE (measured: the un-checkpointed plan
+    decodes the corpus twice). Band rows carry (id, hash) only, pairs
+    dedupe BEFORE the verify, and the verify is pure JVM bit arithmetic
+    (``bit_count(a ^ b)`` — identical in DuckDB, so the whole pair set
+    hash-checks). Output
     ``(media_id_a, media_id_b, hamming)``; exact-duplicate payloads
     (hamming 0) are included — the consumer splits exact from near by
     the column.
@@ -694,6 +700,14 @@ def dhash_near_dups(
         )
     seg_bits = 56 // bands
     mask = (1 << seg_bits) - 1
+    # Break lineage ONCE: self-join subtrees containing Python stages
+    # (mapInPandas decode+hash) never canonicalize equal, so neither
+    # ReuseExchange nor the repartition trick can stop Spark running the
+    # decode pipeline twice (measured: the JVM-only LSH pipelines share
+    # exchanges; this one cannot). The (id, 8-byte hash) frame is 16 B a
+    # row — the localCheckpoint materializes exactly the payload-free
+    # projection the module contract promises downstream joins.
+    hashes = hashes.localCheckpoint(eager=False)
     banded = hashes.select(
         "media_id",
         "dhash",
@@ -715,8 +729,13 @@ def dhash_near_dups(
         F.col("b.band_val").alias("band_val"),
     )
     banded = banded.repartition("band_no", "band_val")
+    # merge hint: keeps the self-join a sort-merge join at every scale
+    # (at fixture scale the optimizer would broadcast one side; at corpus
+    # scale the banded frame is far past any broadcast threshold) — one
+    # deterministic plan shape to reason about and pin.
     pairs = (
         banded.alias("l")
+        .hint("merge")
         .join(banded.alias("r"), ["band_no", "band_val"])
         .filter(F.col("l.media_id") < F.col("r.media_id"))
         .select(

@@ -817,3 +817,19 @@ def test_dhash_near_dups_oracle_shape_matches_sf01(spark):
     want = con.sql(DHASH_PAIRS_ORACLE_SHAPE).df()
     assert _rendered(got.toPandas()).equals(_rendered(want))
     assert got.count() == 8
+
+
+def test_dhash_near_dups_decodes_corpus_once(spark):
+    """Scale pin: the decode+hash Python stage must NOT appear in the
+    pair-join plan (python subtrees never canonicalize equal, so without
+    the lineage break the corpus would decode TWICE — measured)."""
+    from kinesis_stream_video_project_spark.operators import multimodal as mm
+
+    h = mm.image_dhash(
+        mm.media_manifest(io.load_table(spark, "/root/testdata/sf0.001", "documents"))
+    )
+    df = mm.dhash_near_dups(h)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+    assert "SortMergeJoin" in plan
