@@ -833,3 +833,22 @@ def test_dhash_near_dups_decodes_corpus_once(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan, plan
     assert "SortMergeJoin" in plan
+
+
+def test_cms_sketches_merge_cellwise(spark):
+    """Mergeability — the 100 TB property: sketch(A ∪ B) equals the
+    cell-wise SUM of sketch(A) and sketch(B), which is why partition-
+    local partials combine associatively (map-side combine)."""
+    ev = io.load_table(spark, "/root/testdata/sf0.001", "events")
+    a = ev.filter("event_id % 2 = 0")
+    b = ev.filter("event_id % 2 = 1")
+    whole = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in cms.cms_sketch(ev, "user_id", 16, 3).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms.cms_sketch(part, "user_id", 16, 3).collect():
+            k = (r["j"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == whole and len(whole) > 0
