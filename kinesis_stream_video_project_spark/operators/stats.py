@@ -439,3 +439,69 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
         "segment_code",
         (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("long"),
     )
+
+
+def classification_report(
+    df: DataFrame, actual: str = "actual", predicted: str = "predicted"
+) -> DataFrame:
+    """Per-class confusion report over (actual, predicted) label pairs —
+    the evaluation primitive for every in-repo classifier tier (lang-ID,
+    quality gates, anomaly flags): ``(label, tp, fp, fn, support,
+    precision_permille, recall_permille, f1_permille)``.
+
+    All-integer: precision = 1000·tp div (tp+fp), recall = 1000·tp div
+    (tp+fn), and F1's harmonic mean clears its denominator to
+    2000·tp div (2·tp + fp + fn) — exact truncating arithmetic, no
+    float, hash-identical anywhere. Classes with zero predicted AND
+    zero actual rows don't exist in the input and emit no row; a class
+    never predicted has precision 0/0 → emitted as 0 (stated, the
+    degenerate-denominator convention).
+
+    Scale: ONE corpus aggregate to the |classes|² confusion ledger;
+    every derivation after that runs on the ledger (marginals via two
+    tiny re-aggregations, never a second corpus scan — the PMI
+    marginals discipline)."""
+    ledger = df.groupBy(
+        F.col(actual).alias("_a"), F.col(predicted).alias("_p")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    tp = ledger.filter(F.col("_a") == F.col("_p")).select(
+        F.col("_a").alias("label"), F.col("_n").alias("tp")
+    )
+    pred_tot = ledger.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("_n").alias("_pred_n")
+    )
+    act_tot = ledger.groupBy(F.col("_a").alias("label")).agg(
+        F.sum("_n").alias("support")
+    )
+    return (
+        act_tot.join(pred_tot, "label", "full")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce(F.col("_pred_n"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce(F.col("support"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+            F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+        )
+        .select(
+            "label",
+            "tp",
+            "fp",
+            "fn",
+            "support",
+            F.expr(
+                "CASE WHEN tp + fp = 0 THEN 0 ELSE (1000 * tp) DIV (tp + fp) END"
+            ).alias("precision_permille"),
+            F.expr(
+                "CASE WHEN tp + fn = 0 THEN 0 ELSE (1000 * tp) DIV (tp + fn) END"
+            ).alias("recall_permille"),
+            F.expr(
+                "CASE WHEN 2 * tp + fp + fn = 0 THEN 0 "
+                "ELSE (2000 * tp) DIV (2 * tp + fp + fn) END"
+            ).alias("f1_permille"),
+        )
+    )

@@ -852,3 +852,98 @@ def test_cms_sketches_merge_cellwise(spark):
             k = (r["j"], r["bucket"])
             merged[k] = merged.get(k, 0) + r["cnt"]
     assert merged == whole and len(whole) > 0
+
+
+# ---------------------------------------------------------------------------
+# Classification report (per-class precision/recall/F1 over lang-ID)
+# ---------------------------------------------------------------------------
+
+
+def test_classification_report_handchecked(spark):
+    from kinesis_stream_video_project_spark.operators.stats import (
+        classification_report,
+    )
+
+    rows = [
+        ("en", "en"), ("en", "en"), ("en", "es"),   # en: tp2 fn1
+        ("es", "es"),                               # es: tp1, fp1 (the en->es)
+        ("de", "en"),                               # de: tp0 fn1; en gains fp1
+    ]
+    df = spark.createDataFrame(rows, "actual string, predicted string")
+    got = {
+        r["label"]: (
+            r["tp"], r["fp"], r["fn"], r["support"],
+            r["precision_permille"], r["recall_permille"], r["f1_permille"],
+        )
+        for r in classification_report(df).collect()
+    }
+    assert got == {
+        "en": (2, 1, 1, 3, 666, 666, 666),
+        "es": (1, 1, 0, 1, 500, 1000, 666),
+        "de": (0, 0, 1, 1, 0, 0, 0),
+    }
+
+
+LANG_REPORT_ORACLE_SHAPE = """
+WITH scores AS (
+  SELECT doc_id, lang, {markers}
+  FROM documents
+),
+pred AS (
+  SELECT lang AS _a,
+       CASE WHEN s_en >= s_es AND s_en >= s_zh AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_zh AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_zh >= s_de AND s_zh >= s_fr THEN 'zh'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS _p
+  FROM scores
+),
+ledger AS (SELECT _a, _p, COUNT(*) AS _n FROM pred GROUP BY 1, 2),
+tp AS (SELECT _a AS label, _n AS tp FROM ledger WHERE _a = _p),
+pt AS (SELECT _p AS label, SUM(_n) AS pred_n FROM ledger GROUP BY 1),
+at AS (SELECT _a AS label, SUM(_n) AS support FROM ledger GROUP BY 1),
+base AS (
+  SELECT COALESCE(at.label, pt.label) AS label,
+         COALESCE(tp.tp, 0) AS tp,
+         COALESCE(pt.pred_n, 0) - COALESCE(tp.tp, 0) AS fp,
+         COALESCE(at.support, 0) - COALESCE(tp.tp, 0) AS fn,
+         COALESCE(at.support, 0) AS support
+  FROM at FULL JOIN pt ON at.label = pt.label
+  LEFT JOIN tp ON COALESCE(at.label, pt.label) = tp.label
+)
+SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(support AS BIGINT) AS support,
+       CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (1000 * tp) // (tp + fp) END AS BIGINT) AS precision_permille,
+       CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (1000 * tp) // (tp + fn) END AS BIGINT) AS recall_permille,
+       CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE (2000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_permille
+FROM base
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_lang_id_classification_report_oracle_shape_matches(spark, sf):
+    from kinesis_stream_video_project_spark.operators.stats import (
+        classification_report,
+    )
+    from kinesis_stream_video_project_spark.plans.queries_llm import (
+        _LANG_MARKERS,
+        _marker_sql,
+    )
+    from kinesis_stream_video_project_spark.plans import registry
+
+    pred = (
+        registry.queries()["lang_id_ngram"](spark, sf)
+        .join(
+            io.load_table(spark, sf, "documents").select("doc_id", "lang"),
+            "doc_id",
+        )
+        .select(F.col("lang").alias("actual"), F.col("predicted_lang").alias("predicted"))
+    )
+    got = classification_report(pred)
+    markers = ",\n         ".join(
+        f"{_marker_sql(lang)} AS s_{lang}" for lang in ("en", "es", "zh", "de", "fr")
+    )
+    con = _con(sf)
+    want = con.sql(LANG_REPORT_ORACLE_SHAPE.format(markers=markers)).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+    assert got.count() > 0
