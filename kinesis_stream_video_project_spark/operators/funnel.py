@@ -229,3 +229,74 @@ def funnel_user_stages(
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def session_pattern_matches(
+    events: DataFrame,
+    gap_s: int = 86400,
+    pattern: str = "v[evsc]*c[evsc]*p",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Regex event-pattern matching within gap sessions — the
+    MATCH_RECOGNIZE-lite / CEP tier next to the funnel and path miner:
+    the funnel counts ONE named step sequence with greedy matching,
+    this evaluates an arbitrary REGULAR EXPRESSION over each session's
+    full ordered type sequence (e.g. the default
+    ``v[evsc]*c[evsc]*p`` = view, later click, later purchase with no
+    intervening purchase — the "clean conversion path" pattern).
+
+    Each session is rendered as a string of event-type INITIALS (the
+    fixture's five types e/v/s/c/p are initial-distinct; a deployment
+    with colliding types maps to an explicit alphabet first) in the
+    (ts, event_id) total order, then counted with non-overlapping
+    left-to-right regex semantics — identical in Spark (regexp_count)
+    and DuckDB (len(regexp_extract_all)) for patterns over a literal
+    alphabet. Output one row per MATCHING session:
+    ``(user_id, session_start_us, n_events, n_matches)``.
+
+    Scale: the sessionization is the session_paths discipline (two
+    per-user window passes, never global); the sequence string lives
+    per (user, session) row and is bounded by session length; the
+    regex runs once per session row, JVM-side."""
+    us = F.unix_micros(F.col(ts_col))
+    w_user = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    brk = (
+        F.when(
+            F.lag(us).over(w_user).isNull()
+            | (us - F.lag(us).over(w_user) > F.lit(gap_s * 1_000_000)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_brk")
+    )
+    w_proj = Window.partitionBy(user_col).orderBy("_us", "_eid")
+    sess = events.select(
+        user_col,
+        us.alias("_us"),
+        F.col(id_col).alias("_eid"),
+        F.substring(F.col(type_col), 1, 1).alias("_ini"),
+        brk,
+    ).withColumn("_sess", F.sum("_brk").over(w_proj))
+    per_session = sess.groupBy(user_col, "_sess").agg(
+        F.min("_us").alias("session_start_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_us", "_eid", "_ini"))
+                ),
+                lambda x: x["_ini"],
+            ),
+            "",
+        ).alias("_seq"),
+    )
+    return (
+        per_session.withColumn(
+            "n_matches", F.regexp_count(F.col("_seq"), F.lit(pattern)).cast("long")
+        )
+        .filter(F.col("n_matches") > 0)
+        .select(user_col, "session_start_us", "n_events", "n_matches")
+    )

@@ -947,3 +947,105 @@ def test_lang_id_classification_report_oracle_shape_matches(spark, sf):
     want = con.sql(LANG_REPORT_ORACLE_SHAPE.format(markers=markers)).df()
     assert _rendered(got.toPandas()).equals(_rendered(want)), sf
     assert got.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Session regex pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+PATTERN_ORACLE_SHAPE = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, substr(event_type, 1, 1) AS ini,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM base
+),
+per_session AS (
+  SELECT user_id, sess, MIN(us) AS session_start_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         string_agg(ini, '' ORDER BY us, event_id) AS seq
+  FROM sessed GROUP BY user_id, sess
+)
+SELECT user_id, session_start_us, n_events,
+       CAST(len(regexp_extract_all(seq, '{pattern}')) AS BIGINT) AS n_matches
+FROM per_session
+WHERE len(regexp_extract_all(seq, '{pattern}')) > 0
+"""
+
+
+def test_session_pattern_handchecked(spark):
+    import datetime as dt
+
+    from kinesis_stream_video_project_spark.operators.funnel import (
+        session_pattern_matches,
+    )
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, sec, etype):
+        return (int(eid), base + dt.timedelta(seconds=sec), 1, etype)
+
+    # one session: v e c p  -> 'vecp' matches v[evsc]*c[evsc]*p once;
+    # second session (gap > 60): p v c -> 'pvc' no match
+    rows = [
+        ev(1, 0, "view"), ev(2, 10, "error"), ev(3, 20, "click"),
+        ev(4, 30, "purchase"),
+        ev(5, 300, "purchase"), ev(6, 310, "view"), ev(7, 320, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = session_pattern_matches(df, gap_s=60).collect()
+    base_us = int(base.timestamp()) * 1_000_000
+    assert len(got) == 1
+    assert (
+        got[0]["user_id"], got[0]["session_start_us"],
+        got[0]["n_events"], got[0]["n_matches"],
+    ) == (1, base_us, 4, 1)
+
+
+def test_session_pattern_nonoverlapping_count(spark):
+    import datetime as dt
+
+    from kinesis_stream_video_project_spark.operators.funnel import (
+        session_pattern_matches,
+    )
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    # 'vcpvcp' -> two non-overlapping clean conversions in one session
+    types = ["view", "click", "purchase", "view", "click", "purchase"]
+    rows = [
+        (i + 1, base + dt.timedelta(seconds=5 * i), 1, t)
+        for i, t in enumerate(types)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = session_pattern_matches(df, gap_s=60).collect()
+    assert len(got) == 1 and got[0]["n_matches"] == 2
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_session_pattern_oracle_shape_matches(spark, sf):
+    from kinesis_stream_video_project_spark.operators.funnel import (
+        session_pattern_matches,
+    )
+
+    got = session_pattern_matches(
+        io.load_table(spark, sf, "events"), gap_s=86400
+    )
+    con = _con(sf)
+    want = con.sql(
+        PATTERN_ORACLE_SHAPE.format(
+            gap_us=86400 * 1_000_000, pattern="v[evsc]*c[evsc]*p"
+        )
+    ).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+    assert got.count() > 0, f"{sf}: pattern degenerate"
