@@ -1049,3 +1049,50 @@ def test_session_pattern_oracle_shape_matches(spark, sf):
     ).df()
     assert _rendered(got.toPandas()).equals(_rendered(want)), sf
     assert got.count() > 0, f"{sf}: pattern degenerate"
+
+
+# ---------------------------------------------------------------------------
+# Layout-operator laws (hypothesis)
+# ---------------------------------------------------------------------------
+
+
+class TestLayoutLaws:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        x=st.integers(0, (1 << 14) - 1),
+        y=st.integers(0, (1 << 14) - 1),
+    )
+    def test_zorder_key_is_invertible(self, x, y):
+        """The Morton key loses nothing: de-interleaving the python
+        reference of the same bit formula recovers (x, y) exactly."""
+        z = 0
+        for i in range(14):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        rx = sum(((z >> (2 * i)) & 1) << i for i in range(14))
+        ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(14))
+        assert (rx, ry) == (x, y)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        vals=st.lists(st.integers(0, 20), min_size=1, max_size=60),
+        n_parts=st.integers(1, 8),
+    )
+    def test_range_bounds_laws(self, spark, vals, n_parts):
+        """Partition laws: row counts sum to N; parts and upper bounds
+        are strictly increasing; every part id is in [0, n_parts)."""
+        from kinesis_stream_video_project_spark.operators.layout import (
+            range_partition_bounds,
+        )
+
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        rows = sorted(
+            (r["part"], r["upper_value"], r["n_rows"])
+            for r in range_partition_bounds(df, "v", n_parts).collect()
+        )
+        assert sum(r[2] for r in rows) == len(vals)
+        parts = [r[0] for r in rows]
+        uppers = [r[1] for r in rows]
+        assert parts == sorted(set(parts))
+        assert uppers == sorted(set(uppers))
+        assert all(0 <= p < n_parts for p in parts)
