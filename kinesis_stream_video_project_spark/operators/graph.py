@@ -767,3 +767,98 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).alias("cc_permille"),
         )
     )
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = 10**6,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Integer HITS over a BIPARTITE edge list ``(hub, auth)`` —
+    Kleinberg's hubs-and-authorities reinforcement (JACM 1999) in the
+    form where it is genuinely distinct from eigenvector centrality: on
+    an undirected graph hubs equal authorities, but on a bipartite
+    customer→part graph the two sides reinforce (a customer is a good
+    hub when they buy authoritative parts; a part is authoritative when
+    good hubs buy it) — the recommendation-seed / catalog-curation
+    signal next to PageRank's single-mode importance.
+
+    Arithmetic contract: h⁰(u) = ``scale``; each iteration is two
+    integer sum-aggregations over the static edge list::
+
+        a(v) = Σ_{u→v} h(u)        h'(u) = Σ_{u→v} a(v)
+
+    — NO normalization step, because the classical per-iteration L2
+    normalization is a positive scalar that cannot change any ranking,
+    and dropping it keeps every value an exact BIGINT (hash-identical
+    in any engine; the oracle unrolls the same recurrence). The price
+    is growth: scores reach ~scale·(max_deg)^(2·iters). The operator
+    computes the exact worst-case bound from the REAL degree maxima
+    before iterating and REFUSES (ValueError naming the largest safe
+    ``scale``) when it could exceed BIGINT — the pagerank_int
+    overflow discipline: wrong-by-wrapping is the one inexcusable
+    outcome of an exact-arithmetic design.
+
+    Scale: the edge list is materialized once (localCheckpoint — the
+    iterative-loop rule); each half-iteration is one join of the
+    ≤|side|-row score vector (broadcast; pass a shuffle join at 10^8+
+    nodes the way pagerank_int's ``broadcast_ranks=False`` does)
+    against the static edges plus one aggregate keyed on the other
+    side — 2·iters exchanges total, no driver-side collection except
+    the two max-degree scalars of the guard. Output one row per node:
+    ``(node_id, role, score_scaled)`` with role ∈ ('hub', 'authority').
+    """
+    e = _materialize(
+        edges.select(F.col(hub_col).alias("_h"), F.col(auth_col).alias("_a"))
+        .distinct(),
+        reliable_checkpoint,
+    )
+    deg_h = e.groupBy("_h").count().agg(F.max("count")).collect()[0][0] or 0
+    deg_a = e.groupBy("_a").count().agg(F.max("count")).collect()[0][0] or 0
+    bound = scale
+    for _ in range(iters):
+        bound *= deg_a  # a(v) sums ≤ deg(v) hub scores
+        bound *= deg_h  # h(u) sums ≤ deg(u) authority scores
+    if bound >= 2**62:
+        safe = scale
+        while safe > 1:
+            b = safe
+            for _ in range(iters):
+                b *= deg_a * deg_h
+            if b < 2**62:
+                break
+            safe //= 10
+        raise ValueError(
+            f"hits_bipartite: worst-case score {bound} exceeds BIGINT at "
+            f"scale={scale}, iters={iters} (max degrees {deg_h}/{deg_a}); "
+            f"largest safe scale ~{safe}"
+        )
+    hubs = e.select("_h").distinct().select(
+        "_h", F.lit(scale).cast("long").alias("_score")
+    )
+    auths = None
+    for _ in range(iters):
+        auths = (
+            e.join(F.broadcast(hubs), "_h")
+            .groupBy("_a")
+            .agg(F.sum("_score").cast("long").alias("_score"))
+        )
+        hubs = (
+            e.join(F.broadcast(auths), "_a")
+            .groupBy("_h")
+            .agg(F.sum("_score").cast("long").alias("_score"))
+        )
+    return hubs.select(
+        F.col("_h").alias("node_id"),
+        F.lit("hub").alias("role"),
+        F.col("_score").alias("score_scaled"),
+    ).unionByName(
+        auths.select(
+            F.col("_a").alias("node_id"),
+            F.lit("authority").alias("role"),
+            F.col("_score").alias("score_scaled"),
+        )
+    )

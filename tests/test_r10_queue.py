@@ -1096,3 +1096,71 @@ class TestLayoutLaws:
         assert parts == sorted(set(parts))
         assert uppers == sorted(set(uppers))
         assert all(0 <= p < n_parts for p in parts)
+
+
+# ---------------------------------------------------------------------------
+# Bipartite HITS (Kleinberg 1999) over the customer->part purchase graph
+# ---------------------------------------------------------------------------
+
+HITS_ORACLE_SHAPE = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS h, l_partkey AS a
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT h, CAST(1000000 AS BIGINT) AS s FROM e),
+a1 AS (SELECT a, CAST(SUM(s) AS BIGINT) AS s FROM e JOIN h0 USING (h) GROUP BY a),
+h1 AS (SELECT h, CAST(SUM(s) AS BIGINT) AS s FROM e JOIN a1 USING (a) GROUP BY h),
+a2 AS (SELECT a, CAST(SUM(s) AS BIGINT) AS s FROM e JOIN h1 USING (h) GROUP BY a),
+h2 AS (SELECT h, CAST(SUM(s) AS BIGINT) AS s FROM e JOIN a2 USING (a) GROUP BY h)
+SELECT h AS node_id, 'hub' AS role, s AS score_scaled FROM h2
+UNION ALL
+SELECT a AS node_id, 'authority' AS role, s AS score_scaled FROM a2
+"""
+
+
+def _purchase_edges(spark, sf):
+    o = io.load_table(spark, sf, "orders")
+    li = io.load_table(spark, sf, "lineitem")
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth")
+    )
+
+
+def test_hits_handchecked(spark):
+    from kinesis_stream_video_project_spark.operators.graph import hits_bipartite
+
+    # K_{1,2} plus an isolated pair: hub 1 -> {10, 11}; hub 2 -> {11}
+    e = spark.createDataFrame([(1, 10), (1, 11), (2, 11)], "hub long, auth long")
+    got = {
+        (r["role"], r["node_id"]): r["score_scaled"]
+        for r in hits_bipartite(e, iters=1, scale=10).collect()
+    }
+    # a1: 10 -> 10, 11 -> 20; h1: 1 -> 10+20=30, 2 -> 20
+    assert got == {
+        ("authority", 10): 10,
+        ("authority", 11): 20,
+        ("hub", 1): 30,
+        ("hub", 2): 20,
+    }
+
+
+def test_hits_refuses_overflow(spark):
+    from kinesis_stream_video_project_spark.operators.graph import hits_bipartite
+
+    e = spark.createDataFrame(
+        [(1, a) for a in range(10)] + [(h, 1) for h in range(10)],
+        "hub long, auth long",
+    )
+    with pytest.raises(ValueError, match="largest safe scale"):
+        hits_bipartite(e, iters=8, scale=10**12)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_hits_oracle_shape_matches(spark, sf):
+    from kinesis_stream_video_project_spark.operators.graph import hits_bipartite
+
+    got = hits_bipartite(_purchase_edges(spark, sf), iters=2)
+    con = _con(sf)
+    want = con.sql(HITS_ORACLE_SHAPE).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+    assert got.count() > 0
