@@ -300,3 +300,53 @@ def session_pattern_matches(
         .filter(F.col("n_matches") > 0)
         .select(user_col, "session_start_us", "n_events", "n_matches")
     )
+
+
+def closed_sessions(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch replay of the ONLINE sessionizer's shared fold
+    (streaming/jobs.py::_session_fold — the funnel_user_stages
+    precedent: the same pure function the two streaming stateful APIs
+    run, driven over the batch table in (ts, event_id) order per user,
+    with end-of-input flushing the final open session). Because batch
+    EOF closes everything, the output is EXACTLY the gaps-and-islands
+    session report — ``(user_id, session_start_us, session_end_us,
+    n_events)`` — so a plain SQL oracle hash-checks the fold itself,
+    which the streaming drain (watermark-horizon sessions stay open)
+    cannot do alone.
+
+    Scale: one applyInPandas pass keyed on ``user_col``; state is the
+    fold's 24 B regardless of history; each group sorts its own rows
+    (the per-user event count, never the table)."""
+    import pandas as pd
+
+    from kinesis_stream_video_project_spark.streaming.jobs import _session_fold
+
+    gap_us = gap_s * 1_000_000
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        rows = (pdf[ts_col].astype("int64") // 1000).tolist()
+        start, end, n, emits = _session_fold(None, None, 0, gap_us, rows)
+        if start is not None:
+            emits.append((start, end, n))
+        uid = int(pdf[user_col].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(emits),
+                "session_start_us": [e[0] for e in emits],
+                "session_end_us": [e[1] for e in emits],
+                "n_events": [e[2] for e in emits],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandas(
+        replay,
+        "user_id bigint, session_start_us bigint, session_end_us bigint, "
+        "n_events bigint",
+    )

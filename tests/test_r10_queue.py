@@ -1164,3 +1164,40 @@ def test_hits_oracle_shape_matches(spark, sf):
     want = con.sql(HITS_ORACLE_SHAPE).df()
     assert _rendered(got.toPandas()).equals(_rendered(want)), sf
     assert got.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Batch replay of the session fold (== gaps-and-islands, hash-checkable)
+# ---------------------------------------------------------------------------
+
+SESSIONS_ORACLE_SHAPE = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM base
+)
+SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessed GROUP BY user_id, sess
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_closed_sessions_replay_matches_islands_oracle(spark, sf):
+    from kinesis_stream_video_project_spark.operators.funnel import (
+        closed_sessions,
+    )
+
+    got = closed_sessions(io.load_table(spark, sf, "events"), gap_s=1800)
+    con = _con(sf)
+    want = con.sql(SESSIONS_ORACLE_SHAPE.format(gap_us=1800 * 1_000_000)).df()
+    assert _rendered(got.toPandas()).equals(_rendered(want)), sf
+    assert got.count() > 0
