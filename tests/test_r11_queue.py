@@ -1,0 +1,269 @@
+"""Round-11 registration queue, part 1: KMV bottom-k distinct sketch and
+the γ=2 DDSketch-style log-bucket quantile sketch — pytest-verified with
+validated DuckDB oracle shapes before registration (the
+paste-don't-debug discipline, sixth round running)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.operators import ddsketch, kmv
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def _rendered(df_pandas):
+    cols = sorted(df_pandas.columns)
+    return (
+        df_pandas[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    )
+
+
+def _con(sf):
+    con = duckdb.connect()
+    for t in ("events", "customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+def _py_rank(key) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:12], 16)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch (Bar-Yossef et al. 2002; Beyer et al. 2007)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_rank_portable(spark):
+    """Ranks must equal both DuckDB's md5-substring derivation and the
+    Python hashlib twin."""
+    df = spark.createDataFrame([(42,), (7,), (123456789,)], "k long")
+    got = {r["k"]: r["rank"] for r in df.select("k", kmv.kmv_rank(F.col("k")).alias("rank")).collect()}
+    for k, rank in got.items():
+        want_duck = duckdb.sql(
+            f"SELECT ('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 12))::BIGINT"
+        ).fetchone()[0]
+        assert rank == want_duck == _py_rank(k), (k, rank, want_duck)
+
+
+def test_kmv_bottomk_handchecked(spark):
+    """k=3 over six keys in one group: the sketch is exactly the three
+    smallest md5 ranks in rank order."""
+    keys = [10, 11, 12, 13, 14, 15]
+    df = spark.createDataFrame([("g", k) for k in keys], "grp string, k long")
+    got = [
+        (r["pos"], r["rank"])
+        for r in kmv.kmv_bottomk(df, "k", "grp", k=3, n_salts=2)
+        .orderBy("pos")
+        .collect()
+    ]
+    want = sorted(_py_rank(k) for k in keys)[:3]
+    assert got == [(i + 1, rank) for i, rank in enumerate(want)]
+
+
+def test_kmv_rejects_degenerate_params(spark):
+    df = spark.createDataFrame([("g", 1)], "grp string, k long")
+    with pytest.raises(ValueError, match="kmv_bottomk"):
+        kmv.kmv_bottomk(df, "k", "grp", k=1)
+    with pytest.raises(ValueError, match="kmv_bottomk"):
+        kmv.kmv_bottomk(df, "k", "grp", k=8, n_salts=0)
+
+
+def test_kmv_merge_law(spark):
+    """bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) — the
+    mergeability that makes the 100 TB map-side combine sound."""
+    cust = io.load_table(spark, "/root/testdata/sf0.01", "customer")
+    a = cust.filter(F.col("c_custkey") % 2 == 0)
+    b = cust.filter(F.col("c_custkey") % 2 == 1)
+    whole = kmv.kmv_bottomk(cust, "c_custkey", "c_nationkey", k=16)
+    pa = kmv.kmv_bottomk(a, "c_custkey", "c_nationkey", k=16)
+    pb = kmv.kmv_bottomk(b, "c_custkey", "c_nationkey", k=16)
+    w = Window.partitionBy("c_nationkey").orderBy("rank")
+    merged = (
+        pa.select("c_nationkey", "rank")
+        .union(pb.select("c_nationkey", "rank"))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 16)
+        .select("c_nationkey", F.col("pos").cast("long").alias("pos"), "rank")
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+KMV_ORACLE = """
+WITH d AS (SELECT DISTINCT c_nationkey, c_custkey FROM customer),
+r AS (SELECT c_nationkey, c_custkey,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT AS rank
+      FROM d),
+b AS (SELECT c_nationkey, rank,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY rank, c_custkey) AS pos
+      FROM r),
+f AS (SELECT c_nationkey, COUNT(*) AS n_hashes, MAX(rank) AS kth_rank
+      FROM b WHERE pos <= 32 GROUP BY 1),
+e AS (SELECT c_nationkey, COUNT(*) AS exact_distinct FROM d GROUP BY 1),
+j AS (SELECT e.c_nationkey, exact_distinct, n_hashes, kth_rank,
+             CASE WHEN n_hashes < 32 THEN n_hashes
+                  ELSE (31 * (1::BIGINT << 48)) // kth_rank END AS kmv_est
+      FROM e JOIN f USING (c_nationkey))
+SELECT c_nationkey, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(n_hashes AS BIGINT) AS n_hashes, kth_rank,
+       CAST(kmv_est AS BIGINT) AS kmv_est,
+       CAST(kmv_est - exact_distinct AS BIGINT) AS err
+FROM j
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_kmv_oracle_shape_matches(spark, sf):
+    cust = io.load_table(spark, sf, "customer")
+    got = kmv.kmv_distinct_estimates(cust, "c_custkey", "c_nationkey", k=32).toPandas()
+    con = _con(sf)
+    want = con.sql(KMV_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+
+
+@pytest.mark.parametrize(
+    "sf,engaged", [(SFS[0], False), (SFS[1], True), (SFS[2], True)]
+)
+def test_kmv_estimator_regimes(spark, sf, engaged):
+    """sf0.001 keeps every group under k (estimate exact by definition);
+    sf>=0.01 fills every sketch and the probed relative error stays in
+    [0.7, 1.5] at k=32 (measured — KMV stddev ~ n/sqrt(k-1) ≈ 0.18n)."""
+    cust = io.load_table(spark, sf, "customer")
+    rows = kmv.kmv_distinct_estimates(cust, "c_custkey", "c_nationkey", k=32).collect()
+    assert len(rows) == 25
+    for r in rows:
+        if not engaged:
+            assert r["n_hashes"] == r["exact_distinct"] < 32
+            assert r["kmv_est"] == r["exact_distinct"] and r["err"] == 0
+        else:
+            assert r["n_hashes"] == 32
+            ratio = r["kmv_est"] / r["exact_distinct"]
+            assert 0.7 <= ratio <= 1.5, (r["c_nationkey"], ratio)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch γ=2 log-bucket quantiles (Masson, Lee & Rindal, VLDB 2019)
+# ---------------------------------------------------------------------------
+
+
+def test_dd_bucket_handchecked(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,), (255,), (256,)], "v long")
+    got = [r["b"] for r in df.select(ddsketch.dd_bucket(F.col("v")).alias("b")).orderBy("v").collect()]
+    assert got == [0, 1, 1, 2, 7, 8]
+
+
+def test_dd_sketch_refuses_below_one(spark):
+    df = spark.createDataFrame([("g", 0)], "grp string, v long")
+    with pytest.raises(Exception, match="no log2 bucket"):
+        ddsketch.dd_sketch(df, "v", "grp").collect()
+
+
+def test_dd_quantiles_handchecked(spark):
+    """Eight values 1..8 in one group: n=8; q=500 → rank 4 → value 4 →
+    bucket 2 → est 6; q=990 → rank 8 → value 8 → bucket 3 → est 12."""
+    df = spark.createDataFrame([("g", v) for v in range(1, 9)], "grp string, v long")
+    got = {
+        r["q_permille"]: (r["n"], r["dd_est"])
+        for r in ddsketch.dd_quantiles(df, "v", "grp", q_permille=(500, 990)).collect()
+    }
+    assert got == {500: (8, 6), 990: (8, 12)}
+
+
+def test_dd_quantiles_rejects_bad_q(spark):
+    df = spark.createDataFrame([("g", 1)], "grp string, v long")
+    with pytest.raises(ValueError, match="q_permille"):
+        ddsketch.dd_quantiles(df, "v", "grp", q_permille=(0,))
+
+
+def test_dd_merge_cellwise(spark):
+    """sketch(A ∪ B) == cell-wise sum of sketch(A) and sketch(B)."""
+    orders = io.load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    a = orders.filter(F.col("cents") % 2 == 0)
+    b = orders.filter(F.col("cents") % 2 == 1)
+    whole = ddsketch.dd_sketch(orders, "cents", "o_orderpriority")
+    merged = (
+        ddsketch.dd_sketch(a, "cents", "o_orderpriority")
+        .union(ddsketch.dd_sketch(b, "cents", "o_orderpriority"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+DD_ORACLE = """
+WITH v AS (SELECT o_orderpriority,
+                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+s AS (SELECT o_orderpriority, length(bin(cents)) - 1 AS bucket, COUNT(*) AS cnt
+      FROM v GROUP BY 1, 2),
+c AS (SELECT o_orderpriority, bucket,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      FROM s),
+p AS (SELECT o_orderpriority, bucket, cum, n, q
+      FROM c, (SELECT UNNEST([500, 900, 990]) AS q)),
+h AS (SELECT o_orderpriority, q, n, bucket,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority, q ORDER BY bucket) AS rn
+      FROM p WHERE cum >= (q * n + 999) // 1000)
+SELECT o_orderpriority, CAST(q AS BIGINT) AS q_permille, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN bucket = 0 THEN 1
+                 ELSE 3::BIGINT << (bucket - 1) END AS BIGINT) AS dd_est
+FROM h WHERE rn = 1
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_dd_oracle_shape_matches(spark, sf):
+    orders = io.load_table(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    got = ddsketch.dd_quantiles(orders, "cents", "o_orderpriority").toPandas()
+    con = _con(sf)
+    want = con.sql(DD_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_dd_containment_law(spark, sf):
+    """The hard γ=2 bound: est / exact-disc-quantile ∈ (3/4, 3/2] for
+    every (group, q) — the walk lands in the bucket holding the exact
+    rank-ceil(q·n) element and estimates its arithmetic midpoint."""
+    orders = io.load_table(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    got = {
+        (r["o_orderpriority"], r["q_permille"]): r["dd_est"]
+        for r in ddsketch.dd_quantiles(orders, "cents", "o_orderpriority").collect()
+    }
+    con = _con(sf)
+    exact = con.sql(
+        """
+        WITH v AS (SELECT o_orderpriority,
+                          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+                   FROM orders),
+        r AS (SELECT o_orderpriority, cents,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rnk,
+                     COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM v)
+        SELECT o_orderpriority, q, MIN(cents) AS exact_q
+        FROM r, (SELECT UNNEST([500, 900, 990]) AS q)
+        WHERE rnk >= (q * n + 999) // 1000
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert len(exact) == len(got)
+    for grp, q, exact_q in exact:
+        ratio = got[(grp, q)] / exact_q
+        assert 0.75 < ratio <= 1.5, (grp, q, ratio)
