@@ -350,3 +350,93 @@ def closed_sessions(
         "user_id bigint, session_start_us bigint, session_end_us bigint, "
         "n_events bigint",
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion_type: str,
+    channel_types: Sequence[str],
+    horizon_s: int,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch conversion attribution: every ``conversion_type`` event
+    is credited to the user's most recent ``channel_types`` event
+    STRICTLY before it (RANGE frame on epoch-µs — same-timestamp events
+    are simultaneous, not sequenced; the funnel strictness rule) and
+    within ``horizon_s``; conversions with no such touch credit the
+    literal channel ``'none'``.
+
+    Returns one row per channel (incl. ``'none'``):
+    ``(channel, n_conversions, sum_value_milli)`` — the conversion
+    value is summed as scaled-integer milli-units (the repo's exact-
+    arithmetic discipline; double SUM is partition-order dependent).
+
+    Determinism with timestamp ties AMONG touches: the winning touch
+    time is ``MAX(us)`` over the frame (unique), and if several channel
+    events share that winning µs the credited channel is
+    ``min_by(channel, event_id)`` — pinned in tests with a crafted tie.
+
+    Scale shape: one per-user window over epoch-µs (RANGE frame — no
+    per-row self-join), one (user, us) touch-dedup aggregate, one join
+    back on (user, att_us) where the touch side has already collapsed
+    to at most one row per (user, us), then a |channels|-row aggregate.
+    Everything shuffles on user_id; no global window.
+    """
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+
+    if conversion_type in channel_types:
+        raise ValueError(
+            "attribution_last_touch: conversion_type cannot also be a channel"
+        )
+    us = F.unix_micros(F.col(ts_col))
+    is_channel = F.col(type_col).isin(list(channel_types))
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        us.alias("_us"),
+        F.col(type_col).alias("_ty"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_v"),
+        is_channel.alias("_is_ch"),
+    )
+    touches = (
+        ev.filter("_is_ch")
+        .groupBy("_u", "_us")
+        .agg(F.min_by("_ty", "_id").alias("channel"))
+        .select(
+            F.col("_u").alias("_tu"),
+            F.col("_us").alias("_tus"),
+            "channel",
+        )
+    )
+    w = (
+        Window.partitionBy("_u")
+        .orderBy("_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    conv = (
+        ev.withColumn("_att_us", F.max(F.when(F.col("_is_ch"), F.col("_us"))).over(w))
+        .filter(F.col("_ty") == conversion_type)
+        .withColumn(
+            "_att_us",
+            F.when(
+                F.col("_us") - F.col("_att_us") <= horizon_s * 1_000_000,
+                F.col("_att_us"),
+            ),
+        )
+    )
+    credited = conv.join(
+        touches,
+        (F.col("_u") == F.col("_tu")) & (F.col("_att_us") == F.col("_tus")),
+        "left",
+    ).select(
+        F.coalesce(F.col("channel"), F.lit("none")).alias("channel"),
+        scaled_long(F.col("_v"), 1000).alias("_vm"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum("_vm").cast("long").alias("sum_value_milli"),
+    )

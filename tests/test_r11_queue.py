@@ -267,3 +267,190 @@ def test_dd_containment_law(spark, sf):
     for grp, q, exact_q in exact:
         ratio = got[(grp, q)] / exact_q
         assert 0.75 < ratio <= 1.5, (grp, q, ratio)
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency (operators/intervals.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators import intervals  # noqa: E402
+
+
+def test_concurrency_handchecked(spark):
+    """Three intervals on one key: [d1,d3], [d2,d4], [d6,d6] — peak 2 on
+    d2; the singleton re-raises to 1 after a 0 gap."""
+    rows = [
+        ("s", "2020-01-01", "2020-01-03"),
+        ("s", "2020-01-02", "2020-01-04"),
+        ("s", "2020-01-06", "2020-01-06"),
+    ]
+    df = spark.createDataFrame(rows, "k string, s string, e string")
+    got = {
+        str(r["d"]): r["concurrent"]
+        for r in intervals.concurrency_by_day(df, "k", "s", "e").collect()
+    }
+    assert got == {
+        "2020-01-01": 1,
+        "2020-01-02": 2,
+        "2020-01-04": 1,
+        "2020-01-05": 0,
+        "2020-01-06": 1,
+        "2020-01-07": 0,
+    }
+    peak = intervals.peak_concurrency(df, "k", "s", "e", top=5).collect()
+    assert [(r["rnk"], r["k"], r["peak_concurrent"], r["peak_day"]) for r in peak] == [
+        (1, "s", 2, "2020-01-02")
+    ]
+
+
+def test_peak_concurrency_rejects_bad_top(spark):
+    df = spark.createDataFrame([("s", "2020-01-01", "2020-01-02")], "k string, s string, e string")
+    with pytest.raises(ValueError, match="top"):
+        intervals.peak_concurrency(df, "k", "s", "e", top=0)
+
+
+CONCURRENCY_ORACLE = """
+WITH iv AS (SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s FROM lineitem),
+b AS (SELECT k, s AS d, 1 AS delta FROM iv
+      UNION ALL SELECT k, s + 8, -1 FROM iv),
+g AS (SELECT k, d, SUM(delta) AS delta FROM b GROUP BY 1, 2),
+c AS (SELECT k, d, SUM(delta) OVER (PARTITION BY k ORDER BY d) AS cum FROM g),
+p AS (SELECT k, MAX(cum) AS peak FROM c GROUP BY 1),
+f AS (SELECT c.k, p.peak, MIN(c.d) AS pd
+      FROM c JOIN p ON c.k = p.k AND c.cum = p.peak GROUP BY 1, 2),
+r AS (SELECT k, peak, pd, ROW_NUMBER() OVER (ORDER BY peak DESC, k) AS rnk FROM f)
+SELECT CAST(rnk AS BIGINT) AS rnk, k AS l_suppkey,
+       CAST(peak AS BIGINT) AS peak_concurrent,
+       strftime(pd, '%Y-%m-%d') AS peak_day
+FROM r WHERE rnk <= 20
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_peak_concurrency_oracle_shape_matches(spark, sf):
+    li = io.load_table(spark, sf, "lineitem").withColumn(
+        "transit_end", F.date_add(F.to_date("l_shipdate"), 7)
+    )
+    got = intervals.peak_concurrency(
+        li, "l_suppkey", "l_shipdate", "transit_end", top=20
+    ).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.sql(CONCURRENCY_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+
+
+def test_peak_concurrency_nondegenerate(spark):
+    """Fixture probe: peaks must exceed 1 (overlap actually happens) and
+    vary across the top-20 (the r3 empties-audit habit)."""
+    li = io.load_table(spark, "/root/testdata/sf0.01", "lineitem").withColumn(
+        "transit_end", F.date_add(F.to_date("l_shipdate"), 7)
+    )
+    rows = intervals.peak_concurrency(
+        li, "l_suppkey", "l_shipdate", "transit_end", top=20
+    ).collect()
+    assert len(rows) == 20
+    peaks = [r["peak_concurrent"] for r in rows]
+    assert max(peaks) > 1 and len(set(peaks)) > 1
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (operators/funnel.py)
+# ---------------------------------------------------------------------------
+
+from datetime import datetime  # noqa: E402
+
+from kinesis_stream_video_project_spark.operators.funnel import (  # noqa: E402
+    attribution_last_touch,
+)
+
+
+def _ev(uid, sec, ty, eid, val=1.0):
+    return (eid, datetime(2020, 1, 1, 0, 0, sec), uid, ty, val, "{}")
+
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def test_attribution_handchecked(spark):
+    """u1: click@1 then purchase@5 within horizon → click; u2: view@1,
+    purchase@50 beyond 10 s horizon → none; u3: purchase@0 with no
+    touch → none."""
+    rows = [
+        _ev(1, 1, "click", 10),
+        _ev(1, 5, "purchase", 11, 2.5),
+        _ev(2, 1, "view", 20),
+        _ev(2, 50, "purchase", 21, 1.0),
+        _ev(3, 0, "purchase", 30, 4.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        r["channel"]: (r["n_conversions"], r["sum_value_milli"])
+        for r in attribution_last_touch(
+            df, "purchase", ["click", "view", "signup"], horizon_s=10
+        ).collect()
+    }
+    assert got == {"click": (1, 2500), "none": (2, 5000)}
+
+
+def test_attribution_simultaneous_and_tie_rules(spark):
+    """A touch AT the conversion timestamp is simultaneous (not
+    sequenced — excluded by the RANGE frame); two touches sharing the
+    winning µs credit the min-event_id channel."""
+    rows = [
+        _ev(1, 5, "click", 10),   # simultaneous with conversion -> ignored
+        _ev(1, 2, "view", 11),
+        _ev(1, 5, "purchase", 12, 1.0),
+        _ev(2, 3, "view", 20),    # tie at sec 3: min event_id wins -> view
+        _ev(2, 3, "click", 21),
+        _ev(2, 7, "purchase", 22, 1.0),
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        r["channel"]: r["n_conversions"]
+        for r in attribution_last_touch(
+            df, "purchase", ["click", "view"], horizon_s=100
+        ).collect()
+    }
+    assert got == {"view": 2}
+
+
+def test_attribution_rejects_conversion_as_channel(spark):
+    df = spark.createDataFrame([_ev(1, 1, "click", 1)], EV_SCHEMA)
+    with pytest.raises(ValueError, match="conversion_type"):
+        attribution_last_touch(df, "click", ["click"], horizon_s=10)
+
+
+ATTRIBUTION_ORACLE = """
+WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS ty, event_id AS id,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm,
+                   event_type IN ('click', 'view', 'signup') AS is_ch
+            FROM events),
+t AS (SELECT u, us, arg_min(ty, id) AS channel FROM ev WHERE is_ch GROUP BY 1, 2),
+w AS (SELECT u, us, ty, vm,
+             MAX(CASE WHEN is_ch THEN us END) OVER
+               (PARTITION BY u ORDER BY us
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS att
+      FROM ev),
+conv AS (SELECT u, us, vm,
+                CASE WHEN us - att <= 86400::BIGINT * 1000000 THEN att END AS att
+         FROM w WHERE ty = 'purchase'),
+cr AS (SELECT COALESCE(t.channel, 'none') AS channel, conv.vm
+       FROM conv LEFT JOIN t ON conv.u = t.u AND conv.att = t.us)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(vm) AS BIGINT) AS sum_value_milli
+FROM cr GROUP BY 1
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_attribution_oracle_shape_matches(spark, sf):
+    ev = io.load_table(spark, sf, "events")
+    got = attribution_last_touch(
+        ev, "purchase", ["click", "view", "signup"], horizon_s=86400
+    ).toPandas()
+    con = _con(sf)
+    want = con.sql(ATTRIBUTION_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    # both branches engaged: attributed channels AND 'none' present
+    assert "none" in set(got["channel"]) and len(got) >= 4
