@@ -68,3 +68,4 @@ def quality_score(text: Column | str, n_chars: Column | str) -> Column:
     diversity = type_token_ratio(text)
     stop_balance = 1.0 - F.abs(stopword_ratio(text) - 0.1)
     return (length_score + diversity + stop_balance) / 3.0
+

@@ -23,7 +23,7 @@ for the round-6 driver window (plans/registry.py header).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -188,4 +188,63 @@ def join_size_profile(
                 "max_key_share_permille"
             ),
         )
+    )
+
+
+def char_class_profile(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Character-class composition of a free-text/payload column per
+    group: ``(group, n_rows, n_chars, digit_permille, alpha_permille,
+    ws_permille, other_permille)`` — the schema-free payload audit that
+    catches encoding regressions (mojibake → ``other`` spike), payload
+    shape drift (a JSON field going numeric → ``digit`` shift), and
+    truncation (``n_chars`` collapse) without parsing the payload at
+    all. The charset-anomaly gate of LLM ingest pipelines, run at the
+    profile tier (cf. the C4/Gopher quality-heuristic families).
+
+    Exact integer: per-class counts derive from
+    ``length(x) - length(regexp_replace(x, class, ''))`` (global
+    replace in both engines), are summed as BIGINT, and the permilles
+    are ``(1000·class_total) div char_total`` — hash-checkable.
+    ``other_permille`` is derived by subtraction from 1000's
+    complement of nothing — it has its own class regex ``[^0-9a-zA-Z ]``
+    so the four permilles may undershoot 1000 by at most 3 from the
+    independent floors (stated; a derived remainder would instead hide
+    a class-regex bug).
+
+    Scale: stateless row-local counts then one map-side-combined hash
+    aggregate on the group key — no window, no join.
+    """
+    x = F.col(text_col)
+
+    def cnt(pattern: str) -> Column:
+        return (
+            F.length(x) - F.length(F.regexp_replace(x, pattern, ""))
+        ).cast("bigint")
+
+    staged = df.select(
+        F.col(group_col),
+        F.length(x).cast("bigint").alias("_n"),
+        cnt("[0-9]").alias("_digit"),
+        cnt("[a-zA-Z]").alias("_alpha"),
+        cnt(" ").alias("_ws"),
+        cnt("[^0-9a-zA-Z ]").alias("_other"),
+    )
+    agg = staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_n").cast("long").alias("n_chars"),
+        F.sum("_digit").alias("_d"),
+        F.sum("_alpha").alias("_a"),
+        F.sum("_ws").alias("_w"),
+        F.sum("_other").alias("_o"),
+    )
+    return agg.select(
+        group_col,
+        "n_rows",
+        "n_chars",
+        F.expr("(1000 * _d) DIV n_chars").cast("long").alias("digit_permille"),
+        F.expr("(1000 * _a) DIV n_chars").cast("long").alias("alpha_permille"),
+        F.expr("(1000 * _w) DIV n_chars").cast("long").alias("ws_permille"),
+        F.expr("(1000 * _o) DIV n_chars").cast("long").alias("other_permille"),
     )

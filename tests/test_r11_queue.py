@@ -454,3 +454,98 @@ def test_attribution_oracle_shape_matches(spark, sf):
     assert _rendered(got).equals(_rendered(want)), sf
     # both branches engaged: attributed channels AND 'none' present
     assert "none" in set(got["channel"]) and len(got) >= 4
+
+
+# ---------------------------------------------------------------------------
+# Readability (operators/lm.py) and char-class profile (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.lm import readability_report  # noqa: E402
+from kinesis_stream_video_project_spark.operators.profiling import (  # noqa: E402
+    char_class_profile,
+)
+
+
+def test_readability_handchecked(spark):
+    """'the cat. it runs!' → W=4, S=2, SYL=4 →
+    206835 - 4060//2 - 338400//4 = 120205."""
+    df = spark.createDataFrame([(1, "the cat. it runs!")], "doc_id long, text string")
+    r = readability_report(df).collect()[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (4, 2, 4)
+    assert r["flesch_milli"] == 206835 - (1015 * 4) // 2 - (84600 * 4) // 4 == 120205
+
+
+def test_readability_sentencefree_floor(spark):
+    """No sentence marks → S floors at 1 (the fixture regime)."""
+    df = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    r = readability_report(df).collect()[0]
+    assert r["n_sentences"] == 1 and r["n_words"] == 2
+
+
+READABILITY_ORACLE = """
+WITH s AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables
+FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CAST(206835 - (1015 * n_words) // n_sentences
+       - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_milli
+FROM s
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_readability_oracle_shape_matches(spark, sf):
+    docs = io.load_table(spark, sf, "documents")
+    got = readability_report(docs).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(READABILITY_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    # fixture regime: S==1 everywhere, but the score still varies
+    assert set(got["n_sentences"]) == {1}
+    assert got["flesch_milli"].nunique() > 10
+
+
+def test_char_class_profile_handchecked(spark):
+    """'{"k": 87}' → 9 chars: 2 digits, 1 alpha, 1 space, 5 other."""
+    df = spark.createDataFrame([("a", '{"k": 87}')], "grp string, x string")
+    r = char_class_profile(df, "x", "grp").collect()[0]
+    assert (r["n_rows"], r["n_chars"]) == (1, 9)
+    assert (
+        r["digit_permille"],
+        r["alpha_permille"],
+        r["ws_permille"],
+        r["other_permille"],
+    ) == (1000 * 2 // 9, 1000 * 1 // 9, 1000 * 1 // 9, 1000 * 5 // 9)
+
+
+CHAR_CLASS_ORACLE = """
+WITH s AS (SELECT event_type,
+  CAST(length(props) AS BIGINT) AS n,
+  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS d,
+  CAST(length(props) - length(regexp_replace(props, '[a-zA-Z]', '', 'g')) AS BIGINT) AS a,
+  CAST(length(props) - length(regexp_replace(props, ' ', '', 'g')) AS BIGINT) AS w,
+  CAST(length(props) - length(regexp_replace(props, '[^0-9a-zA-Z ]', '', 'g')) AS BIGINT) AS o
+FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS n_chars,
+       CAST((1000 * SUM(d)) // SUM(n) AS BIGINT) AS digit_permille,
+       CAST((1000 * SUM(a)) // SUM(n) AS BIGINT) AS alpha_permille,
+       CAST((1000 * SUM(w)) // SUM(n) AS BIGINT) AS ws_permille,
+       CAST((1000 * SUM(o)) // SUM(n) AS BIGINT) AS other_permille
+FROM s GROUP BY 1
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_char_class_profile_oracle_shape_matches(spark, sf):
+    ev = io.load_table(spark, sf, "events")
+    got = char_class_profile(ev, "props", "event_type").toPandas()
+    con = _con(sf)
+    want = con.sql(CHAR_CLASS_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    # non-degenerate: digits present, classes differ
+    assert (got["digit_permille"] > 0).all()
+    assert (got["other_permille"] > 0).all()
