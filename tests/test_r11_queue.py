@@ -549,3 +549,105 @@ def test_char_class_profile_oracle_shape_matches(spark, sf):
     # non-degenerate: digits present, classes differ
     assert (got["digit_permille"] > 0).all()
     assert (got["other_permille"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE trainer (operators/lm.py — Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.lm import bpe_train_merges  # noqa: E402
+
+
+def _ref_bpe(words, n):
+    """Python reference: get_stats (overlapping adjacent counts) +
+    greedy-leftmost non-overlapping merge, (count desc, x, y) tie-break."""
+    import collections
+
+    vocab = collections.Counter(tuple(w) for w in words)
+    merges = []
+    for rank in range(1, n + 1):
+        stats = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (x, y), cnt = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, x, y, cnt))
+        nv = collections.Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += c
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_reference_fold(spark):
+    """Crafted corpus exercising the run-overlap case ([a,a,a,a] must
+    re-tokenize to [aa,aa], not [aa,a,a]) and a multi-char merge chain
+    (h+e then t+he)."""
+    corpus = ["aaaa aab the the the fast aaa", "aab aab key key the"]
+    want = _ref_bpe(" ".join(corpus).split(" "), 4)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["sym_x"], r["sym_y"], r["pair_count"])
+        for r in bpe_train_merges(df, 4).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_train_rejects_bad_n(spark):
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(df, 0)
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(df, 9)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    parts = [
+        """
+WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+           GROUP BY 1),
+v1 AS (SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS sym, wc FROM w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+s{i} AS (SELECT string_split(trim(sym), '  ') AS s, wc FROM v{i}),
+p{i} AS (SELECT s[i] AS sym_x, s[i + 1] AS sym_y, wc
+         FROM s{i}, LATERAL UNNEST(generate_series(1, len(s) - 1)) AS u(i)),
+c{i} AS (SELECT sym_x, sym_y, CAST(SUM(wc) AS BIGINT) AS pair_count
+         FROM p{i} GROUP BY 1, 2),
+t{i} AS (SELECT sym_x, sym_y, pair_count FROM c{i}
+         ORDER BY pair_count DESC, sym_x, sym_y LIMIT 1),
+v{i + 1} AS (SELECT replace(sym, ' ' || t{i}.sym_x || '  ' || t{i}.sym_y || ' ',
+                            ' ' || t{i}.sym_x || t{i}.sym_y || ' ') AS sym, wc
+             FROM v{i}, t{i})"""
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, sym_x, sym_y, pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_bpe_train_oracle_shape_matches(spark, sf):
+    docs = io.load_table(spark, sf, "documents")
+    got = bpe_train_merges(docs, 3).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(_bpe_oracle(3)).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    assert len(got) == 3  # non-degenerate: three real merges learned
