@@ -2238,3 +2238,144 @@ def session_stream_tws(
             timeMode="EventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Online KMV distinct sketch (bottom-k minimum hash values, per key)
+# ---------------------------------------------------------------------------
+
+_KMV_OUT_SCHEMA = (
+    "event_type string, seq bigint, n_hashes bigint, kth_rank bigint, "
+    "kmv_est bigint"
+)
+_KMV_STATE_SCHEMA = "seq bigint, ranks array<long>"
+
+_KMV_RANK_DOMAIN = 1 << 48
+
+
+def _kmv_fold(held: list, new_ranks: list, k: int) -> tuple:
+    """Pure per-key KMV step shared by BOTH stateful API forms: merge the
+    batch's ranks into the held bottom-k set. Returns
+    ``(merged, changed)``. The fold is a SET operation — union then
+    truncate to the k smallest — so it is order-insensitive and
+    chunking-invariant by construction (bottom-k of a union equals
+    bottom-k of bottom-k's; the batch mergeability law pinned in
+    tests/test_r11_queue.py), the strongest disorder story of the
+    repo's nine dual-API ops: unlike the session/funnel folds it needs
+    no in-order feed at all."""
+    merged = sorted(set(held) | set(new_ranks))[:k]
+    return merged, merged != list(held)
+
+
+def _kmv_emit(key: str, seq: int, ranks: list, k: int) -> "pd.DataFrame":
+    n = len(ranks)
+    est = n if n < k else (k - 1) * _KMV_RANK_DOMAIN // ranks[-1]
+    return pd.DataFrame(
+        {
+            "event_type": [key],
+            "seq": [seq],
+            "n_hashes": [n],
+            "kth_rank": [ranks[-1] if n else None],
+            "kmv_est": [est],
+        }
+    )
+
+
+def kmv_stream(
+    events: DataFrame, key_col: str = "event_type", k: int = 32
+) -> DataFrame:
+    """ONLINE distinct-count sketch: per ``key_col``, maintain the k
+    smallest 48-bit md5 ranks of the values seen so far (the KMV
+    sketch — Bar-Yossef et al. 2002; operators/kmv.py is the batch
+    twin) and emit ``(key, seq, n_hashes, kth_rank, kmv_est)`` whenever
+    a batch CHANGES the sketch. The max-seq row per key is the current
+    cardinality estimate; the drained final row equals the batch
+    ``kmv_distinct_estimates`` sketch fields exactly (pinned — the
+    set-fold is order-insensitive, so the stream/batch equality needs
+    no in-order feed, unlike the session twin).
+
+    State is ≤ k BIGINT ranks + a seq per ACTIVE key — fixed memory
+    regardless of value cardinality, the entire point of the sketch.
+    The rank column is computed JVM-side before the shuffle
+    (``operators/kmv.kmv_rank`` — callers pass the pre-ranked frame or
+    raw events with a ``user_id``; this wrapper ranks ``user_id``).
+    NoTimeout/ProcessingTime: nothing expires — a distinct count only
+    grows, so there is no idle-flush semantics to key off the
+    watermark."""
+    from kinesis_stream_video_project_spark.operators.kmv import kmv_rank
+
+    ranked = events.select(
+        F.col(key_col), kmv_rank(F.col("user_id")).alias("rank")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        seq, held = state.get if state.exists else (0, [])
+        frames = [p for p in pdfs if len(p)]
+        new_ranks = (
+            pd.concat(frames, ignore_index=True)["rank"].tolist()
+            if frames
+            else []
+        )
+        merged, changed = _kmv_fold(list(held), new_ranks, k)
+        if changed:
+            seq += 1
+            state.update((seq, merged))
+            yield _kmv_emit(str(key_val), seq, merged, k)
+
+    return ranked.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def kmv_stream_tws(
+    events: DataFrame, key_col: str = "event_type", k: int = 32
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`kmv_stream`
+    — the NINTH op carried on BOTH stateful APIs. Same shared
+    :func:`_kmv_fold`; ProcessingTime timeMode with no timers (the
+    sketch never expires). GS ≡ TWS equality pinned on the same drain
+    in tests."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from kinesis_stream_video_project_spark.operators.kmv import kmv_rank
+
+    ranked = events.select(
+        F.col(key_col), kmv_rank(F.col("user_id")).alias("rank")
+    )
+
+    class KmvProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("kmv", _KMV_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            held_row = self._state.get()
+            seq, held = held_row if held_row is not None else (0, [])
+            frames = [p for p in rows if len(p)]
+            new_ranks = (
+                pd.concat(frames, ignore_index=True)["rank"].tolist()
+                if frames
+                else []
+            )
+            merged, changed = _kmv_fold(list(held), new_ranks, k)
+            if changed:
+                seq += 1
+                self._state.update((seq, merged))
+                yield _kmv_emit(str(key_val), seq, merged, k)
+
+        def close(self) -> None:
+            pass
+
+    return ranked.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=KmvProcessor(),
+        outputStructType=_KMV_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

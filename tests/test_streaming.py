@@ -1979,3 +1979,140 @@ def test_session_stream_tws_matches_group_state_form(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+# ---------------------------------------------------------------------------
+# Online KMV distinct sketch (both stateful APIs)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_stream_matches_batch_sketch(spark, tmp_path, sf_dir):
+    """Drained max-seq snapshot per key equals the batch
+    kmv_distinct_estimates sketch fields, invariant to micro-batch
+    chunking (the KMV fold is a set operation — no in-order feed
+    needed, unlike the session twin)."""
+    from kinesis_stream_video_project_spark.operators import kmv as kmv_ops
+
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    k = 8
+    batch = {
+        r["event_type"]: (r["n_hashes"], r["kth_rank"], r["kmv_est"])
+        for r in kmv_ops.kmv_distinct_estimates(
+            ev, "user_id", "event_type", k=k
+        ).collect()
+    }
+    ordered = ev.orderBy("ts", "event_id").collect()
+    got_by_split = []
+    for nfiles in (1, 3):
+        src = tmp_path / f"kmv_src_{nfiles}"
+        step = -(-len(ordered) // nfiles)
+        for i in range(nfiles):
+            if i:
+                time.sleep(1.1)
+            _write_single_file(
+                spark.createDataFrame(ordered[i * step : (i + 1) * step], ev.schema),
+                src,
+                f"b{i}.parquet",
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.kmv_stream(stream, k=k)
+            .writeStream.format("memory")
+            .queryName(f"kmv_out_{nfiles}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_kmv_{nfiles}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        snap = spark.sql(
+            f"""SELECT event_type, n_hashes, kth_rank, kmv_est
+                FROM kmv_out_{nfiles} o
+                WHERE seq = (SELECT MAX(seq) FROM kmv_out_{nfiles} i
+                             WHERE i.event_type = o.event_type)"""
+        ).collect()
+        got_by_split.append(
+            {r.event_type: (r.n_hashes, r.kth_rank, r.kmv_est) for r in snap}
+        )
+    assert got_by_split[0] == got_by_split[1] == batch and len(batch) == 5
+
+
+def test_kmv_stream_tws_matches_group_state_form(spark, tmp_path):
+    """GS ≡ TWS on the same drain — the ninth op on both stateful APIs."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = [
+        (i, base + dt.timedelta(seconds=i), uid, ty)
+        for i, (uid, ty) in enumerate(
+            [(1, "view"), (2, "view"), (1, "click"), (3, "view"), (4, "view"),
+             (5, "view"), (2, "click"), (6, "view"), (1, "view"), (7, "view")]
+        )
+    ]
+    files = [rows[:5], rows[5:]]
+    src = tmp_path / "kmv_tws_src"
+    for i, batch in enumerate(files):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(spark.createDataFrame(batch, schema), src, f"b{i}.parquet")
+    got = {}
+    for tag, job in (("gs", jobs.kmv_stream), ("tws", jobs.kmv_stream_tws)):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            job(stream, k=3)
+            .writeStream.format("memory")
+            .queryName(f"kmv_{tag}_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_kmvx_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got[tag] = {
+            (r.event_type, r.seq, r.n_hashes, r.kth_rank, r.kmv_est)
+            for r in spark.sql(f"SELECT * FROM kmv_{tag}_out").collect()
+        }
+    assert got["gs"] == got["tws"] and len(got["gs"]) > 0
+
+
+def test_kmv_fold_chunking_invariance():
+    """Hypothesis pin: folding any chunking of any rank multiset reaches
+    the same bottom-k state, and no-change batches report changed=False."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.streaming.jobs import _kmv_fold
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        ranks=st.lists(st.integers(min_value=1, max_value=50), max_size=40),
+        cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=5),
+        k=st.integers(min_value=2, max_value=6),
+    )
+    def run(ranks, cuts, k):
+        held = []
+        bounds = sorted(set(c for c in cuts if c <= len(ranks)))
+        prev = 0
+        for b in bounds + [len(ranks)]:
+            held, _ = _kmv_fold(held, ranks[prev:b], k)
+            prev = b
+        assert held == sorted(set(ranks))[:k]
+        again, changed = _kmv_fold(held, ranks, k)
+        assert again == held and not changed
+
+    run()
