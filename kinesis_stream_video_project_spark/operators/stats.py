@@ -505,3 +505,141 @@ def classification_report(
             ).alias("f1_permille"),
         )
     )
+
+
+def chi_square_cells(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 10_000,
+) -> DataFrame:
+    """Chi-square independence test between two categorical columns,
+    per-cell: ``(col_a, col_b, obs, row_total, col_total, n,
+    contrib_milli)`` with ``contrib_milli = (1000·(obs·n − rt·ct)²)
+    div (rt·ct·n)`` — Pearson's (O−E)²/E with the expected count's
+    denominator cleared so every step is exact integer arithmetic
+    (squares taken as DECIMAL(38,0): (obs·n − rt·ct)² ≤ n⁴, within
+    DECIMAL(38,0) for n up to ~10⁸ and refused loudly above — the
+    PageRank bound discipline). Sum ``contrib_milli`` for the statistic
+    (the per-cell floor makes the sum a ≤|cells|-milli UNDERestimate of
+    χ²·1000 — stated; the cells are the auditable artifact, exactly the
+    CMS/KMV accounting discipline). Zero-observation cells are REAL
+    cells of the test (their contribution is 1000·rt·ct div n) and are
+    materialized by crossing the marginals, so the frame has exactly
+    |A|·|B| rows — refused above ``max_cells`` (a chi-square over a
+    high-cardinality pair is a modeling error, not a scale problem).
+
+    Scale: ONE corpus aggregate to the observed ledger; marginals are
+    two re-aggregations of the ledger (the PMI discipline); the
+    marginal cross join is |A|·|B| ≤ max_cells rows, broadcast."""
+    ledger = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rows = ledger.groupBy("_a").agg(F.sum("obs").alias("row_total"))
+    cols = ledger.groupBy("_b").agg(F.sum("obs").alias("col_total"))
+    tot = ledger.agg(
+        F.sum("obs").alias("n"), F.count(F.lit(1)).alias("_n_obs_cells")
+    )
+    cells = (
+        rows.crossJoin(F.broadcast(cols))
+        .crossJoin(F.broadcast(tot))
+        .join(ledger, ["_a", "_b"], "left")
+        .select(
+            F.col("_a").alias(col_a),
+            F.col("_b").alias(col_b),
+            F.coalesce(F.col("obs"), F.lit(0)).cast("long").alias("obs"),
+            F.col("row_total").cast("long").alias("row_total"),
+            F.col("col_total").cast("long").alias("col_total"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    guarded = cells.withColumn(
+        "_ok",
+        F.expr(
+            f"CASE WHEN n <= 100000000 THEN true ELSE "
+            f"raise_error('chi_square_cells: n > 1e8 would overflow the "
+            f"DECIMAL(38,0) fourth power - shard the test') END"
+        ),
+    )
+    contrib = (
+        "CAST((1000 * CAST(obs * n - row_total * col_total AS DECIMAL(38,0)) "
+        "* CAST(obs * n - row_total * col_total AS DECIMAL(38,0))) "
+        "DIV (CAST(row_total AS DECIMAL(38,0)) * col_total * n) AS BIGINT)"
+    )
+    out = guarded.filter("_ok").drop("_ok").withColumn(
+        "contrib_milli", F.expr(contrib)
+    )
+    # max_cells refusal: evaluated in-plan so the operator stays lazy —
+    # a 1-row claim joined in would hide the cells; instead count via
+    # the broadcast totals already present.
+    marg_counts = rows.crossJoin(F.broadcast(cols)).agg(
+        F.count(F.lit(1)).alias("_cells")
+    )
+    ok = marg_counts.select(
+        F.expr(
+            f"CASE WHEN _cells <= {max_cells} THEN true ELSE "
+            f"raise_error(concat('chi_square_cells: ', CAST(_cells AS STRING), "
+            f"' cells exceeds max_cells={max_cells} - a high-cardinality "
+            f"pair is a modeling error')) END"
+        ).alias("_gate")
+    )
+    return out.crossJoin(F.broadcast(ok)).filter("_gate").drop("_gate")
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_1,
+    group_2,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic, exact: one row
+    ``(n1, n2, d_scaled, ks_permille)`` where ``d_scaled =
+    max over the pooled value ledger of |cum1·n2 − cum2·n1|`` — the KS
+    D statistic scaled by ``n1·n2`` so it stays INTEGER (the empirical
+    CDFs only jump at pooled distinct values, so the ledger walk
+    evaluates the supremum exactly), and ``ks_permille = (1000·
+    d_scaled) div (n1·n2)``. No float anywhere: the classic test
+    statistic made hash-checkable.
+
+    Scale: the pooled distinct-value ledger (one aggregate), one
+    cumulative window ORDERED BY VALUE — per the exact_group_percentiles
+    precedent this is the audit tier: the window is unpartitioned over
+    the distinct-VALUE ledger (bounded by value cardinality, not row
+    count); for unbounded-cardinality columns pre-bucket into the
+    DDSketch grid first (operators/ddsketch.py) and accept its bound.
+    Bounds: cum·n ≤ n1·n2 ≤ BIGINT for samples to ~3·10⁹ rows each."""
+    v = df.filter(F.col(group_col).isin([group_1, group_2])).select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(group_col) == group_1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_g1"),
+    )
+    ledger = v.groupBy("v").agg(
+        F.sum("_g1").alias("_c1"),
+        (F.count(F.lit(1)) - F.sum("_g1")).alias("_c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cums = ledger.select(
+        F.sum("_c1").over(w).alias("cum1"),
+        F.sum("_c2").over(w).alias("cum2"),
+    )
+    totals = ledger.agg(
+        F.sum("_c1").cast("long").alias("n1"),
+        F.sum("_c2").cast("long").alias("n2"),
+    )
+    return (
+        cums.crossJoin(F.broadcast(totals))
+        .select(
+            "n1",
+            "n2",
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+                "_d"
+            ),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("_d").cast("long").alias("d_scaled"))
+        .withColumn(
+            "ks_permille", F.expr("(1000 * d_scaled) DIV (n1 * n2)").cast("long")
+        )
+    )

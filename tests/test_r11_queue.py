@@ -651,3 +651,137 @@ def test_bpe_train_oracle_shape_matches(spark, sf):
     want = con.sql(_bpe_oracle(3)).df()
     assert _rendered(got).equals(_rendered(want)), sf
     assert len(got) == 3  # non-degenerate: three real merges learned
+
+
+# ---------------------------------------------------------------------------
+# Statistical tests: chi-square independence + two-sample KS (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.stats import (  # noqa: E402
+    chi_square_cells,
+    ks_two_sample,
+)
+
+
+def test_chi_square_handchecked(spark):
+    """2x2 with obs a1b1=10, a1b2=20, a2b1=30, a2b2=40: n=100,
+    cell (a1,b1): rt=30, ct=40 -> (10*100-1200)^2*1000 // (30*40*100)
+    = 40000*1000 // 120000 = 333."""
+    rows = (
+        [("a1", "b1")] * 10 + [("a1", "b2")] * 20
+        + [("a2", "b1")] * 30 + [("a2", "b2")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {
+        (r["a"], r["b"]): (
+            r["obs"], r["row_total"], r["col_total"], r["n"], r["contrib_milli"]
+        )
+        for r in chi_square_cells(df, "a", "b").collect()
+    }
+    assert got[("a1", "b1")] == (10, 30, 40, 100, 333)
+    assert got[("a2", "b2")] == (40, 70, 60, 100, (40 * 100 - 4200) ** 2 * 1000 // (70 * 60 * 100))
+    assert len(got) == 4
+
+
+def test_chi_square_materializes_zero_cells(spark):
+    """A never-observed (a,b) combo is a REAL cell with obs=0 and
+    contribution 1000*rt*ct div n."""
+    rows = [("x", "p")] * 3 + [("x", "q")] * 2 + [("y", "p")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {
+        (r["a"], r["b"]): (r["obs"], r["contrib_milli"])
+        for r in chi_square_cells(df, "a", "b").collect()
+    }
+    assert got[("y", "q")] == (0, 1000 * 5 * 2 // 10)
+    assert len(got) == 4
+
+
+def test_chi_square_refuses_cell_blowup(spark):
+    df = spark.createDataFrame([("a", "b"), ("c", "d")], "a string, b string")
+    with pytest.raises(Exception, match="max_cells"):
+        chi_square_cells(df, "a", "b", max_cells=2).collect()
+
+
+def test_chi_square_tracks_float_statistic(spark):
+    """Summed contrib_milli must sit within |cells| milli-units under the
+    float chi-square (per-cell floor) on the fixture pair."""
+    orders = io.load_table(spark, "/root/testdata/sf0.01", "orders")
+    cells = chi_square_cells(orders, "o_orderpriority", "o_orderstatus").collect()
+    got_milli = sum(r["contrib_milli"] for r in cells)
+    f = sum(
+        (r["obs"] - r["row_total"] * r["col_total"] / r["n"]) ** 2
+        / (r["row_total"] * r["col_total"] / r["n"])
+        for r in cells
+    )
+    assert 0 <= f * 1000 - got_milli <= len(cells), (got_milli, f * 1000)
+
+
+CHI2_ORACLE = """
+WITH l AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                  CAST(COUNT(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2),
+r AS (SELECT a, SUM(obs) AS rt FROM l GROUP BY 1),
+c AS (SELECT b, SUM(obs) AS ct FROM l GROUP BY 1),
+t AS (SELECT SUM(obs) AS n FROM l),
+x AS (SELECT r.a, c.b, COALESCE(l.obs, 0) AS obs, rt, ct, n
+      FROM r CROSS JOIN c CROSS JOIN t
+      LEFT JOIN l ON l.a = r.a AND l.b = c.b)
+SELECT a AS o_orderpriority, b AS o_orderstatus, CAST(obs AS BIGINT) AS obs,
+       CAST(rt AS BIGINT) AS row_total, CAST(ct AS BIGINT) AS col_total,
+       CAST(n AS BIGINT) AS n,
+       CAST((1000 * CAST(obs * n - rt * ct AS HUGEINT)
+                  * CAST(obs * n - rt * ct AS HUGEINT))
+            // (CAST(rt AS HUGEINT) * ct * n) AS BIGINT) AS contrib_milli
+FROM x
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_chi_square_oracle_shape_matches(spark, sf):
+    orders = io.load_table(spark, sf, "orders")
+    got = chi_square_cells(orders, "o_orderpriority", "o_orderstatus").toPandas()
+    con = _con(sf)
+    want = con.sql(CHI2_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    assert len(got) >= 10  # priorities x statuses, zero cells included
+
+
+def test_ks_handchecked(spark):
+    """g1 = {1,2}, g2 = {2,3,4}: ledger walk gives max |cum1*n2-cum2*n1|
+    at v=2: |2*3 - 1*2| = 4 -> permille = 4000 // 6 = 666."""
+    rows = [("g1", 1.0), ("g1", 2.0), ("g2", 2.0), ("g2", 3.0), ("g2", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "v", "g", "g1", "g2").collect()[0]
+    assert (r["n1"], r["n2"], r["d_scaled"], r["ks_permille"]) == (2, 3, 4, 666)
+
+
+def test_ks_identical_samples_zero(spark):
+    rows = [("a", float(v)) for v in range(5)] + [("b", float(v)) for v in range(5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+    assert r["d_scaled"] == 0 and r["ks_permille"] == 0
+
+
+KS_ORACLE = """
+WITH v AS (SELECT value AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+           FROM events WHERE event_type IN ('purchase', 'click')),
+l AS (SELECT v, SUM(g1) AS c1, COUNT(*) - SUM(g1) AS c2 FROM v GROUP BY 1),
+c AS (SELECT SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM l),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM l)
+SELECT n1, n2, CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_scaled,
+       CAST((1000 * MAX(ABS(cum1 * n2 - cum2 * n1))) // (n1 * n2) AS BIGINT)
+         AS ks_permille
+FROM c, t GROUP BY n1, n2
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_ks_oracle_shape_matches(spark, sf):
+    ev = io.load_table(spark, sf, "events")
+    got = ks_two_sample(ev, "value", "event_type", "purchase", "click").toPandas()
+    con = _con(sf)
+    want = con.sql(KS_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    assert len(got) == 1
