@@ -2379,3 +2379,170 @@ def kmv_stream_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online DDSketch quantiles (log-bucket counter state, per key)
+# ---------------------------------------------------------------------------
+
+_DD_OUT_SCHEMA = (
+    "event_type string, seq bigint, q_permille bigint, n bigint, dd_est bigint"
+)
+_DD_STATE_SCHEMA = "seq bigint, buckets array<int>, counts array<long>"
+
+
+def _dd_fold(buckets: list, counts: list, new_buckets: list) -> tuple:
+    """Pure per-key DDSketch step shared by BOTH stateful API forms:
+    add one count per arriving bucket index. A counter fold is
+    commutative — chunking- and order-invariant by construction, like
+    the KMV set fold (and unlike the session fold's in-order feed).
+    Returns (buckets', counts', changed) with buckets sorted (state
+    order is part of the deterministic contract)."""
+    d = dict(zip(buckets, counts))
+    for b in new_buckets:
+        d[b] = d.get(b, 0) + 1
+    items = sorted(d.items())
+    return (
+        [b for b, _ in items],
+        [c for _, c in items],
+        bool(new_buckets),
+    )
+
+
+def _dd_quantile_walk(buckets: list, counts: list, q_permille: int) -> tuple:
+    """The γ=2 quantile walk of operators/ddsketch.py::dd_quantiles as a
+    pure function over the sorted sketch state: returns (n, est)."""
+    n = sum(counts)
+    rank = (q_permille * n + 999) // 1000
+    cum = 0
+    for b, c in zip(buckets, counts):
+        cum += c
+        if cum >= rank:
+            return n, (1 if b == 0 else 3 << (b - 1))
+    return n, None
+
+
+def dd_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    q_permille: tuple = (500, 900, 990),
+) -> DataFrame:
+    """ONLINE bounded-relative-error quantiles: per ``key_col``,
+    maintain the γ=2 DDSketch bucket counters over the event value in
+    scaled milli-units (operators/ddsketch.py is the batch twin) and
+    emit ``(key, seq, q_permille, n, dd_est)`` rows per tracked
+    quantile whenever a batch lands. The max-seq rows per key are the
+    live quantile estimates; the drained final rows equal the batch
+    ``dd_quantiles`` exactly (pinned — counter folds are
+    order-insensitive, so stream/batch equality needs no in-order
+    feed).
+
+    State is the ~64-cell counter table + a seq per ACTIVE key — fixed
+    memory regardless of value count or range, the DDSketch claim. The
+    bucket index is computed JVM-side before the shuffle (bit-length
+    of the scaled value), so the Python fold only increments counters.
+    NoTimeout: quantiles never expire."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+    from kinesis_stream_video_project_spark.operators.ddsketch import dd_bucket
+
+    qs = list(q_permille)
+    bucketed = events.select(
+        F.col(key_col), dd_bucket(scaled_long(F.col("value"), 1000)).alias("bucket")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        seq, buckets, counts = state.get if state.exists else (0, [], [])
+        frames = [p for p in pdfs if len(p)]
+        new_buckets = (
+            pd.concat(frames, ignore_index=True)["bucket"].tolist()
+            if frames
+            else []
+        )
+        buckets, counts, changed = _dd_fold(
+            list(buckets), list(counts), new_buckets
+        )
+        if changed:
+            seq += 1
+            state.update((seq, buckets, counts))
+            walks = [_dd_quantile_walk(buckets, counts, q) for q in qs]
+            yield pd.DataFrame(
+                {
+                    "event_type": [str(key_val)] * len(qs),
+                    "seq": [seq] * len(qs),
+                    "q_permille": qs,
+                    "n": [w[0] for w in walks],
+                    "dd_est": [w[1] for w in walks],
+                }
+            )
+
+    return bucketed.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_DD_OUT_SCHEMA,
+        stateStructType=_DD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def dd_stream_tws(
+    events: DataFrame,
+    key_col: str = "event_type",
+    q_permille: tuple = (500, 900, 990),
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`dd_stream`
+    — the TENTH op carried on BOTH stateful APIs. Same shared
+    :func:`_dd_fold` / :func:`_dd_quantile_walk`; no timers. GS ≡ TWS
+    equality pinned on the same drain in tests."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+    from kinesis_stream_video_project_spark.operators.ddsketch import dd_bucket
+
+    qs = list(q_permille)
+    bucketed = events.select(
+        F.col(key_col), dd_bucket(scaled_long(F.col("value"), 1000)).alias("bucket")
+    )
+
+    class DdProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("dd", _DD_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            held = self._state.get()
+            seq, buckets, counts = held if held is not None else (0, [], [])
+            frames = [p for p in rows if len(p)]
+            new_buckets = (
+                pd.concat(frames, ignore_index=True)["bucket"].tolist()
+                if frames
+                else []
+            )
+            buckets, counts, changed = _dd_fold(
+                list(buckets), list(counts), new_buckets
+            )
+            if changed:
+                seq += 1
+                self._state.update((seq, buckets, counts))
+                walks = [_dd_quantile_walk(buckets, counts, q) for q in qs]
+                yield pd.DataFrame(
+                    {
+                        "event_type": [str(key_val)] * len(qs),
+                        "seq": [seq] * len(qs),
+                        "q_permille": qs,
+                        "n": [w[0] for w in walks],
+                        "dd_est": [w[1] for w in walks],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return bucketed.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=DdProcessor(),
+        outputStructType=_DD_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -2116,3 +2116,151 @@ def test_kmv_fold_chunking_invariance():
         assert again == held and not changed
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Online DDSketch quantiles (both stateful APIs)
+# ---------------------------------------------------------------------------
+
+
+def test_dd_stream_matches_batch_sketch(spark, tmp_path, sf_dir):
+    """Drained max-seq rows per key equal the batch dd_quantiles on the
+    same scaled values, invariant to micro-batch chunking (counter
+    folds are order-insensitive)."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+    from kinesis_stream_video_project_spark.operators import ddsketch
+
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    batch = {
+        (r["event_type"], r["q_permille"]): (r["n"], r["dd_est"])
+        for r in ddsketch.dd_quantiles(
+            ev.select(
+                "event_type", scaled_long(F.col("value"), 1000).alias("vm")
+            ),
+            "vm",
+            "event_type",
+        ).collect()
+    }
+    ordered = ev.orderBy("ts", "event_id").collect()
+    got_by_split = []
+    for nfiles in (1, 3):
+        src = tmp_path / f"dd_src_{nfiles}"
+        step = -(-len(ordered) // nfiles)
+        for i in range(nfiles):
+            if i:
+                time.sleep(1.1)
+            _write_single_file(
+                spark.createDataFrame(ordered[i * step : (i + 1) * step], ev.schema),
+                src,
+                f"b{i}.parquet",
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.dd_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"dd_out_{nfiles}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_dd_{nfiles}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        snap = spark.sql(
+            f"""SELECT event_type, q_permille, n, dd_est
+                FROM dd_out_{nfiles} o
+                WHERE seq = (SELECT MAX(seq) FROM dd_out_{nfiles} i
+                             WHERE i.event_type = o.event_type)"""
+        ).collect()
+        got_by_split.append(
+            {(r.event_type, r.q_permille): (r.n, r.dd_est) for r in snap}
+        )
+    assert got_by_split[0] == got_by_split[1] == batch and len(batch) == 15
+
+
+def test_dd_stream_tws_matches_group_state_form(spark, tmp_path):
+    """GS ≡ TWS on the same drain — the tenth op on both stateful APIs."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    vals = [0.5, 1.0, 2.0, 7.5, 40.0, 0.02, 3.0, 9.9, 120.0, 64.0]
+    rows = [
+        (i, base + dt.timedelta(seconds=i), "view" if i % 2 else "click", v)
+        for i, v in enumerate(vals)
+    ]
+    files = [rows[:5], rows[5:]]
+    src = tmp_path / "dd_tws_src"
+    for i, batch in enumerate(files):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(spark.createDataFrame(batch, schema), src, f"b{i}.parquet")
+    got = {}
+    for tag, job in (("gs", jobs.dd_stream), ("tws", jobs.dd_stream_tws)):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            job(stream)
+            .writeStream.format("memory")
+            .queryName(f"dd_{tag}_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_ddx_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got[tag] = {
+            (r.event_type, r.seq, r.q_permille, r.n, r.dd_est)
+            for r in spark.sql(f"SELECT * FROM dd_{tag}_out").collect()
+        }
+    assert got["gs"] == got["tws"] and len(got["gs"]) > 0
+
+
+def test_dd_fold_chunking_invariance():
+    """Hypothesis pin: any chunking of any bucket multiset reaches the
+    same counter state, and the walk matches a sorted-percentile oracle
+    bucket-wise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.streaming.jobs import (
+        _dd_fold,
+        _dd_quantile_walk,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        buckets=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+        cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=5),
+        q=st.sampled_from([500, 900, 990]),
+    )
+    def run(buckets, cuts, q):
+        bs, cs = [], []
+        bounds = sorted(set(c for c in cuts if c <= len(buckets)))
+        prev = 0
+        for b in bounds + [len(buckets)]:
+            bs, cs, _ = _dd_fold(bs, cs, buckets[prev:b])
+            prev = b
+        import collections
+
+        want = sorted(collections.Counter(buckets).items())
+        assert list(zip(bs, cs)) == want
+        n, est = _dd_quantile_walk(bs, cs, q)
+        assert n == len(buckets)
+        srt = sorted(buckets)
+        true_bucket = srt[(q * n + 999) // 1000 - 1]
+        assert est == (1 if true_bucket == 0 else 3 << (true_bucket - 1))
+
+    run()
