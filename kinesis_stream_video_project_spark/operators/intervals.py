@@ -76,9 +76,14 @@ def peak_concurrency(
     if top < 1:
         raise ValueError(f"peak_concurrency: top must be >= 1, got {top}")
     conc = concurrency_by_day(df, key, start_day, end_day)
-    peaks = conc.groupBy(key).agg(F.max("concurrent").alias("peak_concurrent"))
+    # Single-pass argmax: the peak is a SECOND window over the SAME key
+    # partitioning (no new exchange) instead of a groupBy + self-join —
+    # the join form computed the whole sweep twice (4 scans, 2 sorted
+    # windows; plan-audited at sf0.1), this form scans the input once
+    # per union branch and sorts each key once.
+    w_key = Window.partitionBy(key)
     first_day = (
-        conc.join(peaks, on=key)
+        conc.withColumn("peak_concurrent", F.max("concurrent").over(w_key))
         .filter(F.col("concurrent") == F.col("peak_concurrent"))
         .groupBy(key, "peak_concurrent")
         .agg(F.min("d").alias("_d"))

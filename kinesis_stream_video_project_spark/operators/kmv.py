@@ -110,16 +110,21 @@ def kmv_distinct_estimates(
     The exact side is the audit pairing; production queries the sketch
     alone. ``(k-1) * 2^48`` fits BIGINT for any ``k < 2^14``.
     """
-    sketch = kmv_bottomk(df, key, group, k=k, n_salts=n_salts)
+    distinct = df.select(group, key).distinct()
+    sketch = kmv_bottomk(distinct, key, group, k=k, n_salts=n_salts)
     folded = sketch.groupBy(group).agg(
         F.count(F.lit(1)).alias("n_hashes"),
         F.max("rank").alias("kth_rank"),
     )
-    exact = (
-        df.select(group, key)
-        .distinct()
-        .groupBy(group)
-        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    # Plan-audit note: the exact side is REcomputed (2 scans) — the
+    # optimizer rewrites distinct+count into a distinct-aggregate whose
+    # tree no longer canonicalizes equal to the sketch side's, so
+    # ReuseExchange cannot fire (probed, incl. a minimal repro). That
+    # is accepted deliberately: the exact side exists only for the
+    # driver-hash audit pairing (the CMS adjudication); the production
+    # tier queries the sketch alone and scans once.
+    exact = distinct.groupBy(group).agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     est = F.when(F.col("n_hashes") < k, F.col("n_hashes")).otherwise(
         F.expr(f"{(k - 1) * RANK_DOMAIN} div kth_rank")
