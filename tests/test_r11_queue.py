@@ -785,3 +785,181 @@ def test_ks_oracle_shape_matches(spark, sf):
     want = con.sql(KS_ORACLE).df()
     assert _rendered(got).equals(_rendered(want)), sf
     assert len(got) == 1
+
+
+# ---------------------------------------------------------------------------
+# Distributional audits: Mann-Whitney U, Benford, Gini (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.stats import (  # noqa: E402
+    benford_deviation,
+    gini_concentration,
+    mann_whitney_u,
+)
+
+
+def test_mann_whitney_handchecked(spark):
+    """g1={1,2}, g2={2,3,4}: U1 = 0.5 (one tie pair) -> u1_x2=1,
+    u2_x2=11, auc = 1000*1 // 12 = 83."""
+    rows = [("g1", 1.0), ("g1", 2.0), ("g2", 2.0), ("g2", 3.0), ("g2", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "v", "g", "g1", "g2").collect()[0]
+    assert (r["n1"], r["n2"], r["u1_x2"], r["u2_x2"], r["auc_permille"]) == (
+        2, 3, 1, 11, 83,
+    )
+
+
+def test_mann_whitney_matches_bruteforce():
+    """Hypothesis pin: the doubled ledger statistic equals brute-force
+    pair counting (2 per win + 1 per tie) and the U identity holds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        a=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=12),
+        b=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=12),
+    )
+    def run(a, b):
+        import collections
+
+        pooled = sorted(collections.Counter([(x, 1) for x in a] + [(x, 0) for x in b]).items())
+        # ledger replay of the operator's arithmetic
+        ledger = {}
+        for (v, is1), c in pooled:
+            c1, c2 = ledger.get(v, (0, 0))
+            ledger[v] = (c1 + (c if is1 else 0), c2 + (0 if is1 else c))
+        m, r1x2 = 0, 0
+        for v in sorted(ledger):
+            c1, c2 = ledger[v]
+            r1x2 += c1 * (2 * m + c1 + c2 + 1)
+            m += c1 + c2
+        u1 = r1x2 - len(a) * (len(a) + 1)
+        brute = sum(2 for x in a for y in b if x > y) + sum(
+            1 for x in a for y in b if x == y
+        )
+        assert u1 == brute
+        assert u1 + (2 * len(a) * len(b) - u1) == 2 * len(a) * len(b)
+
+    run()
+
+
+MWU_ORACLE = """
+WITH v AS (SELECT value AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+           FROM events WHERE event_type IN ('purchase', 'click')),
+l AS (SELECT v, SUM(g1) AS c1, COUNT(*) - SUM(g1) AS c2 FROM v GROUP BY 1),
+wk AS (SELECT c1, c2,
+              COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+       FROM l),
+s AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             SUM(CAST(c1 * (2 * m + c1 + c2 + 1) AS HUGEINT)) AS r1x2
+      FROM wk)
+SELECT n1, n2,
+       CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(2 * CAST(n1 AS HUGEINT) * n2
+            - (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) AS BIGINT) AS u2_x2,
+       CAST((1000 * (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)))
+            // (2 * n1 * n2) AS BIGINT) AS auc_permille
+FROM s
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_mann_whitney_oracle_shape_matches(spark, sf):
+    ev = io.load_table(spark, sf, "events")
+    got = mann_whitney_u(ev, "value", "event_type", "purchase", "click").toPandas()
+    con = _con(sf)
+    want = con.sql(MWU_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+
+
+def test_benford_handchecked(spark):
+    """cents of [1.00, 1.99, 23.00, 9.11]: digits 1,1,2,9 -> digit 1
+    observed 500 milli vs expected 301 -> deviation +199."""
+    df = spark.createDataFrame(
+        [(1.00,), (1.99,), (23.00,), (9.11,)], "v double"
+    )
+    got = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    assert len(got) == 9
+    assert got[1]["n_d"] == 2 and got[1]["observed_milli"] == 500
+    assert got[1]["deviation_milli"] == 500 - 301
+    assert got[3]["n_d"] == 0 and got[3]["observed_milli"] == 0
+    assert got[3]["deviation_milli"] == -125
+
+
+def test_benford_refuses_subscale_values(spark):
+    df = spark.createDataFrame([(0.001,)], "v double")
+    with pytest.raises(Exception, match="no first significant digit"):
+        benford_deviation(df, "v").collect()
+
+
+BENFORD_ORACLE = """
+WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM d GROUP BY 1),
+e AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+                            (6, 67), (7, 58), (8, 51), (9, 46))
+      AS t(digit, expected_milli)),
+t AS (SELECT SUM(n_d) AS n FROM o)
+SELECT e.digit, CAST(COALESCE(n_d, 0) AS BIGINT) AS n_d,
+       CAST((1000 * COALESCE(n_d, 0)) // n AS BIGINT) AS observed_milli,
+       CAST(expected_milli AS BIGINT) AS expected_milli,
+       CAST((1000 * COALESCE(n_d, 0)) // n - expected_milli AS BIGINT)
+         AS deviation_milli
+FROM e LEFT JOIN o ON e.digit = o.digit CROSS JOIN t
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_benford_oracle_shape_matches(spark, sf):
+    orders = io.load_table(spark, sf, "orders")
+    got = benford_deviation(orders, "o_totalprice").toPandas()
+    con = _con(sf)
+    want = con.sql(BENFORD_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    assert len(got) == 9 and got["n_d"].sum() > 0
+
+
+def test_gini_handchecked(spark):
+    """Per-entity values [1, 1, 2]: G = (2*900 - 4*400)/(3*400) ->
+    166 permille; all-equal -> 0."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 2.0)], "e string, v double"
+    )
+    r = gini_concentration(df, "v", "e").collect()[0]
+    assert (r["n_entities"], r["total"], r["gini_permille"]) == (3, 400, 166)
+    eq = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0)], "e string, v double"
+    )
+    assert gini_concentration(eq, "v", "e").collect()[0]["gini_permille"] == 0
+
+
+GINI_ORACLE = """
+WITH p AS (SELECT l_suppkey AS e,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS x
+           FROM lineitem GROUP BY 1),
+s AS (SELECT CAST(x * 100 AS HUGEINT) AS xc, e FROM p),
+r AS (SELECT xc, ROW_NUMBER() OVER (ORDER BY xc, e) AS i FROM s),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_entities, SUM(xc) AS s0,
+             SUM(CAST(i AS HUGEINT) * xc) AS s1
+      FROM r)
+SELECT n_entities, CAST(s0 AS BIGINT) AS total,
+       CAST((1000 * (2 * s1 - (n_entities + 1) * s0))
+            // (n_entities * s0) AS BIGINT) AS gini_permille
+FROM a
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_gini_oracle_shape_matches(spark, sf):
+    li = io.load_table(spark, sf, "lineitem")
+    got = gini_concentration(li, "l_extendedprice", "l_suppkey").toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.sql(GINI_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    g = int(got["gini_permille"].iloc[0])
+    assert 0 < g < 1000  # non-degenerate concentration
