@@ -963,3 +963,64 @@ def test_gini_oracle_shape_matches(spark, sf):
     assert _rendered(got).equals(_rendered(want)), sf
     g = int(got["gini_permille"].iloc[0])
     assert 0 < g < 1000  # non-degenerate concentration
+
+
+# ---------------------------------------------------------------------------
+# Top-k WITH TIES (operators/ranking.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.ranking import topk_with_ties  # noqa: E402
+
+
+def test_topk_with_ties_handchecked(spark):
+    """[5,3,3,2] with k=2: the 3s straddle the cutoff at rank 2 and are
+    BOTH kept (3 rows — row_number would cut one arbitrarily);
+    [5,5,3,3,2] with k=2 keeps only the 5s (ranks 1,1 — the 3s sit at
+    rank 3, past the cutoff) while dense=True keeps the top-2 VALUE
+    tiers (4 rows) — three different contracts, all pinned."""
+    straddle = spark.createDataFrame(
+        [("g", 5), ("g", 3), ("g", 3), ("g", 2)], "g string, v long"
+    )
+    got = sorted(
+        (r["v"], r["rk"]) for r in topk_with_ties(straddle, "g", "v", 2).collect()
+    )
+    assert got == [(3, 2), (3, 2), (5, 1)]
+    rows = [("g", 5), ("g", 5), ("g", 3), ("g", 3), ("g", 2)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got2 = sorted(
+        (r["v"], r["rk"]) for r in topk_with_ties(df, "g", "v", 2).collect()
+    )
+    assert got2 == [(5, 1), (5, 1)]
+    dense = sorted(
+        (r["v"], r["rk"]) for r in topk_with_ties(df, "g", "v", 2, dense=True).collect()
+    )
+    assert dense == [(3, 2), (3, 2), (5, 1), (5, 1)]
+
+
+def test_topk_with_ties_rejects_bad_k(spark):
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="k must"):
+        topk_with_ties(df, "g", "v", 0)
+
+
+TIES_ORACLE = """
+WITH r AS (SELECT l_suppkey, l_quantity,
+                  RANK() OVER (PARTITION BY l_suppkey
+                               ORDER BY l_quantity DESC) AS rk
+           FROM lineitem)
+SELECT l_suppkey, l_quantity, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 2
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_topk_with_ties_oracle_shape_matches(spark, sf):
+    li = io.load_table(spark, sf, "lineitem").select("l_suppkey", "l_quantity")
+    got = topk_with_ties(li, "l_suppkey", "l_quantity", 2).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.sql(TIES_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    # the WITH-TIES contract is material here: far more rows than 2/group
+    n_groups = got["l_suppkey"].nunique()
+    assert len(got) > 4 * n_groups
