@@ -573,13 +573,28 @@ def bpe_train_merges(
             f"bpe_train_merges: n_merges must be in [1, 8] (each merge "
             f"deepens every downstream plan), got {n_merges}"
         )
+    tops, _vocab = _bpe_chain(docs, n_merges, text_col)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.union(t)
+    return out
+
+
+def _bpe_chain(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple:
+    """Shared trainer chain: returns ``(tops, vocab)`` where ``tops`` is
+    one 1-row frame per merge and ``vocab`` is the final re-tokenized
+    vocabulary ``(word, sym, wc)`` after all merges — the word column is
+    threaded through so :func:`bpe_apply_report` can join token counts
+    back to the corpus."""
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
     vocab = words.select(
-        F.regexp_replace("word", "(.)", " $1 ").alias("sym"), "wc"
+        "word", F.regexp_replace("word", "(.)", " $1 ").alias("sym"), "wc"
     )
     tops = []
     for rank in range(1, n_merges + 1):
@@ -623,13 +638,51 @@ def bpe_train_merges(
         vocab = vocab.crossJoin(
             F.broadcast(top.select("sym_x", "sym_y"))
         ).select(
+            "word",
             F.expr(
                 "replace(sym, concat(' ', sym_x, '  ', sym_y, ' '), "
                 "concat(' ', sym_x, sym_y, ' '))"
             ).alias("sym"),
             "wc",
         )
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.union(t)
-    return out
+    return tops, vocab
+
+
+def bpe_apply_report(
+    docs: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges (:func:`bpe_train_merges`) and APPLY
+    them back to the corpus — the full tokenizer train→apply roundtrip:
+    ``(doc_id, n_char_tokens, n_bpe_tokens, compression_permille)`` per
+    document, where ``n_char_tokens`` is the character-level token count
+    (every word starts as its characters), ``n_bpe_tokens`` counts the
+    merged symbols, and ``compression_permille = (1000·n_bpe_tokens)
+    div n_char_tokens`` measures what the learned merges bought
+    (1000 = nothing merged; Sennrich et al. 2016 §3 measures exactly
+    this corpus-compression curve per merge count).
+
+    Scale: the trainer chain runs on the deduped vocabulary; the apply
+    step is ONE corpus-size explode joined to the |vocab|-row per-word
+    symbol counts (broadcastable), then a doc-keyed aggregate — the
+    corpus is scanned twice total (word counts + apply join), never per
+    merge."""
+    tops, vocab = _bpe_chain(docs, n_merges, text_col)
+    per_word = vocab.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), "  ")).cast("long").alias("_n_syms"),
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    return (
+        doc_words.join(F.broadcast(per_word), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("word")).cast("long").alias("n_char_tokens"),
+            F.sum("_n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "compression_permille",
+            F.expr("(1000 * n_bpe_tokens) DIV n_char_tokens").cast("long"),
+        )
+    )

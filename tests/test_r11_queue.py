@@ -1024,3 +1024,108 @@ def test_topk_with_ties_oracle_shape_matches(spark, sf):
     # the WITH-TIES contract is material here: far more rows than 2/group
     n_groups = got["l_suppkey"].nunique()
     assert len(got) > 4 * n_groups
+
+
+# ---------------------------------------------------------------------------
+# BPE apply (train→apply roundtrip, operators/lm.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.lm import bpe_apply_report  # noqa: E402
+
+
+def test_bpe_apply_handchecked(spark):
+    """Corpus 'aaaa ab' with 1 merge: (a,a) wins (count 3); aaaa →
+    [aa,aa], ab stays [a,b] → 6 char tokens, 4 bpe tokens, 666
+    permille."""
+    df = spark.createDataFrame([(1, "aaaa ab")], "doc_id long, text string")
+    r = bpe_apply_report(df, 1).collect()[0]
+    assert (
+        r["n_char_tokens"], r["n_bpe_tokens"], r["compression_permille"]
+    ) == (6, 4, 666)
+
+
+def test_bpe_apply_matches_reference_fold(spark):
+    """Per-doc counts must equal applying the Python reference trainer's
+    merges word by word."""
+    corpus = ["aaaa aab the the the fast aaa", "aab aab key key the"]
+    n = 4
+    merges = [(x, y) for _, x, y, _ in _ref_bpe(" ".join(corpus).split(" "), n)]
+
+    def apply_word(w):
+        syms = list(w)
+        for x, y in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_char_tokens"], r["n_bpe_tokens"])
+        for r in bpe_apply_report(df, n).collect()
+    }
+    for i, t in enumerate(corpus):
+        words = t.split(" ")
+        want = (sum(len(w) for w in words), sum(apply_word(w) for w in words))
+        assert got[i] == want, (i, got[i], want)
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    parts = [
+        """
+WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+           GROUP BY 1),
+v1 AS (SELECT word, regexp_replace(word, '(.)', ' \\1 ', 'g') AS sym, wc FROM w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+s{i} AS (SELECT string_split(trim(sym), '  ') AS s, wc FROM v{i}),
+p{i} AS (SELECT s[i] AS sym_x, s[i + 1] AS sym_y, wc
+         FROM s{i}, LATERAL UNNEST(generate_series(1, len(s) - 1)) AS u(i)),
+c{i} AS (SELECT sym_x, sym_y, CAST(SUM(wc) AS BIGINT) AS pair_count
+         FROM p{i} GROUP BY 1, 2),
+t{i} AS (SELECT sym_x, sym_y, pair_count FROM c{i}
+         ORDER BY pair_count DESC, sym_x, sym_y LIMIT 1),
+v{i + 1} AS (SELECT word,
+                    replace(sym, ' ' || t{i}.sym_x || '  ' || t{i}.sym_y || ' ',
+                            ' ' || t{i}.sym_x || t{i}.sym_y || ' ') AS sym, wc
+             FROM v{i}, t{i})"""
+        )
+    parts.append(
+        f""",
+pw AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_syms
+       FROM v{n_merges + 1}),
+dw AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+SELECT doc_id, CAST(SUM(length(word)) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST((1000 * SUM(n_syms)) // SUM(length(word)) AS BIGINT)
+         AS compression_permille
+FROM dw JOIN pw USING (word) GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_bpe_apply_oracle_shape_matches(spark, sf):
+    docs = io.load_table(spark, sf, "documents")
+    got = bpe_apply_report(docs, 3).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(_bpe_apply_oracle(3)).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    # three merges must actually compress the corpus: the overwhelming
+    # majority of docs land under 1000 permille (a doc whose words
+    # contain none of the three merged pairs legitimately stays at 1000)
+    assert (got["compression_permille"] < 1000).mean() > 0.9
+    assert (got["n_bpe_tokens"] <= got["n_char_tokens"]).all()
+    assert (got["n_bpe_tokens"] < got["n_char_tokens"]).any()
