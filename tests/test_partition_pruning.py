@@ -114,3 +114,51 @@ def test_partitioned_write_layout_shape(spark, partitioned_events):
     back = spark.read.parquet(part_dir)
     assert "event_type" in back.columns
     assert back.count() == io.load_table(spark, SF, "events").count()
+
+
+# ---------------------------------------------------------------------------
+# Runtime Bloom-filter join pruning (the ROW-level companion of DPP)
+# ---------------------------------------------------------------------------
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """A selective filter on one join side must inject a
+    bloom_filter/might_contain runtime predicate into the other side's
+    scan pipeline (Spark's runtime row-level filtering) once the size
+    thresholds admit the toy input; disabled, the predicate vanishes;
+    the answer is identical either way. This prunes fact rows that
+    cannot join BEFORE the shuffle — at 100 TB the difference between
+    shuffling the whole fact table and shuffling the matching slice.
+    DPP (above) prunes whole partitions; this prunes inside them."""
+    SF01 = "/root/testdata/sf0.1"
+    li = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF01}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # SMJ: bloom matters
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        n_with = j.count()
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        j2 = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in plan2
+        assert j2.count() == n_with > 0
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            spark.conf.set(k, v)
