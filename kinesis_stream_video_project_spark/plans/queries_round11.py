@@ -1,0 +1,420 @@
+"""Round-11 registration module — PRE-WIRED, NOT YET REGISTERED.
+
+Every r11-queue operator (tests/test_r11_queue.py) as a driver-contract
+query: ``QUERIES`` maps name → (spark, sf_dir) → DataFrame and
+``ORACLES`` maps name → DuckDB SQL over the driver's pre-registered
+views. The registry does NOT import this module yet — a query
+registered in round N must be inside round N's 50-slot driver window
+(the r2/r3 evidence), and the r8 window is full. Wiring it in the r11
+window is mechanical: call :func:`register_all` from
+``registry._load_all`` and splice the names into ``DRIVER_PRIORITY``
+and the bench rotation in the SAME commit (the four-place rule).
+
+Column names are final here: the Spark select list and the oracle's
+aliases were validated equal at all three SFs before this module was
+written (paste-don't-debug), and test_r11_queue re-validates the
+module's own entries end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.operators import ddsketch, intervals, kmv
+from kinesis_stream_video_project_spark.operators.funnel import (
+    attribution_last_touch,
+)
+from kinesis_stream_video_project_spark.operators.lm import (
+    bpe_apply_report,
+    bpe_train_merges,
+    readability_report,
+)
+from kinesis_stream_video_project_spark.operators.profiling import (
+    char_class_profile,
+)
+from kinesis_stream_video_project_spark.operators.ranking import topk_with_ties
+from kinesis_stream_video_project_spark.operators.stats import (
+    benford_deviation,
+    chi_square_cells,
+    gini_concentration,
+    ks_two_sample,
+    mann_whitney_u,
+)
+
+
+def _kmv_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-customer estimates per nation (X-138)."""
+    cust = io.load_table(spark, sf_dir, "customer")
+    return kmv.kmv_distinct_estimates(cust, "c_custkey", "c_nationkey", k=32)
+
+
+def _dd_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """γ=2 DDSketch p50/p90/p99 of order price cents per priority (X-140)."""
+    orders = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    return ddsketch.dd_quantiles(orders, "cents", "o_orderpriority")
+
+
+def _peak_transit_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrent 7-day-transit shipments, top-20 (X-142)."""
+    li = io.load_table(spark, sf_dir, "lineitem").withColumn(
+        "transit_end", F.date_add(F.to_date("l_shipdate"), 7)
+    )
+    return intervals.peak_concurrency(
+        li, "l_suppkey", "l_shipdate", "transit_end", top=20
+    )
+
+
+def _attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution, 24 h horizon (X-143)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return attribution_last_touch(
+        ev, "purchase", ["click", "view", "signup"], horizon_s=86400
+    )
+
+
+def _readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-milli Flesch readability per document (X-144)."""
+    return readability_report(io.load_table(spark, sf_dir, "documents"))
+
+
+def _props_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-class permilles of events.props per type (X-145)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return char_class_profile(ev, "props", "event_type")
+
+
+def _bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First three trained BPE merges over the corpus (X-146)."""
+    return bpe_train_merges(io.load_table(spark, sf_dir, "documents"), 3)
+
+
+def _bpe_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 3 merges and apply them back: per-doc compression (X-146)."""
+    return bpe_apply_report(io.load_table(spark, sf_dir, "documents"), 3)
+
+
+def _chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence cells: priority × status (X-147)."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    return chi_square_cells(orders, "o_orderpriority", "o_orderstatus")
+
+
+def _ks_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS: purchase vs click values (X-148)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return ks_two_sample(ev, "value", "event_type", "purchase", "click")
+
+
+def _mwu_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U + AUC: purchase vs click values (X-149)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "purchase", "click")
+
+
+def _benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit deviation of order prices (X-150)."""
+    return benford_deviation(
+        io.load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+def _gini_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of revenue across suppliers (X-151)."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    return gini_concentration(li, "l_extendedprice", "l_suppkey")
+
+
+def _topk_quantity_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier top-2 quantities WITH TIES (X-152)."""
+    li = io.load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity"
+    )
+    return topk_with_ties(li, "l_suppkey", "l_quantity", 2)
+
+
+QUERIES = {
+    "kmv_distinct_nations": _kmv_distinct_nations,
+    "dd_price_quantiles": _dd_price_quantiles,
+    "peak_transit_suppliers": _peak_transit_suppliers,
+    "attribution_channels": _attribution_channels,
+    "readability_scores": _readability_scores,
+    "props_charclass_profile": _props_charclass_profile,
+    "bpe_trained_merges": _bpe_trained_merges,
+    "bpe_compression_report": _bpe_compression_report,
+    "chi2_priority_status": _chi2_priority_status,
+    "ks_purchase_click": _ks_purchase_click,
+    "mwu_purchase_click": _mwu_purchase_click,
+    "benford_totalprice": _benford_totalprice,
+    "gini_supplier_revenue": _gini_supplier_revenue,
+    "topk_quantity_ties": _topk_quantity_ties,
+}
+
+
+def _bpe_train_cte(n_merges: int, with_word: bool) -> str:
+    """Unrolled trainer CTE chain shared by both BPE oracles."""
+    word = "word, " if with_word else ""
+    parts = [
+        f"""
+WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+           FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+           GROUP BY 1),
+v1 AS (SELECT {word}regexp_replace(word, '(.)', ' \\1 ', 'g') AS sym, wc FROM w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+s{i} AS (SELECT string_split(trim(sym), '  ') AS s, wc FROM v{i}),
+p{i} AS (SELECT s[i] AS sym_x, s[i + 1] AS sym_y, wc
+         FROM s{i}, LATERAL UNNEST(generate_series(1, len(s) - 1)) AS u(i)),
+c{i} AS (SELECT sym_x, sym_y, CAST(SUM(wc) AS BIGINT) AS pair_count
+         FROM p{i} GROUP BY 1, 2),
+t{i} AS (SELECT sym_x, sym_y, pair_count FROM c{i}
+         ORDER BY pair_count DESC, sym_x, sym_y LIMIT 1),
+v{i + 1} AS (SELECT {word}
+                    replace(sym, ' ' || t{i}.sym_x || '  ' || t{i}.sym_y || ' ',
+                            ' ' || t{i}.sym_x || t{i}.sym_y || ' ') AS sym, wc
+             FROM v{i}, t{i})"""
+        )
+    return "".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, sym_x, sym_y, pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return _bpe_train_cte(n_merges, with_word=False) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    return (
+        _bpe_train_cte(n_merges, with_word=True)
+        + f""",
+pw AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_syms
+       FROM v{n_merges + 1}),
+dw AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+SELECT doc_id, CAST(SUM(length(word)) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST((1000 * SUM(n_syms)) // SUM(length(word)) AS BIGINT)
+         AS compression_permille
+FROM dw JOIN pw USING (word) GROUP BY 1"""
+    )
+
+
+ORACLES = {
+    "kmv_distinct_nations": """
+WITH d AS (SELECT DISTINCT c_nationkey, c_custkey FROM customer),
+r AS (SELECT c_nationkey, c_custkey,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT AS rank
+      FROM d),
+b AS (SELECT c_nationkey, rank,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY rank, c_custkey) AS pos
+      FROM r),
+f AS (SELECT c_nationkey, COUNT(*) AS n_hashes, MAX(rank) AS kth_rank
+      FROM b WHERE pos <= 32 GROUP BY 1),
+e AS (SELECT c_nationkey, COUNT(*) AS exact_distinct FROM d GROUP BY 1),
+j AS (SELECT e.c_nationkey, exact_distinct, n_hashes, kth_rank,
+             CASE WHEN n_hashes < 32 THEN n_hashes
+                  ELSE (31 * (1::BIGINT << 48)) // kth_rank END AS kmv_est
+      FROM e JOIN f USING (c_nationkey))
+SELECT c_nationkey, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(n_hashes AS BIGINT) AS n_hashes, kth_rank,
+       CAST(kmv_est AS BIGINT) AS kmv_est,
+       CAST(kmv_est - exact_distinct AS BIGINT) AS err
+FROM j
+""",
+    "dd_price_quantiles": """
+WITH v AS (SELECT o_orderpriority,
+                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+s AS (SELECT o_orderpriority, length(bin(cents)) - 1 AS bucket, COUNT(*) AS cnt
+      FROM v GROUP BY 1, 2),
+c AS (SELECT o_orderpriority, bucket,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      FROM s),
+p AS (SELECT o_orderpriority, bucket, cum, n, q
+      FROM c, (SELECT UNNEST([500, 900, 990]) AS q)),
+h AS (SELECT o_orderpriority, q, n, bucket,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority, q ORDER BY bucket) AS rn
+      FROM p WHERE cum >= (q * n + 999) // 1000)
+SELECT o_orderpriority, CAST(q AS BIGINT) AS q_permille, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN bucket = 0 THEN 1
+                 ELSE 3::BIGINT << (bucket - 1) END AS BIGINT) AS dd_est
+FROM h WHERE rn = 1
+""",
+    "peak_transit_suppliers": """
+WITH iv AS (SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s FROM lineitem),
+b AS (SELECT k, s AS d, 1 AS delta FROM iv
+      UNION ALL SELECT k, s + 8, -1 FROM iv),
+g AS (SELECT k, d, SUM(delta) AS delta FROM b GROUP BY 1, 2),
+c AS (SELECT k, d, SUM(delta) OVER (PARTITION BY k ORDER BY d) AS cum FROM g),
+p AS (SELECT k, MAX(cum) AS peak FROM c GROUP BY 1),
+f AS (SELECT c.k, p.peak, MIN(c.d) AS pd
+      FROM c JOIN p ON c.k = p.k AND c.cum = p.peak GROUP BY 1, 2),
+r AS (SELECT k, peak, pd, ROW_NUMBER() OVER (ORDER BY peak DESC, k) AS rnk FROM f)
+SELECT CAST(rnk AS BIGINT) AS rnk, k AS l_suppkey,
+       CAST(peak AS BIGINT) AS peak_concurrent,
+       strftime(pd, '%Y-%m-%d') AS peak_day
+FROM r WHERE rnk <= 20
+""",
+    "attribution_channels": """
+WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS ty, event_id AS id,
+                   CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm,
+                   event_type IN ('click', 'view', 'signup') AS is_ch
+            FROM events),
+t AS (SELECT u, us, arg_min(ty, id) AS channel FROM ev WHERE is_ch GROUP BY 1, 2),
+w AS (SELECT u, us, ty, vm,
+             MAX(CASE WHEN is_ch THEN us END) OVER
+               (PARTITION BY u ORDER BY us
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS att
+      FROM ev),
+conv AS (SELECT u, us, vm,
+                CASE WHEN us - att <= 86400::BIGINT * 1000000 THEN att END AS att
+         FROM w WHERE ty = 'purchase'),
+cr AS (SELECT COALESCE(t.channel, 'none') AS channel, conv.vm
+       FROM conv LEFT JOIN t ON conv.u = t.u AND conv.att = t.us)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(vm) AS BIGINT) AS sum_value_milli
+FROM cr GROUP BY 1
+""",
+    "readability_scores": """
+WITH s AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables
+FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CAST(206835 - (1015 * n_words) // n_sentences
+       - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_milli
+FROM s
+""",
+    "props_charclass_profile": """
+WITH s AS (SELECT event_type,
+  CAST(length(props) AS BIGINT) AS n,
+  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS d,
+  CAST(length(props) - length(regexp_replace(props, '[a-zA-Z]', '', 'g')) AS BIGINT) AS a,
+  CAST(length(props) - length(regexp_replace(props, ' ', '', 'g')) AS BIGINT) AS w,
+  CAST(length(props) - length(regexp_replace(props, '[^0-9a-zA-Z ]', '', 'g')) AS BIGINT) AS o
+FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n) AS BIGINT) AS n_chars,
+       CAST((1000 * SUM(d)) // SUM(n) AS BIGINT) AS digit_permille,
+       CAST((1000 * SUM(a)) // SUM(n) AS BIGINT) AS alpha_permille,
+       CAST((1000 * SUM(w)) // SUM(n) AS BIGINT) AS ws_permille,
+       CAST((1000 * SUM(o)) // SUM(n) AS BIGINT) AS other_permille
+FROM s GROUP BY 1
+""",
+    "bpe_trained_merges": _bpe_merges_oracle(3),
+    "bpe_compression_report": _bpe_apply_oracle(3),
+    "chi2_priority_status": """
+WITH l AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                  CAST(COUNT(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2),
+r AS (SELECT a, SUM(obs) AS rt FROM l GROUP BY 1),
+c AS (SELECT b, SUM(obs) AS ct FROM l GROUP BY 1),
+t AS (SELECT SUM(obs) AS n FROM l),
+x AS (SELECT r.a, c.b, COALESCE(l.obs, 0) AS obs, rt, ct, n
+      FROM r CROSS JOIN c CROSS JOIN t
+      LEFT JOIN l ON l.a = r.a AND l.b = c.b)
+SELECT a AS o_orderpriority, b AS o_orderstatus, CAST(obs AS BIGINT) AS obs,
+       CAST(rt AS BIGINT) AS row_total, CAST(ct AS BIGINT) AS col_total,
+       CAST(n AS BIGINT) AS n,
+       CAST((1000 * CAST(obs * n - rt * ct AS HUGEINT)
+                  * CAST(obs * n - rt * ct AS HUGEINT))
+            // (CAST(rt AS HUGEINT) * ct * n) AS BIGINT) AS contrib_milli
+FROM x
+""",
+    "ks_purchase_click": """
+WITH v AS (SELECT value AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+           FROM events WHERE event_type IN ('purchase', 'click')),
+l AS (SELECT v, SUM(g1) AS c1, COUNT(*) - SUM(g1) AS c2 FROM v GROUP BY 1),
+c AS (SELECT SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM l),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM l)
+SELECT n1, n2, CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_scaled,
+       CAST((1000 * MAX(ABS(cum1 * n2 - cum2 * n1))) // (n1 * n2) AS BIGINT)
+         AS ks_permille
+FROM c, t GROUP BY n1, n2
+""",
+    "mwu_purchase_click": """
+WITH v AS (SELECT value AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+           FROM events WHERE event_type IN ('purchase', 'click')),
+l AS (SELECT v, SUM(g1) AS c1, COUNT(*) - SUM(g1) AS c2 FROM v GROUP BY 1),
+wk AS (SELECT c1, c2,
+              COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS m
+       FROM l),
+s AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             SUM(CAST(c1 * (2 * m + c1 + c2 + 1) AS HUGEINT)) AS r1x2
+      FROM wk)
+SELECT n1, n2,
+       CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(2 * CAST(n1 AS HUGEINT) * n2
+            - (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)) AS BIGINT) AS u2_x2,
+       CAST((1000 * (r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)))
+            // (2 * n1 * n2) AS BIGINT) AS auc_permille
+FROM s
+""",
+    "benford_totalprice": """
+WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM d GROUP BY 1),
+e AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+                            (6, 67), (7, 58), (8, 51), (9, 46))
+      AS t(digit, expected_milli)),
+t AS (SELECT SUM(n_d) AS n FROM o)
+SELECT e.digit, CAST(COALESCE(n_d, 0) AS BIGINT) AS n_d,
+       CAST((1000 * COALESCE(n_d, 0)) // n AS BIGINT) AS observed_milli,
+       CAST(expected_milli AS BIGINT) AS expected_milli,
+       CAST((1000 * COALESCE(n_d, 0)) // n - expected_milli AS BIGINT)
+         AS deviation_milli
+FROM e LEFT JOIN o ON e.digit = o.digit CROSS JOIN t
+""",
+    "gini_supplier_revenue": """
+WITH p AS (SELECT l_suppkey AS e,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS x
+           FROM lineitem GROUP BY 1),
+s AS (SELECT CAST(x * 100 AS HUGEINT) AS xc, e FROM p),
+r AS (SELECT xc, ROW_NUMBER() OVER (ORDER BY xc, e) AS i FROM s),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_entities, SUM(xc) AS s0,
+             SUM(CAST(i AS HUGEINT) * xc) AS s1
+      FROM r)
+SELECT n_entities, CAST(s0 AS BIGINT) AS total,
+       CAST((1000 * (2 * s1 - (n_entities + 1) * s0))
+            // (n_entities * s0) AS BIGINT) AS gini_permille
+FROM a
+""",
+    "topk_quantity_ties": """
+WITH r AS (SELECT l_suppkey, l_quantity,
+                  RANK() OVER (PARTITION BY l_suppkey
+                               ORDER BY l_quantity DESC) AS rk
+           FROM lineitem)
+SELECT l_suppkey, l_quantity, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 2
+""",
+}
+
+assert set(QUERIES) == set(ORACLES)
+
+# Scale-doc pointers for the r11 window wiring (four-place rule):
+# registry._load_all import + DRIVER_PRIORITY splice + bench rotation +
+# QUERIES.md regeneration, one commit.
+TAGS = {name: ("round11",) for name in QUERIES}
+
+
+def register_all() -> None:
+    """Wire every r11 query into the live registry — called from
+    ``registry._load_all`` when the r11 window opens, never before."""
+    from kinesis_stream_video_project_spark.plans.registry import register
+
+    for name, fn in QUERIES.items():
+        register(name, oracle=ORACLES[name], tags=TAGS[name])(fn)

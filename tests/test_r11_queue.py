@@ -1129,3 +1129,28 @@ def test_bpe_apply_oracle_shape_matches(spark, sf):
     assert (got["compression_permille"] < 1000).mean() > 0.9
     assert (got["n_bpe_tokens"] <= got["n_char_tokens"]).all()
     assert (got["n_bpe_tokens"] < got["n_char_tokens"]).any()
+
+
+# ---------------------------------------------------------------------------
+# Pre-wired registration module: every entry end-to-end vs its oracle
+# ---------------------------------------------------------------------------
+
+
+def test_round11_module_entries_match_oracles(spark):
+    """The driver-style rendered-value check over every pre-wired r11
+    query at sf0.01 — the same gate the registry sweep applies, run
+    against the module that will be registered in the r11 window."""
+    from kinesis_stream_video_project_spark.plans import queries_round11 as q11
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    assert len(q11.QUERIES) == 14
+    for name, fn in q11.QUERIES.items():
+        got = fn(spark, sf).toPandas()
+        want = con.sql(q11.ORACLES[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert _rendered(got).equals(_rendered(want)), name
+        assert len(got) > 0, name
