@@ -818,3 +818,122 @@ def gini_concentration(
             "DIV (n_entities * _s0) AS BIGINT)"
         ).alias("gini_permille"),
     )
+
+
+def acf_exact(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function at lags 1..``max_lag`` over a
+    DAILY series, exact: ``(lag, n_days, acf_permille)``.
+
+    Input is one row per day (``day_col`` DATE, ``value_col`` integer);
+    missing days are the CALLER's contract (fill with zeros or
+    interpolate first — gap_filled_windows is the repo's tool), because
+    silently skipping gaps changes what "lag 1" means. The mean-centred
+    ratio is cleared of its rational mean by multiplying numerator and
+    denominator by n²:
+
+    ``num·n² = n²·Σ x_t·x_{t+k} − n·S·(Σhead + Σtail) + (n−k)·S²``
+    ``den·n² = n²·Σ x² − n·S²``          (S = Σx)
+
+    — every term integer (DECIMAL(38,0) sums), so
+    ``acf_permille = (1000·num) div den`` hash-checks; negative
+    autocorrelations truncate toward zero identically in both engines
+    (Spark DIV ≡ DuckDB // on BIGINT-by-positive — the tdiv contract).
+
+    Scale: the lag join is the series against itself shifted — the
+    series is the per-day LEDGER (calendar-bounded, not row-bounded),
+    the audit-tier adjudication; the corpus-size work is whatever
+    aggregate produced the daily series upstream."""
+    if max_lag < 1:
+        raise ValueError(f"acf_exact: max_lag must be >= 1, got {max_lag}")
+    base = df.select(
+        F.datediff(F.col(day_col), F.lit("1970-01-01")).alias("_t"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+        F.sum(
+            (F.col("_x").cast("decimal(38,0)") * F.col("_x")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_sxx"),
+    )
+    lags = df.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    shifted = base.select(
+        F.col("_t").alias("_t2"), F.col("_x").alias("_y")
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(lags))
+        .join(
+            shifted,
+            F.col("_t2") == F.col("_t") + F.col("lag"),
+            "inner",
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                (F.col("_x").cast("decimal(38,0)") * F.col("_y")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_sxy"),
+            F.sum(F.col("_x").cast("decimal(38,0)")).alias("_sh"),
+            F.sum(F.col("_y").cast("decimal(38,0)")).alias("_st"),
+            F.count(F.lit(1)).cast("long").alias("_npairs"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "lag",
+            "n_days",
+            F.expr(
+                "CAST((1000 * (CAST(n_days AS DECIMAL(38,0)) * n_days * _sxy "
+                "- n_days * _s * (_sh + _st) + _npairs * _s * _s)) "
+                "DIV (CAST(n_days AS DECIMAL(38,0)) * n_days * _sxx "
+                "- n_days * _s * _s) AS BIGINT)"
+            ).alias("acf_permille"),
+        )
+        .orderBy("lag")
+    )
+
+
+def gini_impurity(
+    df: DataFrame, label_col: str, group_col: str
+) -> DataFrame:
+    """Gini impurity of a categorical column per group — the log-free
+    diversity measure (CART's split criterion; 1 − Σp² — contrast
+    Shannon entropy, which the repo's no-libm oracle discipline cannot
+    hash-check): ``(group, n, n_labels, impurity_permille)`` with
+    ``impurity_permille = (1000·(n² − Σc²)) div n²`` — exact integer,
+    0 for a pure group, approaching 1000·(1−1/L) for a uniform one.
+
+    Scale: one corpus aggregate to the (group, label) ledger, then two
+    ledger re-aggregations (the PMI marginals discipline)."""
+    ledger = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(label_col).alias("_l")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    agg = ledger.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum(
+            (F.col("_c").cast("decimal(38,0)") * F.col("_c")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_sc2"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n",
+        "n_labels",
+        F.expr(
+            "CAST((1000 * (CAST(n AS DECIMAL(38,0)) * n - _sc2)) "
+            "DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("impurity_permille"),
+    )

@@ -1154,3 +1154,162 @@ def test_round11_module_entries_match_oracles(spark):
         assert sorted(got.columns) == sorted(want.columns), name
         assert _rendered(got).equals(_rendered(want)), name
         assert len(got) > 0, name
+
+
+# ---------------------------------------------------------------------------
+# Exact ACF + Gini impurity (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.stats import (  # noqa: E402
+    acf_exact,
+    gini_impurity,
+)
+
+
+def test_acf_handchecked(spark):
+    """x=[1,2,3,4]: r1 = 1.25/5 = 0.25 -> 250; r2 = -1.5/5 = -0.3 ->
+    -300 (negative division truncates identically both engines)."""
+    rows = [("2020-01-0%d" % (i + 1), v) for i, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(rows, "d string, x long").select(
+        F.to_date("d").alias("d"), "x"
+    )
+    got = {r["lag"]: r["acf_permille"] for r in acf_exact(df, "d", "x", 2).collect()}
+    assert got == {1: 250, 2: -300}
+
+
+def test_acf_matches_float_reference():
+    """Hypothesis pin: the integer formula tracks the float ACF within
+    one permille floor step on random small series."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        xs=st.lists(st.integers(min_value=0, max_value=9), min_size=4, max_size=20),
+        k=st.integers(min_value=1, max_value=3),
+    )
+    def run(xs, k):
+        n = len(xs)
+        if k >= n:
+            return
+        s = sum(xs)
+        sxx = sum(x * x for x in xs)
+        den = n * n * sxx - n * s * s
+        if den == 0:  # constant series: ACF undefined
+            return
+        sxy = sum(xs[t] * xs[t + k] for t in range(n - k))
+        sh = sum(xs[: n - k])
+        st_ = sum(xs[k:])
+        num = n * n * sxy - n * s * (sh + st_) + (n - k) * s * s
+        from kinesis_stream_video_project_spark.functions.numeric import tdiv
+
+        got = tdiv(1000 * num, den) if num >= 0 else -tdiv(-1000 * num, den)
+        mu = s / n
+        fnum = sum((xs[t] - mu) * (xs[t + k] - mu) for t in range(n - k))
+        fden = sum((x - mu) ** 2 for x in xs)
+        want = 1000 * fnum / fden
+        assert abs(got - want) <= 1.0001, (xs, k, got, want)
+
+    run()
+
+
+ACF_ORACLE = """
+WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+             FROM orders GROUP BY 1),
+bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM ser),
+days AS (SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+         FROM bounds),
+filled AS (SELECT days.d, COALESCE(ser.x, 0) AS x
+           FROM days LEFT JOIN ser ON days.d = ser.d),
+b AS (SELECT datediff('day', DATE '1970-01-01', d) AS t, x FROM filled),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               SUM(CAST(x AS HUGEINT)) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx FROM b),
+l AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
+p AS (SELECT lag, SUM(CAST(a.x AS HUGEINT) * c.x) AS sxy,
+             SUM(CAST(a.x AS HUGEINT)) AS sh,
+             SUM(CAST(c.x AS HUGEINT)) AS st, COUNT(*) AS npairs
+      FROM b a CROSS JOIN l JOIN b c ON c.t = a.t + lag GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, n_days,
+       CAST((1000 * (CAST(n_days AS HUGEINT) * n_days * sxy
+                     - n_days * s * (sh + st) + npairs * s * s))
+            // (CAST(n_days AS HUGEINT) * n_days * sxx - n_days * s * s)
+            AS BIGINT) AS acf_permille
+FROM p, tot ORDER BY lag
+"""
+
+
+def _daily_orders_filled(spark, sf):
+    orders = io.load_table(spark, sf, "orders")
+    ser = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    bounds = ser.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d")
+    )
+    return days.join(ser, "d", "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_acf_oracle_shape_matches(spark, sf):
+    """Gap-filled daily order counts (1094/2405 days exist at sf0.001 —
+    without zero-fill 'lag 1' would mean different things per SF)."""
+    got = acf_exact(_daily_orders_filled(spark, sf), "d", "x", 7).toPandas()
+    con = _con(sf)
+    want = con.sql(ACF_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    assert len(got) == 7
+
+
+def test_acf_rejects_bad_lag(spark):
+    df = spark.createDataFrame([("2020-01-01", 1)], "d string, x long")
+    with pytest.raises(ValueError, match="max_lag"):
+        acf_exact(df, "d", "x", 0)
+
+
+def test_gini_impurity_handchecked(spark):
+    """Pure group -> 0; 50/50 -> 500; 4-way uniform -> 750."""
+    rows = (
+        [("p", "a")] * 3
+        + [("h", "a"), ("h", "b")]
+        + [("u", "a"), ("u", "b"), ("u", "c"), ("u", "d")]
+    )
+    df = spark.createDataFrame(rows, "g string, l string")
+    got = {
+        r["g"]: (r["n"], r["n_labels"], r["impurity_permille"])
+        for r in gini_impurity(df, "l", "g").collect()
+    }
+    assert got == {"p": (3, 1, 0), "h": (2, 2, 500), "u": (4, 4, 750)}
+
+
+GINI_IMPURITY_ORACLE = """
+WITH l AS (SELECT c_nationkey AS g, o_orderpriority AS lab,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+a AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_labels,
+             SUM(CAST(c AS HUGEINT) * c) AS sc2
+      FROM l GROUP BY 1)
+SELECT g AS c_nationkey, n, n_labels,
+       CAST((1000 * (CAST(n AS HUGEINT) * n - sc2))
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS impurity_permille
+FROM a
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_gini_impurity_oracle_shape_matches(spark, sf):
+    orders = io.load_table(spark, sf, "orders")
+    cust = io.load_table(spark, sf, "customer")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_nationkey", "o_orderpriority"
+    )
+    got = gini_impurity(j, "o_orderpriority", "c_nationkey").toPandas()
+    con = _con(sf)
+    want = con.sql(GINI_IMPURITY_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    # priorities are near-uniform 5-way: impurity close to 800, never pure
+    assert (got["impurity_permille"] > 600).all()
