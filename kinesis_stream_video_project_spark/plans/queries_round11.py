@@ -36,9 +36,11 @@ from kinesis_stream_video_project_spark.operators.profiling import (
 )
 from kinesis_stream_video_project_spark.operators.ranking import topk_with_ties
 from kinesis_stream_video_project_spark.operators.stats import (
+    acf_exact,
     benford_deviation,
     chi_square_cells,
     gini_concentration,
+    gini_impurity,
     ks_two_sample,
     mann_whitney_u,
 )
@@ -137,6 +139,34 @@ def _topk_quantity_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_with_ties(li, "l_suppkey", "l_quantity", 2)
 
 
+def _acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lag-1..7 autocorrelation of GAP-FILLED daily order counts
+    (X-153; 1094/2405 days exist at sf0.001 — without the zero-fill
+    'lag 1' would mean different things per SF)."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    ser = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    bounds = ser.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d")
+    )
+    filled = days.join(ser, "d", "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    return acf_exact(filled, "d", "x", 7)
+
+
+def _priority_impurity_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of order priorities per customer nation (X-154)."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    cust = io.load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_nationkey", "o_orderpriority"
+    )
+    return gini_impurity(j, "o_orderpriority", "c_nationkey")
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -152,6 +182,8 @@ QUERIES = {
     "benford_totalprice": _benford_totalprice,
     "gini_supplier_revenue": _gini_supplier_revenue,
     "topk_quantity_ties": _topk_quantity_ties,
+    "acf_daily_orders": _acf_daily_orders,
+    "priority_impurity_by_nation": _priority_impurity_by_nation,
 }
 
 
@@ -391,6 +423,43 @@ a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_entities, SUM(xc) AS s0,
 SELECT n_entities, CAST(s0 AS BIGINT) AS total,
        CAST((1000 * (2 * s1 - (n_entities + 1) * s0))
             // (n_entities * s0) AS BIGINT) AS gini_permille
+FROM a
+""",
+    "acf_daily_orders": """
+WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+             FROM orders GROUP BY 1),
+bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM ser),
+days AS (SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+         FROM bounds),
+filled AS (SELECT days.d, COALESCE(ser.x, 0) AS x
+           FROM days LEFT JOIN ser ON days.d = ser.d),
+b AS (SELECT datediff('day', DATE '1970-01-01', d) AS t, x FROM filled),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               SUM(CAST(x AS HUGEINT)) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx FROM b),
+l AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
+p AS (SELECT lag, SUM(CAST(a.x AS HUGEINT) * c.x) AS sxy,
+             SUM(CAST(a.x AS HUGEINT)) AS sh,
+             SUM(CAST(c.x AS HUGEINT)) AS st, COUNT(*) AS npairs
+      FROM b a CROSS JOIN l JOIN b c ON c.t = a.t + lag GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, n_days,
+       CAST((1000 * (CAST(n_days AS HUGEINT) * n_days * sxy
+                     - n_days * s * (sh + st) + npairs * s * s))
+            // (CAST(n_days AS HUGEINT) * n_days * sxx - n_days * s * s)
+            AS BIGINT) AS acf_permille
+FROM p, tot ORDER BY lag
+""",
+    "priority_impurity_by_nation": """
+WITH l AS (SELECT c_nationkey AS g, o_orderpriority AS lab,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+a AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_labels,
+             SUM(CAST(c AS HUGEINT) * c) AS sc2
+      FROM l GROUP BY 1)
+SELECT g AS c_nationkey, n, n_labels,
+       CAST((1000 * (CAST(n AS HUGEINT) * n - sc2))
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS impurity_permille
 FROM a
 """,
     "topk_quantity_ties": """
