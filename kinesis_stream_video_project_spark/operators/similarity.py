@@ -923,3 +923,105 @@ def truncated_rerank_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# Binary-relevance DCG discounts 1000/log2(i+1), i = 1..10, rounded to
+# milli — literal constants so the score is exact integer arithmetic in
+# any engine (the Benford-constants discipline; no libm in the plan).
+NDCG_DISC_MILLI = (1000, 631, 500, 431, 387, 356, 333, 315, 301, 289)
+
+
+def ndcg_binary(
+    candidate: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    item_id: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Binary-relevance nDCG@k of a ``candidate`` ranking against a
+    ``truth`` relevant set, per query (Järvelin & Kekäläinen, TOIS
+    2002): ``(query_id, n_relevant, dcg_milli, idcg_milli,
+    ndcg_milli)``.
+
+    The rank-weighted companion of the ANN family's recall metrics
+    (ann_recall_eval measures only set overlap — nDCG also scores
+    WHERE the hits landed): ``rel_i = 1`` iff the candidate item at
+    rank i is anywhere in the truth set, ``dcg = Σ rel_i·disc_i`` with
+    the literal milli discounts above, ``idcg`` = the best possible
+    prefix sum for ``min(|truth_q|, k)`` hits, and ``ndcg_milli =
+    (1000·dcg) div idcg``. Integer end to end — no logs in the plan.
+
+    Scale: one (query, item) semi-join marks hits, one query-keyed
+    aggregate, one broadcast join of the ≤k-row prefix-sum lookup.
+    Candidate ranks beyond k (or ≤ 0) are refused loudly — a caller
+    passing an untruncated ranking would silently dilute nothing (rel
+    beyond k scores 0) but signals a contract mismatch."""
+    if not 1 <= k <= len(NDCG_DISC_MILLI):
+        raise ValueError(
+            f"ndcg_binary: k must be in [1, {len(NDCG_DISC_MILLI)}] "
+            f"(literal discount table), got {k}"
+        )
+    disc = list(NDCG_DISC_MILLI[:k])
+    prefix = []
+    run = 0
+    for d in disc:
+        run += d
+        prefix.append(run)
+    spark = candidate.sparkSession
+    disc_df = spark.createDataFrame(
+        [(i + 1, disc[i]) for i in range(k)], "rank long, _disc long"
+    )
+    prefix_df = spark.createDataFrame(
+        [(i + 1, prefix[i]) for i in range(k)], "_nrel long, _idcg long"
+    )
+    guarded = candidate.select(
+        F.col(query_id),
+        F.col(item_id),
+        F.when(
+            (F.col(rank_col) >= 1) & (F.col(rank_col) <= k),
+            F.col(rank_col),
+        )
+        .otherwise(
+            F.expr(
+                f"raise_error(concat('ndcg_binary: candidate rank ', "
+                f"CAST({rank_col} AS STRING), ' outside [1, {k}] - pass "
+                f"the truncated ranking'))"
+            )
+        )
+        .cast("long")
+        .alias("rank"),
+    )
+    hits = guarded.join(
+        truth.select(
+            F.col(query_id).alias("_tq"), F.col(item_id).alias("_ti")
+        ),
+        (F.col(query_id) == F.col("_tq")) & (F.col(item_id) == F.col("_ti")),
+        "left",
+    ).select(
+        query_id,
+        "rank",
+        F.when(F.col("_ti").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("_rel"),
+    )
+    scored = (
+        hits.join(F.broadcast(disc_df), "rank")
+        .groupBy(query_id)
+        .agg(
+            F.sum("_rel").cast("long").alias("n_relevant_hit"),
+            F.sum(F.col("_rel") * F.col("_disc")).cast("long").alias("dcg_milli"),
+        )
+    )
+    truth_sizes = truth.groupBy(query_id).agg(
+        F.least(F.count(F.lit(1)), F.lit(k)).cast("long").alias("_nrel")
+    )
+    return (
+        scored.join(truth_sizes, query_id)
+        .join(F.broadcast(prefix_df), "_nrel")
+        .select(
+            query_id,
+            F.col("_nrel").alias("n_relevant"),
+            "dcg_milli",
+            F.col("_idcg").alias("idcg_milli"),
+            F.expr("(1000 * dcg_milli) DIV _idcg").cast("long").alias("ndcg_milli"),
+        )
+    )

@@ -34,6 +34,7 @@ from kinesis_stream_video_project_spark.operators.lm import (
 from kinesis_stream_video_project_spark.operators.profiling import (
     char_class_profile,
 )
+from kinesis_stream_video_project_spark.operators.cdc import cdc_apply
 from kinesis_stream_video_project_spark.operators.ranking import topk_with_ties
 from kinesis_stream_video_project_spark.operators.stats import (
     acf_exact,
@@ -167,6 +168,30 @@ def _priority_impurity_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_impurity(j, "o_orderpriority", "c_nationkey")
 
 
+def _cdc_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-semantics changeset apply (X-155): a synthetic changeset
+    derived from orders (key=custkey, seq=orderkey, F→U / O→I / P→D,
+    payload=priority) applied to the customer snapshot — deterministic,
+    all three op branches engaged at every SF."""
+    cust = io.load_table(spark, sf_dir, "customer")
+    orders = io.load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.expr(
+            "CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I' "
+            "ELSE 'D' END"
+        ).alias("op"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    return cdc_apply(
+        cust.select("c_custkey", "c_mktsegment"),
+        changes,
+        "c_custkey",
+        "c_mktsegment",
+    )
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -184,6 +209,7 @@ QUERIES = {
     "topk_quantity_ties": _topk_quantity_ties,
     "acf_daily_orders": _acf_daily_orders,
     "priority_impurity_by_nation": _priority_impurity_by_nation,
+    "cdc_customer_segments": _cdc_customer_segments,
 }
 
 
@@ -461,6 +487,23 @@ SELECT g AS c_nationkey, n, n_labels,
        CAST((1000 * (CAST(n AS HUGEINT) * n - sc2))
             // (CAST(n AS HUGEINT) * n) AS BIGINT) AS impurity_permille
 FROM a
+""",
+    "cdc_customer_segments": """
+WITH ch AS (SELECT o_custkey AS k,
+                   CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I'
+                        ELSE 'D' END AS op,
+                   o_orderkey AS seq, o_orderpriority AS newp
+            FROM orders),
+r AS (SELECT k, op, newp,
+             seq * 4 + CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END AS ord
+      FROM ch),
+w AS (SELECT k, arg_max(op, ord) AS op, arg_max(newp, ord) AS newp
+      FROM r GROUP BY 1),
+m AS (SELECT c.c_custkey AS sk, c.c_mktsegment AS old, w.k, w.op, w.newp
+      FROM customer c FULL OUTER JOIN w ON c.c_custkey = w.k)
+SELECT COALESCE(sk, k) AS c_custkey,
+       CASE WHEN op IS NULL THEN old ELSE newp END AS c_mktsegment
+FROM m WHERE op IS NULL OR op != 'D'
 """,
     "topk_quantity_ties": """
 WITH r AS (SELECT l_suppkey, l_quantity,

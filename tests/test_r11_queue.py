@@ -1147,7 +1147,7 @@ def test_round11_module_entries_match_oracles(spark):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q11.QUERIES) == 16
+    assert len(q11.QUERIES) == 17
     for name, fn in q11.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q11.ORACLES[name]).df()
@@ -1313,3 +1313,163 @@ def test_gini_impurity_oracle_shape_matches(spark, sf):
     assert _rendered(got).equals(_rendered(want)), sf
     # priorities are near-uniform 5-way: impurity close to 800, never pure
     assert (got["impurity_permille"] > 600).all()
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k retrieval evaluation (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators import similarity as sim  # noqa: E402
+
+
+def test_ndcg_handchecked(spark):
+    """truth={a,b,c}; candidate [a,x,b]: dcg=1000+500, idcg=2131 ->
+    703; the perfect ranking scores exactly 1000."""
+    cand = spark.createDataFrame(
+        [(1, "a", 1), (1, "x", 2), (1, "b", 3)],
+        "query_id long, vec_id string, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c")], "query_id long, vec_id string"
+    )
+    r = sim.ndcg_binary(cand, truth, k=3).collect()[0]
+    assert (r["n_relevant"], r["dcg_milli"], r["idcg_milli"]) == (3, 1500, 2131)
+    assert r["ndcg_milli"] == 1500 * 1000 // 2131 == 703
+    perfect = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3)],
+        "query_id long, vec_id string, rank long",
+    )
+    assert sim.ndcg_binary(perfect, truth, k=3).collect()[0]["ndcg_milli"] == 1000
+
+
+def test_ndcg_refusals(spark):
+    cand = spark.createDataFrame(
+        [(1, "a", 11)], "query_id long, vec_id string, rank long"
+    )
+    truth = spark.createDataFrame([(1, "a")], "query_id long, vec_id string")
+    with pytest.raises(ValueError, match="literal discount table"):
+        sim.ndcg_binary(cand, truth, k=11)
+    with pytest.raises(Exception, match="outside"):
+        sim.ndcg_binary(cand, truth, k=10).collect()
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_ndcg_self_is_perfect_and_ivf_measured(spark, sf):
+    """ndcg(exact, exact) = 1000 for every query; ndcg(ivf@nprobe2,
+    exact) lands in (0, 1000] and tracks the known recall band."""
+    e = io.load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.cosine_topk(q, e, k=10)
+    self_scores = sim.ndcg_binary(exact, exact.select("query_id", "vec_id"), k=10)
+    assert set(r["ndcg_milli"] for r in self_scores.collect()) == {1000}
+    ivf = sim.ivf_topk(q, e, k=10, nprobe=2)
+    scores = {
+        r["query_id"]: r["ndcg_milli"]
+        for r in sim.ndcg_binary(
+            ivf, exact.select("query_id", "vec_id"), k=10
+        ).collect()
+    }
+    assert len(scores) == 5
+    # nprobe=2 IVF can legitimately miss a query's whole exact set at
+    # tiny SF (recall band 0.22-0.42, measured r3) — 0 is an honest score
+    assert all(0 <= v <= 1000 for v in scores.values()), scores
+    assert any(v > 0 for v in scores.values()), scores
+
+
+# ---------------------------------------------------------------------------
+# CDC changeset application (operators/cdc.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.cdc import cdc_apply  # noqa: E402
+
+
+def test_cdc_apply_handchecked(spark):
+    """U updates, D (latest seq) deletes, I inserts an absent key, a
+    same-seq D beats U, and a NULL upsert payload WINS (not falls back)."""
+    snap = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (5, "E"), (6, "FF")],
+        "k long, p string",
+    )
+    rows = [
+        (2, "U", 1, "B2"),
+        (2, "D", 2, None),      # latest change for 2: delete
+        (3, "U", 1, "C2"),      # update survives
+        (4, "I", 1, "D1"),      # insert new key
+        (5, "U", 1, "x"),
+        (5, "D", 1, None),      # same seq: D outranks U
+        (6, "U", 9, None),      # NULL payload upsert wins
+    ]
+    ch = spark.createDataFrame(rows, "k long, op string, seq long, p string")
+    got = {r["k"]: r["p"] for r in cdc_apply(snap, ch, "k", "p").collect()}
+    assert got == {1: "A", 3: "C2", 4: "D1", 6: None}
+
+
+def test_cdc_apply_refusals(spark):
+    snap = spark.createDataFrame([(1, "A")], "k long, p string")
+    bad_op = spark.createDataFrame(
+        [(1, "X", 1, "z")], "k long, op string, seq long, p string"
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        cdc_apply(snap, bad_op, "k", "p").collect()
+    dup_snap = spark.createDataFrame([(1, "A"), (1, "B")], "k long, p string")
+    ch = spark.createDataFrame(
+        [(1, "U", 1, "z")], "k long, op string, seq long, p string"
+    )
+    with pytest.raises(Exception, match="not unique"):
+        cdc_apply(dup_snap, ch, "k", "p").collect()
+    amb = spark.createDataFrame(
+        [(1, "U", 1, "a"), (1, "U", 1, "b")],
+        "k long, op string, seq long, p string",
+    )
+    with pytest.raises(Exception, match="no deterministic winner"):
+        cdc_apply(snap, amb, "k", "p").collect()
+
+
+CDC_ORACLE = """
+WITH ch AS (SELECT o_custkey AS k,
+                   CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I'
+                        ELSE 'D' END AS op,
+                   o_orderkey AS seq, o_orderpriority AS newp
+            FROM orders),
+r AS (SELECT k, op, newp,
+             seq * 4 + CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END AS ord
+      FROM ch),
+w AS (SELECT k, arg_max(op, ord) AS op, arg_max(newp, ord) AS newp
+      FROM r GROUP BY 1),
+m AS (SELECT c.c_custkey AS sk, c.c_mktsegment AS old, w.k, w.op, w.newp
+      FROM customer c FULL OUTER JOIN w ON c.c_custkey = w.k)
+SELECT COALESCE(sk, k) AS c_custkey,
+       CASE WHEN op IS NULL THEN old ELSE newp END AS c_mktsegment
+FROM m WHERE op IS NULL OR op != 'D'
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_cdc_apply_oracle_shape_matches(spark, sf):
+    """Synthetic changeset derived from orders (key=custkey,
+    seq=orderkey, F->U / O->I / P->D, payload=priority) applied to the
+    customer snapshot — deterministic, both branches engaged."""
+    cust = io.load_table(spark, sf, "customer")
+    orders = io.load_table(spark, sf, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.expr(
+            "CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I' "
+            "ELSE 'D' END"
+        ).alias("op"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderpriority").alias("c_mktsegment"),
+    )
+    got = cdc_apply(
+        cust.select("c_custkey", "c_mktsegment"),
+        changes,
+        "c_custkey",
+        "c_mktsegment",
+    ).toPandas()
+    con = _con(sf)
+    want = con.sql(CDC_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    n_cust = cust.count()
+    assert 0 < len(got) < n_cust  # deletes actually removed someone
