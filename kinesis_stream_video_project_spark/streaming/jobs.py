@@ -2546,3 +2546,147 @@ def dd_stream_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online CDC changelog compaction (latest-wins upsert state, per key)
+# ---------------------------------------------------------------------------
+
+_CDC_OUT_SCHEMA = (
+    "key bigint, emit_seq bigint, op string, payload string"
+)
+_CDC_STATE_SCHEMA = "best_ord bigint, op string, payload string, emit_seq bigint"
+
+
+def _cdc_fold(best_ord, op, payload, rows) -> tuple:
+    """Pure per-key latest-wins step shared by BOTH stateful API forms:
+    ``rows`` is (ord, op, payload) triples in ANY order (the ordering
+    key ``seq*4 + op_rank`` is total per the batch contract), so the
+    fold is a plain max — commutative and chunking-invariant like the
+    KMV set fold. An arrival whose ord EQUALS the held best is DROPPED:
+    online, an equal-ord row is indistinguishable from an at-least-once
+    redelivery, so the stream tolerates replays idempotently where the
+    batch audit (operators/cdc.py) refuses the ambiguity outright —
+    the two contracts are stated, not implied. Returns
+    ``(best_ord', op', payload', changed)``."""
+    changed = False
+    for o, p_op, p in rows:
+        if best_ord is None or o > best_ord:
+            best_ord, op, payload, changed = o, p_op, p, True
+    return best_ord, op, payload, changed
+
+
+def _cdc_ranked(events: DataFrame, key_col: str) -> DataFrame:
+    return events.select(
+        F.col(key_col).alias("key"),
+        F.expr(
+            "CASE WHEN seq BETWEEN 0 AND 1152921504606846976 THEN seq * 4 + "
+            "CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 WHEN 'I' THEN 1 "
+            "ELSE raise_error(concat('cdc stream: unknown op ', op)) END "
+            "ELSE raise_error('cdc stream: seq outside [0, 2^60]') END"
+        ).alias("ord"),
+        F.col("op"),
+        F.col("payload"),
+    )
+
+
+def cdc_stream(events: DataFrame, key_col: str = "key") -> DataFrame:
+    """ONLINE changelog compaction: per key, hold the latest-wins change
+    (the streaming half of operators/cdc.py::cdc_apply — what a
+    lakehouse MERGE does nightly, emitted at micro-batch latency) and
+    emit ``(key, emit_seq, op, payload)`` whenever the winner changes;
+    a 'D' emission is the tombstone. The max-emit_seq row per key is
+    the current post-image; the drained final rows equal the batch
+    winner table exactly (pinned — the max fold is order-insensitive).
+
+    State is one (ord, op, payload) per key. The ordering key is
+    computed JVM-side with the SAME in-plan refusals as the batch op;
+    equal-ord redeliveries are ignored (idempotent replay tolerance —
+    see _cdc_fold). NoTimeout: a changelog never expires."""
+
+    ranked = _cdc_ranked(events, key_col)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        best_ord, op, payload, emit_seq = (
+            state.get if state.exists else (None, None, None, 0)
+        )
+        frames = [p for p in pdfs if len(p)]
+        rows = []
+        if frames:
+            b = pd.concat(frames, ignore_index=True)
+            rows = list(zip(b["ord"].tolist(), b["op"].tolist(), b["payload"].tolist()))
+        best_ord, op, payload, changed = _cdc_fold(best_ord, op, payload, rows)
+        if changed:
+            emit_seq += 1
+            state.update((best_ord, op, payload, emit_seq))
+            yield pd.DataFrame(
+                {
+                    "key": [int(key_val)],
+                    "emit_seq": [emit_seq],
+                    "op": [op],
+                    "payload": [payload],
+                }
+            )
+
+    return ranked.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_CDC_OUT_SCHEMA,
+        stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cdc_stream_tws(events: DataFrame, key_col: str = "key") -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`cdc_stream`
+    — the ELEVENTH op carried on BOTH stateful APIs. Same shared
+    :func:`_cdc_fold`; no timers. GS ≡ TWS equality pinned on the same
+    drain in tests."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    ranked = _cdc_ranked(events, key_col)
+
+    class CdcProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("cdc", _CDC_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            held = self._state.get()
+            best_ord, op, payload, emit_seq = (
+                held if held is not None else (None, None, None, 0)
+            )
+            frames = [p for p in rows if len(p)]
+            triples = []
+            if frames:
+                b = pd.concat(frames, ignore_index=True)
+                triples = list(
+                    zip(b["ord"].tolist(), b["op"].tolist(), b["payload"].tolist())
+                )
+            best_ord, op, payload, changed = _cdc_fold(
+                best_ord, op, payload, triples
+            )
+            if changed:
+                emit_seq += 1
+                self._state.update((best_ord, op, payload, emit_seq))
+                yield pd.DataFrame(
+                    {
+                        "key": [int(key_val)],
+                        "emit_seq": [emit_seq],
+                        "op": [op],
+                        "payload": [payload],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return ranked.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=CdcProcessor(),
+        outputStructType=_CDC_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -2264,3 +2264,144 @@ def test_dd_fold_chunking_invariance():
         assert est == (1 if true_bucket == 0 else 3 << (true_bucket - 1))
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Online CDC changelog compaction (both stateful APIs)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_stream_matches_batch_winner(spark, tmp_path, sf_dir):
+    """Drained max-emit_seq post-image per key equals the batch
+    latest-wins winner table, invariant to micro-batch chunking (max
+    folds are order-insensitive)."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    ch = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.expr(
+            "CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I' "
+            "ELSE 'D' END"
+        ).alias("op"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderpriority").alias("payload"),
+    )
+    want = {
+        (r["key"], r["op"], r["payload"])
+        for r in ch.withColumn("_ord", F.expr("seq * 4 + CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END"))
+        .groupBy("key")
+        .agg(F.max_by(F.struct("op", "payload"), F.col("_ord")).alias("_w"))
+        .select("key", "_w.op", "_w.payload")
+        .collect()
+    }
+    ordered = ch.orderBy("seq").collect()
+    got_by_split = []
+    for nfiles in (1, 3):
+        src = tmp_path / f"cdc_src_{nfiles}"
+        step = -(-len(ordered) // nfiles)
+        for i in range(nfiles):
+            if i:
+                time.sleep(1.1)
+            _write_single_file(
+                spark.createDataFrame(ordered[i * step : (i + 1) * step], ch.schema),
+                src,
+                f"b{i}.parquet",
+            )
+        stream = (
+            spark.readStream.schema(ch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.cdc_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"cdc_out_{nfiles}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_cdc_{nfiles}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        snap = spark.sql(
+            f"""SELECT key, op, payload FROM cdc_out_{nfiles} o
+                WHERE emit_seq = (SELECT MAX(emit_seq) FROM cdc_out_{nfiles} i
+                                  WHERE i.key = o.key)"""
+        ).collect()
+        got_by_split.append({(r.key, r.op, r.payload) for r in snap})
+    assert got_by_split[0] == got_by_split[1] == want and len(want) > 0
+
+
+def test_cdc_stream_tws_matches_group_state_form(spark, tmp_path):
+    """GS ≡ TWS on the same drain — the eleventh op on both stateful
+    APIs; includes an equal-ord redelivery that must be dropped."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    schema = "key long, op string, seq long, payload string"
+    b0 = [(1, "I", 1, "a"), (2, "I", 1, "b"), (1, "U", 2, "a2")]
+    b1 = [(1, "U", 2, "a2"), (2, "D", 3, None), (3, "I", 1, "c")]  # replay + delete
+    src = tmp_path / "cdc_tws_src"
+    for i, batch in enumerate([b0, b1]):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(spark.createDataFrame(batch, schema), src, f"b{i}.parquet")
+    got = {}
+    for tag, job in (("gs", jobs.cdc_stream), ("tws", jobs.cdc_stream_tws)):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            job(stream)
+            .writeStream.format("memory")
+            .queryName(f"cdc_{tag}_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_cdcx_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got[tag] = {
+            (r.key, r.emit_seq, r.op, r.payload)
+            for r in spark.sql(f"SELECT * FROM cdc_{tag}_out").collect()
+        }
+    assert got["gs"] == got["tws"] and len(got["gs"]) > 0
+    # key 1: both b0 changes fold in ONE micro-batch (one emission,
+    # post-image a2) and b1's equal-ord replay must NOT re-emit
+    k1 = {t for t in got["gs"] if t[0] == 1}
+    assert k1 == {(1, 1, "U", "a2")}
+    # key 2: insert then delete -> two emissions, tombstone last
+    k2 = sorted(t for t in got["gs"] if t[0] == 2)
+    assert [(t[2], t[3]) for t in k2] == [("I", "b"), ("D", None)]
+
+
+def test_cdc_fold_laws():
+    """Hypothesis pins: chunking invariance for unique ords, and
+    equal-ord redelivery never changes state."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.streaming.jobs import _cdc_fold
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        ords=st.lists(
+            st.integers(min_value=0, max_value=100), min_size=1, max_size=20, unique=True
+        ),
+        cuts=st.lists(st.integers(min_value=0, max_value=20), max_size=4),
+    )
+    def run(ords, cuts):
+        rows = [(o, "U", f"p{o}") for o in ords]
+        best, op, payload = None, None, None
+        bounds = sorted(set(c for c in cuts if c <= len(rows)))
+        prev = 0
+        for b in bounds + [len(rows)]:
+            best, op, payload, _ = _cdc_fold(best, op, payload, rows[prev:b])
+            prev = b
+        want = max(ords)
+        assert (best, payload) == (want, f"p{want}")
+        again = _cdc_fold(best, op, payload, [(want, "U", "DIFFERENT")])
+        assert again == (best, op, payload, False)
+
+    run()
