@@ -248,3 +248,40 @@ def char_class_profile(
         F.expr("(1000 * _w) DIV n_chars").cast("long").alias("ws_permille"),
         F.expr("(1000 * _o) DIV n_chars").cast("long").alias("other_permille"),
     )
+
+
+def anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier
+    combination (Sweeney 2002; Machanavajjhala et al. 2007) — the
+    privacy-tier companion of the PII scrub: per QI equivalence class,
+    ``(qi..., class_size, l_distinct, below_k)`` where ``class_size``
+    is the k-anonymity denominator (a class below ``k`` re-identifies
+    its members within that factor), ``l_distinct`` counts distinct
+    sensitive values (l-diversity — a large class with ONE sensitive
+    value still leaks it), and ``below_k`` flags the at-risk classes.
+
+    A release gate reads two numbers off this frame: rows in below-k
+    classes (suppress or generalize them) and classes with
+    ``l_distinct = 1`` (homogeneous — leak regardless of size). Both
+    are derivable by plain aggregation over this output, so the
+    per-class frame is the registered artifact (the CMS/KMV
+    carry-the-evidence discipline).
+
+    Scale: ONE corpus aggregate keyed on the QI columns (count +
+    count_distinct in the same pass — Spark plans the distinct via
+    expand, still one shuffle family on the QI key); output is bounded
+    by QI-class cardinality, which a sane QI choice keeps small."""
+    if not qi_cols:
+        raise ValueError("anonymity_report: need at least one QI column")
+    if k < 2:
+        raise ValueError(f"anonymity_report: k must be >= 2, got {k}")
+    agg = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("l_distinct"),
+    )
+    return agg.withColumn("below_k", F.col("class_size") < k)

@@ -32,6 +32,7 @@ from kinesis_stream_video_project_spark.operators.lm import (
     readability_report,
 )
 from kinesis_stream_video_project_spark.operators.profiling import (
+    anonymity_report,
     char_class_profile,
 )
 from kinesis_stream_video_project_spark.operators.cdc import cdc_apply
@@ -192,6 +193,19 @@ def _cdc_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anonymity_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity/l-diversity audit of (nation, segment) QI classes with
+    order priority as the sensitive column (X-158)."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    cust = io.load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_nationkey", "c_mktsegment", "o_orderpriority"
+    )
+    return anonymity_report(
+        j, ["c_nationkey", "c_mktsegment"], "o_orderpriority", k=5
+    )
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -210,6 +224,7 @@ QUERIES = {
     "acf_daily_orders": _acf_daily_orders,
     "priority_impurity_by_nation": _priority_impurity_by_nation,
     "cdc_customer_segments": _cdc_customer_segments,
+    "anonymity_nation_segment": _anonymity_nation_segment,
 }
 
 
@@ -504,6 +519,14 @@ m AS (SELECT c.c_custkey AS sk, c.c_mktsegment AS old, w.k, w.op, w.newp
 SELECT COALESCE(sk, k) AS c_custkey,
        CASE WHEN op IS NULL THEN old ELSE newp END AS c_mktsegment
 FROM m WHERE op IS NULL OR op != 'D'
+""",
+    "anonymity_nation_segment": """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+       COUNT(*) < 5 AS below_k
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
 """,
     "topk_quantity_ties": """
 WITH r AS (SELECT l_suppkey, l_quantity,

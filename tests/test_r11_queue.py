@@ -1147,7 +1147,7 @@ def test_round11_module_entries_match_oracles(spark):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q11.QUERIES) == 17
+    assert len(q11.QUERIES) == 18
     for name, fn in q11.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q11.ORACLES[name]).df()
@@ -1473,3 +1473,61 @@ def test_cdc_apply_oracle_shape_matches(spark, sf):
     assert _rendered(got).equals(_rendered(want)), sf
     n_cust = cust.count()
     assert 0 < len(got) < n_cust  # deletes actually removed someone
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.profiling import (  # noqa: E402
+    anonymity_report,
+)
+
+
+def test_anonymity_handchecked(spark):
+    """Class (a,x): 3 rows, 2 sensitive values, k=3 -> not below; class
+    (b,y): 1 row -> below_k and homogeneous."""
+    rows = [
+        ("a", "x", "s1"), ("a", "x", "s1"), ("a", "x", "s2"),
+        ("b", "y", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s string")
+    got = {
+        (r["q1"], r["q2"]): (r["class_size"], r["l_distinct"], r["below_k"])
+        for r in anonymity_report(df, ["q1", "q2"], "s", k=3).collect()
+    }
+    assert got == {("a", "x"): (3, 2, False), ("b", "y"): (1, 1, True)}
+
+
+def test_anonymity_refusals(spark):
+    df = spark.createDataFrame([("a", "s")], "q string, s string")
+    with pytest.raises(ValueError, match="QI column"):
+        anonymity_report(df, [], "s")
+    with pytest.raises(ValueError, match="k must"):
+        anonymity_report(df, ["q"], "s", k=1)
+
+
+ANONYMITY_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+       COUNT(*) < 5 AS below_k
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_anonymity_oracle_shape_matches(spark, sf):
+    orders = io.load_table(spark, sf, "orders")
+    cust = io.load_table(spark, sf, "customer")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "c_nationkey", "c_mktsegment", "o_orderpriority"
+    )
+    got = anonymity_report(
+        j, ["c_nationkey", "c_mktsegment"], "o_orderpriority", k=5
+    ).toPandas()
+    con = _con(sf)
+    want = con.sql(ANONYMITY_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    assert len(got) > 0
