@@ -2405,3 +2405,80 @@ def test_cdc_fold_laws():
         assert again == (best, op, payload, False)
 
     run()
+
+
+def test_kmv_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Stop-and-restart against the SAME checkpoint must resume the
+    sketch state: run 1 drains file b0, run 2 (new query, same
+    checkpoint) drains only b1, and the union of emissions equals a
+    single fresh drain over both files — no re-emission, no state loss.
+    The recovery contract every production streaming deploy leans on."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = [
+        (i, base + dt.timedelta(seconds=i), uid, "view")
+        for i, uid in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+    ]
+    src = tmp_path / "kmv_restart_src"
+    ckpt = str(tmp_path / "ckpt_kmv_restart")
+    out = str(tmp_path / "kmv_restart_out")
+
+    def drain():
+        # memory sinks cannot recover from a checkpoint; the restart
+        # contract needs a real (file) sink
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.kmv_stream(stream, k=3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.event_type, r.seq, r.n_hashes, r.kth_rank, r.kmv_est)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_single_file(spark.createDataFrame(rows[:5], schema), src, "b0.parquet")
+    run1 = drain()
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(rows[5:], schema), src, "b1.parquet")
+    cumulative = drain()
+    run2 = cumulative - run1
+
+    # fresh single drain over both files, separate checkpoint
+    fresh_src = tmp_path / "kmv_restart_fresh"
+    _write_single_file(spark.createDataFrame(rows[:5], schema), fresh_src, "b0.parquet")
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(rows[5:], schema), fresh_src, "b1.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(fresh_src))
+    )
+    q = (
+        jobs.kmv_stream(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("kmv_restart_fresh")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv_fresh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    fresh = {
+        (r.event_type, r.seq, r.n_hashes, r.kth_rank, r.kmv_est)
+        for r in spark.sql("SELECT * FROM kmv_restart_fresh").collect()
+    }
+    assert cumulative == fresh
+    assert run1 and run2  # both runs actually emitted (state advanced)
+    assert run1 < cumulative  # run 2 appended, never rewrote or re-emitted
