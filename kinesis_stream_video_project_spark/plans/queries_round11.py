@@ -206,6 +206,29 @@ def _anonymity_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL bag semantics (X-159): supplier-key
+    MULTISETS (quantity>=25 side vs returned side) — multiplicity is the
+    point; the distinct-based set_ops_nations cannot express it. Output
+    one row per (op, key) with the surviving multiplicity n."""
+    li = io.load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_suppkey", "n")
+    )
+    it = (
+        a.intersectAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_suppkey", "n")
+    )
+    return ex.unionByName(it)
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -225,6 +248,7 @@ QUERIES = {
     "priority_impurity_by_nation": _priority_impurity_by_nation,
     "cdc_customer_segments": _cdc_customer_segments,
     "anonymity_nation_segment": _anonymity_nation_segment,
+    "bag_set_ops": _bag_set_ops,
 }
 
 
@@ -527,6 +551,17 @@ SELECT c_nationkey, c_mktsegment,
        COUNT(*) < 5 AS below_k
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2
+""",
+    "bag_set_ops": """
+WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25),
+b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+ex AS (SELECT l_suppkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)),
+it AS (SELECT l_suppkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+SELECT 'except_all' AS op, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM ex GROUP BY 2
+UNION ALL
+SELECT 'intersect_all' AS op, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM it GROUP BY 2
 """,
     "topk_quantity_ties": """
 WITH r AS (SELECT l_suppkey, l_quantity,

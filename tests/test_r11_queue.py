@@ -1147,7 +1147,7 @@ def test_round11_module_entries_match_oracles(spark):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q11.QUERIES) == 18
+    assert len(q11.QUERIES) == 19
     for name, fn in q11.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q11.ORACLES[name]).df()
@@ -1531,3 +1531,41 @@ def test_anonymity_oracle_shape_matches(spark, sf):
     want = con.sql(ANONYMITY_ORACLE).df()
     assert _rendered(got).equals(_rendered(want)), sf
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL)
+# ---------------------------------------------------------------------------
+
+
+def test_bag_set_ops_multiset_law(spark):
+    """The multiset law: except_all keeps max(0, cA-cB) copies and
+    intersect_all min(cA, cB) — checked per key against direct counts,
+    and materially different from the distinct variants."""
+    from kinesis_stream_video_project_spark.plans.queries_round11 import (
+        _bag_set_ops,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    li = io.load_table(spark, sf, "lineitem")
+    ca = {
+        r["l_suppkey"]: r["n"]
+        for r in li.filter(F.col("l_quantity") >= 25)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cb = {
+        r["l_suppkey"]: r["n"]
+        for r in li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = _bag_set_ops(spark, sf).collect()
+    for r in got:
+        a, b = ca.get(r["l_suppkey"], 0), cb.get(r["l_suppkey"], 0)
+        want = max(0, a - b) if r["op"] == "except_all" else min(a, b)
+        assert r["n"] == want, (r, a, b)
+    # multiplicity is material: bag counts exceed 1 somewhere
+    assert any(r["n"] > 1 for r in got)
