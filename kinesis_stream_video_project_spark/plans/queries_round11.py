@@ -36,6 +36,9 @@ from kinesis_stream_video_project_spark.operators.profiling import (
     char_class_profile,
 )
 from kinesis_stream_video_project_spark.operators.cdc import cdc_apply
+from kinesis_stream_video_project_spark.operators.dedup import (
+    allpairs_jaccard_prefix,
+)
 from kinesis_stream_video_project_spark.operators.ranking import topk_with_ties
 from kinesis_stream_video_project_spark.operators.stats import (
     acf_exact,
@@ -229,6 +232,13 @@ def _bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.unionByName(it)
 
 
+def _allpairs_jaccard_800(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact whole-corpus all-pairs 3-shingle Jaccard >= 800 permille via
+    prefix filtering (X-160) — the exact-AND-unblocked dedup tier."""
+    docs = io.load_table(spark, sf_dir, "documents")
+    return allpairs_jaccard_prefix(docs, 800)
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -249,6 +259,7 @@ QUERIES = {
     "cdc_customer_segments": _cdc_customer_segments,
     "anonymity_nation_segment": _anonymity_nation_segment,
     "bag_set_ops": _bag_set_ops,
+    "allpairs_jaccard_800": _allpairs_jaccard_800,
 }
 
 
@@ -562,6 +573,19 @@ FROM ex GROUP BY 2
 UNION ALL
 SELECT 'intersect_all' AS op, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
 FROM it GROUP BY 2
+""",
+    "allpairs_jaccard_800": """
+WITH toks AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)), i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS tok FROM documents),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS ninter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, ninter AS inter, sa.n AS size_a, sb.n AS size_b,
+       CAST((1000 * ninter) // (sa.n + sb.n - ninter) AS BIGINT) AS jaccard_permille
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (1000 * ninter) // (sa.n + sb.n - ninter) >= 800
 """,
     "topk_quantity_ties": """
 WITH r AS (SELECT l_suppkey, l_quantity,

@@ -1147,7 +1147,7 @@ def test_round11_module_entries_match_oracles(spark):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q11.QUERIES) == 19
+    assert len(q11.QUERIES) == 20
     for name, fn in q11.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q11.ORACLES[name]).df()
@@ -1569,3 +1569,75 @@ def test_bag_set_ops_multiset_law(spark):
         assert r["n"] == want, (r, a, b)
     # multiplicity is material: bag counts exceed 1 somewhere
     assert any(r["n"] > 1 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Exact whole-corpus all-pairs Jaccard via prefix filtering (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.dedup import (  # noqa: E402
+    allpairs_jaccard_prefix,
+)
+
+
+def test_allpairs_prefix_refuses_zero_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold_permille"):
+        allpairs_jaccard_prefix(df, 0)
+
+
+@pytest.mark.parametrize("sf", SFS[:2])
+@pytest.mark.parametrize("t", [500, 800])
+def test_allpairs_prefix_complete_vs_bruteforce(spark, sf, t):
+    """The prefix theorem's completeness claim, checked literally: the
+    operator's pair set equals the quadratic Python brute force over
+    3-shingle sets — every pair, every count, both thresholds."""
+    docs = io.load_table(spark, sf, "documents").collect()
+
+    def sh(text):
+        toks = text.split(" ")
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    sets = {r["doc_id"]: sh(r["text"]) for r in docs}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            denom = len(sets[a]) + len(sets[b]) - inter
+            jp = 1000 * inter // denom
+            if jp >= t:
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]), jp)
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["inter"], r["size_a"], r["size_b"], r["jaccard_permille"]
+        )
+        for r in allpairs_jaccard_prefix(
+            io.load_table(spark, sf, "documents"), t
+        ).collect()
+    }
+    assert got == want and len(want) > 0, (sf, t, len(got), len(want))
+
+
+def test_allpairs_prefix_sees_cross_block_pairs(spark):
+    """The capability the blocked tier lacks by design: a near-identical
+    pair in DIFFERENT (source, lang) blocks is invisible to
+    blocked_jaccard_near_dups but found here."""
+    rows = [
+        (1, "x y z w v u t s r q", "a", "en"),
+        (2, "x y z w v u t s r q", "b", "de"),  # other block, same text
+        (3, "completely different words here now", "a", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        blocked_jaccard_near_dups,
+    )
+    blocked = blocked_jaccard_near_dups(df, threshold=0.8, shingle_k=3).collect()
+    assert blocked == []  # blind across blocks
+    got = allpairs_jaccard_prefix(df, 800).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard_permille"]) for r in got] == [
+        (1, 2, 1000)
+    ]
