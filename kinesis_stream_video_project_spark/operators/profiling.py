@@ -285,3 +285,26 @@ def anonymity_report(
         F.count_distinct(F.col(sensitive_col)).cast("long").alias("l_distinct"),
     )
     return agg.withColumn("below_k", F.col("class_size") < k)
+
+
+def fd_violations(
+    df: DataFrame, lhs_cols: list[str], rhs_col: str
+) -> DataFrame:
+    """Functional-dependency audit: does ``lhs_cols → rhs_col`` hold?
+    Per LHS value: ``(lhs..., n_rows, n_distinct_rhs, violating)`` —
+    the constraint-violation report of data-repair pipelines (an FD
+    holds iff every LHS group is RHS-pure; the violating groups are
+    the repair worklist, and Σ over them bounds the minimal repair
+    size). The schema-level sibling of the anonymity report: same
+    one-aggregate shape, opposite reading (purity wanted here,
+    diversity wanted there).
+
+    Scale: ONE corpus aggregate keyed on the LHS columns; output
+    bounded by LHS cardinality."""
+    if not lhs_cols:
+        raise ValueError("fd_violations: need at least one LHS column")
+    agg = df.groupBy(*lhs_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col(rhs_col)).cast("long").alias("n_distinct_rhs"),
+    )
+    return agg.withColumn("violating", F.col("n_distinct_rhs") > 1)

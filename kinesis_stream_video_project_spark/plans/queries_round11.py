@@ -34,6 +34,7 @@ from kinesis_stream_video_project_spark.operators.lm import (
 from kinesis_stream_video_project_spark.operators.profiling import (
     anonymity_report,
     char_class_profile,
+    fd_violations,
 )
 from kinesis_stream_video_project_spark.operators.cdc import cdc_apply
 from kinesis_stream_video_project_spark.operators.dedup import (
@@ -239,6 +240,13 @@ def _allpairs_jaccard_800(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_jaccard_prefix(docs, 800)
 
 
+def _fd_nation_segment_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD audit (X-161): (nation, segment) → name fails as an FD — the
+    report proves where and by how much."""
+    cust = io.load_table(spark, sf_dir, "customer")
+    return fd_violations(cust, ["c_nationkey", "c_mktsegment"], "c_name")
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -260,6 +268,7 @@ QUERIES = {
     "anonymity_nation_segment": _anonymity_nation_segment,
     "bag_set_ops": _bag_set_ops,
     "allpairs_jaccard_800": _allpairs_jaccard_800,
+    "fd_nation_segment_name": _fd_nation_segment_name,
 }
 
 
@@ -586,6 +595,13 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE (1000 * ninter) // (sa.n + sb.n - ninter) >= 800
+""",
+    "fd_nation_segment_name": """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct_rhs,
+       COUNT(DISTINCT c_name) > 1 AS violating
+FROM customer GROUP BY 1, 2
 """,
     "topk_quantity_ties": """
 WITH r AS (SELECT l_suppkey, l_quantity,

@@ -1147,7 +1147,7 @@ def test_round11_module_entries_match_oracles(spark):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q11.QUERIES) == 20
+    assert len(q11.QUERIES) == 21
     for name, fn in q11.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q11.ORACLES[name]).df()
@@ -1641,3 +1641,47 @@ def test_allpairs_prefix_sees_cross_block_pairs(spark):
     assert [(r["doc_a"], r["doc_b"], r["jaccard_permille"]) for r in got] == [
         (1, 2, 1000)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency violation audit (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.profiling import (  # noqa: E402
+    fd_violations,
+)
+
+
+def test_fd_violations_handchecked(spark):
+    rows = [("a", 1), ("a", 1), ("b", 1), ("b", 2)]
+    df = spark.createDataFrame(rows, "l string, r long")
+    got = {
+        r["l"]: (r["n_rows"], r["n_distinct_rhs"], r["violating"])
+        for r in fd_violations(df, ["l"], "r").collect()
+    }
+    assert got == {"a": (2, 1, False), "b": (2, 2, True)}
+    with pytest.raises(ValueError, match="LHS"):
+        fd_violations(df, [], "r")
+
+
+FD_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct_rhs,
+       COUNT(DISTINCT c_name) > 1 AS violating
+FROM customer GROUP BY 1, 2
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_fd_violations_oracle_shape_matches(spark, sf):
+    """(nation, segment) -> name obviously fails as an FD (many
+    customers share a nation+segment) — the audit proves it violating
+    everywhere rather than assuming; a key -> attribute FD holds."""
+    cust = io.load_table(spark, sf, "customer")
+    got = fd_violations(cust, ["c_nationkey", "c_mktsegment"], "c_name").toPandas()
+    con = _con(sf)
+    want = con.sql(FD_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    held = fd_violations(cust, ["c_custkey"], "c_name").collect()
+    assert all(not r["violating"] for r in held)  # key FD holds
