@@ -1685,3 +1685,142 @@ def test_fd_violations_oracle_shape_matches(spark, sf):
     assert _rendered(got).equals(_rendered(want)), sf
     held = fd_violations(cust, ["c_custkey"], "c_name").collect()
     assert all(not r["violating"] for r in held)  # key FD holds
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis semantic pins: attribution + CDC vs Python reference replays
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_attribution_matches_python_replay(spark, seed):
+    """Random small event streams (timestamp collisions forced) against
+    a literal Python implementation of the contract: strictly-before
+    RANGE semantics, min-event_id tie at the winning second, horizon,
+    and 'none' fallback. Two seeded draws keep runtime bounded while
+    covering tie layouts hypothesis would shrink to anyway."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for uid in range(1, 6):
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    datetime(2020, 1, 1, 0, 0, rng.randint(0, 9)),
+                    uid,
+                    rng.choice(["click", "view", "purchase"]),
+                    round(rng.uniform(0.1, 5.0), 2),
+                    "{}",
+                )
+            )
+    horizon = rng.choice([2, 5])
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        r["channel"]: (r["n_conversions"], r["sum_value_milli"])
+        for r in attribution_last_touch(
+            df, "purchase", ["click", "view"], horizon_s=horizon
+        ).collect()
+    }
+
+    import collections
+    import math
+
+    want = collections.defaultdict(lambda: [0, 0])
+    by_uid = collections.defaultdict(list)
+    for e in rows:
+        by_uid[e[2]].append(e)
+    for uid, evs in by_uid.items():
+        for e in evs:
+            if e[3] != "purchase":
+                continue
+            p_us = int(e[1].timestamp() * 1_000_000)
+            touches = [
+                t
+                for t in evs
+                if t[3] in ("click", "view")
+                and int(t[1].timestamp() * 1_000_000) < p_us
+                and p_us - int(t[1].timestamp() * 1_000_000) <= horizon * 1_000_000
+            ]
+            if touches:
+                best_us = max(int(t[1].timestamp() * 1_000_000) for t in touches)
+                winner = min(
+                    (t for t in touches if int(t[1].timestamp() * 1_000_000) == best_us),
+                    key=lambda t: t[0],
+                )
+                ch = winner[3]
+            else:
+                ch = "none"
+            want[ch][0] += 1
+            want[ch][1] += math.floor(e[4] * 1000.0 + 0.5)
+    assert got == {k: tuple(v) for k, v in want.items()}, (seed, got, dict(want))
+
+
+def test_cdc_apply_matches_python_replay(spark):
+    """Hypothesis pin: cdc_apply equals a literal Python merge for any
+    snapshot + changeset with unique (key, seq) pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # Build one Spark-free strategy, run Spark comparisons on a few
+    # hypothesis-generated cases collected eagerly (a Spark job per
+    # hypothesis example would be minutes).
+    cases = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        snap=st.dictionaries(
+            st.integers(min_value=1, max_value=8),
+            st.sampled_from(["A", "B", "C"]),
+            max_size=6,
+        ),
+        ch=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=10),  # key
+                st.sampled_from(["I", "U", "D"]),
+                st.sampled_from(["x", "y", None]),
+            ),
+            max_size=10,
+        ),
+    )
+    def collect(snap, ch):
+        cases.append((dict(snap), list(ch)))
+
+    collect()
+
+    def py_merge(snap, changes):
+        best = {}
+        for seq, (k, op, p) in enumerate(changes):
+            ordk = seq * 4 + {"D": 3, "U": 2, "I": 1}[op]
+            if k not in best or ordk > best[k][0]:
+                best[k] = (ordk, op, p)
+        out = dict(snap)
+        for k, (_, op, p) in best.items():
+            if op == "D":
+                out.pop(k, None)
+            else:
+                out[k] = p
+        return out
+
+    for snap, ch in cases[:8]:  # 8 Spark comparisons, rest replay-only
+        changes = [(k, op, seq, p) for seq, (k, op, p) in enumerate(ch)]
+        sdf = spark.createDataFrame(
+            [(k, v) for k, v in snap.items()] or [(999999, "Z")],
+            "k long, p string",
+        )
+        snap_eff = snap or {999999: "Z"}
+        cdf = spark.createDataFrame(
+            changes or [(999998, "I", 0, "w")],
+            "k long, op string, seq long, p string",
+        )
+        ch_eff = ch or [(999998, "I", "w")]
+        got = {
+            r["k"]: r["p"] for r in cdc_apply(sdf, cdf, "k", "p").collect()
+        }
+        assert got == py_merge(snap_eff, ch_eff), (snap, ch)
+    # and the pure replay logic holds on every generated case
+    for snap, ch in cases:
+        py_merge(snap, ch)  # no exceptions, total function
