@@ -142,3 +142,112 @@ def kmv_distinct_estimates(
             "err",
         )
     )
+
+
+def _bottomk_single(df: DataFrame, key: str, k: int, n_salts: int) -> DataFrame:
+    """Bottom-k ranks of ONE key set: (pos, rank)."""
+    staged = df.select(F.lit("s").alias("_g"), F.col(key))
+    return kmv_bottomk(staged, key, "_g", k=k, n_salts=n_salts).select(
+        "pos", "rank"
+    )
+
+
+def kmv_set_op_estimates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key: str,
+    k: int = 64,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Distinct-set UNION/INTERSECTION/Jaccard estimation from two KMV
+    sketches — the capability the sketch exists for (Beyer et al.,
+    SIGMOD 2007 §4: the union sketch is ``bottomk(sketch_A ∪
+    sketch_B)`` by the merge law, and the ρ-estimator scores
+    ``|{r ∈ union sketch: r ∈ A ∧ r ∈ B}| / k`` as the Jaccard,
+    unbiased — membership is EXACT because any union-sketch rank from
+    side X is by construction within X's own bottom-k).
+
+    One audit row::
+
+        exact_a, exact_b, exact_union, exact_inter,
+        n_union_sketch, n_both, est_a, est_b, est_union, est_inter,
+        jaccard_est_permille, jaccard_exact_permille
+
+    ``est_inter = (n_both · est_union) div n_union_sketch`` (the
+    ρ-form — inclusion–exclusion est_a + est_b − est_union can go
+    negative and is strictly worse, stated); when every sketch is
+    unsaturated the estimates COLLAPSE TO EXACT (sketches hold the
+    whole sets — pinned in tests). The exact_* columns are the audit
+    pairing (CMS/KMV discipline); production keeps only the sketches.
+
+    Scale: two distinct() shuffles (one per side — the only
+    corpus-sized work), every later stage runs on ≤k-row frames."""
+    a = _bottomk_single(df_a, key, k, n_salts)
+    b = _bottomk_single(df_b, key, k, n_salts)
+    w = Window.orderBy("rank")
+    union_sketch = (
+        a.select("rank")
+        .union(b.select("rank"))
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+    )
+    both = (
+        union_sketch.join(a.select("rank"), "rank", "left_semi")
+        .join(b.select("rank"), "rank", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    def est(prefix: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).cast("long").alias(f"_n_{prefix}"),
+            F.max("rank").alias(f"_kth_{prefix}"),
+        )
+    ea, eb, eu = est("a", a), est("b", b), est("u", union_sketch)
+    exact_a = df_a.select(key).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_a")
+    )
+    exact_b = df_b.select(key).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_b")
+    )
+    exact_i = (
+        df_a.select(key)
+        .distinct()
+        .join(df_b.select(key).distinct(), key, "inner")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    est_expr = (
+        "CAST(CASE WHEN _n_{p} < {k} THEN _n_{p} "
+        "ELSE {num} DIV _kth_{p} END AS BIGINT)"
+    )
+    num = (k - 1) * RANK_DOMAIN
+    row = (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(exact_a))
+        .crossJoin(F.broadcast(exact_b))
+        .crossJoin(F.broadcast(exact_i))
+        .withColumn("est_a", F.expr(est_expr.format(p="a", k=k, num=num)))
+        .withColumn("est_b", F.expr(est_expr.format(p="b", k=k, num=num)))
+        .withColumn("est_union", F.expr(est_expr.format(p="u", k=k, num=num)))
+    )
+    return row.select(
+        "exact_a",
+        "exact_b",
+        F.expr("exact_a + exact_b - exact_inter").cast("long").alias("exact_union"),
+        "exact_inter",
+        F.col("_n_u").alias("n_union_sketch"),
+        "n_both",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.expr("(n_both * est_union) DIV _n_u").cast("long").alias("est_inter"),
+        F.expr("(1000 * n_both) DIV _n_u").cast("long").alias(
+            "jaccard_est_permille"
+        ),
+        F.expr(
+            "(1000 * exact_inter) DIV (exact_a + exact_b - exact_inter)"
+        )
+        .cast("long")
+        .alias("jaccard_exact_permille"),
+    )

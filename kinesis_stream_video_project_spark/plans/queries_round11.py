@@ -247,6 +247,20 @@ def _fd_nation_segment_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_violations(cust, ["c_nationkey", "c_mktsegment"], "c_name")
 
 
+def _kmv_setops_urgent_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (X-162): union/intersection/Jaccard of
+    the urgent-order vs low-order customer sets from two 64-rank
+    sketches, exact audit columns carried."""
+    from kinesis_stream_video_project_spark.operators.kmv import (
+        kmv_set_op_estimates,
+    )
+
+    o = io.load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW")
+    return kmv_set_op_estimates(a, b, "o_custkey", k=64)
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -269,6 +283,7 @@ QUERIES = {
     "bag_set_ops": _bag_set_ops,
     "allpairs_jaccard_800": _allpairs_jaccard_800,
     "fd_nation_segment_name": _fd_nation_segment_name,
+    "kmv_setops_urgent_low": _kmv_setops_urgent_low,
 }
 
 
@@ -602,6 +617,48 @@ SELECT c_nationkey, c_mktsegment,
        CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct_rhs,
        COUNT(DISTINCT c_name) > 1 AS violating
 FROM customer GROUP BY 1, 2
+""",
+    "kmv_setops_urgent_low": """
+WITH a0 AS (SELECT DISTINCT o_custkey AS kk FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+b0 AS (SELECT DISTINCT o_custkey AS kk FROM orders
+       WHERE o_orderpriority = '5-LOW'),
+ar AS (SELECT kk, ('0x' || substr(md5(CAST(kk AS VARCHAR)), 1, 12))::BIGINT AS rank
+       FROM a0),
+br AS (SELECT kk, ('0x' || substr(md5(CAST(kk AS VARCHAR)), 1, 12))::BIGINT AS rank
+       FROM b0),
+a AS (SELECT rank FROM (SELECT rank, ROW_NUMBER() OVER (ORDER BY rank, kk) AS pos
+                        FROM ar) WHERE pos <= 64),
+b AS (SELECT rank FROM (SELECT rank, ROW_NUMBER() OVER (ORDER BY rank, kk) AS pos
+                        FROM br) WHERE pos <= 64),
+u AS (SELECT rank FROM (SELECT rank, ROW_NUMBER() OVER (ORDER BY rank) AS pos
+                        FROM (SELECT DISTINCT rank
+                              FROM (SELECT rank FROM a UNION ALL SELECT rank FROM b)))
+      WHERE pos <= 64),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM u
+       WHERE rank IN (SELECT rank FROM a) AND rank IN (SELECT rank FROM b)),
+sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS na, MAX(rank) AS ka FROM a),
+sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbk, MAX(rank) AS kb FROM b),
+su AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu, MAX(rank) AS ku FROM u),
+exa AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_a FROM a0),
+exb AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_b FROM b0),
+exi AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter
+        FROM a0 JOIN b0 USING (kk)),
+j AS (SELECT *,
+             CASE WHEN na < 64 THEN na ELSE (63 * (1::BIGINT << 48)) // ka END AS est_a,
+             CASE WHEN nbk < 64 THEN nbk ELSE (63 * (1::BIGINT << 48)) // kb END AS est_b,
+             CASE WHEN nu < 64 THEN nu ELSE (63 * (1::BIGINT << 48)) // ku END AS est_union
+      FROM sa, sb, su, nb, exa, exb, exi)
+SELECT exact_a, exact_b,
+       CAST(exact_a + exact_b - exact_inter AS BIGINT) AS exact_union,
+       exact_inter, nu AS n_union_sketch, n_both,
+       CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+       CAST(est_union AS BIGINT) AS est_union,
+       CAST((n_both * est_union) // nu AS BIGINT) AS est_inter,
+       CAST((1000 * n_both) // nu AS BIGINT) AS jaccard_est_permille,
+       CAST((1000 * exact_inter) // (exact_a + exact_b - exact_inter) AS BIGINT)
+         AS jaccard_exact_permille
+FROM j
 """,
     "topk_quantity_ties": """
 WITH r AS (SELECT l_suppkey, l_quantity,

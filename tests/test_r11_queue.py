@@ -1147,7 +1147,7 @@ def test_round11_module_entries_match_oracles(spark):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q11.QUERIES) == 21
+    assert len(q11.QUERIES) == 22
     for name, fn in q11.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q11.ORACLES[name]).df()
@@ -1824,3 +1824,95 @@ def test_cdc_apply_matches_python_replay(spark):
     # and the pure replay logic holds on every generated case
     for snap, ch in cases:
         py_merge(snap, ch)  # no exceptions, total function
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates (operators/kmv.py — Beyer et al. 2007 §4)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.kmv import (  # noqa: E402
+    kmv_set_op_estimates,
+)
+
+
+def test_kmv_set_ops_exact_when_unsaturated(spark):
+    """Sketches holding the whole sets collapse every estimate to the
+    exact value — the n<k branch of the whole estimator chain."""
+    a = spark.createDataFrame([(i,) for i in range(1, 9)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(5, 13)], "k long")
+    r = kmv_set_op_estimates(a, b, "k", k=64).collect()[0]
+    assert (r["exact_a"], r["exact_b"], r["exact_union"], r["exact_inter"]) == (
+        8, 8, 12, 4,
+    )
+    assert (r["est_a"], r["est_b"], r["est_union"], r["est_inter"]) == (8, 8, 12, 4)
+    assert r["jaccard_est_permille"] == r["jaccard_exact_permille"] == 4000 // 12
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_kmv_set_ops_estimator_bands(spark, sf):
+    """Saturated regime (urgent vs low customer sets): ρ-Jaccard within
+    ±60 permille of exact and the intersection estimate within
+    [0.6, 1.5]× — probed 765-781 vs 755-782 and 0.96-1.32× across the
+    three SFs at k=64."""
+    o = io.load_table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW")
+    r = kmv_set_op_estimates(a, b, "o_custkey", k=64).collect()[0]
+    assert abs(r["jaccard_est_permille"] - r["jaccard_exact_permille"]) <= 60
+    ratio = r["est_inter"] / r["exact_inter"]
+    assert 0.6 <= ratio <= 1.5, dict(r.asDict())
+
+
+KMV_SETOPS_ORACLE = """
+WITH a0 AS (SELECT DISTINCT o_custkey AS kk FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+b0 AS (SELECT DISTINCT o_custkey AS kk FROM orders
+       WHERE o_orderpriority = '5-LOW'),
+ar AS (SELECT kk, ('0x' || substr(md5(CAST(kk AS VARCHAR)), 1, 12))::BIGINT AS rank
+       FROM a0),
+br AS (SELECT kk, ('0x' || substr(md5(CAST(kk AS VARCHAR)), 1, 12))::BIGINT AS rank
+       FROM b0),
+a AS (SELECT rank FROM (SELECT rank, ROW_NUMBER() OVER (ORDER BY rank, kk) AS pos
+                        FROM ar) WHERE pos <= 64),
+b AS (SELECT rank FROM (SELECT rank, ROW_NUMBER() OVER (ORDER BY rank, kk) AS pos
+                        FROM br) WHERE pos <= 64),
+u AS (SELECT rank FROM (SELECT rank, ROW_NUMBER() OVER (ORDER BY rank) AS pos
+                        FROM (SELECT DISTINCT rank
+                              FROM (SELECT rank FROM a UNION ALL SELECT rank FROM b)))
+      WHERE pos <= 64),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM u
+       WHERE rank IN (SELECT rank FROM a) AND rank IN (SELECT rank FROM b)),
+sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS na, MAX(rank) AS ka FROM a),
+sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbk, MAX(rank) AS kb FROM b),
+su AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu, MAX(rank) AS ku FROM u),
+exa AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_a FROM a0),
+exb AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_b FROM b0),
+exi AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter
+        FROM a0 JOIN b0 USING (kk)),
+j AS (SELECT *,
+             CASE WHEN na < 64 THEN na ELSE (63 * (1::BIGINT << 48)) // ka END AS est_a,
+             CASE WHEN nbk < 64 THEN nbk ELSE (63 * (1::BIGINT << 48)) // kb END AS est_b,
+             CASE WHEN nu < 64 THEN nu ELSE (63 * (1::BIGINT << 48)) // ku END AS est_union
+      FROM sa, sb, su, nb, exa, exb, exi)
+SELECT exact_a, exact_b,
+       CAST(exact_a + exact_b - exact_inter AS BIGINT) AS exact_union,
+       exact_inter, nu AS n_union_sketch, n_both,
+       CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+       CAST(est_union AS BIGINT) AS est_union,
+       CAST((n_both * est_union) // nu AS BIGINT) AS est_inter,
+       CAST((1000 * n_both) // nu AS BIGINT) AS jaccard_est_permille,
+       CAST((1000 * exact_inter) // (exact_a + exact_b - exact_inter) AS BIGINT)
+         AS jaccard_exact_permille
+FROM j
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_kmv_set_ops_oracle_shape_matches(spark, sf):
+    o = io.load_table(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW")
+    got = kmv_set_op_estimates(a, b, "o_custkey", k=64).toPandas()
+    con = _con(sf)
+    want = con.sql(KMV_SETOPS_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
