@@ -261,6 +261,47 @@ def _kmv_setops_urgent_low(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_op_estimates(a, b, "o_custkey", k=64)
 
 
+def _curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """This round's gates composed end to end (X-163; the v2/v3/v4
+    discipline): exact whole-corpus all-pairs dedup (J >= 800, min-id
+    survivor — any doc appearing on the b side of a pair drops, which
+    is the min-of-clique survivor because the fixture's near-dup
+    clusters are exact-duplicate cliques) → Flesch readability floor
+    (flesch_milli >= 20000 — probed ~60%% pass at every SF, both
+    branches engaged) → per-source funnel summary
+    ``(source, n_in, n_after_dedup, n_after_readability, sum_words)``.
+    Each stage is its registered operator's plan; composition adds one
+    doc_id anti-join, one doc_id gate join, and a |sources|-row
+    aggregate."""
+    from kinesis_stream_video_project_spark.operators.lm import (
+        readability_report,
+    )
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    dup_b = (
+        allpairs_jaccard_prefix(docs, 800)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = docs.join(dup_b, "doc_id", "left_anti")
+    readable = (
+        readability_report(survivors)
+        .filter(F.col("flesch_milli") >= 20000)
+        .select("doc_id", "n_words")
+    )
+    per_doc = docs.select("doc_id", "source").join(
+        survivors.select(F.col("doc_id").alias("_sid")),
+        F.col("doc_id") == F.col("_sid"),
+        "left",
+    ).join(readable, "doc_id", "left")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.count("_sid").cast("long").alias("n_after_dedup"),
+        F.count("n_words").cast("long").alias("n_after_readability"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("sum_words"),
+    )
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -284,6 +325,7 @@ QUERIES = {
     "allpairs_jaccard_800": _allpairs_jaccard_800,
     "fd_nation_segment_name": _fd_nation_segment_name,
     "kmv_setops_urgent_low": _kmv_setops_urgent_low,
+    "curation_pipeline_v5": _curation_pipeline_v5,
 }
 
 
@@ -659,6 +701,34 @@ SELECT exact_a, exact_b,
        CAST((1000 * exact_inter) // (exact_a + exact_b - exact_inter) AS BIGINT)
          AS jaccard_exact_permille
 FROM j
+""",
+    "curation_pipeline_v5": """
+WITH toks AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)), i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS tok FROM documents),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS ninter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+dup_b AS (SELECT DISTINCT doc_b AS doc_id FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE (1000 * ninter) // (sa.n + sb.n - ninter) >= 800),
+surv AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)),
+rd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       FROM surv
+       WHERE 206835
+             - (1015 * len(string_split(text, ' ')))
+               // GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+             - (84600 * len(regexp_extract_all(text, '[aeiouy]+')))
+               // len(string_split(text, ' ')) >= 20000)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS n_after_dedup,
+       CAST(COUNT(r.doc_id) AS BIGINT) AS n_after_readability,
+       CAST(COALESCE(SUM(r.n_words), 0) AS BIGINT) AS sum_words
+FROM documents d
+LEFT JOIN surv s ON d.doc_id = s.doc_id
+LEFT JOIN rd r ON d.doc_id = r.doc_id
+GROUP BY 1
 """,
     "topk_quantity_ties": """
 WITH r AS (SELECT l_suppkey, l_quantity,
