@@ -2482,3 +2482,90 @@ def test_kmv_stream_checkpoint_restart_resumes(spark, tmp_path):
     assert cumulative == fresh
     assert run1 and run2  # both runs actually emitted (state advanced)
     assert run1 < cumulative  # run 2 appended, never rewrote or re-emitted
+
+
+# ---------------------------------------------------------------------------
+# Watermark drop accounting (the O-20 contract made observable)
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_finalizes_windows_and_excludes_late_rows(spark, tmp_path):
+    """The O-20 drop contract made observable: under a tight watermark a
+    straggler behind the finalized window is EXCLUDED from the appended
+    aggregate and the progress feed shows the watermark advancing past
+    the window end (the alarm signal a production deploy watches);
+    under a generous watermark the same drain never finalizes the
+    window inside the run, so no (wrong) early emission appears at all.
+    Accounting findings (probed, kept as documentation): the late-row
+    filter in batch N uses the watermark COMMITTED after batch N-1
+    (one-batch lag — a straggler arriving in the very next batch after
+    the mark-advancing event still lands; the test inserts a spacer
+    batch so the straggler faces the high mark), and streaming
+    AGGREGATIONS cut late rows without incrementing
+    stateOperators.numRowsDroppedByWatermark — the observable
+    aggregate-side signals are watermark progression plus the exclusion
+    itself."""
+    import datetime as dt
+    import json
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    on_time = [
+        (1, base, 1, "view", 1.0),
+        (2, base + dt.timedelta(seconds=30), 1, "view", 1.0),
+        # far-future event pushes the watermark way past the base window
+        (3, base + dt.timedelta(hours=2), 2, "view", 1.0),
+    ]
+    # committed-watermark lag: the filter in batch N uses the watermark
+    # committed after batch N-1, so the straggler needs a spacer batch
+    # between the future event and itself to actually face the high mark
+    spacer = [(5, base + dt.timedelta(hours=2, seconds=1), 2, "view", 1.0)]
+    late = [(4, base + dt.timedelta(seconds=40), 1, "view", 7.0)]
+
+    def drain(name, wm):
+        src = tmp_path / f"wm_src_{name}"
+        _write_single_file(spark.createDataFrame(on_time, schema), src, "b0.parquet")
+        time.sleep(1.1)
+        _write_single_file(spark.createDataFrame(spacer, schema), src, "b1.parquet")
+        time.sleep(1.1)
+        _write_single_file(spark.createDataFrame(late, schema), src, "b2.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.stream_health_60s(stream, watermark=wm)
+            .writeStream.format("memory")
+            .queryName(f"wm_out_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_wm_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        wms = []
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            w = d.get("eventTime", {}).get("watermark")
+            if w:
+                wms.append(w)
+        rows = spark.sql(
+            f"SELECT user_id, put_media_sum FROM wm_out_{name} "
+            f"WHERE user_id = 1"
+        ).collect()
+        return wms, {r["user_id"]: r["put_media_sum"] for r in rows}
+
+    wms_tight, sums_tight = drain("tight", "5 seconds")
+    # the feed shows the watermark crossing the base window's end
+    assert any(w > "2025-01-01T00:01:00" for w in wms_tight), wms_tight
+    assert sums_tight.get(1) == 2.0  # late 7.0 never entered the window
+
+    wms_loose, sums_loose = drain("loose", "6 hours")
+    # loose watermark never crosses the window end inside this drain...
+    assert all(w <= "2025-01-01T00:01:00" for w in wms_loose), wms_loose
+    # ...so no premature (wrong) emission for user 1 — absence IS the check
+    assert sums_loose.get(1) is None
