@@ -1916,3 +1916,56 @@ def test_kmv_set_ops_oracle_shape_matches(spark, sf):
     con = _con(sf)
     want = con.sql(KMV_SETOPS_ORACLE).df()
     assert _rendered(got).equals(_rendered(want)), sf
+
+
+# ---------------------------------------------------------------------------
+# Plan-hygiene pins for the PRE-WIRED module (the registry-wide rules,
+# applied before registration so hazards surface now)
+# ---------------------------------------------------------------------------
+
+
+def test_round11_no_decimal_or_timestamp_outputs(spark):
+    """Driver-hash portability (the registry-wide rule of
+    test_plan_properties): no DECIMAL or raw-timestamp output columns
+    anywhere in the pre-wired module."""
+    from pyspark.sql.types import DecimalType, TimestampNTZType, TimestampType
+
+    from kinesis_stream_video_project_spark.plans import queries_round11 as q11
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in q11.QUERIES.items():
+        for f in fn(spark, sf).schema.fields:
+            if isinstance(f.dataType, (DecimalType, TimestampType, TimestampNTZType)):
+                offenders.append((name, f.name, str(f.dataType)))
+    assert not offenders, offenders
+
+
+def test_round11_window_partitioning_budget(spark):
+    """Unpartitioned windows in the module are exactly the adjudicated
+    ledger walks (KS/MWU value ledgers, the ≤2k-row KMV union sketch,
+    the gap-filled daily series' ACF never windows at all) — nothing
+    windows over corpus-sized data without a partition key. Pinned by
+    listing which queries may carry the SinglePartition window
+    signature; any new one must be adjudicated here."""
+    import re
+
+    from kinesis_stream_video_project_spark.plans import queries_round11 as q11
+
+    pat = re.compile(
+        r"Window .*\n.*?Sort .*\n.*?Exchange SinglePartition", re.MULTILINE
+    )
+    allowed = {
+        "ks_purchase_click",       # pooled distinct-VALUE ledger walk
+        "mwu_purchase_click",      # same ledger shape
+        "gini_supplier_revenue",   # |entities|-row ledger rank walk
+        "kmv_setops_urgent_low",   # union sketch <= 2k rows
+        "peak_transit_suppliers",  # |keys|-row final top-20 rank only
+    }
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in q11.QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if pat.search(plan) and name not in allowed:
+            offenders.append(name)
+    assert not offenders, offenders
