@@ -686,3 +686,75 @@ def bpe_apply_report(
             F.expr("(1000 * n_bpe_tokens) DIV n_char_tokens").cast("long"),
         )
     )
+
+
+def gopher_rules_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    "Scaling language models: ... Gopher", §A1.1) as named boolean
+    columns — the citable heuristic gate next to the repo's composite
+    ``quality_score``: ``(doc_id, n_words, n_word_chars, n_stopwords,
+    rule_word_count, rule_mean_word_len, rule_stopwords,
+    rule_alpha_words, pass_all)``.
+
+    * ``rule_word_count``: ``min_words <= W <= max_words`` (the paper's
+      50..100k);
+    * ``rule_mean_word_len``: mean word length in [3, 10] — evaluated
+      cross-multiplied (``3·W <= chars <= 10·W``), no division;
+    * ``rule_stopwords``: at least 2 occurrences from the fixed stop
+      list (functions/text.py::STOPWORDS — the paper uses a similar
+      small set);
+    * ``rule_alpha_words``: >= 80% of words contain an alphabetic
+      character (``10·n_alpha >= 8·W``).
+
+    Fixture honesty: the word-soup corpus passes the mean-word-length
+    and alpha rules everywhere (probed — stated, the rules still
+    ENFORCE their bounds) while word-count (~55%) and stopwords (~77%)
+    split it, so ``pass_all`` is non-degenerate at every SF. All
+    integer, row-local, zero shuffles — the cheapest gate tier with
+    readability_report."""
+    from kinesis_stream_video_project_spark.functions.text import STOPWORDS
+
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    staged = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_word_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("_n_alpha"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_words",
+        "n_word_chars",
+        "n_stopwords",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "rule_word_count"
+        ),
+        (
+            (3 * F.col("n_words") <= F.col("n_word_chars"))
+            & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        ).alias("rule_mean_word_len"),
+        (F.col("n_stopwords") >= 2).alias("rule_stopwords"),
+        (10 * F.col("_n_alpha") >= 8 * F.col("n_words")).alias("rule_alpha_words"),
+    ).withColumn(
+        "pass_all",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_stopwords")
+        & F.col("rule_alpha_words"),
+    )

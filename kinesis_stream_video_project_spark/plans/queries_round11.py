@@ -29,6 +29,7 @@ from kinesis_stream_video_project_spark.operators.funnel import (
 from kinesis_stream_video_project_spark.operators.lm import (
     bpe_apply_report,
     bpe_train_merges,
+    gopher_rules_report,
     readability_report,
 )
 from kinesis_stream_video_project_spark.operators.profiling import (
@@ -302,6 +303,12 @@ def _curation_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher quality rules per doc (X-164); pass_all splits
+    the corpus ~45/55 at every SF (probed)."""
+    return gopher_rules_report(io.load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -326,6 +333,7 @@ QUERIES = {
     "fd_nation_segment_name": _fd_nation_segment_name,
     "kmv_setops_urgent_low": _kmv_setops_urgent_low,
     "curation_pipeline_v5": _curation_pipeline_v5,
+    "gopher_rules": _gopher_rules,
 }
 
 
@@ -729,6 +737,28 @@ FROM documents d
 LEFT JOIN surv s ON d.doc_id = s.doc_id
 LEFT JOIN rd r ON d.doc_id = r.doc_id
 GROUP BY 1
+""",
+    "gopher_rules": """
+WITH s AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+       AS BIGINT) AS n_word_chars,
+  CAST(len(list_filter(string_split(text, ' '),
+       t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it')))
+       AS BIGINT) AS n_stopwords,
+  CAST(len(list_filter(string_split(text, ' '),
+       t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha
+FROM documents)
+SELECT doc_id, n_words, n_word_chars, n_stopwords,
+       n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+       3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+         AS rule_mean_word_len,
+       n_stopwords >= 2 AS rule_stopwords,
+       10 * n_alpha >= 8 * n_words AS rule_alpha_words,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+         AND n_stopwords >= 2 AND 10 * n_alpha >= 8 * n_words AS pass_all
+FROM s
 """,
     "topk_quantity_ties": """
 WITH r AS (SELECT l_suppkey, l_quantity,

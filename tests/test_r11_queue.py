@@ -1147,7 +1147,7 @@ def test_round11_module_entries_match_oracles(spark):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q11.QUERIES) == 23
+    assert len(q11.QUERIES) == 24
     for name, fn in q11.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q11.ORACLES[name]).df()
@@ -1969,3 +1969,65 @@ def test_round11_window_partitioning_budget(spark):
         if pat.search(plan) and name not in allowed:
             offenders.append(name)
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (operators/lm.py — Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.lm import gopher_rules_report  # noqa: E402
+
+
+def test_gopher_rules_handchecked(spark):
+    """A 3-word doc fails word-count; 'the ... a' passes stopwords with
+    exactly 2; a long-word doc fails mean word length."""
+    rows = [
+        (1, "the cat a"),                     # W=3 -> word-count fail; stops=2 pass
+        (2, " ".join(["word"] * 60)),         # W=60 pass; stops=0 fail
+        (3, " ".join(["abcdefghijklmnop"] * 60)),  # mean len 16 -> fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules_report(df).collect()}
+    assert not got[1]["rule_word_count"] and got[1]["rule_stopwords"]
+    assert got[1]["n_stopwords"] == 2 and got[1]["n_word_chars"] == 7
+    assert got[2]["rule_word_count"] and not got[2]["rule_stopwords"]
+    assert got[2]["rule_mean_word_len"]
+    assert not got[3]["rule_mean_word_len"]
+    assert not any(r["pass_all"] for r in got.values())
+
+
+GOPHER_ORACLE = """
+WITH s AS (SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+       AS BIGINT) AS n_word_chars,
+  CAST(len(list_filter(string_split(text, ' '),
+       t -> t IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'it')))
+       AS BIGINT) AS n_stopwords,
+  CAST(len(list_filter(string_split(text, ' '),
+       t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha
+FROM documents)
+SELECT doc_id, n_words, n_word_chars, n_stopwords,
+       n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+       3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+         AS rule_mean_word_len,
+       n_stopwords >= 2 AS rule_stopwords,
+       10 * n_alpha >= 8 * n_words AS rule_alpha_words,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+         AND n_stopwords >= 2 AND 10 * n_alpha >= 8 * n_words AS pass_all
+FROM s
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_gopher_rules_oracle_shape_matches(spark, sf):
+    docs = io.load_table(spark, sf, "documents")
+    got = gopher_rules_report(docs).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(GOPHER_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    # non-degenerate gate: pass_all splits the corpus
+    frac = got["pass_all"].mean()
+    assert 0.2 < frac < 0.9, frac
