@@ -2031,3 +2031,30 @@ def test_gopher_rules_oracle_shape_matches(spark, sf):
     # non-degenerate gate: pass_all splits the corpus
     frac = got["pass_all"].mean()
     assert 0.2 < frac < 0.9, frac
+
+
+def test_round11_module_is_pure_jvm_and_budgeted(spark):
+    """Every one of the 24 pre-wired queries compiles to a pure-JVM plan
+    (no BatchEvalPython/ArrowEvalPython/MapInPandas anywhere — the
+    whole r11 surface stays inside whole-stage codegen), and the
+    row-local gate tier really is shuffle-free: readability and the
+    Gopher rules plan ZERO exchanges; the one-aggregate audits
+    (char-class, FD, anonymity) stay within one shuffle family."""
+    from kinesis_stream_video_project_spark.plans import queries_round11 as q11
+
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        "readability_scores": 0,
+        "gopher_rules": 0,
+        "props_charclass_profile": 1,
+        "fd_nation_segment_name": 2,       # count_distinct plans partial+final
+        "anonymity_nation_segment": 3,  # + the orders-customer join's exchange
+    }
+    for name, fn in q11.QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{name}: Python node {node} in plan"
+        if name in budgets:
+            n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+            assert n_ex <= budgets[name], (name, n_ex, budgets[name])
