@@ -937,3 +937,125 @@ def gini_impurity(
             "DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("impurity_permille"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_col: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled step series per
+    group — the sampling-bias-free mean (a value holding for an hour
+    must weigh 60× one holding for a minute; plain AVG weighs them
+    equally; cf. the time_weight aggregate TimescaleDB/kdb expose):
+    ``(group, n_events, span_us, twa_milli)``.
+
+    Semantics (stated): the series is last-observation-carried-forward
+    between events; integration runs from each event to the NEXT one,
+    so the final event's value carries no weight (there is nothing to
+    carry it to — callers wanting an as-of-now reading append a probe
+    row). Groups with a single event have an empty integral and are
+    REPORTED with span 0 and NULL twa (dropping them would hide
+    exactly the sparse keys a monitoring consumer must see).
+
+    Exact: values scale to milli integers once, ``Σ vm·dt_us``
+    accumulates as DECIMAL(38,0) (a year of µs times milli-values is
+    ~2^76-safe there), and ``twa_milli = Σ div span_us`` — integer end
+    to end.
+
+    Scale: one per-group window (lead) keyed on the group column, one
+    aggregate. Ties on ts order by ``id_col`` (zero-width intervals
+    contribute zero weight either way — the tie-break only pins the
+    plan, not the value)."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+
+    us = F.unix_micros(F.col(ts_col))
+    staged = df.select(
+        F.col(group_col),
+        scaled_long(F.col(value_col), 1000).alias("_vm"),
+        us.alias("_us"),
+        F.col(id_col),
+    )
+    w = Window.partitionBy(group_col).orderBy("_us", id_col)
+    staged = staged.withColumn("_next_us", F.lead("_us").over(w))
+    return (
+        staged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("_next_us").isNotNull(),
+                    (
+                        F.col("_vm").cast("decimal(38,0)")
+                        * (F.col("_next_us") - F.col("_us"))
+                    ).cast("decimal(38,0)"),
+                )
+            ).alias("_num"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_next_us").isNotNull(),
+                        F.col("_next_us") - F.col("_us"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("span_us"),
+        )
+        .withColumn(
+            "twa_milli",
+            F.expr(
+                "CASE WHEN span_us > 0 THEN CAST(_num DIV span_us AS BIGINT) END"
+            ),
+        )
+        .drop("_num")
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    bar_seconds: int = 3600,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """OHLC (open/high/low/close) bars over a value stream — the
+    canonical downsampling summary (candlesticks): one row per bar
+    ``(bar_start, n_events, open_milli, high_milli, low_milli,
+    close_milli)`` with values as scaled milli integers.
+
+    Determinism: open/close are ``min_by``/``max_by`` on the
+    ``(epoch_us, id_col)`` pair encoded as a ZERO-PADDED string key
+    (``lpad(us, 20) || lpad(id, 10)`` — lexicographic order equals
+    numeric order for non-negative padded integers, and string
+    ordering keys are portable where DuckDB's arg_min rejects struct
+    keys and an integer encoding us·2^20+id would overflow BIGINT).
+    Two quotes in the same microsecond resolve by id — contract, not
+    accident.
+
+    Scale: ONE hash aggregate keyed on the bar bucket (map-side
+    combined) — no window at all."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+
+    us = F.unix_micros(F.col(ts_col))
+    bar = (F.floor(us / (bar_seconds * 1_000_000)) * bar_seconds).cast("long")
+    staged = df.select(
+        bar.alias("bar_start"),
+        scaled_long(F.col(value_col), 1000).alias("_vm"),
+        us.alias("_us"),
+        F.col(id_col).alias("_id"),
+    )
+    ordk = F.concat(
+        F.lpad(F.col("_us").cast("string"), 20, "0"),
+        F.lpad(F.col("_id").cast("string"), 10, "0"),
+    )
+    return staged.withColumn("_ord", ordk).groupBy("bar_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min_by("_vm", F.col("_ord")).cast("long").alias("open_milli"),
+        F.max("_vm").cast("long").alias("high_milli"),
+        F.min("_vm").cast("long").alias("low_milli"),
+        F.max_by("_vm", F.col("_ord")).cast("long").alias("close_milli"),
+    )

@@ -44,6 +44,8 @@ from kinesis_stream_video_project_spark.operators.dedup import (
 from kinesis_stream_video_project_spark.operators.ranking import topk_with_ties
 from kinesis_stream_video_project_spark.operators.stats import (
     acf_exact,
+    ohlc_bars,
+    time_weighted_avg,
     benford_deviation,
     chi_square_cells,
     gini_concentration,
@@ -309,6 +311,20 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules_report(io.load_table(spark, sf_dir, "documents"))
 
 
+def _twa_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value series (X-165) — the
+    sampling-bias-free LOCF mean; the final observation carries no
+    weight and singleton users report span 0 / NULL (stated)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "value", "ts", "user_id")
+
+
+def _ohlc_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over the event value stream (X-166)."""
+    ev = io.load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev, "value", "ts", bar_seconds=3600)
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -334,6 +350,8 @@ QUERIES = {
     "kmv_setops_urgent_low": _kmv_setops_urgent_low,
     "curation_pipeline_v5": _curation_pipeline_v5,
     "gopher_rules": _gopher_rules,
+    "twa_user_values": _twa_user_values,
+    "ohlc_hourly_values": _ohlc_hourly_values,
 }
 
 
@@ -759,6 +777,41 @@ SELECT doc_id, n_words, n_word_chars, n_stopwords,
          AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
          AND n_stopwords >= 2 AND 10 * n_alpha >= 8 * n_words AS pass_all
 FROM s
+""",
+    "twa_user_values": """
+WITH s AS (SELECT user_id, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm,
+                  epoch_us(ts) AS us, event_id,
+                  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id)
+                    AS next_us
+           FROM events),
+a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CASE WHEN next_us IS NOT NULL
+                      THEN CAST(vm AS HUGEINT) * (next_us - us) END) AS num,
+             CAST(COALESCE(SUM(CASE WHEN next_us IS NOT NULL
+                                    THEN next_us - us END), 0) AS BIGINT)
+               AS span_us
+      FROM s GROUP BY 1)
+SELECT user_id, n_events, span_us,
+       CASE WHEN span_us > 0 THEN CAST(num // span_us AS BIGINT) END AS twa_milli
+FROM a
+""",
+    "ohlc_hourly_values": """
+WITH s AS (SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT)
+             AS bar_start,
+           CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm,
+           epoch_us(ts) AS us, event_id
+           FROM events)
+SELECT bar_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(arg_min(vm, lpad(CAST(us AS VARCHAR), 20, '0') ||
+                        lpad(CAST(event_id AS VARCHAR), 10, '0')) AS BIGINT)
+         AS open_milli,
+       CAST(MAX(vm) AS BIGINT) AS high_milli,
+       CAST(MIN(vm) AS BIGINT) AS low_milli,
+       CAST(arg_max(vm, lpad(CAST(us AS VARCHAR), 20, '0') ||
+                        lpad(CAST(event_id AS VARCHAR), 10, '0')) AS BIGINT)
+         AS close_milli
+FROM s GROUP BY 1
 """,
     "topk_quantity_ties": """
 WITH r AS (SELECT l_suppkey, l_quantity,

@@ -1147,7 +1147,7 @@ def test_round11_module_entries_match_oracles(spark):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q11.QUERIES) == 24
+    assert len(q11.QUERIES) == 26
     for name, fn in q11.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q11.ORACLES[name]).df()
@@ -2058,3 +2058,109 @@ def test_round11_module_is_pure_jvm_and_budgeted(spark):
         if name in budgets:
             n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
             assert n_ex <= budgets[name], (name, n_ex, budgets[name])
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average + OHLC bars (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+from kinesis_stream_video_project_spark.operators.stats import (  # noqa: E402
+    ohlc_bars,
+    time_weighted_avg,
+)
+
+
+def test_twa_handchecked(spark):
+    """u1 holds 1.0 for 10 s then 3.0 for 30 s -> twa = (1000*10 +
+    3000*30)/40 = 2500 milli; the final value carries no weight; a
+    single-event user reports span 0 / NULL twa."""
+    rows = [
+        _ev(1, 0, "view", 1, 1.0),
+        _ev(1, 10, "view", 2, 3.0),
+        _ev(1, 40, "view", 3, 9.9),   # final value: zero weight
+        _ev(2, 5, "view", 4, 7.0),    # singleton
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {
+        r["user_id"]: (r["n_events"], r["span_us"], r["twa_milli"])
+        for r in time_weighted_avg(df, "value", "ts", "user_id").collect()
+    }
+    assert got[1] == (3, 40_000_000, 2500)
+    assert got[2] == (1, 0, None)
+
+
+def test_ohlc_handchecked(spark):
+    """One hourly bar: open = first by time, close = last, high/low
+    plain extremes; a same-timestamp tie resolves by event_id."""
+    rows = [
+        _ev(1, 10, "view", 2, 5.0),
+        _ev(1, 5, "view", 1, 2.0),     # earliest -> open
+        _ev(1, 50, "view", 3, 1.5),    # low
+        _ev(1, 59, "view", 4, 4.0),
+        _ev(1, 59, "view", 5, 3.5),    # same second, higher id -> close
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    r = ohlc_bars(df, "value", "ts", bar_seconds=3600).collect()[0]
+    assert (r["n_events"], r["open_milli"], r["high_milli"], r["low_milli"],
+            r["close_milli"]) == (5, 2000, 5000, 1500, 3500)
+
+
+TWA_ORACLE = """
+WITH s AS (SELECT user_id, CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm,
+                  epoch_us(ts) AS us, event_id,
+                  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id)
+                    AS next_us
+           FROM events),
+a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CASE WHEN next_us IS NOT NULL
+                      THEN CAST(vm AS HUGEINT) * (next_us - us) END) AS num,
+             CAST(COALESCE(SUM(CASE WHEN next_us IS NOT NULL
+                                    THEN next_us - us END), 0) AS BIGINT)
+               AS span_us
+      FROM s GROUP BY 1)
+SELECT user_id, n_events, span_us,
+       CASE WHEN span_us > 0 THEN CAST(num // span_us AS BIGINT) END AS twa_milli
+FROM a
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_twa_oracle_shape_matches(spark, sf):
+    ev = io.load_table(spark, sf, "events")
+    got = time_weighted_avg(ev, "value", "ts", "user_id").toPandas()
+    con = _con(sf)
+    want = con.sql(TWA_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    # TWA differs from the plain mean (the sampling-bias point)
+    assert got["twa_milli"].notna().all()
+
+
+OHLC_ORACLE = """
+WITH s AS (SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT)
+             AS bar_start,
+           CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm,
+           epoch_us(ts) AS us, event_id
+           FROM events)
+SELECT bar_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(arg_min(vm, lpad(CAST(us AS VARCHAR), 20, '0') ||
+                        lpad(CAST(event_id AS VARCHAR), 10, '0')) AS BIGINT)
+         AS open_milli,
+       CAST(MAX(vm) AS BIGINT) AS high_milli,
+       CAST(MIN(vm) AS BIGINT) AS low_milli,
+       CAST(arg_max(vm, lpad(CAST(us AS VARCHAR), 20, '0') ||
+                        lpad(CAST(event_id AS VARCHAR), 10, '0')) AS BIGINT)
+         AS close_milli
+FROM s GROUP BY 1
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_ohlc_oracle_shape_matches(spark, sf):
+    ev = io.load_table(spark, sf, "events")
+    got = ohlc_bars(ev, "value", "ts").toPandas()
+    con = _con(sf)
+    want = con.sql(OHLC_ORACLE).df()
+    assert _rendered(got).equals(_rendered(want)), sf
+    assert (got["low_milli"] <= got["high_milli"]).all()
+    assert len(got) > 10
