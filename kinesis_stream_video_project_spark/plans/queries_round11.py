@@ -325,6 +325,38 @@ def _ohlc_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_bars(ev, "value", "ts", bar_seconds=3600)
 
 
+def _ndcg_tier_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG claims as hash-checkable booleans (X-156 driver path; the
+    ann_tier_claims precedent): the exact tier self-evaluates to
+    exactly 1000 on every query, and the nprobe=2 IVF tier's MEAN nDCG
+    clears the measured floor of 100 milli (loose on purpose — single
+    queries legitimately score 0 at tiny SF; probed means ~240-700
+    across SFs)."""
+    from kinesis_stream_video_project_spark.operators import similarity as sim
+
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.cosine_topk(q, e, k=10)
+    truth = exact.select("query_id", "vec_id")
+    self_scores = sim.ndcg_binary(exact, truth, k=10)
+    ivf_scores = sim.ndcg_binary(sim.ivf_topk(q, e, k=10, nprobe=2), truth, k=10)
+    return (
+        self_scores.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            (F.min("ndcg_milli") == 1000).alias("self_perfect"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ivf_scores.agg(
+                    (F.avg("ndcg_milli") >= 100).alias("ivf_floor_claim")
+                )
+            )
+        )
+    )
+
+
 QUERIES = {
     "kmv_distinct_nations": _kmv_distinct_nations,
     "dd_price_quantiles": _dd_price_quantiles,
@@ -352,6 +384,7 @@ QUERIES = {
     "gopher_rules": _gopher_rules,
     "twa_user_values": _twa_user_values,
     "ohlc_hourly_values": _ohlc_hourly_values,
+    "ndcg_tier_claims": _ndcg_tier_claims,
 }
 
 
@@ -812,6 +845,12 @@ SELECT bar_start, CAST(COUNT(*) AS BIGINT) AS n_events,
                         lpad(CAST(event_id AS VARCHAR), 10, '0')) AS BIGINT)
          AS close_milli
 FROM s GROUP BY 1
+""",
+    "ndcg_tier_claims": """
+SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 5) AS BIGINT)
+         AS n_queries,
+       TRUE AS self_perfect,
+       TRUE AS ivf_floor_claim
 """,
     "topk_quantity_ties": """
 WITH r AS (SELECT l_suppkey, l_quantity,
