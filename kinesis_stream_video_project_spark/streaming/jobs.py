@@ -2690,3 +2690,158 @@ def cdc_stream_tws(events: DataFrame, key_col: str = "key") -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online OHLC bars (per-bar candlestick state)
+# ---------------------------------------------------------------------------
+
+_OHLC_OUT_SCHEMA = (
+    "bar_start bigint, seq bigint, n_events bigint, open_milli bigint, "
+    "high_milli bigint, low_milli bigint, close_milli bigint"
+)
+_OHLC_STATE_SCHEMA = (
+    "seq bigint, n bigint, open_ord string, open bigint, high bigint, "
+    "low bigint, close_ord string, close bigint"
+)
+
+
+def _ohlc_fold(state: tuple, rows: list) -> tuple:
+    """Pure per-bar OHLC step shared by BOTH stateful API forms:
+    ``state = (n, open_ord, open, high, low, close_ord, close)`` with
+    the ordering keys the batch op's zero-padded ``(us, id)`` strings.
+    min/max/argmin/argmax merges are commutative and idempotent-free of
+    order — chunking/order-invariant like the KMV/DD/CDC folds (no
+    in-order feed caveat). Returns ``(state', changed)``."""
+    n, open_ord, open_v, high, low, close_ord, close_v = state
+    changed = False
+    for ordk, vm in rows:
+        n += 1
+        changed = True
+        if open_ord is None or ordk < open_ord:
+            open_ord, open_v = ordk, vm
+        if close_ord is None or ordk > close_ord:
+            close_ord, close_v = ordk, vm
+        if high is None or vm > high:
+            high = vm
+        if low is None or vm < low:
+            low = vm
+    return (n, open_ord, open_v, high, low, close_ord, close_v), changed
+
+
+def _ohlc_ranked(events: DataFrame, bar_seconds: int) -> DataFrame:
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+
+    us = F.unix_micros(F.col("ts"))
+    return events.select(
+        (F.floor(us / (bar_seconds * 1_000_000)) * bar_seconds)
+        .cast("long")
+        .alias("bar_start"),
+        F.concat(
+            F.lpad(us.cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        ).alias("ordk"),
+        scaled_long(F.col("value"), 1000).alias("vm"),
+    )
+
+
+def _ohlc_emit(bar, seq, st) -> "pd.DataFrame":
+    n, _oo, open_v, high, low, _co, close_v = st
+    return pd.DataFrame(
+        {
+            "bar_start": [int(bar)],
+            "seq": [seq],
+            "n_events": [n],
+            "open_milli": [open_v],
+            "high_milli": [high],
+            "low_milli": [low],
+            "close_milli": [close_v],
+        }
+    )
+
+
+def ohlc_stream(events: DataFrame, bar_seconds: int = 3600) -> DataFrame:
+    """ONLINE OHLC bars: per time bucket, maintain candlestick state
+    (operators/stats.py::ohlc_bars is the batch twin) and emit
+    ``(bar_start, seq, n_events, open/high/low/close_milli)`` whenever
+    a batch lands in the bar. The max-seq row per bar is the live
+    candlestick; the drained final rows equal the batch bars exactly
+    (pinned — the fold is commutative, no in-order feed needed).
+
+    State is 7 scalars + the two ordering strings per ACTIVE bar.
+    NoTimeout by design: bars stay open for late data forever here;
+    the watermark-finalized variant is the tumbling-agg tier
+    (stream_health_60s) — two different contracts, both shipped."""
+
+    ranked = _ohlc_ranked(events, bar_seconds)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bar,) = key
+        if state.exists:
+            seq, n, oo, ov, hi, lo, co, cv = state.get
+        else:
+            seq, n, oo, ov, hi, lo, co, cv = 0, 0, None, None, None, None, None, None
+        frames = [p for p in pdfs if len(p)]
+        rows = []
+        if frames:
+            b = pd.concat(frames, ignore_index=True)
+            rows = list(zip(b["ordk"].tolist(), b["vm"].tolist()))
+        st, changed = _ohlc_fold((n, oo, ov, hi, lo, co, cv), rows)
+        if changed:
+            seq += 1
+            state.update((seq, st[0], st[1], st[2], st[3], st[4], st[5], st[6]))
+            yield _ohlc_emit(bar, seq, st)
+
+    return ranked.groupBy("bar_start").applyInPandasWithState(
+        update,
+        outputStructType=_OHLC_OUT_SCHEMA,
+        stateStructType=_OHLC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ohlc_stream_tws(events: DataFrame, bar_seconds: int = 3600) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`ohlc_stream`
+    — the TWELFTH op carried on BOTH stateful APIs. Same shared
+    :func:`_ohlc_fold`; no timers. GS ≡ TWS equality pinned on the same
+    drain in tests."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    ranked = _ohlc_ranked(events, bar_seconds)
+
+    class OhlcProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ohlc", _OHLC_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (bar,) = key
+            held = self._state.get()
+            if held is not None:
+                seq, n, oo, ov, hi, lo, co, cv = held
+            else:
+                seq, n, oo, ov, hi, lo, co, cv = 0, 0, None, None, None, None, None, None
+            frames = [p for p in rows if len(p)]
+            triples = []
+            if frames:
+                b = pd.concat(frames, ignore_index=True)
+                triples = list(zip(b["ordk"].tolist(), b["vm"].tolist()))
+            st, changed = _ohlc_fold((n, oo, ov, hi, lo, co, cv), triples)
+            if changed:
+                seq += 1
+                self._state.update(
+                    (seq, st[0], st[1], st[2], st[3], st[4], st[5], st[6])
+                )
+                yield _ohlc_emit(bar, seq, st)
+
+        def close(self) -> None:
+            pass
+
+    return ranked.groupBy("bar_start").transformWithStateInPandas(
+        statefulProcessor=OhlcProcessor(),
+        outputStructType=_OHLC_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -2569,3 +2569,154 @@ def test_watermark_finalizes_windows_and_excludes_late_rows(spark, tmp_path):
     assert all(w <= "2025-01-01T00:01:00" for w in wms_loose), wms_loose
     # ...so no premature (wrong) emission for user 1 — absence IS the check
     assert sums_loose.get(1) is None
+
+
+# ---------------------------------------------------------------------------
+# Online OHLC bars (both stateful APIs)
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_stream_matches_batch_bars(spark, tmp_path, sf_dir):
+    """Drained max-seq candlesticks equal the batch ohlc_bars exactly,
+    invariant to micro-batch chunking (min/max/arg-extreme merges are
+    commutative)."""
+    from kinesis_stream_video_project_spark.operators.stats import ohlc_bars
+
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    batch = {
+        r["bar_start"]: (
+            r["n_events"], r["open_milli"], r["high_milli"],
+            r["low_milli"], r["close_milli"],
+        )
+        for r in ohlc_bars(ev, "value", "ts").collect()
+    }
+    ordered = ev.orderBy("ts", "event_id").collect()
+    got_by_split = []
+    for nfiles in (1, 3):
+        src = tmp_path / f"ohlc_src_{nfiles}"
+        step = -(-len(ordered) // nfiles)
+        for i in range(nfiles):
+            if i:
+                time.sleep(1.1)
+            _write_single_file(
+                spark.createDataFrame(ordered[i * step : (i + 1) * step], ev.schema),
+                src,
+                f"b{i}.parquet",
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.ohlc_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"ohlc_out_{nfiles}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_ohlc_{nfiles}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        snap = spark.sql(
+            f"""SELECT bar_start, n_events, open_milli, high_milli,
+                       low_milli, close_milli
+                FROM ohlc_out_{nfiles} o
+                WHERE seq = (SELECT MAX(seq) FROM ohlc_out_{nfiles} i
+                             WHERE i.bar_start = o.bar_start)"""
+        ).collect()
+        got_by_split.append(
+            {
+                r.bar_start: (
+                    r.n_events, r.open_milli, r.high_milli,
+                    r.low_milli, r.close_milli,
+                )
+                for r in snap
+            }
+        )
+    assert got_by_split[0] == got_by_split[1] == batch and len(batch) > 10
+
+
+def test_ohlc_stream_tws_matches_group_state_form(spark, tmp_path):
+    """GS ≡ TWS on the same drain — the twelfth op on both stateful APIs."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    vals = [2.0, 5.0, 1.5, 4.0, 3.5, 9.0, 0.5, 2.2]
+    rows = [
+        (i, base + dt.timedelta(minutes=10 * i), 1, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    files = [rows[:4], rows[4:]]
+    src = tmp_path / "ohlc_tws_src"
+    for i, batch in enumerate(files):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(spark.createDataFrame(batch, schema), src, f"b{i}.parquet")
+    got = {}
+    for tag, job in (("gs", jobs.ohlc_stream), ("tws", jobs.ohlc_stream_tws)):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            job(stream)
+            .writeStream.format("memory")
+            .queryName(f"ohlc_{tag}_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_ohlcx_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got[tag] = {
+            tuple(r) for r in spark.sql(f"SELECT * FROM ohlc_{tag}_out").collect()
+        }
+    assert got["gs"] == got["tws"] and len(got["gs"]) > 0
+
+
+def test_ohlc_fold_chunking_invariance():
+    """Hypothesis pin: any chunking of any (ordk, vm) multiset reaches
+    the same candlestick state."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.streaming.jobs import _ohlc_fold
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=999),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        cuts=st.lists(st.integers(min_value=0, max_value=30), max_size=4),
+    )
+    def run(rows, cuts):
+        keyed = [(f"{o:03d}{i:03d}", v) for i, (o, v) in enumerate(rows)]
+        state = (0, None, None, None, None, None, None)
+        bounds = sorted(set(c for c in cuts if c <= len(keyed)))
+        prev = 0
+        for b in bounds + [len(keyed)]:
+            state, _ = _ohlc_fold(state, keyed[prev:b])
+            prev = b
+        srt = sorted(keyed)
+        vals = [v for _, v in keyed]
+        want = (
+            len(keyed), srt[0][0], srt[0][1], max(vals), min(vals),
+            srt[-1][0], srt[-1][1],
+        )
+        assert state == want
+
+    run()
