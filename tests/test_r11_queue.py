@@ -2164,3 +2164,54 @@ def test_ohlc_oracle_shape_matches(spark, sf):
     assert _rendered(got).equals(_rendered(want)), sf
     assert (got["low_milli"] <= got["high_milli"]).all()
     assert len(got) > 10
+
+
+# ---------------------------------------------------------------------------
+# Extra property pins: DDSketch containment & Gini float tracking
+# ---------------------------------------------------------------------------
+
+
+def test_dd_containment_property():
+    """Hypothesis pin of the γ=2 law on arbitrary positive ints: the
+    bucket-midpoint estimate of the rank-ceil(q·n) element is within
+    (3/4, 3/2] of the true element, for every q."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        xs=st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=40),
+        q=st.integers(min_value=1, max_value=1000),
+    )
+    def run(xs, q):
+        n = len(xs)
+        srt = sorted(xs)
+        true = srt[(q * n + 999) // 1000 - 1]
+        b = true.bit_length() - 1
+        est = 1 if b == 0 else 3 << (b - 1)
+        assert 0.75 < est / true <= 1.5, (true, est)
+
+    run()
+
+
+def test_gini_tracks_float_formula():
+    """Hypothesis pin: the scaled-integer Gini is within one permille
+    floor step of the float rank formula on random positive ledgers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        xs=st.lists(st.integers(min_value=1, max_value=10**6), min_size=2, max_size=30),
+    )
+    def run(xs):
+        srt = sorted(xs)
+        n = len(srt)
+        s0 = sum(srt)
+        s1 = sum((i + 1) * x for i, x in enumerate(srt))
+        got = (1000 * (2 * s1 - (n + 1) * s0)) // (n * s0)
+        want = 1000.0 * (2 * s1 - (n + 1) * s0) / (n * s0)
+        assert 0 <= want - got < 1 or got == want
+        assert 0 <= got < 1000
+
+    run()
