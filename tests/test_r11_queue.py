@@ -2215,3 +2215,39 @@ def test_gini_tracks_float_formula():
         assert 0 <= got < 1000
 
     run()
+
+
+def test_topk_with_ties_matches_python_replay(spark):
+    """Seeded random frames with heavy collisions vs a literal Python
+    implementation of all three cutoff contracts (rank, dense_rank,
+    row_number-excluded) — the multiset the fixture can't force."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (g, rng.randint(0, 4))
+        for g in ["a", "b", "c"]
+        for _ in range(rng.randint(1, 15))
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    for k in (1, 2):
+        for dense in (False, True):
+            got = sorted(
+                (r["g"], r["v"], r["rk"])
+                for r in topk_with_ties(df, "g", "v", k, dense=dense).collect()
+            )
+            want = []
+            byg = {}
+            for g, v in rows:
+                byg.setdefault(g, []).append(v)
+            for g, vs in byg.items():
+                vs_desc = sorted(vs, reverse=True)
+                distinct_desc = sorted(set(vs), reverse=True)
+                for v in vs:
+                    if dense:
+                        rk = distinct_desc.index(v) + 1
+                    else:
+                        rk = vs_desc.index(v) + 1  # first position = rank
+                    if rk <= k:
+                        want.append((g, v, rk))
+            assert got == sorted(want), (k, dense)
