@@ -62,7 +62,22 @@ def heavy_hitters_certificate(
     its memory is O(N/shards) where the streaming form's state is
     O(capacity) per shard with events arriving incrementally. Run it on
     a bounded slice (a day, a sample) when certifying a production
-    stream; the certificate's guarantees are slice-local anyway."""
+    stream; the certificate's guarantees are slice-local anyway.
+
+    The shard count is the parallelism knob AND part of the statement
+    being certified: raising ``shards`` shrinks each task's slice
+    (N/shards memory) but RE-PARTITIONS the certificate — each shard
+    certifies its own sub-stream, with its own N, threshold N div
+    capacity, and guaranteed set, so certificates at different shard
+    counts are not comparable row-for-row (a key can be guaranteed in
+    a 4-shard run and below threshold in a 64-shard run). Per-shard
+    error also tightens as shards grow (err ≤ N_shard/capacity), so a
+    64-shard certificate makes a STRONGER per-shard claim about a
+    correspondingly narrower slice. Pick shards for the memory budget,
+    then read the certificate at that granularity; key-mod sharding
+    inherits the key distribution, so a single hot KEY still lands in
+    one shard — skew across shards is bounded by key skew, not fixed
+    by shard count."""
 
     def cert(pdf: pd.DataFrame) -> pd.DataFrame:
         from kinesis_stream_video_project_spark.streaming.jobs import (

@@ -17,7 +17,7 @@ sys.path.insert(0, ".")
 
 from kinesis_stream_video_project_spark.plans import registry  # noqa: E402
 
-ROUND = 8  # current round: queries with no CORRECTNESS row are `new`
+ROUND = 9  # current round: queries with no CORRECTNESS row are `new`
 
 
 def _load_correctness() -> list[tuple[int, dict]]:
