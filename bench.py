@@ -76,17 +76,27 @@ BENCH_QUERIES = [
 # iterative queries whose build step does real work — the pagerank/LPA/
 # k-core family localCheckpoints and probes during construction).
 #
-# r8 window policy: the rotation aligns with the r8 DRIVER_PRIORITY
+# r9 window policy: the rotation aligns with the r9 DRIVER_PRIORITY
 # correctness window (minus stable-set members, which the stable child
-# times every round), led by the 10 new round-8 registrations (first timed
+# times every round), led by the 10 new round-9 registrations (first timed
 # row lands the round a query is born), followed by the first-drift
-# re-measures of the 14 round-7 registrations (their only timings are
-# first-runs, the noisiest kind — VERDICT r7 item 7; this includes the
-# mandated post-ReuseExchange re-timings of near_dup_candidates_horizon
-# and simhash_bucket_pairs), then the r4-latest correctness-refresh
-# cohort.
+# re-measures of all 17 round-8-window registrations (their r8 numbers
+# are compile-heavy first timings — VERDICT r8 item 5; warm figures
+# compare against r8's rotation_warm), then the r4-latest cohort and the
+# r5-latest refresh head (the r9 correctness window's (a)+(c) blocks).
 BENCH_ROTATION = [
-    # new round-8 registrations
+    # new round-9 registrations
+    "bloom_ingest_scores",
+    "sq8_topk",
+    "neighbor_jaccard",
+    "clustering_coefficient",
+    "rfm_segments",
+    "cms_user_counts",
+    "good_turing_counts",
+    "join_size_profile",
+    "session_pattern_matches",
+    "classification_report",
+    # the 17 round-8-window registrations re-measured (first-drift check)
     "bpe_merge_topk",
     "audio_energy_frames",
     "sssp_bounded",
@@ -97,8 +107,6 @@ BENCH_ROTATION = [
     "image_dhash",
     "funnel_user_advances",
     "heavy_hitters_certificate",
-    # early round-9 registrations (first timed row the round a query
-    # is born)
     "bloom_decontaminate",
     "stupid_backoff_score",
     "ngram_novelty",
@@ -106,68 +114,65 @@ BENCH_ROTATION = [
     "rate_limit_decisions",
     "audio_silence_runs",
     "curation_pipeline_v4",
-    # round-7 registrations re-measured (first-drift check)
-    "error_followup_pairs",
-    "bigram_surprisal_score",
-    "seasonal_value_anomalies",
-    "simhash_bucket_pairs",
-    "copurchase_blast_radius",
-    "token_budget_waterfall",
-    "near_dup_candidates_horizon",
-    "bm25_lexical_topk",
-    "verbatim_spans",
-    "ra_linkpred_smallbasket",
-    "pmi_collocations_topk",
-    "vocab_oov_rate",
-    "funnel_conversion",
-    "embedding_gram_matrix",
-    # the r4-latest correctness-refresh cohort (minus the 9 stable-set
-    # members the stable child times every round: join_star_revenue,
-    # topk_orders, asof_probe_metric, ivf_topk, tfidf_topk,
-    # decontaminate_ngram_overlap, shipping_priority_top10,
-    # local_supplier_volume, join_left_outer)
+    # the r4-latest correctness-refresh cohort (window block (a))
     "ann_recall_eval",
-    "argmax_order_per_customer",
-    "boilerplate_prefixes",
-    "catalog_filter_project",
-    "catalog_json_roundtrip",
+    "array_funcs",
     "chunk_documents",
-    "corpus_shuffle",
-    "corpus_vocab_topk",
     "cube_agg",
+    "datetime_funcs",
     "distinct_ops",
-    "escalation_actions",
     "exists_correlated",
-    "filter_predicates",
     "filtered_cosine_topk",
-    "gap_filled_windows",
     "ivf_kmeans_topk",
-    "multimodal_decoded",
-    "null_funcs",
-    "percentiles_by_status",
-    "rare_token_ratio",
-    "salted_agg_events",
-    "scd2_user_status",
-    "seq_pack_docs",
-    "set_ops_nations",
-    "simhash_sketch",
-    "struct_map_funcs",
-    "surprisal_score",
-    "top_terms_per_lang",
-    "unpivot_lineitem_metrics",
-    "watchdog_null_guard",
-    "watchdog_state_machine",
+    "math_funcs",
+    "string_funcs",
+    # the r5-latest refresh head (window block (c), minus the 3
+    # stable-set members sort_ranked / minhash_lsh_near_dup /
+    # curation_pipeline_v2 the stable child times every round)
+    "point_lookup_status",
+    "iso8601_format",
+    "cast_truncate",
+    "computed_projection",
+    "rollup_agg",
+    "join_full_outer",
+    "semi_join_customers",
+    "scalar_subquery",
+    "in_subquery",
+    "pivot_priority_counts",
+    "stats_agg",
+    "string_funcs2",
+    "datetime_funcs2",
+    "grouping_sets_agg",
+    "near_dup_jaccard",
+    "embedding_near_dup",
+    "conversion_funnel",
+    "near_dup_shingle_jaccard",
+    "lsh_tier_consistency",
+    "near_dup_split_leakage",
+    "quality_percentile_gate",
+    "bigram_next_token",
+    "surprisal_score_salted",
+    "unpivot_priority_metrics",
+    "scd2_point_in_time",
 ]
 
-# The rows that MUST survive the driver's 2000-char tail capture (VERDICT
-# r7 item 3: the r7 artifact lost every r7-queue first-timing to head
-# truncation): the new registrations' first timings plus the mandated
-# post-ReuseExchange re-timings. Emitted as a separate small map near the
-# END of the JSON line (see key-order note in main()).
-BENCH_ROTATION_HEAD = BENCH_ROTATION[:17] + [
-    "near_dup_candidates_horizon",
-    "simhash_bucket_pairs",
-]
+# Entries that get a WARM re-execution figure in addition to the
+# construction+materialization span: the new registrations (their first
+# timings are compile-heavy) and the 17 r8-window registrations whose
+# warm figures the first-drift check compares against BENCH_r08's
+# rotation_warm (VERDICT r8 item 5).
+BENCH_ROTATION_HEAD = BENCH_ROTATION[:27]
+
+# Of those, only the NEW registrations' rows ride the compact stdout
+# artifact (VERDICT r8 item 3: the artifact must PARSE inside the
+# driver's ~2000-char tail capture, so the wide maps move to the detail
+# file; the re-measure warm figures land in BENCH_DETAIL.json + the
+# PLANS.md drift note).
+BENCH_NEW = BENCH_ROTATION[:10]
+
+# Full per-query payload (stable + rotation + warm maps) is written here
+# by main(); the stdout line stays compact and carries the path.
+DETAIL_FILE = "BENCH_DETAIL.json"
 
 
 def bench_streaming(spark, sf_dir: str) -> float:
@@ -334,27 +339,43 @@ def main() -> None:
     rotation_warm = rot_payload.get("warm", {})
     total = round(sum(timings.values()), 3)
 
-    # Key ORDER is load-bearing (VERDICT r5 item 4 + r7 item 3): the round
-    # driver archives only the LAST ~2000 chars of this line, so the big
-    # combined per-query map goes FIRST (its head is what truncation eats)
-    # and the fields that must survive go LAST: "rotation_head" (the new
-    # registrations' first timings + mandated re-timings — the r7 artifact
-    # lost exactly these), the stable per-query timings, and "value".
-    # rotation_head + stable + scalars ≈ 1.3 KB, inside the captured tail.
-    # Any JSON consumer is order-insensitive.
+    # The full per-query payload goes to DETAIL_FILE; stdout carries ONE
+    # compact JSON object (VERDICT r8 item 3: the r7/r8 artifacts put the
+    # wide combined map on the line and the driver's ~2000-char tail
+    # capture cut it mid-JSON, leaving "parsed": null — the whole line
+    # must now PARSE, so it carries only the stable headline map, the new
+    # registrations' first+warm timings, the rotation total, and the
+    # detail-file pointer; ~1.5 KB measured).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), DETAIL_FILE),
+        "w",
+    ) as f:
+        json.dump(
+            {
+                "sf": float(sf),
+                "stable": timings,
+                "rotation": rotation,
+                "rotation_warm": rotation_warm,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     print(
         json.dumps(
             {
-                "queries": {**timings, **rotation},
-                "rotation_total": round(sum(rotation.values()), 3),
                 "metric": f"headline_query_set_total_sf{sf}",
                 "unit": "sec",
                 "sf": float(sf),
+                "detail_file": DETAIL_FILE,
+                "rotation_total": round(sum(rotation.values()), 3),
                 "rotation_head": {
-                    k: rotation[k] for k in BENCH_ROTATION_HEAD if k in rotation
+                    k: rotation[k] for k in BENCH_NEW if k in rotation
                 },
-                "rotation_warm": rotation_warm,
-                "stable": timings,
+                "rotation_warm": {
+                    k: rotation_warm[k] for k in BENCH_NEW if k in rotation_warm
+                },
+                "queries": timings,
                 "value": total,
             }
         )

@@ -60,92 +60,83 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. Cross-round state entering r8: 203 registered (193 + the 10
-# round-8-window registrations below), every pre-r8 query has a green HASH
-# row, latest-green distribution r7=50, r6=50, r5=49, r4=44 (VERDICT r7).
-# The r8 window is budgeted 10+7+33:
-# (a) the 10 NEW round-8 registrations (queries_round8b.py — the r8
-#     operator queue promoted: bpe_merge_topk, audio_energy_frames,
-#     sssp_bounded, session_paths, source_overlap_matrix, rank_normalize,
-#     sliding_chunks, image_dhash, plus the two streaming-op replays
-#     funnel_user_advances and heavy_hitters_certificate that put the
-#     online funnel / heavy-hitters tiers under the hash gate) — a query
-#     registered in round N must be in round N's window;
-# (b) 7 EARLY round-9 registrations (queries_round9.py — the r7
-#     precedent: slots on never-driver-checked queries dominate
-#     refresh slots): bloom_decontaminate, stupid_backoff_score,
-#     ngram_novelty, sq8_rerank_topk, rate_limit_decisions,
-#     audio_silence_runs, plus curation_pipeline_v4 (the round's gates
-#     composed end to end — its slot comes from chunk_documents, whose
-#     packing family is covered by sliding_chunks IN THIS WINDOW);
-# (c) 33 of the 44 queries whose latest green row dates from r4
-#     (VERDICT r7 item 2). Each of the 11 deferred to the r9 window
-#     head has a SIBLING query covering the same operator family green
-#     at r5+: array_funcs (bpe_regex_tokens r6), datetime_funcs
-#     (datetime_funcs2 r5), math_funcs (cast_truncate r5), string_funcs
-#     (string_funcs2 r5), ann_recall_eval + ivf_kmeans_topk
-#     (ann_tier_claims r7 — the k-means IVF recall claims), cube_agg
-#     (grouping_sets_agg + rollup_agg r5), distinct_ops
-#     (approx_distinct r6), exists_correlated (scalar_subquery +
-#     in_subquery r5), filtered_cosine_topk (cosine_topk r6),
-#     chunk_documents (sliding_chunks, r8-new in this window) — so no
-#     OPERATOR's newest evidence is r4 even where a query's row is.
+# round. Cross-round state entering r9: 210 registered, every query has a
+# green HASH row, latest-green distribution r8=50, r7=50, r6=50, r5=49,
+# r4=11 (VERDICT r8). The r9 window is budgeted 11+10+29 per VERDICT r8
+# items 1-3:
+# (a) the 11-query r4-latest staleness cohort at the HEAD — the one r7
+#     target missed in r8 (every one has an r5+-green operator-family
+#     sibling, but a 4-round-stale row is the weakest link); after
+#     CORRECTNESS_r9 nothing is older than r5;
+# (b) the 10 NEW round-9 registrations (queries_round9b.py): the
+#     r9-queue remainder (bloom_ingest_scores, sq8_topk,
+#     neighbor_jaccard, clustering_coefficient, rfm_segments) plus the
+#     first five r10-queue promotions (cms_user_counts,
+#     good_turing_counts, join_size_profile, session_pattern_matches,
+#     classification_report) — a query registered in round N must be in
+#     round N's window; the r10 window then has room for the heavy
+#     multimodal/PQ tier + the 27-query r11 module;
+# (c) 29 refresh slots: the HEAD of the 49-query r5-latest cohort in its
+#     r5 verification order (oldest evidence first). The 20 deferred
+#     entries lead the r10 refresh block (budget note: r10 = 8 r10-queue
+#     remainder + r11 module + these 20; if that exceeds 50, the
+#     composed/claim forms of the r11 module defer to r12 per PLANS
+#     Round-8n).
 # Queries not listed keep registration order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (a) new round-8 registrations (10) ---
-    "bpe_merge_topk",
-    "audio_energy_frames",
-    "sssp_bounded",
-    "session_paths",
-    "source_overlap_matrix",
-    "rank_normalize",
-    "sliding_chunks",
-    "image_dhash",
-    "funnel_user_advances",
-    "heavy_hitters_certificate",
-    # --- (b) early round-9 registrations (7) ---
-    "bloom_decontaminate",
-    "stupid_backoff_score",
-    "ngram_novelty",
-    "sq8_rerank_topk",
-    "rate_limit_decisions",
-    "audio_silence_runs",
-    "curation_pipeline_v4",
-    # --- (c) the r4-latest staleness cohort (33 of 44; 11 family-covered
-    #     entries defer to r9 — see the budget note above) ---
-    "argmax_order_per_customer",
-    "asof_probe_metric",
-    "boilerplate_prefixes",
-    "catalog_filter_project",
-    "catalog_json_roundtrip",
-    "corpus_shuffle",
-    "corpus_vocab_topk",
-    "decontaminate_ngram_overlap",
-    "escalation_actions",
-    "filter_predicates",
-    "gap_filled_windows",
-    "ivf_topk",
-    "join_left_outer",
-    "join_star_revenue",
-    "local_supplier_volume",
-    "multimodal_decoded",
-    "null_funcs",
-    "percentiles_by_status",
-    "rare_token_ratio",
-    "salted_agg_events",
-    "scd2_user_status",
-    "seq_pack_docs",
-    "set_ops_nations",
-    "shipping_priority_top10",
-    "simhash_sketch",
-    "struct_map_funcs",
-    "surprisal_score",
-    "tfidf_topk",
-    "top_terms_per_lang",
-    "topk_orders",
-    "unpivot_lineitem_metrics",
-    "watchdog_null_guard",
-    "watchdog_state_machine",
+    # --- (a) the r4-latest staleness cohort (11) ---
+    "ann_recall_eval",
+    "array_funcs",
+    "chunk_documents",
+    "cube_agg",
+    "datetime_funcs",
+    "distinct_ops",
+    "exists_correlated",
+    "filtered_cosine_topk",
+    "ivf_kmeans_topk",
+    "math_funcs",
+    "string_funcs",
+    # --- (b) new round-9 registrations (10) ---
+    "bloom_ingest_scores",
+    "sq8_topk",
+    "neighbor_jaccard",
+    "clustering_coefficient",
+    "rfm_segments",
+    "cms_user_counts",
+    "good_turing_counts",
+    "join_size_profile",
+    "session_pattern_matches",
+    "classification_report",
+    # --- (c) r5-latest refresh cohort head (29 of 49, r5 order) ---
+    "point_lookup_status",
+    "iso8601_format",
+    "cast_truncate",
+    "computed_projection",
+    "sort_ranked",
+    "rollup_agg",
+    "join_full_outer",
+    "semi_join_customers",
+    "scalar_subquery",
+    "in_subquery",
+    "pivot_priority_counts",
+    "stats_agg",
+    "string_funcs2",
+    "datetime_funcs2",
+    "grouping_sets_agg",
+    "near_dup_jaccard",
+    "embedding_near_dup",
+    "conversion_funnel",
+    "near_dup_shingle_jaccard",
+    "dup_clusters",
+    "curation_pipeline_v2",
+    "lsh_tier_consistency",
+    "near_dup_split_leakage",
+    "minhash_lsh_near_dup",
+    "quality_percentile_gate",
+    "bigram_next_token",
+    "surprisal_score_salted",
+    "unpivot_priority_metrics",
+    "scd2_point_in_time",
 )
 
 
@@ -201,6 +192,7 @@ def _load_all() -> None:
         queries_round8,
         queries_round8b,
         queries_round9,
+        queries_round9b,
         queries_streaming_twins,
     )
 
