@@ -30,6 +30,7 @@ key for capacity/rate seconds).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -94,34 +95,71 @@ def rate_limit_decisions(
     historical table; capacity planning runs exactly this query with
     candidate (rate, capacity) pairs).
 
-    Scale: ONE applyInPandas pass per key group — the watchdog replay
-    shape; state is two ints however long the history, and the fold is
-    the same function the streams run, so batch ≡ stream by
-    construction (and pinned in tests)."""
+    Scale + the r9 rewrite: the first form was groupBy(key).
+    applyInPandas — ONE Arrow group per key, and at sf0.1 the ~10k
+    tiny groups' per-group pandas overhead (frame build + sort + emit)
+    was the entire 4-6 s cost, NOT the fold itself (100k fold steps are
+    ~80 ms of pure Python). This form shuffles ONCE on the key,
+    sortWithinPartitions((key, ts, id)) gives contiguous per-key runs,
+    and mapInPandas walks each partition's Arrow batches slicing key
+    runs and feeding them to the SAME shared fold — ~|partitions|
+    Python invocations instead of ~|keys|. A key whose run straddles
+    an Arrow-batch boundary continues from carried state (the
+    partition's batch iterator is ordered), exactly like the streams
+    carry state across micro-batches. Measured 4.2→0.8 s warm at
+    sf0.1; output identical (pinned by the unchanged oracle + stream
+    equality tests). State is still two ints per key, and batch ≡
+    GS ≡ TWS still holds by construction — one pure fold, three
+    carriers."""
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ts_us", id_col])
-        uid = int(pdf[user_col].iloc[0])
-        rows = list(
-            zip(pdf["_ts_us"].astype("int64"), pdf[id_col].astype("int64"))
-        )
-        _t, _l, emits = token_bucket_fold(
-            0, -1, rows, refill_tokens, per_seconds, capacity_tokens,
-            cost_tokens,
-        )
-        return pd.DataFrame(
-            {
-                "user_id": [uid] * len(emits),
-                "ts_us": [e[0] for e in emits],
-                "event_id": [e[1] for e in emits],
-                "admitted": [e[2] for e in emits],
-                "tokens_us_after": [e[3] for e in emits],
-            }
-        )
+    def replay(batches):
+        carry: dict[int, tuple[int, int]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            uids = pdf[user_col].to_numpy()
+            ts = pdf["_ts_us"].to_numpy()
+            eids = pdf[id_col].to_numpy()
+            # contiguous key-run boundaries (input sorted by key, ts, id)
+            cuts = (
+                [0]
+                + (np.flatnonzero(uids[1:] != uids[:-1]) + 1).tolist()
+                + [len(uids)]
+            )
+            out_uid: list[int] = []
+            out = []
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                uid = int(uids[a])
+                tokens_us, last_us = carry.pop(uid, (0, -1))
+                tokens_us, last_us, emits = token_bucket_fold(
+                    tokens_us,
+                    last_us,
+                    list(zip(ts[a:b].tolist(), eids[a:b].tolist())),
+                    refill_tokens,
+                    per_seconds,
+                    capacity_tokens,
+                    cost_tokens,
+                )
+                carry[uid] = (tokens_us, last_us)
+                out_uid.extend([uid] * (b - a))
+                out.extend(emits)
+            yield pd.DataFrame(
+                {
+                    "user_id": out_uid,
+                    "ts_us": [e[0] for e in out],
+                    "event_id": [e[1] for e in out],
+                    "admitted": [e[2] for e in out],
+                    "tokens_us_after": [e[3] for e in out],
+                }
+            )
 
-    staged = events.select(
-        F.col(user_col),
-        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
-        F.col(id_col),
+    staged = (
+        events.select(
+            F.col(user_col),
+            F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+            F.col(id_col),
+        )
+        .repartition(F.col(user_col))
+        .sortWithinPartitions(user_col, "_ts_us", id_col)
     )
-    return staged.groupBy(user_col).applyInPandas(replay, _OUT_SCHEMA)
+    return staged.mapInPandas(replay, _OUT_SCHEMA)
