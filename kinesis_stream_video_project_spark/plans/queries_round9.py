@@ -90,8 +90,8 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed 47/30/69561 FPs at sf0.001/0.01/0.1 (m deliberately sized
     so sf0.1 saturates the filter; the no-false-negative law is
     hypothesis-pinned). The row-local bitmap form
-    (bloom_scores_rowlocal — element_at + bitwiseAND on a one-row
-    map<int,long>, streaming-capable, drain-tested) makes the same
+    (bloom_scores_rowlocal — O(1) element_at + bitwiseAND on a one-row
+    dense word array, streaming-capable, drain-tested) makes the same
     decisions bit-identically (pinned).
 
     Scale: eval reduces to ≤3·|eval grams| distinct positions + the

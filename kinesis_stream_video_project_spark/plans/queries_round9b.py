@@ -84,7 +84,8 @@ def bloom_ingest_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INGEST-TIME Bloom contamination scorer (operators/bloom.py::
     bloom_scores_rowlocal): each train-split doc tests its distinct
     5-grams against the PHYSICAL m=2^16/k=3 bitmap — a one-row
-    map<int,long> of 32-bit words, element_at + bitwiseAND per probe —
+    dense array<long> of 32-bit words, O(1) element_at + bitwiseAND per
+    probe —
     with NO gram explode, NO join, NO exact gram set. Decisions are
     bit-identical to the r8-green bloom_decontaminate position-set join
     (pinned), and the operator is stateless, so the SAME code scores a
