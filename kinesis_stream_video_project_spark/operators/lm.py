@@ -758,3 +758,85 @@ def gopher_rules_report(
         & F.col("rule_stopwords")
         & F.col("rule_alpha_words"),
     )
+
+
+def heaps_law_curve(
+    docs: DataFrame, n_buckets: int = 20, gram_n: int = 3
+) -> DataFrame:
+    """Vocabulary-growth (Heaps/Herdan law) curve in ingestion order —
+    the corpus-level companion of ``ngram_novelty``'s per-doc statistic
+    and ``good_turing_counts``'s static spectrum: walk the corpus in
+    doc_id order, and at each of ``n_buckets`` equal doc_id-range
+    checkpoints report cumulative gram OCCURRENCES processed (the n
+    axis) vs cumulative DISTINCT types seen (the V axis). Heaps' law predicts V(n) ≈ K·n^β (β ≈ 0.4-0.6
+    for natural text); a flattening curve is the crawl-exhaustion /
+    dedup-yield signal at corpus granularity (the statistic Lee et al.
+    2022 track across C4 scales). Emitted exactly — fitting K, β is a
+    float regression that belongs to the consumer.
+
+    Per bucket: ``(bucket, n_docs, n_tokens, new_types, cum_tokens,
+    cum_types)`` where a type is NEW in the bucket holding its
+    first-occurrence (minimum) doc_id. All integers. Types are
+    ``gram_n``-token shingles, NOT unigrams: the fixture corpus is a
+    31-word soup whose unigram curve saturates in bucket 0 (probed —
+    new_types = [31, 0, 0, ...], a flat line that pins nothing), while
+    the 3-shingle universe keeps growing corpus-wide exactly like the
+    dedup tiers' shingle space; gram_n=1 still computes the classical
+    word-Heaps curve on a natural corpus.
+
+    Scale: buckets are fixed doc_id RANGES (width = ceil((max_id+1) /
+    n_buckets) from a one-row broadcast max — the freqItems-adjudicated
+    pattern), NOT an ntile window, so no global ordering of the doc
+    frame exists anywhere; per-type min(doc_id) is the one
+    key-cardinality shuffle (map-side combined); everything after is
+    an ``n_buckets``-row frame and its prefix-sum window."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"heaps_law_curve: n_buckets must be >= 1, got {n_buckets}")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    if gram_n > 1:
+        from kinesis_stream_video_project_spark.operators.dedup import (
+            shingles_of,
+        )
+
+        toked = toked.select(
+            "doc_id", shingles_of(F.col("_toks"), gram_n).alias("_toks")
+        )
+    bound = toked.agg(
+        F.expr(f"CAST((MAX(doc_id) + {n_buckets}) DIV {n_buckets} AS BIGINT)")
+        .alias("_w")
+    )
+    # token occurrences with their doc bucket
+    occ = (
+        toked.crossJoin(F.broadcast(bound))
+        .select(
+            F.expr("doc_id DIV _w").cast("long").alias("bucket"),
+            "doc_id",
+            F.explode_outer("_toks").alias("w"),
+        )
+        .filter(F.col("w").isNotNull() & (F.col("w") != ""))
+    )
+    per_bucket = occ.groupBy("bucket").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    first_seen = occ.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    new_types = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    w_cum = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_bucket.join(new_types, "bucket", "left")
+        .select(
+            F.col("bucket"),
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w_cum).cast("long"))
+        .withColumn("cum_types", F.sum("new_types").over(w_cum).cast("long"))
+    )

@@ -89,3 +89,78 @@ def bm25_topk(
     top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def rare_shingle_neighbors(
+    docs: DataFrame,
+    k: int = 5,
+    max_df: int = 20,
+    shingle_n: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Top-``k`` lexically-nearest NEIGHBORS per document by
+    inverse-df-weighted rare-shingle overlap — the doc-to-doc sparse
+    retrieval tier next to the query-to-doc ones (tfidf_topk, bm25_topk)
+    and the exact-Jaccard dedup tiers: where AllPairs asks "which pairs
+    exceed t", this asks "what are each doc's closest lexical
+    neighbors", the related-document / near-miss-audit primitive.
+
+    Score(a, b) = Σ over shared DISTINCT shingles s of
+    ``scale div df(s)`` — the integer surrogate of an idf dot product
+    (no log, no float: rarer shared evidence counts more, exact in any
+    engine; the bm25 module's no-log discipline taken to its integer
+    extreme). Only shingles with ``2 ≤ df ≤ max_df`` participate:
+    df = 1 cannot pair, and the cap is BOTH the spec (ubiquitous
+    shingles are boilerplate, not evidence — they'd add ~0 weight while
+    dominating the join) and the scale defense — per-shingle join
+    fan-out is bounded by max_df², so the postings self-join cannot
+    blow up on a hot shingle no matter the corpus. Output
+    ``(doc_id, neighbor_id, n_shared, score_scaled, rank)``, rank ≤ k
+    by (score desc, neighbor asc) per doc.
+
+    Scale: distinct (doc, shingle) postings shuffle once on the
+    shingle; the self-join emits ≤ df ≤ max_df rows per posting; the
+    per-(doc, neighbor) aggregate and per-doc top-k window both key on
+    doc_id. No all-pairs stage, no global window."""
+    if k < 1 or max_df < 2:
+        raise ValueError(
+            f"rare_shingle_neighbors: need k >= 1 and max_df >= 2, "
+            f"got k={k}, max_df={max_df}"
+        )
+    from kinesis_stream_video_project_spark.operators.dedup import shingles_of
+
+    posts = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(shingles_of(F.col("_toks"), shingle_n))
+            ).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("_df")).filter(
+        (F.col("_df") >= 2) & (F.col("_df") <= max_df)
+    )
+    weighted = posts.join(dfreq, "s").select(
+        "s", "doc_id", F.expr(f"CAST({scale} DIV _df AS BIGINT)").alias("_wt")
+    )
+    other = weighted.select(
+        F.col("s"), F.col("doc_id").alias("neighbor_id")
+    )
+    scored = (
+        weighted.join(other, "s")
+        .filter(F.col("doc_id") != F.col("neighbor_id"))
+        .groupBy("doc_id", "neighbor_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum("_wt").cast("long").alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

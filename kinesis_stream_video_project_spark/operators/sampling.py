@@ -112,3 +112,90 @@ def weighted_sample(
     return df.filter(
         hash_bucket(F.col(key), n_buckets) < weight * float(n_buckets)
     )
+
+
+def stratified_allocation(
+    df: DataFrame,
+    strata_col: str,
+    budget: int,
+    key: str,
+) -> DataFrame:
+    """EXACT-count stratified sample allocation by Hamilton's
+    largest-remainder method — the missing piece between the rate-based
+    samplers above (whose per-stratum yields are binomial-approximate)
+    and the mixture tier's token budgets: split a row budget of exactly
+    ``budget`` across strata proportionally, with the apportionment
+    rounding done the way electoral apportionment does it. Per stratum:
+    quota = budget·n_s / N; every stratum gets floor(quota); the
+    ``budget − Σ floors`` leftover seats go to the largest remainders
+    (budget·n_s mod N, ties by stratum ascending). Σ alloc == budget
+    EXACTLY whenever budget ≤ N (asserted by the gate test, not
+    re-derived per run), which no independent per-stratum rounding can
+    promise.
+
+    The sample itself is the allocation applied to the content-hash
+    order (rank by (md5-bucket of ``key``, key) within stratum ≤ alloc)
+    — deterministic across engines, runs, and partitionings like every
+    sampler in this module. Output one row per stratum:
+    ``(stratum, n_rows, alloc, n_sampled)`` with n_sampled == alloc
+    for budget ≤ N (strata smaller than their allocation cannot occur:
+    alloc ≤ ceil(quota) ≤ n_s whenever budget ≤ N).
+
+    Scale: the allocation table is |strata| rows computed from one
+    per-stratum count aggregate (windows run over that tiny frame, not
+    rows); the sampling rank is a window PER STRATUM over the data —
+    the one row-scale window, keyed on the stratum like every
+    per-group top-k in the repo."""
+    if budget < 0:
+        raise ValueError(f"stratified_allocation: budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").cast("long").alias("_n"))
+    base = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_floor", F.expr(f"CAST(({budget} * n_rows) DIV _n AS BIGINT)"))
+        .withColumn("_rem", F.expr(f"CAST(({budget} * n_rows) % _n AS BIGINT)"))
+    )
+    w_total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col("stratum").asc())
+    alloc = (
+        base.withColumn("_leftover", F.lit(budget) - F.sum("_floor").over(w_total))
+        .withColumn("_pos", F.row_number().over(w_rem))
+        .withColumn(
+            "alloc",
+            (
+                F.col("_floor")
+                + F.when(F.col("_pos") <= F.col("_leftover"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .select("stratum", "n_rows", "alloc")
+    )
+    w_sample = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(key), 1_000_000).asc(), F.col(key).asc()
+    )
+    sampled = (
+        df.withColumn("_rk", F.row_number().over(w_sample))
+        .join(
+            alloc.select(
+                F.col("stratum").alias(strata_col), F.col("alloc").alias("_a")
+            ),
+            strata_col,
+        )
+        .filter(F.col("_rk") <= F.col("_a"))
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        alloc.join(sampled, "stratum", "left")
+        .select(
+            "stratum",
+            "n_rows",
+            "alloc",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )

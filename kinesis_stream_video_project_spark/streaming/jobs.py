@@ -1262,6 +1262,119 @@ def followup_join_stream(
     )
 
 
+def followup_outer_batch(
+    events: DataFrame,
+    trigger_type: str = "error",
+    response_type: str = "purchase",
+    within_us: int = _FOLLOWUP_WITHIN_US,
+) -> DataFrame:
+    """Batch twin of :func:`followup_outer_join_stream`: LEFT OUTER form
+    of :func:`followup_pairs_batch` — every (trigger, response) pair per
+    user with the response inside ``(t, t + within]``, PLUS one
+    NULL-response row per trigger that has no response in its window
+    (``response_event_id`` and ``lag_us`` NULL). The unmatched rows are
+    the point: "error with no purchase following" is the absence signal
+    on the JOIN path, complementing the silence detector's absence
+    signal on the aggregation path.
+
+    Scale: identical join shape to the inner twin (equi-join on user_id
+    + residual range), just outer — unmatched triggers add ≤ |triggers|
+    rows."""
+    t = events.filter(F.col("event_type") == trigger_type).select(
+        "user_id",
+        F.col("event_id").alias("trigger_event_id"),
+        F.unix_micros("ts").alias("_t_us"),
+    )
+    r = events.filter(F.col("event_type") == response_type).select(
+        F.col("user_id").alias("_r_user"),
+        F.col("event_id").alias("response_event_id"),
+        F.unix_micros("ts").alias("_r_us"),
+    )
+    return (
+        t.join(
+            r,
+            (t["user_id"] == r["_r_user"])
+            & (r["_r_us"] > t["_t_us"])
+            & (r["_r_us"] <= t["_t_us"] + F.lit(within_us)),
+            "left_outer",
+        )
+        .select(
+            "user_id",
+            "trigger_event_id",
+            "response_event_id",
+            (F.col("_r_us") - F.col("_t_us")).alias("lag_us"),
+        )
+    )
+
+
+def followup_outer_join_stream(
+    events: DataFrame,
+    trigger_type: str = "error",
+    response_type: str = "purchase",
+    within_us: int = _FOLLOWUP_WITHIN_US,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval self-join — the state-expiry
+    emission mechanism :func:`followup_join_stream` (inner) never
+    exercises: matched pairs emit on arrival like the inner join, but an
+    UNMATCHED trigger emits its NULL-response row only when the
+    watermark passes ``t_ts + within`` and proves no response can still
+    arrive — Spark's outer stream-stream join is exactly the
+    watermark-finalization contract of the silence/session tiers applied
+    to join state. Consequence (pinned, not a bug): a bounded drain
+    leaves triggers within ``within`` of the final watermark PENDING —
+    their no-response verdict is not yet provable — so drained output ==
+    batch twin MINUS the trailing unprovable window (the unflushed-
+    trailing-session contract; a spacer event far enough in the future
+    flushes them, spacer-batch test).
+
+    Same analyzable TimeAdd predicate shape as the inner form (the
+    state-watermark extraction pin applies verbatim).
+
+    Operational caveat (pinned): Catalyst pushes the event_type filters
+    BELOW the EventTimeWatermark nodes, so each side's watermark tracks
+    only ITS OWN type's max event time and the global mark is their
+    MIN — a quiet period on EITHER type freezes the mark and delays
+    every pending no-response verdict, even while other event types
+    flow. The silence detector has the same property per key; here it
+    is per SIDE. Deployments needing timely negatives on a sparse
+    response type switch spark.sql.streaming.multipleWatermarkPolicy
+    to max (documented Spark trade: max can drop late rows the min
+    policy would keep)."""
+    t = (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == trigger_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("trigger_event_id"),
+            F.col("ts").alias("t_ts"),
+        )
+    )
+    r = (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == response_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("response_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = t.join(
+        r,
+        F.expr(
+            f"user_id = r_user AND r_ts > t_ts "
+            f"AND r_ts <= t_ts + INTERVAL {within_us} MICROSECOND"
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        "user_id",
+        "trigger_event_id",
+        "response_event_id",
+        (F.unix_micros("r_ts") - F.unix_micros("t_ts")).alias("lag_us"),
+    )
+
+
 def seasonal_flags_stream(
     events: DataFrame,
     baseline: DataFrame,

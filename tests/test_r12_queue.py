@@ -1,0 +1,419 @@
+"""Round-12 registration queue: PPJoin positional filter over the exact
+AllPairs tier, the Heaps-law vocabulary-growth curve, rare-shingle
+nearest neighbors, Hamilton largest-remainder stratified allocation,
+and the left-outer stream-stream interval join — pytest-verified with
+validated DuckDB oracle shapes before registration (the
+paste-don't-debug discipline, sixth round running)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.operators.dedup import (
+    allpairs_jaccard_prefix,
+)
+from kinesis_stream_video_project_spark.operators.lm import heaps_law_curve
+from kinesis_stream_video_project_spark.operators.retrieval import (
+    rare_shingle_neighbors,
+)
+from kinesis_stream_video_project_spark.operators.sampling import (
+    stratified_allocation,
+)
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def _rendered(df_pandas):
+    cols = sorted(df_pandas.columns)
+    return (
+        df_pandas[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    )
+
+
+def _con(sf):
+    con = duckdb.connect()
+    for t in ("events", "documents", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+# ---------------------------------------------------------------------------
+# PPJoin positional filter (Xiao, Wang, Lin & Yu, WWW 2008)
+# ---------------------------------------------------------------------------
+
+ALLPAIRS_600_ORACLE_SHAPE = """
+WITH toks AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+         i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS tok
+       FROM documents),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS ninter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, ninter AS inter, sa.n AS size_a, sb.n AS size_b,
+       CAST((1000 * ninter) // (sa.n + sb.n - ninter) AS BIGINT) AS jaccard_permille
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (1000 * ninter) // (sa.n + sb.n - ninter) >= 600
+"""
+
+
+@pytest.mark.parametrize("sf", SFS[:2] + SFS[2:])
+@pytest.mark.parametrize("t", [500, 800])
+def test_ppjoin_equals_prefix_form(spark, sf, t):
+    """The positional filter must be output-invariant: it prunes
+    CANDIDATES that verification would reject anyway, never pairs —
+    checked pair-for-pair against the plain prefix form at every SF and
+    two thresholds."""
+    docs = io.load_table(spark, sf, "documents")
+    key = lambda r: (  # noqa: E731
+        r["doc_a"], r["doc_b"], r["inter"], r["size_a"], r["size_b"],
+        r["jaccard_permille"],
+    )
+    base = sorted(key(r) for r in allpairs_jaccard_prefix(docs, t).collect())
+    pos = sorted(
+        key(r)
+        for r in allpairs_jaccard_prefix(docs, t, positional=True).collect()
+    )
+    assert base == pos and len(base) > 0
+
+
+def test_ppjoin_positional_filter_prunes_candidates(spark):
+    """The filter's reason to exist, measured: on the sf0.1 corpus at
+    t=800 the distinct verify-candidate set must shrink vs the plain
+    prefix+length form (the exact figures live in the operator
+    docstring; this pins the direction so a regression that silently
+    disables the filter fails loudly)."""
+    from pyspark.sql.window import Window
+
+    from kinesis_stream_video_project_spark.operators.dedup import shingles_of
+
+    tp = 800
+    d = io.load_table(spark, "/root/testdata/sf0.1", "documents")
+    staged = d.select(
+        F.col("doc_id").alias("doc"), F.split("text", " ").alias("_toks")
+    )
+    toks = (
+        staged.select(
+            "doc", F.array_distinct(shingles_of(F.col("_toks"), 3)).alias("tok")
+        )
+        .withColumn("sz", F.size("tok").cast("long"))
+        .localCheckpoint()
+    )
+    posting = toks.select("doc", "sz", F.explode("tok").alias("token"))
+    dfreq = posting.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc").orderBy("_df", "token")
+    prefix = (
+        posting.join(dfreq, "token")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(
+            F.col("_pos")
+            <= F.col("sz") - F.expr(f"(sz * {tp} + 999) div 1000") + 1
+        )
+        .select("token", "doc", "sz", "_pos")
+    )
+    p2 = prefix.select(
+        F.col("token"),
+        F.col("doc").alias("doc_b"),
+        F.col("sz").alias("size_b"),
+        F.col("_pos").alias("_pos_b"),
+    )
+    lenf = (
+        prefix.join(p2, "token")
+        .filter(F.col("doc") < F.col("doc_b"))
+        .filter(
+            (F.col("size_b") * tp <= F.col("sz") * 1000)
+            & (F.col("sz") * tp <= F.col("size_b") * 1000)
+        )
+    )
+    posf = lenf.filter(
+        (
+            1
+            + F.least(
+                F.col("sz") - F.col("_pos"), F.col("size_b") - F.col("_pos_b")
+            )
+        )
+        * (1000 + tp)
+        >= tp * (F.col("sz") + F.col("size_b"))
+    )
+    n_len = lenf.select("doc", "doc_b").distinct().count()
+    n_pos = posf.select("doc", "doc_b").distinct().count()
+    assert n_pos < n_len, (n_pos, n_len)
+    assert n_pos > 0
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_ppjoin_600_oracle_shape_matches(spark, sf):
+    """The registration form (t=600, positional=True) bit-exact vs the
+    DuckDB brute-force definitional oracle."""
+    got = _rendered(
+        allpairs_jaccard_prefix(
+            io.load_table(spark, sf, "documents"), 600, positional=True
+        ).toPandas()
+    )
+    con = _con(sf)
+    want = _rendered(con.sql(ALLPAIRS_600_ORACLE_SHAPE).df())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) > 0, sf
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth (3-shingle types, doc_id-range checkpoints)
+# ---------------------------------------------------------------------------
+
+HEAPS_ORACLE_SHAPE = """
+WITH w AS (SELECT CAST((MAX(doc_id) + 20) // 20 AS BIGINT) AS w FROM documents),
+t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id // (SELECT w FROM w) AS bucket, doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+  FROM t0
+),
+occ2 AS (SELECT * FROM occ WHERE g IS NOT NULL AND g <> ''),
+pb AS (SELECT bucket, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens
+       FROM occ2 GROUP BY 1),
+fs AS (SELECT g, MIN(bucket) AS bucket FROM occ2 GROUP BY 1),
+nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM fs GROUP BY 1)
+SELECT pb.bucket, n_docs, n_tokens,
+       CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
+         AS cum_types
+FROM pb LEFT JOIN nt USING (bucket)
+"""
+
+
+def test_heaps_handchecked(spark):
+    """Two buckets, crafted: doc 0 introduces both its shingles; doc 1
+    (bucket 1) repeats one and introduces one new type."""
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e")], "doc_id long, text string"
+    )
+    rows = {
+        r["bucket"]: (
+            r["n_docs"], r["n_tokens"], r["new_types"],
+            r["cum_tokens"], r["cum_types"],
+        )
+        for r in heaps_law_curve(df, n_buckets=2).collect()
+    }
+    # doc 0 -> shingles {a b c, b c d}; doc 1 -> {a b c, b c e}
+    assert rows[0] == (1, 2, 2, 2, 2)
+    assert rows[1] == (1, 2, 1, 4, 3)
+
+
+def test_heaps_refuses_degenerate_buckets(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        heaps_law_curve(df, n_buckets=0)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_heaps_oracle_shape_matches(spark, sf):
+    got = _rendered(
+        heaps_law_curve(io.load_table(spark, sf, "documents")).toPandas()
+    )
+    con = _con(sf)
+    want = _rendered(con.sql(HEAPS_ORACLE_SHAPE).df())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) == 20, sf
+
+
+def test_heaps_curve_is_nondegenerate_and_monotone(spark, sf_dir):
+    """The reason 3-shingles are the type universe: new_types must be
+    positive in bucket 0 AND somewhere after it (the unigram curve
+    flatlines after bucket 0 — probed [31, 0, 0, ...]); cum columns
+    must be nondecreasing."""
+    rows = (
+        heaps_law_curve(io.load_table(spark, sf_dir, "documents"))
+        .orderBy("bucket")
+        .collect()
+    )
+    nt = [r["new_types"] for r in rows]
+    assert nt[0] > 0 and sum(nt[1:]) > 0
+    cum_to = [r["cum_tokens"] for r in rows]
+    cum_ty = [r["cum_types"] for r in rows]
+    assert cum_to == sorted(cum_to) and cum_ty == sorted(cum_ty)
+
+
+# ---------------------------------------------------------------------------
+# Rare-shingle nearest neighbors (inverse-df-weighted overlap top-k)
+# ---------------------------------------------------------------------------
+
+NEIGHBORS_ORACLE_SHAPE = """
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+posts AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 1)),
+           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+  FROM t0
+),
+dfq AS (SELECT g, COUNT(*) AS df FROM posts GROUP BY 1
+        HAVING COUNT(*) BETWEEN 2 AND 20),
+wt AS (SELECT p.doc_id, p.g, CAST(1000000 // df AS BIGINT) AS wt
+       FROM posts p JOIN dfq USING (g)),
+pairs AS (
+  SELECT a.doc_id, b.doc_id AS neighbor_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         CAST(SUM(a.wt) AS BIGINT) AS score_scaled
+  FROM wt a JOIN wt b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id, neighbor_id, n_shared, score_scaled,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY score_scaled DESC, neighbor_id
+       ) AS BIGINT) AS rank
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
+def test_neighbors_handchecked(spark):
+    """Three docs: 0 and 1 share the rare shingle of 'x y z'; doc 2
+    shares nothing rare with them beyond the df cap; weight = 10^6//df."""
+    df = spark.createDataFrame(
+        [
+            (0, "x y z p q"),
+            (1, "x y z r s"),
+            (2, "m n o u v"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["neighbor_id"]): (r["n_shared"], r["score_scaled"])
+        for r in rare_shingle_neighbors(df, k=5, max_df=20).collect()
+    }
+    # shared distinct shingle: only 'x y z' (df=2, weight 500000)
+    assert got == {(0, 1): (1, 500_000), (1, 0): (1, 500_000)}
+
+
+def test_neighbors_refuses_bad_params(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        rare_shingle_neighbors(df, k=0)
+    with pytest.raises(ValueError):
+        rare_shingle_neighbors(df, max_df=1)
+
+
+def test_neighbors_df_cap_excludes_ubiquitous_shingles(spark):
+    """A shingle present in MORE than max_df docs contributes nothing —
+    the boilerplate defense: 4 docs sharing 'a b c' pair only through
+    it at max_df>=4, not at max_df=3."""
+    rows = [(i, "a b c " + f"u{i} v{i} w{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert rare_shingle_neighbors(df, k=3, max_df=3).count() == 0
+    got = rare_shingle_neighbors(df, k=3, max_df=4)
+    assert got.count() == 12  # each of 4 docs has 3 neighbors
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_neighbors_oracle_shape_matches(spark, sf):
+    got = _rendered(
+        rare_shingle_neighbors(
+            io.load_table(spark, sf, "documents")
+        ).toPandas()
+    )
+    con = _con(sf)
+    want = _rendered(con.sql(NEIGHBORS_ORACLE_SHAPE).df())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) > 0, sf
+
+
+# ---------------------------------------------------------------------------
+# Hamilton largest-remainder stratified allocation
+# ---------------------------------------------------------------------------
+
+ALLOC_ORACLE_SHAPE = """
+WITH c AS (SELECT o_orderpriority AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM orders GROUP BY 1),
+n AS (SELECT SUM(n_rows) AS nn FROM c),
+b AS (SELECT stratum, n_rows,
+             (1000 * n_rows) // nn AS fl, (1000 * n_rows) % nn AS rem
+      FROM c, n),
+l AS (SELECT 1000 - SUM(fl) AS leftover FROM b),
+a AS (SELECT stratum, n_rows,
+             CAST(fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum ASC)
+                                 <= (SELECT leftover FROM l)
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM b),
+s AS (SELECT o_orderpriority AS stratum, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 1000000,
+                        o_orderkey) AS rk
+      FROM orders),
+ns AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_sampled
+       FROM s JOIN a USING (stratum) WHERE rk <= alloc GROUP BY 1)
+SELECT a.stratum, a.n_rows, a.alloc,
+       CAST(COALESCE(ns.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM a LEFT JOIN ns USING (stratum)
+"""
+
+
+def test_allocation_handchecked_largest_remainder(spark):
+    """Budget 10 over strata of 7/2/1 rows: quotas 7.0/2.0/1.0 — exact;
+    budget 10 over 5/3/2: quotas 5/3/2 exact; budget 7 over 5/3/2 rows
+    (N=10): quotas 3.5/2.1/1.4, floors 3/2/1 (sum 6), remainders
+    .5/.1/.4 -> the one leftover seat goes to stratum A (largest
+    remainder 5/10)."""
+    rows = (
+        [("A", i) for i in range(5)]
+        + [("B", 100 + i) for i in range(3)]
+        + [("C", 200 + i) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "src string, k long")
+    got = {
+        r["stratum"]: (r["n_rows"], r["alloc"], r["n_sampled"])
+        for r in stratified_allocation(df, "src", 7, "k").collect()
+    }
+    assert got == {"A": (5, 4, 4), "B": (3, 2, 2), "C": (2, 1, 1)}
+
+
+def test_allocation_tie_goes_to_smaller_stratum_key(spark):
+    """Equal remainders: the leftover seat goes to the lexically
+    smallest stratum (stated tie rule). Two strata of 1 row each,
+    budget 1: remainders both 1/2 -> 'A' wins."""
+    df = spark.createDataFrame(
+        [("A", 1), ("B", 2)], "src string, k long"
+    )
+    got = {
+        r["stratum"]: r["alloc"]
+        for r in stratified_allocation(df, "src", 1, "k").collect()
+    }
+    assert got == {"A": 1, "B": 0}
+
+
+def test_allocation_sums_to_budget_exactly(spark, sf_dir):
+    """The property Hamilton exists for: sum(alloc) == budget EXACTLY
+    (independent per-stratum rounding cannot promise this), and every
+    stratum actually yields its allocation."""
+    o = io.load_table(spark, sf_dir, "orders")
+    rows = stratified_allocation(o, "o_orderpriority", 777, "o_orderkey").collect()
+    assert sum(r["alloc"] for r in rows) == 777
+    assert all(r["n_sampled"] == r["alloc"] for r in rows)
+
+
+def test_allocation_refuses_negative_budget(spark):
+    df = spark.createDataFrame([("A", 1)], "src string, k long")
+    with pytest.raises(ValueError):
+        stratified_allocation(df, "src", -1, "k")
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_allocation_oracle_shape_matches(spark, sf):
+    got = _rendered(
+        stratified_allocation(
+            io.load_table(spark, sf, "orders"), "o_orderpriority", 1000,
+            "o_orderkey",
+        ).toPandas()
+    )
+    con = _con(sf)
+    want = _rendered(con.sql(ALLOC_ORACLE_SHAPE).df())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) == 5, sf

@@ -2720,3 +2720,154 @@ def test_ohlc_fold_chunking_invariance():
         assert state == want
 
     run()
+
+
+def test_followup_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: the NULL-response row for an
+    unmatched trigger emits only once the watermark PROVES no response
+    can arrive (state-expiry emission — the mechanism the inner join
+    never exercises). Crafted: user 1's error gets a purchase inside
+    the 4 h window (matched pair emits), user 2's error gets none; a
+    far-future spacer event advances the watermark past t + within so
+    the unmatched verdict becomes provable and the NULL row emits."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    rows = [
+        (1, base, 1, "error", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 1, "purchase", 2.0, "{}"),
+        (3, base, 2, "error", 1.0, "{}"),
+    ]
+    # NULL-side emission is watermark-driven, and the committed mark
+    # lags one batch (the spacer-batch finding, PLANS Round-8n) — so the
+    # spacers must arrive in SEPARATE micro-batches after the data:
+    # spacer batch 1 advances the mark past t + within, spacer batch 2
+    # runs the eviction that emits the NULL row. maxFilesPerTrigger=1
+    # turns each appended file into its own batch. AND the spacers must
+    # advance BOTH sides: Catalyst pushes the event_type filters BELOW
+    # the EventTimeWatermark nodes, so each side's watermark tracks only
+    # its own type's max event time and the global mark is their MIN —
+    # a "view" spacer advances NEITHER (probed: the mark stayed at
+    # t0 − 10 s forever and no NULL row ever emitted). Far-future
+    # error + purchase pairs (unrelated users) advance both sides.
+    spacers = [
+        [
+            (4, base + dt.timedelta(hours=9), 8, "purchase", 0.0, "{}"),
+            (5, base + dt.timedelta(hours=9), 9, "error", 0.0, "{}"),
+        ],
+        [
+            (6, base + dt.timedelta(hours=10), 8, "purchase", 0.0, "{}"),
+            (7, base + dt.timedelta(hours=10), 9, "error", 0.0, "{}"),
+        ],
+    ]
+    src = tmp_path / "fo_outer_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(src))
+    for sp in spacers:
+        spark.createDataFrame(sp, schema).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        jobs.followup_outer_join_stream(stream)
+        .writeStream.format("memory")
+        .queryName("fo_outer_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fo_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.trigger_event_id, r.response_event_id, r.lag_us)
+        for r in spark.sql("SELECT * FROM fo_outer_out").collect()
+    }
+    # matched pair (arrival-driven) + user 2's provable no-response row;
+    # the spacer errors (user 9) stay PENDING — their own 4 h windows
+    # reach past the final watermark (the trailing-unprovable contract)
+    assert got == {
+        (1, 1, 2, 3_600_000_000),
+        (2, 3, None, None),
+    }
+
+
+def test_followup_outer_join_trailing_triggers_stay_pending(
+    spark, tmp_path, events_df
+):
+    """Fixture-scale drain == batch twin, EXCEPT the trailing
+    unprovable window: an unmatched trigger with t + within beyond the
+    final watermark cannot yet prove "no response" and must NOT emit
+    (the unflushed-trailing-session contract applied to join state).
+    Matched pairs emit regardless (arrival-driven)."""
+    src = tmp_path / "fo_outer_fix_src"
+    events_df.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(events_df.schema).parquet(str(src))
+    q = (
+        jobs.followup_outer_join_stream(stream)
+        .writeStream.format("memory")
+        .queryName("fo_outer_fix_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fo_outer_fix"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.trigger_event_id, r.response_event_id, r.lag_us)
+        for r in spark.sql("SELECT * FROM fo_outer_fix_out").collect()
+    }
+    batch = jobs.followup_outer_batch(events_df).collect()
+    want_matched = {
+        (r.user_id, r.trigger_event_id, r.response_event_id, r.lag_us)
+        for r in batch
+        if r.response_event_id is not None
+    }
+    # watermark after a bounded drain: each side's EventTimeWatermark
+    # node sits below the pushed-down type filter, so it tracks only its
+    # own type's max event time; the global mark is the MIN of the two,
+    # minus the 10 s delay
+    wm_us = (
+        min(
+            events_df.filter(F.col("event_type") == t)
+            .agg(F.max(F.unix_micros("ts")))
+            .first()[0]
+            for t in ("error", "purchase")
+        )
+        - 10_000_000
+    )
+    within_us = 4 * 3600 * 1_000_000
+    trigger_us = {
+        r.event_id: u
+        for r, u in zip(
+            events_df.filter(F.col("event_type") == "error")
+            .select("event_id")
+            .collect(),
+            [
+                x[0]
+                for x in events_df.filter(F.col("event_type") == "error")
+                .select(F.unix_micros("ts"))
+                .collect()
+            ],
+        )
+    }
+    want_unmatched_provable = {
+        (r.user_id, r.trigger_event_id, None, None)
+        for r in batch
+        if r.response_event_id is None
+        and trigger_us[r.trigger_event_id] + within_us < wm_us
+    }
+    assert want_matched <= got
+    assert want_unmatched_provable <= got
+    # nothing beyond batch-truth emits, and every emitted unmatched row
+    # is genuinely unmatched in the batch twin
+    want_all = {
+        (r.user_id, r.trigger_event_id, r.response_event_id, r.lag_us)
+        for r in batch
+    }
+    assert got <= want_all
+    assert len(want_matched) > 0 and len(want_unmatched_provable) > 0
