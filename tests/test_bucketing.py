@@ -110,3 +110,53 @@ def test_bucketed_groupby_reuses_layout(spark, bucketed_tables):
     t_orders, _ = bucketed_tables
     agg = spark.table(t_orders).groupBy("o_custkey").count()
     assert "Exchange" not in _executed_plan(agg)
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Physical-design pin for the runtime-filter lever (the shuffle-join
+    companion of bucket pruning): with a SELECTIVE predicate on the
+    creation side of a shuffle join, Catalyst injects a
+    bloom_filter_agg on the filtered dim keys and a might_contain
+    probe into the fact-side scan filter — fact rows that cannot join
+    die before the exchange (at 100 TB that is the difference between
+    shuffling the full fact table and shuffling the ~matching slice).
+    Negative control: with the optimizer flag off the probe is absent.
+    The thresholds are part of the pin: local fixtures sit under the
+    default 10 MB creation-side floor, so the test (like a real
+    deployment tuning this lever) sets them explicitly."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_video_project_spark import io
+
+    sf = "/root/testdata/sf0.01"
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = io.load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = io.load_table(spark, sf, "lineitem")
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        assert j.count() > 0
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        j2 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan2 = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" not in plan2
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

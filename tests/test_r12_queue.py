@@ -417,3 +417,30 @@ def test_allocation_oracle_shape_matches(spark, sf):
     want = _rendered(con.sql(ALLOC_ORACLE_SHAPE).df())
     assert list(got.columns) == list(want.columns)
     assert got.equals(want) and len(got) == 5, sf
+
+
+# ---------------------------------------------------------------------------
+# Pre-wired r12 module lockstep (the r11-module discipline)
+# ---------------------------------------------------------------------------
+
+
+def test_round12_module_entries_match_oracles(spark):
+    """The driver-style rendered-value check over every pre-wired r12
+    query at sf0.01 — the same gate the registry sweep applies, run
+    against the module that will be registered when a window has room.
+    Keeps the module in lockstep with any operator-signature change
+    between now and registration (the r11 VERDICT item-6 discipline)."""
+    from kinesis_stream_video_project_spark.plans import queries_round12 as q12
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    assert len(q12.QUERIES) == 5
+    for name, fn in q12.QUERIES.items():
+        got = fn(spark, sf).toPandas()
+        want = con.sql(q12.ORACLES[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert _rendered(got).equals(_rendered(want)), name
+        assert len(got) > 0, name
