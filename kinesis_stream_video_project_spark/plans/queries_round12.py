@@ -40,7 +40,7 @@ from kinesis_stream_video_project_spark.streaming.jobs import (
 
 def _allpairs_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact whole-corpus all-pairs 3-shingle Jaccard ≥ 600‰ through the
-    PPJoin positional filter (X-170) — same contract as the r11 prefix
+    PPJoin positional filter (X-168) — same contract as the r11 prefix
     form, 3.4× smaller verify-candidate set (dedup.py docstring)."""
     docs = io.load_table(spark, sf_dir, "documents")
     return allpairs_jaccard_prefix(docs, 600, positional=True)
@@ -48,19 +48,19 @@ def _allpairs_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary growth over 3-shingle types at 20 doc_id-range
-    checkpoints (X-171) — the corpus-level crawl-exhaustion curve."""
+    checkpoints (X-169) — the corpus-level crawl-exhaustion curve."""
     return heaps_law_curve(io.load_table(spark, sf_dir, "documents"))
 
 
 def _rare_shingle_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 lexical nearest neighbors per doc by inverse-df-weighted
-    rare-shingle overlap, df ∈ [2, 20] (X-172)."""
+    rare-shingle overlap, df ∈ [2, 20] (X-170)."""
     return rare_shingle_neighbors(io.load_table(spark, sf_dir, "documents"))
 
 
 def _stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamilton largest-remainder allocation of a 1000-row budget across
-    order priorities + content-hash sample yield (X-173)."""
+    order priorities + content-hash sample yield (X-171)."""
     return stratified_allocation(
         io.load_table(spark, sf_dir, "orders"), "o_orderpriority", 1000,
         "o_orderkey",
@@ -69,7 +69,7 @@ def _stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _followup_outer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER trigger→response pairs: every error with its in-window
-    purchases OR one NULL-response row (X-174) — the batch replay of the
+    purchases OR one NULL-response row (X-172) — the batch replay of the
     outer stream-stream join's full verdict set (the stream withholds
     only the trailing unprovable window; pinned in test_streaming)."""
     return followup_outer_batch(io.load_table(spark, sf_dir, "events"))
