@@ -46,3 +46,98 @@ def topk_with_ties(
         df.withColumn("rk", rk.cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based GLOBAL row number under a total order WITHOUT a
+    single-partition sort — the scale-correct primitive behind exact
+    ntile/rank over frames too big for one task: repartitionByRange on
+    the order columns (a parallel range sort — every partition's key
+    range precedes the next's, and equal keys cannot straddle a
+    boundary), per-partition local row_number (a PARTITIONED window),
+    then add each partition's broadcast cumulative row-count offset.
+    The plan carries one range exchange + one tiny aggregate instead of
+    ``Window … Sort … Exchange SinglePartition``.
+
+    The ranked frame is localCheckpointed once at construction: the
+    offsets aggregate and the output are two consumers of the SAME
+    physical partitioning, and RangePartitioner re-samples boundaries
+    per computation — letting the two consumers recompute the exchange
+    independently would let their partitionings drift (correctness,
+    not performance; the allpairs/dhash stage-once discipline). The
+    checkpoint is linear in the input — callers pass LEDGER-sized
+    frames (per-customer aggregates), not fact tables.
+
+    ``order_cols`` must be a TOTAL order (append a key column); with
+    duplicate sort keys the within-partition tie order would be
+    nondeterministic and the rank not reproducible — the same contract
+    every registered top-k carries."""
+    staged = (
+        df.repartitionByRange(*order_cols)
+        if num_partitions is None
+        else df.repartitionByRange(num_partitions, *order_cols)
+    )
+    staged = (
+        staged.sortWithinPartitions(*order_cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = staged.groupBy("_gpid").agg(F.count(F.lit(1)).alias("_pn"))
+    # prefix offsets via a theta self-join of the ≤|partitions|-row
+    # count table — NOT a cumulative window: even over a tiny frame an
+    # unpartitioned window compiles to the Window…Exchange
+    # SinglePartition shape the repo's plan guard (rightly) rejects,
+    # and the join form is just as cheap at this cardinality
+    prior = counts.select(
+        F.col("_gpid").alias("_ppid"), F.col("_pn").alias("_ppn")
+    )
+    offsets = (
+        counts.join(prior, F.col("_ppid") < F.col("_gpid"), "left")
+        .groupBy("_gpid")
+        .agg(F.coalesce(F.sum("_ppn"), F.lit(0)).alias("_off"))
+    )
+    w_local = Window.partitionBy("_gpid").orderBy(*order_cols)
+    return (
+        staged.join(F.broadcast(offsets), "_gpid")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w_local) + F.col("_off")).cast("long"),
+        )
+        .drop("_gpid", "_off")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    out_col: str,
+) -> DataFrame:
+    """SQL-standard ``ntile(k)`` over a total order, computed from
+    :func:`global_row_number` instead of an unpartitioned window: with
+    N rows, q = N div k and r = N mod k, the first r buckets take q+1
+    rows and the rest take q — bucket(rn) is closed-form in (rn, N),
+    so the only non-local work is the range-rank itself. Bit-identical
+    to ntile() in both engines (pinned by the rfm oracle tests)."""
+    if k < 1:
+        raise ValueError(f"exact_ntile: k must be >= 1, got {k}")
+    ranked = global_row_number(df, order_cols, out_col="_gnt_rn")
+    n = ranked.agg(F.count(F.lit(1)).alias("_gnt_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"CAST(CASE WHEN _gnt_rn <= (_gnt_n % {k}) * (_gnt_n DIV {k} + 1) "
+                f"THEN (_gnt_rn - 1) DIV (_gnt_n DIV {k} + 1) + 1 "
+                f"ELSE (_gnt_n % {k}) + (_gnt_rn - (_gnt_n % {k}) * (_gnt_n DIV {k} + 1) - 1) "
+                f"DIV (_gnt_n DIV {k}) + 1 END AS BIGINT)"
+            ),
+        )
+        .drop("_gnt_rn", "_gnt_n")
+    )

@@ -408,36 +408,42 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
     oldest / fewest / least — consumers flip if they want "4 = best"
     on recency; stated, not implied).
 
-    Determinism: each ntile runs over a TOTAL order ((metric, custkey)
-    — ties broken by key), and ntile's bucket-split rule (earlier
-    buckets larger by at most one) is the SQL standard both engines
-    implement, so the coding is hash-exact. Monetary sums in
+    Determinism: each tile coding runs over a TOTAL order ((metric,
+    custkey) — ties broken by key), and ntile's bucket-split rule
+    (earlier buckets larger by at most one) is the SQL standard both
+    engines implement, so the coding is hash-exact. Monetary sums in
     DECIMAL(18,2) (exact; the r2 DECIMAL lesson).
 
-    Scale: the windows run over the PER-CUSTOMER aggregate
-    (|customers| rows, ~1.5% of orders), not the fact table — the
-    token_budget_waterfall ledger discipline. For a customer dimension
-    too big for one window partition, replace each ntile with the
-    two-phase 256-bucket distributed rank (operators/sampling.py::
-    corpus_shuffle's trick); the registered form states the simple
-    plan because the aggregate IS small here."""
+    Scale (the r9 plan-guard rewrite): the first form used three
+    unpartitioned ntile windows over the per-customer aggregate —
+    ledger-sized, but still ``Window…Sort…Exchange SinglePartition``
+    three times, a single-task sort per metric at a billion customers
+    (the repo's own plan guard rejected it). Each ntile is now
+    :func:`~kinesis_stream_video_project_spark.operators.ranking.exact_ntile`
+    — a range-repartitioned PARALLEL rank (one range exchange + a
+    broadcast partition-offset table per metric) with ntile's
+    bucket-split rule applied closed-form; bit-identical output (the
+    oracle stays plain ntile SQL)."""
+    from kinesis_stream_video_project_spark.operators.ranking import (
+        exact_ntile,
+    )
+
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("_r"),
         F.count(F.lit(1)).alias("_f"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_m"),
     )
-    w_r = Window.orderBy("_r", "o_custkey")
-    w_f = Window.orderBy("_f", "o_custkey")
-    w_m = Window.orderBy("_m", "o_custkey")
-    coded = per_cust.select(
+    coded = per_cust
+    for metric, out in (("_r", "r_q"), ("_f", "f_q"), ("_m", "m_q")):
+        coded = exact_ntile(coded, [metric, "o_custkey"], n_tiles, out)
+    return coded.select(
         F.col("o_custkey").alias("custkey"),
-        F.ntile(n_tiles).over(w_r).cast("long").alias("r_q"),
-        F.ntile(n_tiles).over(w_f).cast("long").alias("f_q"),
-        F.ntile(n_tiles).over(w_m).cast("long").alias("m_q"),
-    )
-    return coded.withColumn(
-        "segment_code",
-        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("long"),
+        "r_q",
+        "f_q",
+        "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("long")
+        .alias("segment_code"),
     )
 
 

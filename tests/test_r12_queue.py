@@ -444,3 +444,80 @@ def test_round12_module_entries_match_oracles(spark):
         assert sorted(got.columns) == sorted(want.columns), name
         assert _rendered(got).equals(_rendered(want)), name
         assert len(got) > 0, name
+
+
+# ---------------------------------------------------------------------------
+# Scale-correct global rank / exact ntile (the rfm plan-guard rewrite)
+# ---------------------------------------------------------------------------
+
+
+def test_global_row_number_equals_window_form(spark):
+    """The range-repartitioned rank must equal the single-partition
+    window row_number on the same total order — checked over a frame
+    spread across many partitions with adversarial value order."""
+    from pyspark.sql.window import Window
+
+    from kinesis_stream_video_project_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    got = {
+        r["k"]: r["_rn"]
+        for r in global_row_number(df, ["v", "k"]).collect()
+    }
+    want = {
+        r["k"]: r["_rn"]
+        for r in df.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("v", "k"))
+        ).collect()
+    }
+    assert got == want and len(got) == 500
+
+
+@pytest.mark.parametrize("n,k", [(10, 4), (12, 4), (3, 4), (1, 1), (7, 3), (100, 7)])
+def test_exact_ntile_equals_sql_ntile(spark, n, k):
+    """The closed-form bucket rule must reproduce SQL ntile(k) exactly,
+    including N < k (every bucket size 1) and uneven remainders."""
+    from pyspark.sql.window import Window
+
+    from kinesis_stream_video_project_spark.operators.ranking import exact_ntile
+
+    rows = [(i, (i * 13) % 29) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    got = {
+        r["k"]: r["b"] for r in exact_ntile(df, ["v", "k"], k, "b").collect()
+    }
+    want = {
+        r["k"]: r["b"]
+        for r in df.withColumn(
+            "b", F.ntile(k).over(Window.orderBy("v", "k")).cast("long")
+        ).collect()
+    }
+    assert got == want and len(got) == n
+
+
+def test_global_row_number_plan_has_no_singlepartition_window(spark):
+    """The primitive's reason to exist: the physical plan must carry a
+    range exchange and NO Window-over-SinglePartition (the guard
+    pattern), i.e. the global sort is parallel."""
+    import re
+
+    from kinesis_stream_video_project_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "k long, v long"
+    )
+    out = global_row_number(df, ["v", "k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pat = re.compile(
+        r"Window .*\n.*?Sort .*\n.*?Exchange SinglePartition", re.MULTILINE
+    )
+    assert not pat.search(plan), plan
+    # the range sort itself ran eagerly inside the localCheckpoint (the
+    # plan starts at Scan ExistingRDD), so what the downstream plan can
+    # show is: the ONLY window is partitioned on _gpid — never global
+    assert "windowspecdefinition(_gpid" in plan, plan
