@@ -181,9 +181,18 @@ deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM b GROUP BY src)
 
 
 def _graph3_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint the 16 B/row edge list ONCE: the wedge operators
+    # fan it out to 4+ consumers on different keys (both-directions,
+    # degree, wedge a/b, triangle canon), and without the checkpoint
+    # every consumer re-derived it from the lineitem scan — 24 parquet
+    # scans / 0 reused exchanges in the executed plan (the r8
+    # multi-consumer decision rule: 3+ join keys -> checkpoint the
+    # smallest projection). Measured warm at sf0.1:
+    # clustering_coefficient 1.31 -> 0.71 s; neighbor_jaccard
+    # 1.89 -> 1.79 s (its residual cost is the wedge join itself).
     li = io.load_table(spark, sf_dir, "lineitem")
     sets3 = graph.order_part_sets(li).filter(F.size("ps") <= 3)
-    return graph.edges_from_sets(sets3)
+    return graph.edges_from_sets(sets3).localCheckpoint()
 
 
 @register(
