@@ -1,7 +1,9 @@
 """Round-12 registration module — PRE-WIRED, NOT YET REGISTERED.
 
 Every r12-queue operator (tests/test_r12_queue.py + the outer-join
-streaming pins in tests/test_streaming.py) as a driver-contract query:
+streaming pins in tests/test_streaming.py — ppjoin, Heaps curve,
+rare-shingle neighbors, Hamilton allocation, the outer-join batch twin,
+and counting-algebra IVM) as a driver-contract query:
 ``QUERIES`` maps name → (spark, sf_dir) → DataFrame and ``ORACLES``
 maps name → DuckDB SQL over the driver's pre-registered views. The
 registry does NOT import this module yet — a query registered in round
@@ -22,7 +24,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.operators import ivm
 from kinesis_stream_video_project_spark.operators.dedup import (
     allpairs_jaccard_prefix,
 )
@@ -31,6 +36,7 @@ from kinesis_stream_video_project_spark.operators.retrieval import (
     rare_shingle_neighbors,
 )
 from kinesis_stream_video_project_spark.operators.sampling import (
+    hash_bucket,
     stratified_allocation,
 )
 from kinesis_stream_video_project_spark.streaming.jobs import (
@@ -75,12 +81,45 @@ def _followup_outer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return followup_outer_batch(io.load_table(spark, sf_dir, "events"))
 
 
+def _ivm_orders_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the per-customer (order count,
+    cents total) rollup (X-174): the BASE view (orderkey-hash < 80)
+    absorbs a changeset of deletes (10% of base by a second hash) and
+    inserts (hash ≥ 80) through the counting-algebra merge — the Spark
+    side never re-aggregates the base rows; the oracle recomputes the
+    final state directly, so the hash match certifies
+    merge(V(base), Δ) == V(final rows). The changeset is
+    account-deletion shaped — customers with custkey-hash < 5 delete
+    ALL their base orders and place no new ones — so BOTH interesting
+    branches are exercised at every SF (keys leaving the view: 4/61/696;
+    insert-born keys: 1/2/3)."""
+    o = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("_cents"),
+    )
+    b = hash_bucket(F.col("o_orderkey"))
+    bc = hash_bucket(F.col("o_custkey"), 100)
+    base = o.filter(b < 80)
+    base_agg = ivm.agg_state(base, "o_custkey", "_cents")
+    deletes = base.filter(bc < 5).withColumn("op", F.lit("D"))
+    inserts = o.filter((b >= 80) & (bc >= 5)).withColumn("op", F.lit("I"))
+    return ivm.merge_agg_deltas(
+        base_agg, deletes.unionByName(inserts), "o_custkey", "_cents"
+    ).select(
+        F.col("key").alias("custkey"), "n_rows", "total"
+    )
+
+
 QUERIES = {
     "allpairs_jaccard_ppjoin": _allpairs_jaccard_ppjoin,
     "heaps_law_curve": _heaps_law_curve,
     "rare_shingle_neighbors": _rare_shingle_neighbors,
     "stratified_allocation": _stratified_allocation,
     "followup_outer_pairs": _followup_outer_pairs,
+    "ivm_orders_by_custkey": _ivm_orders_by_custkey,
 }
 
 
@@ -186,6 +225,22 @@ FROM t LEFT JOIN r
   ON t.user_id = r.user_id
  AND r.r_us > t.t_us
  AND r.r_us <= t.t_us + CAST(4 AS BIGINT) * 3600 * 1000000
+""",
+    "ivm_orders_by_custkey": """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 100 AS bc
+  FROM orders
+),
+final_rows AS (
+  SELECT * FROM o
+  WHERE (b < 80 AND bc >= 5) OR (b >= 80 AND bc >= 5)
+)
+SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total
+FROM final_rows GROUP BY 1
 """,
 }
 

@@ -1,7 +1,8 @@
 """Round-12 registration queue: PPJoin positional filter over the exact
 AllPairs tier, the Heaps-law vocabulary-growth curve, rare-shingle
 nearest neighbors, Hamilton largest-remainder stratified allocation,
-and the left-outer stream-stream interval join — pytest-verified with
+the left-outer stream-stream interval join, and counting-algebra
+incremental view maintenance — pytest-verified with
 validated DuckDB oracle shapes before registration (the
 paste-don't-debug discipline, sixth round running)."""
 
@@ -437,7 +438,7 @@ def test_round12_module_entries_match_oracles(spark):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q12.QUERIES) == 5
+    assert len(q12.QUERIES) == 6
     for name, fn in q12.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q12.ORACLES[name]).df()
@@ -521,3 +522,106 @@ def test_global_row_number_plan_has_no_singlepartition_window(spark):
     # plan starts at Scan ExistingRDD), so what the downstream plan can
     # show is: the ONLY window is partitioned on _gpid — never global
     assert "windowspecdefinition(_gpid" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (counting algebra, Blakeley et al. 1986)
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_merge_handchecked(spark):
+    """Base A(2 rows, 30), B(1, 5); delta D(A,10), D(B,5), I(C,7):
+    A keeps one row totalling 20, B's count reaches zero and leaves the
+    view, C appears fresh."""
+    from kinesis_stream_video_project_spark.operators import ivm
+
+    base = spark.createDataFrame(
+        [("A", 10), ("A", 20), ("B", 5)], "k string, v long"
+    )
+    base_agg = ivm.agg_state(base, "k", "v")
+    delta = spark.createDataFrame(
+        [("A", 10, "D"), ("B", 5, "D"), ("C", 7, "I")],
+        "k string, v long, op string",
+    )
+    got = {
+        r["key"]: (r["n_rows"], r["total"])
+        for r in ivm.merge_agg_deltas(base_agg, delta, "k", "v").collect()
+    }
+    assert got == {"A": (1, 20), "C": (1, 7)}
+
+
+def test_ivm_refuses_corrupt_changelogs(spark):
+    """A delete for a key the base never had (negative count) and an
+    unknown op must fail LOUDLY in-plan — clamping would hide upstream
+    corruption inside a 'successful' refresh."""
+    from pyspark.errors import SparkRuntimeException
+
+    from kinesis_stream_video_project_spark.operators import ivm
+
+    base = spark.createDataFrame([("A", 10)], "k string, v long")
+    base_agg = ivm.agg_state(base, "k", "v")
+    bad_delete = spark.createDataFrame(
+        [("Z", 3, "D")], "k string, v long, op string"
+    )
+    with pytest.raises(SparkRuntimeException):
+        ivm.merge_agg_deltas(base_agg, bad_delete, "k", "v").collect()
+    bad_op = spark.createDataFrame(
+        [("A", 3, "X")], "k string, v long, op string"
+    )
+    with pytest.raises(SparkRuntimeException):
+        ivm.merge_agg_deltas(base_agg, bad_op, "k", "v").collect()
+
+
+def test_ivm_incremental_equals_recompute(spark, sf_dir):
+    """The algebra's contract on real data: merge(V(base), delta) must
+    equal agg_state over the final row set, and the fixture split must
+    exercise BOTH interesting branches — a key leaving the view
+    entirely and a key born from inserts alone."""
+    from kinesis_stream_video_project_spark.operators import ivm
+    from kinesis_stream_video_project_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    o = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("_cents"),
+    )
+    b = hash_bucket(F.col("o_orderkey"))
+    bc = hash_bucket(F.col("o_custkey"), 100)
+    base = o.filter(b < 80)
+    deletes = base.filter(bc < 5)
+    inserts = o.filter((b >= 80) & (bc >= 5))
+    merged = ivm.merge_agg_deltas(
+        ivm.agg_state(base, "o_custkey", "_cents"),
+        deletes.withColumn("op", F.lit("D")).unionByName(
+            inserts.withColumn("op", F.lit("I"))
+        ),
+        "o_custkey",
+        "_cents",
+    )
+    final_rows = base.join(
+        deletes.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(inserts)
+    recomputed = ivm.agg_state(final_rows, "o_custkey", "_cents")
+    got = {r["key"]: (r["n_rows"], r["total"]) for r in merged.collect()}
+    want = {
+        r["key"]: (r["n_rows"], r["total"]) for r in recomputed.collect()
+    }
+    assert got == want and len(got) > 0
+    base_keys = {r["key"] for r in ivm.agg_state(base, "o_custkey", "_cents").collect()}
+    assert base_keys - set(got), "no key left the view — split degenerate"
+    assert set(got) - base_keys, "no insert-born key — split degenerate"
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_ivm_oracle_shape_matches(spark, sf):
+    from kinesis_stream_video_project_spark.plans import queries_round12 as q12
+
+    got = _rendered(q12.QUERIES["ivm_orders_by_custkey"](spark, sf).toPandas())
+    con = _con(sf)
+    want = _rendered(con.sql(q12.ORACLES["ivm_orders_by_custkey"]).df())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want) and len(got) > 0, sf
