@@ -1,0 +1,440 @@
+"""Round-10-remainder registration module — PRE-WIRED, NOT YET
+REGISTERED (the queries_round11/round12 discipline).
+
+The 9 r10-queue operators not promoted into the r9 window, each as a
+driver-contract query with the EXACT oracle string validated bit-exact
+at three SFs in tests/test_r10_queue.py / test_r9_queue.py. Wiring into
+the r10 window is mechanical: :func:`register_all` from
+``registry._load_all`` + DRIVER_PRIORITY splice + bench rotation +
+QUERIES.md regeneration, one commit (the four-place rule).
+
+Registration caveat carried from the probes: ``dhash_near_dups`` has
+pairs ONLY at sf0.1 (the SF where the fixture plants hash-identical
+payloads; 0 pairs at sf0.001/0.01 — probed) — its driver hash row at
+sf0.01 would be an empty==empty match, so the r10 session should
+either keep it module-only or state the emptiness in the registration
+docstring; the brute-force completeness pin at small SFs is the
+algorithmic evidence either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.operators import layout
+from kinesis_stream_video_project_spark.operators import multimodal as mm
+from kinesis_stream_video_project_spark.operators import similarity as sim
+from kinesis_stream_video_project_spark.operators.funnel import closed_sessions
+from kinesis_stream_video_project_spark.operators.graph import hits_bipartite
+
+
+def _zorder_interleave_sql(xe: str, ye: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _orders_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io.load_table(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("o_custkey").cast("long").alias("y"),
+    )
+
+
+def _zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs row-major read-amplification audit (X-128) on the
+    (order-day, custkey) plane, rectangle = days [1460, 1825] ×
+    custkey [max/10, max/5]; the audit MEASURES which layout wins
+    (row-major at sf≤0.01, z-order 3.4× at sf0.1 — probed)."""
+    return layout.zorder_locality_audit(
+        _orders_xy(spark, sf_dir), "x", "y", 1460, 1825, 10, 5,
+        bits=14, bucket_bits=8,
+    )
+
+
+def _range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth range-shuffle cut points over lineitem.quantity
+    at 8 target tiles (X-129); tie-groups land whole, so tie skew is
+    REPORTED — the audit twin of RangePartitioner's sample estimate."""
+    return layout.range_partition_bounds(
+        io.load_table(spark, sf_dir, "lineitem"), "l_quantity", 8
+    )
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str):
+    e = io.load_table(spark, sf_dir, "embeddings")
+    return e, e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _truncated_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-truncation two-stage retrieval (X-130):
+    dims=32 shortlist of 50 → exact 64-dim rerank to top-10."""
+    e, q = _emb_queries(spark, sf_dir)
+    return sim.truncated_rerank_topk(q, e, dims=32, k=10, shortlist=50)
+
+
+def _pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 at the 8×256 geometry (X-124) —
+    the densest tier of the quantization ladder (8-byte codes, 32×
+    compression; recall floor 0.2 pinned as measured)."""
+    e, q = _emb_queries(spark, sf_dir)
+    return sim.pq_adc_topk(q, e, k=10, n_centroids=256)
+
+
+def _frame_diff_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-adjacent-frame pixel-SAD energy over the stub frame model
+    (X-131 stage 1)."""
+    return mm.frame_diff_energy(
+        mm.media_manifest(io.load_table(spark, sf_dir, "documents")),
+        frame_size=64,
+    )
+
+
+def _scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary candidates: SAD > 9/8 of the media's mean
+    (X-131 stage 2; threshold probed non-degenerate at every SF)."""
+    return mm.scene_cuts(
+        mm.media_manifest(io.load_table(spark, sf_dir, "documents")),
+        frame_size=64, num=9, den=8,
+    )
+
+
+def _dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming dHash near-duplicates, hamming ≤ 3 (X-134).
+    NON-EMPTY ONLY AT sf0.1 (see module docstring)."""
+    return mm.dhash_near_dups(
+        mm.image_dhash(
+            mm.media_manifest(io.load_table(spark, sf_dir, "documents"))
+        ),
+        max_hamming=3,
+    )
+
+
+def _hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer bipartite HITS, 2 iterations, over the customer→part
+    purchase graph (X-137)."""
+    o = io.load_table(spark, sf_dir, "orders")
+    li = io.load_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth")
+    )
+    return hits_bipartite(edges, iters=2)
+
+
+def _closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the online sessionizer's shared fold at a 30-min
+    gap — replay == gaps-and-islands exactly, so the FOLD itself
+    hash-checks (the funnel_user_advances pattern)."""
+    return closed_sessions(io.load_table(spark, sf_dir, "events"), gap_s=1800)
+
+
+QUERIES = {
+    "zorder_locality_audit": _zorder_locality_audit,
+    "range_partition_bounds": _range_partition_bounds,
+    "truncated_rerank_topk": _truncated_rerank_topk,
+    "pq_adc_topk": _pq_adc_topk,
+    "frame_diff_energy": _frame_diff_energy,
+    "scene_cuts": _scene_cuts,
+    "dhash_near_dups": _dhash_near_dups,
+    "hits_bipartite": _hits_bipartite,
+    "closed_sessions": _closed_sessions,
+}
+
+
+_Z = _zorder_interleave_sql("x", "y", 14)
+_SHIFT = 2 * 14 - 8
+
+_SAD_CORE = """
+WITH vids AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT media_id, text, (length(text) // 64) AS n_frames FROM vids),
+pairs AS (
+  SELECT media_id, t.i AS frame_no,
+         list_sum(list_transform(generate_series(1, 64),
+           j -> abs(ascii(substr(text, t.i * 64 + j, 1))
+                  - ascii(substr(text, (t.i + 1) * 64 + j, 1))))) AS sad
+  FROM fr, UNNEST(generate_series(0, n_frames - 2)) AS t(i)
+  WHERE n_frames >= 2
+)
+"""
+
+ORACLES = {
+    "zorder_locality_audit": f"""
+WITH base AS (
+  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+         CAST(o_custkey AS BIGINT) AS y
+  FROM orders
+),
+ymax AS (SELECT MAX(y) AS my FROM base),
+keyed AS (
+  SELECT (x BETWEEN 1460 AND 1825
+          AND y BETWEEN (SELECT my FROM ymax) // 10 AND (SELECT my FROM ymax) // 5) AS hit,
+         ({_Z}) >> {_SHIFT} AS zb,
+         ((x << 14) + y) >> {_SHIFT} AS rb
+  FROM base
+),
+zt AS (SELECT DISTINCT zb FROM keyed WHERE hit),
+rt AS (SELECT DISTINCT rb FROM keyed WHERE hit),
+z AS (
+  SELECT 'zorder' AS layout,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_rect_rows,
+         COUNT(DISTINCT zb) AS n_blocks_touched,
+         COUNT(*) AS n_rows_read
+  FROM keyed WHERE zb IN (SELECT zb FROM zt)
+),
+r AS (
+  SELECT 'rowmajor' AS layout,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_rect_rows,
+         COUNT(DISTINCT rb) AS n_blocks_touched,
+         COUNT(*) AS n_rows_read
+  FROM keyed WHERE rb IN (SELECT rb FROM rt)
+)
+SELECT layout, CAST(n_rect_rows AS BIGINT) AS n_rect_rows,
+       CAST(n_blocks_touched AS BIGINT) AS n_blocks_touched,
+       CAST(n_rows_read AS BIGINT) AS n_rows_read,
+       CAST((n_rows_read * 1000) // n_rect_rows AS BIGINT) AS read_amp_permille
+FROM (SELECT * FROM z UNION ALL SELECT * FROM r)
+""",
+    "range_partition_bounds": """
+WITH ledger AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS n_total FROM ledger),
+assigned AS (
+  SELECT v, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM ledger
+)
+SELECT CAST((cum_before * 8) // (SELECT n_total FROM tot) AS BIGINT) AS part,
+       CAST(MAX(v) AS BIGINT) AS upper_value,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows
+FROM assigned
+GROUP BY 1
+""",
+    "truncated_rerank_topk": """
+WITH t_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         (floor((
+            list_sum(list_transform(generate_series(1, 32),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(generate_series(1, 32),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, 32),
+                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+          ) * 10000.0 + 0.5) / 10000.0) AS tcos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY tcos DESC, vec_id) AS r
+    FROM t_scored
+  ) WHERE r <= 50
+),
+reranked AS (
+  SELECT s.query_id, s.vec_id,
+         (floor((
+            list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(qv.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(cv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))))
+          ) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+  FROM short s
+  JOIN embeddings qv ON qv.vec_id = s.query_id
+  JOIN embeddings cv ON cv.vec_id = s.vec_id
+)
+SELECT query_id, vec_id, cos_sim,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+       ) AS BIGINT) AS rank
+FROM reranked
+QUALIFY rank <= 10
+""",
+    "pq_adc_topk": """
+WITH sub AS (
+  SELECT vec_id, s.s AS s,
+         list_transform(list_slice(embedding, s.s*8 + 1, s.s*8 + 8),
+                        x -> CAST(x AS DOUBLE)) AS sv
+  FROM embeddings, UNNEST(generate_series(0, 7)) AS s(s)
+),
+a0 AS (SELECT vec_id, s, sv, CAST(vec_id % 256 AS INT) AS cell FROM sub),
+c1 AS (
+  SELECT s, cell, list(mean_c ORDER BY dim) AS centroid
+  FROM (
+    SELECT s, cell, d.d AS dim, AVG(sv[d.d]) AS mean_c
+    FROM a0, UNNEST(generate_series(1, 8)) AS d(d)
+    GROUP BY s, cell, d.d
+  ) GROUP BY s, cell
+),
+a1 AS (
+  SELECT vec_id, s, sv, cell FROM (
+    SELECT a.vec_id, a.s, a.sv, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id, a.s
+             ORDER BY list_sum(list_transform(generate_series(1, 8),
+                        i -> (a.sv[i] - c.centroid[i])
+                           * (a.sv[i] - c.centroid[i]))) ASC,
+                      c.cell ASC) AS rn
+    FROM sub a JOIN c1 c ON c.s = a.s
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT s, cell, list(mean_c ORDER BY dim) AS centroid
+  FROM (
+    SELECT s, cell, d.d AS dim, AVG(sv[d.d]) AS mean_c
+    FROM a1, UNNEST(generate_series(1, 8)) AS d(d)
+    GROUP BY s, cell, d.d
+  ) GROUP BY s, cell
+),
+codes AS (
+  SELECT vec_id, s, cell AS code FROM (
+    SELECT a.vec_id, a.s, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id, a.s
+             ORDER BY list_sum(list_transform(generate_series(1, 8),
+                        i -> (a.sv[i] - c.centroid[i])
+                           * (a.sv[i] - c.centroid[i]))) ASC,
+                      c.cell ASC) AS rn
+    FROM sub a JOIN c2 c ON c.s = a.s
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, q.s, c.cell AS code,
+         list_sum(list_transform(generate_series(1, 8),
+                  i -> q.sv[i] * c.centroid[i])) AS pdot
+  FROM sub q JOIN c2 c ON c.s = q.s
+  WHERE q.vec_id < 5
+),
+sc AS (
+  SELECT l.query_id, k.vec_id,
+         (floor(SUM(l.pdot) * 10000.0 + 0.5) / 10000.0) AS score_q
+  FROM codes k JOIN lut l ON l.s = k.s AND l.code = k.code
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, score_q,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY score_q DESC, vec_id
+       ) AS BIGINT) AS rank
+FROM sc
+QUALIFY rank <= 10
+""",
+    "frame_diff_energy": _SAD_CORE + """
+SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no, CAST(sad AS BIGINT) AS sad
+FROM pairs
+""",
+    "scene_cuts": _SAD_CORE + """
+, per_media AS (
+  SELECT media_id, SUM(sad) AS sum_sad, COUNT(*) AS n_pairs FROM pairs GROUP BY media_id
+)
+SELECT p.media_id, CAST(p.frame_no AS BIGINT) AS frame_no, CAST(p.sad AS BIGINT) AS sad,
+       CAST((m.sum_sad * 1000) // m.n_pairs AS BIGINT) AS mean_sad_scaled
+FROM pairs p JOIN per_media m USING (media_id)
+WHERE p.sad * m.n_pairs * 8 > m.sum_sad * 9
+""",
+    "dhash_near_dups": """
+WITH bytes AS (
+  SELECT doc_id AS media_id, list_transform(
+           generate_series(1, nbytes),
+           j -> (strpos('0123456789abcdef', hx[2*j-1]) - 1) * 16
+              + (strpos('0123456789abcdef', hx[2*j]) - 1)
+         ) AS bs, nbytes AS L
+  FROM (SELECT doc_id, string_split(lower(hex(encode(text))), '') AS hx,
+               octet_length(encode(text)) AS nbytes
+        FROM documents)
+),
+vals AS (
+  SELECT media_id, list_transform(
+           generate_series(0, 63),
+           b -> CASE WHEN ((b + 1) * L) // 64 > (b * L) // 64
+                THEN list_sum(list_slice(bs, (b * L) // 64 + 1,
+                                         ((b + 1) * L) // 64))
+                     // (((b + 1) * L) // 64 - (b * L) // 64)
+                ELSE 0 END
+         ) AS v
+  FROM bytes
+),
+hashed AS (
+  SELECT media_id,
+         list_sum(list_transform(
+           generate_series(0, 55),
+           k -> CASE WHEN v[(k // 7) * 8 + (k % 7) + 2]
+                          > v[(k // 7) * 8 + (k % 7) + 1]
+                THEN 1 << k ELSE 0 END
+         )) AS dhash
+  FROM vals
+),
+banded AS (
+  SELECT media_id, dhash, i.i AS band_no,
+         (dhash >> (14 * i.i)) & 16383 AS band_val
+  FROM hashed, UNNEST(generate_series(0, 3)) AS i(i)
+),
+pairs AS (
+  SELECT DISTINCT l.media_id AS media_id_a, r.media_id AS media_id_b,
+                  l.dhash AS ha, r.dhash AS hb
+  FROM banded l
+  JOIN banded r ON l.band_no = r.band_no AND l.band_val = r.band_val
+              AND l.media_id < r.media_id
+)
+SELECT media_id_a, media_id_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+""",
+    "hits_bipartite": """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS h, l_partkey AS a
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT h, CAST(1000000 AS BIGINT) AS s FROM e),
+a1 AS (SELECT a, CAST(SUM(s) AS BIGINT) AS s FROM e JOIN h0 USING (h) GROUP BY a),
+h1 AS (SELECT h, CAST(SUM(s) AS BIGINT) AS s FROM e JOIN a1 USING (a) GROUP BY h),
+a2 AS (SELECT a, CAST(SUM(s) AS BIGINT) AS s FROM e JOIN h1 USING (h) GROUP BY a),
+h2 AS (SELECT h, CAST(SUM(s) AS BIGINT) AS s FROM e JOIN a2 USING (a) GROUP BY h)
+SELECT h AS node_id, 'hub' AS role, s AS score_scaled FROM h2
+UNION ALL
+SELECT a AS node_id, 'authority' AS role, s AS score_scaled FROM a2
+""",
+    "closed_sessions": """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM base
+)
+SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessed GROUP BY user_id, sess
+""",
+}
+
+assert set(QUERIES) == set(ORACLES)
+
+TAGS = {name: ("round10",) for name in QUERIES}
+
+
+def register_all() -> None:
+    """Wire every r10-remainder query into the live registry — called
+    from ``registry._load_all`` when the r10 window opens, never
+    before."""
+    from kinesis_stream_video_project_spark.plans.registry import register
+
+    for name, fn in QUERIES.items():
+        register(name, oracle=ORACLES[name], tags=TAGS[name])(fn)

@@ -1201,3 +1201,28 @@ def test_closed_sessions_replay_matches_islands_oracle(spark, sf):
     want = con.sql(SESSIONS_ORACLE_SHAPE.format(gap_us=1800 * 1_000_000)).df()
     assert _rendered(got.toPandas()).equals(_rendered(want)), sf
     assert got.count() > 0
+
+
+def test_round10b_module_entries_match_oracles(spark):
+    """The driver-style rendered-value check over every pre-wired
+    r10-remainder query at sf0.01 — the queries_round11/round12 lockstep
+    discipline: keeps the module consistent with operator-signature
+    changes every round until the r10 window registers it.
+    dhash_near_dups is checked for CONSISTENCY but exempted from the
+    non-empty assert (0 pairs below sf0.1 — probed; see the module
+    docstring's registration caveat)."""
+    from kinesis_stream_video_project_spark.plans import queries_round10b as q10b
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    assert len(q10b.QUERIES) == 9
+    for name, fn in q10b.QUERIES.items():
+        got = fn(spark, sf).toPandas()
+        want = con.sql(q10b.ORACLES[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert _rendered(got).equals(_rendered(want)), name
+        if name != "dhash_near_dups":
+            assert len(got) > 0, name
