@@ -2958,3 +2958,134 @@ def ohlc_stream_tws(events: DataFrame, bar_seconds: int = 3600) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online incremental view maintenance (live materialized rollup per key)
+# ---------------------------------------------------------------------------
+
+_IVM_OUT_SCHEMA = "key long, seq long, n_rows long, total long"
+_IVM_STATE_SCHEMA = "seq long, n_rows long, total long"
+
+
+def _ivm_stream_fold(n_rows: int, total: int, rows: list) -> tuple:
+    """Pure fold shared by both stateful APIs and (in spirit) the batch
+    merge (operators/ivm.py): ``rows`` is ``[(op, value)]``; inserts
+    add (+1, +v), deletes (−1, −v). Pure SUMS — commutative and
+    chunking-invariant by construction, so drained state equals the
+    batch merge regardless of arrival order. Unknown ops raise (the
+    batch refusal, same message family)."""
+    for op, v in rows:
+        if op == "I":
+            n_rows += 1
+            total += int(v)
+        elif op == "D":
+            n_rows -= 1
+            total -= int(v)
+        else:
+            raise ValueError(f"ivm_stream: unknown op {op!r}")
+    return n_rows, total
+
+
+def ivm_stream(changes: DataFrame, key_col: str = "key") -> DataFrame:
+    """ONLINE incremental view maintenance — the streaming half of
+    ``operators/ivm.py`` (the THIRTEENTH op on both stateful APIs): a
+    changelog stream of ``(key, value, op)`` maintains the live
+    ``(n_rows, total)`` rollup per key and emits the updated view row
+    (max seq = current) whenever a batch touches the key. A row with
+    ``n_rows = 0`` is the view's DELETION TOMBSTONE — the batch merge
+    omits the group, the stream must tell downstream consumers to;
+    both contracts are stated and the equality pin filters accordingly.
+    Unlike the batch form, transiently negative counts are NOT refused:
+    a delete may arrive a micro-batch before its insert under
+    at-least-once redelivery reordering, and the commutative sum makes
+    the FINAL state correct regardless (the batch audit refuses the
+    ambiguity; the stream tolerates it — the cdc_stream split, same
+    reasoning).
+
+    State: two BIGINTs + seq per ACTIVE key; NoTimeout (a maintained
+    view never expires)."""
+    staged = changes.select(F.col(key_col).alias("key"), "value", "op")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        seq, n_rows, total = state.get if state.exists else (0, 0, 0)
+        frames = [p for p in pdfs if len(p)]
+        rows = (
+            list(
+                zip(
+                    pd.concat(frames, ignore_index=True)["op"].tolist(),
+                    pd.concat(frames, ignore_index=True)["value"].tolist(),
+                )
+            )
+            if frames
+            else []
+        )
+        if rows:
+            n_rows, total = _ivm_stream_fold(n_rows, total, rows)
+            seq += 1
+            state.update((seq, n_rows, total))
+            yield pd.DataFrame(
+                {
+                    "key": [int(key_val)],
+                    "seq": [seq],
+                    "n_rows": [n_rows],
+                    "total": [total],
+                }
+            )
+
+    return staged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_IVM_OUT_SCHEMA,
+        stateStructType=_IVM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ivm_stream_tws(changes: DataFrame, key_col: str = "key") -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`ivm_stream`
+    — same shared fold, ProcessingTime with no timers; GS ≡ TWS pinned
+    on the same drain in tests."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = changes.select(F.col(key_col).alias("key"), "value", "op")
+
+    class IvmProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ivm", _IVM_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            held = self._state.get()
+            seq, n_rows, total = held if held is not None else (0, 0, 0)
+            frames = [p for p in rows if len(p)]
+            if frames:
+                b = pd.concat(frames, ignore_index=True)
+                triples = list(zip(b["op"].tolist(), b["value"].tolist()))
+            else:
+                triples = []
+            if triples:
+                n_rows, total = _ivm_stream_fold(n_rows, total, triples)
+                seq += 1
+                self._state.update((seq, n_rows, total))
+                yield pd.DataFrame(
+                    {
+                        "key": [int(key_val)],
+                        "seq": [seq],
+                        "n_rows": [n_rows],
+                        "total": [total],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=IvmProcessor(),
+        outputStructType=_IVM_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

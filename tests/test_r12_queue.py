@@ -625,3 +625,43 @@ def test_ivm_oracle_shape_matches(spark, sf):
     want = _rendered(con.sql(q12.ORACLES["ivm_orders_by_custkey"]).df())
     assert list(got.columns) == list(want.columns)
     assert got.equals(want) and len(got) > 0, sf
+
+
+def test_ivm_stream_fold_chunking_invariance():
+    """The online IVM fold is a pure sum — commutative and
+    chunking-invariant by construction; pinned the way every dual-API
+    fold in the repo is (hypothesis, 100 examples)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.streaming.jobs import (
+        _ivm_stream_fold,
+    )
+
+    rows_st = st.lists(
+        st.tuples(st.sampled_from(["I", "D"]), st.integers(-1000, 1000)),
+        max_size=40,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(rows=rows_st, cut=st.integers(0, 40), seed=st.randoms())
+    def inner(rows, cut, seed):
+        whole = _ivm_stream_fold(0, 0, rows)
+        cut = min(cut, len(rows))
+        n, t = _ivm_stream_fold(0, 0, rows[:cut])
+        chunked = _ivm_stream_fold(n, t, rows[cut:])
+        assert whole == chunked
+        shuffled = list(rows)
+        seed.shuffle(shuffled)
+        assert _ivm_stream_fold(0, 0, shuffled) == whole
+
+    inner()
+
+
+def test_ivm_stream_fold_refuses_unknown_op():
+    from kinesis_stream_video_project_spark.streaming.jobs import (
+        _ivm_stream_fold,
+    )
+
+    with pytest.raises(ValueError, match="unknown op"):
+        _ivm_stream_fold(0, 0, [("X", 1)])

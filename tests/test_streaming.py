@@ -2871,3 +2871,146 @@ def test_followup_outer_join_trailing_triggers_stay_pending(
     }
     assert got <= want_all
     assert len(want_matched) > 0 and len(want_unmatched_provable) > 0
+
+
+def _ivm_changelog(spark, sf_dir):
+    """The registered IVM query's changelog (account-deletion split over
+    orders), as a (key, value, op, ord) frame ordered deterministically."""
+    from kinesis_stream_video_project_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    o = io.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("key"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("value"),
+    )
+    b = hash_bucket(F.col("o_orderkey"))
+    bc = hash_bucket(F.col("key"), 100)
+    base = o.filter(b < 80)
+    deletes = base.filter(bc < 5).withColumn("op", F.lit("D"))
+    inserts = o.filter((b >= 80) & (bc >= 5)).withColumn("op", F.lit("I"))
+    return base, deletes.unionByName(inserts).select(
+        "key", "value", "op", F.col("o_orderkey").alias("ord")
+    )
+
+
+def test_ivm_stream_matches_batch_merge(spark, tmp_path, sf_dir):
+    """Drained max-seq view rows (n_rows > 0) equal the batch
+    counting-algebra merge exactly, invariant to micro-batch chunking
+    (the fold is a pure sum); keys whose count reaches zero emit a
+    TOMBSTONE row (n_rows = 0, total = 0) that the batch view omits —
+    both contracts pinned."""
+    from kinesis_stream_video_project_spark.operators import ivm
+
+    base, changes = _ivm_changelog(spark, sf_dir)
+    batch = {
+        r["key"]: (r["n_rows"], r["total"])
+        for r in ivm.merge_agg_deltas(
+            ivm.agg_state(base, "key", "value"), changes, "key", "value"
+        ).collect()
+    }
+    # the stream starts from the base view preloaded as 'I' changes —
+    # a cold stream bootstraps its view by replaying the base snapshot,
+    # which is exactly how a production changelog consumer starts
+    bootstrap = base.select(
+        "key", "value", F.lit("I").alias("op"),
+        (F.col("o_orderkey") - 10_000_000_000).alias("ord"),
+    )
+    full = bootstrap.unionByName(
+        changes.select("key", "value", "op", "ord")
+    )
+    ordered = full.orderBy("ord").collect()
+    schema = "key long, value long, op string, ord long"
+    got_by_split = []
+    tombstones_by_split = []
+    for nfiles in (1, 3):
+        src = tmp_path / f"ivm_src_{nfiles}"
+        step = -(-len(ordered) // nfiles)
+        for i in range(nfiles):
+            if i:
+                time.sleep(1.1)
+            _write_single_file(
+                spark.createDataFrame(ordered[i * step : (i + 1) * step], schema),
+                src,
+                f"b{i}.parquet",
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.ivm_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"ivm_out_{nfiles}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_ivm_{nfiles}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        snap = spark.sql(
+            f"""SELECT key, n_rows, total FROM ivm_out_{nfiles} o
+                WHERE seq = (SELECT MAX(seq) FROM ivm_out_{nfiles} i
+                             WHERE i.key = o.key)"""
+        ).collect()
+        got_by_split.append(
+            {r.key: (r.n_rows, r.total) for r in snap if r.n_rows > 0}
+        )
+        tombstones_by_split.append(
+            {r.key for r in snap if r.n_rows == 0 and r.total == 0}
+        )
+    assert got_by_split[0] == got_by_split[1] == batch and len(batch) > 0
+    # every deleted-account key ends as a tombstone
+    base_keys = {r["key"] for r in base.select("key").distinct().collect()}
+    assert tombstones_by_split[0] == tombstones_by_split[1] == (
+        base_keys - set(batch)
+    )
+    assert len(tombstones_by_split[0]) > 0
+
+
+def test_ivm_stream_tws_matches_group_state_form(spark, tmp_path):
+    """GS ≡ TWS on the same two-batch crafted drain, including a
+    tombstone and an out-of-order delete-before-insert (which the
+    commutative fold absorbs — stated stream contract)."""
+    schema = "key long, value long, op string"
+    b0 = [(1, 10, "I"), (1, 20, "I"), (2, 5, "I"), (3, 7, "D")]
+    b1 = [(1, 10, "D"), (2, 5, "D"), (3, 7, "I"), (3, 7, "I")]
+    src = tmp_path / "ivm_tws_src"
+    _write_single_file(spark.createDataFrame(b0, schema), src, "b0.parquet")
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b1, schema), src, "b1.parquet")
+    outs = {}
+    for name, fn in (("gs", jobs.ivm_stream), ("tws", jobs.ivm_stream_tws)):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(f"ivm_{name}_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_ivm_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        outs[name] = {
+            (r.key, r.seq): (r.n_rows, r.total)
+            for r in spark.sql(f"SELECT * FROM ivm_{name}_out").collect()
+        }
+    assert outs["gs"] == outs["tws"] and len(outs["gs"]) > 0
+    # final states: key 1 -> (1, 20); key 2 -> tombstone (0, 0);
+    # key 3 -> delete-before-insert nets (1, 7)
+    finals = {}
+    for (k, s), v in outs["gs"].items():
+        if k not in finals or s > finals[k][0]:
+            finals[k] = (s, v)
+    assert finals[1][1] == (1, 20)
+    assert finals[2][1] == (0, 0)
+    assert finals[3][1] == (1, 7)
