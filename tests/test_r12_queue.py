@@ -665,3 +665,40 @@ def test_ivm_stream_fold_refuses_unknown_op():
 
     with pytest.raises(ValueError, match="unknown op"):
         _ivm_stream_fold(0, 0, [("X", 1)])
+
+
+def test_allocation_budget_law_hypothesis(spark):
+    """Hamilton's defining law over random strata shapes: for any
+    multiset of stratum sizes and any budget ≤ N, sum(alloc) == budget
+    and every alloc ≤ its stratum size (hypothesis, driver-side math
+    checked through the real operator on small frames)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.operators.sampling import (
+        stratified_allocation,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 9), min_size=1, max_size=5),
+        budget_frac=st.integers(0, 100),
+    )
+    def inner(sizes, budget_frac):
+        n = sum(sizes)
+        budget = (n * budget_frac) // 100
+        rows = []
+        k = 0
+        for si, sz in enumerate(sizes):
+            for _ in range(sz):
+                rows.append((f"s{si}", k))
+                k += 1
+        df = spark.createDataFrame(rows, "src string, k long")
+        out = stratified_allocation(df, "src", budget, "k").collect()
+        assert sum(r["alloc"] for r in out) == budget
+        by = {r["stratum"]: r for r in out}
+        for si, sz in enumerate(sizes):
+            r = by[f"s{si}"]
+            assert r["alloc"] <= sz and r["n_sampled"] == r["alloc"]
+
+    inner()

@@ -3014,3 +3014,52 @@ def test_ivm_stream_tws_matches_group_state_form(spark, tmp_path):
     assert finals[1][1] == (1, 20)
     assert finals[2][1] == (0, 0)
     assert finals[3][1] == (1, 7)
+
+
+def test_ivm_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Stop-and-restart against the SAME checkpoint must resume the
+    maintained view: run 1 drains the insert batch, run 2 (new query,
+    same checkpoint) drains only the delete batch and its emissions
+    continue from the recovered (n_rows, total) — no re-emission, no
+    state loss. The recovery contract a live materialized view leans on
+    harder than any sketch: a lost count silently corrupts every later
+    merge."""
+    schema = "key long, value long, op string"
+    src = tmp_path / "ivm_restart_src"
+    ckpt = str(tmp_path / "ckpt_ivm_restart")
+    out = str(tmp_path / "ivm_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.ivm_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.key, r.seq, r.n_rows, r.total)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    b0 = [(1, 10, "I"), (1, 20, "I"), (2, 5, "I")]
+    b1 = [(1, 10, "D"), (2, 5, "D")]
+    _write_single_file(spark.createDataFrame(b0, schema), src, "b0.parquet")
+    run1 = drain()
+    assert run1 == {(1, 1, 2, 30), (2, 1, 1, 5)}
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b1, schema), src, "b1.parquet")
+    cumulative = drain()
+    run2 = cumulative - run1
+    # resumed state: key 1 continues from (2, 30) -> (1, 20) at seq 2;
+    # key 2 tombstones at seq 2 — a state loss would restart seq at 1
+    # and count at -1/0 instead
+    assert run2 == {(1, 2, 1, 20), (2, 2, 0, 0)}
