@@ -39,6 +39,7 @@ from kinesis_stream_video_project_spark.operators.sampling import (
     hash_bucket,
     stratified_allocation,
 )
+from kinesis_stream_video_project_spark.operators.slo import burn_rate_alerts
 from kinesis_stream_video_project_spark.streaming.jobs import (
     followup_outer_batch,
 )
@@ -113,6 +114,20 @@ def _ivm_orders_by_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting minutes (X-176; Google SRE
+    Workbook ch. 5 — the modern form of the reference's 3-strikes
+    watchdog): SLO 770‰, 1× burn over 60 m/5 m trailing windows; both
+    windows must burn for a minute to alert. Probed non-degenerate both
+    ways at every SF (218/988, 1728/8961, 3620/38859 alerting
+    minutes)."""
+    return burn_rate_alerts(
+        io.load_table(spark, sf_dir, "events"),
+        slo_permille=770,
+        burn_x_permille=1000,
+    )
+
+
 QUERIES = {
     "allpairs_jaccard_ppjoin": _allpairs_jaccard_ppjoin,
     "heaps_law_curve": _heaps_law_curve,
@@ -120,6 +135,7 @@ QUERIES = {
     "stratified_allocation": _stratified_allocation,
     "followup_outer_pairs": _followup_outer_pairs,
     "ivm_orders_by_custkey": _ivm_orders_by_custkey,
+    "burn_rate_alerts": _burn_rate_alerts,
 }
 
 
@@ -241,6 +257,30 @@ final_rows AS (
 SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(cents) AS BIGINT) AS total
 FROM final_rows GROUP BY 1
+""",
+    "burn_rate_alerts": """
+WITH led AS (
+  SELECT epoch_us(ts) // 60000000 AS m,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+         COUNT(*) AS total
+  FROM events GROUP BY 1
+),
+sc AS (
+  SELECT m,
+         SUM(errors) OVER (ORDER BY m RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS le,
+         SUM(total)  OVER (ORDER BY m RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS lt,
+         SUM(errors) OVER (ORDER BY m RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS se,
+         SUM(total)  OVER (ORDER BY m RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS st
+  FROM led
+)
+SELECT CAST(m * 60000000 AS BIGINT) AS minute_us,
+       CAST(le AS BIGINT) AS long_errors, CAST(lt AS BIGINT) AS long_total,
+       CAST(se AS BIGINT) AS short_errors, CAST(st AS BIGINT) AS short_total,
+       CAST((le * 1000 * 1000) // (230 * lt) AS BIGINT) AS long_burn_permille,
+       CAST((se * 1000 * 1000) // (230 * st) AS BIGINT) AS short_burn_permille
+FROM sc
+WHERE le * 1000 * 1000 > 1000 * 230 * lt
+  AND se * 1000 * 1000 > 1000 * 230 * st
 """,
 }
 

@@ -438,7 +438,7 @@ def test_round12_module_entries_match_oracles(spark):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q12.QUERIES) == 6
+    assert len(q12.QUERIES) == 7
     for name, fn in q12.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q12.ORACLES[name]).df()
@@ -702,3 +702,119 @@ def test_allocation_budget_law_hypothesis(spark):
             assert r["alloc"] <= sz and r["n_sampled"] == r["alloc"]
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# Multiwindow SLO burn-rate alerts (Google SRE Workbook ch. 5)
+# ---------------------------------------------------------------------------
+
+BURN_ORACLE_SHAPE = """
+WITH led AS (
+  SELECT epoch_us(ts) // 60000000 AS m,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+         COUNT(*) AS total
+  FROM events GROUP BY 1
+),
+sc AS (
+  SELECT m,
+         SUM(errors) OVER (ORDER BY m RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS le,
+         SUM(total)  OVER (ORDER BY m RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS lt,
+         SUM(errors) OVER (ORDER BY m RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS se,
+         SUM(total)  OVER (ORDER BY m RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS st
+  FROM led
+)
+SELECT CAST(m * 60000000 AS BIGINT) AS minute_us,
+       CAST(le AS BIGINT) AS long_errors, CAST(lt AS BIGINT) AS long_total,
+       CAST(se AS BIGINT) AS short_errors, CAST(st AS BIGINT) AS short_total,
+       CAST((le * 1000 * 1000) // (230 * lt) AS BIGINT) AS long_burn_permille,
+       CAST((se * 1000 * 1000) // (230 * st) AS BIGINT) AS short_burn_permille
+FROM sc
+WHERE le * 1000 * 1000 > 1000 * 230 * lt
+  AND se * 1000 * 1000 > 1000 * 230 * st
+"""
+
+
+def test_burn_rate_handchecked(spark):
+    """Crafted series, SLO 500 (budget 500), burn 1x, windows 3m/1m:
+    minutes 0-2 are clean (ratio 0), minute 3 is all errors — its
+    short window (itself) burns 2x and its long window (m1-m3) burns
+    at ratio 1/3 < 1/2... so NO alert; minutes 4-5 all errors push the
+    long window over — multiwindow means the sustained signal gates
+    the instantaneous one."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    eid = 0
+    # minutes 0-2: 2 views each; minutes 3-5: 2 errors each
+    for m in range(6):
+        for _ in range(2):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(minutes=m), 1,
+                 "error" if m >= 3 else "view", 1.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from kinesis_stream_video_project_spark.operators.slo import (
+        burn_rate_alerts,
+    )
+
+    got = sorted(
+        r["minute_us"] // 60_000_000 % 10_000_000
+        for r in burn_rate_alerts(
+            ev, slo_permille=500, burn_x_permille=1000,
+            long_minutes=3, short_minutes=1,
+        ).collect()
+    )
+    base_m = int(base.timestamp()) // 60
+    # m3: long window (m1-m3) ratio 2/6 = 333 <= 500 -> no alert;
+    # m4: long (m2-m4) 4/6 = 666 > 500 AND short 2/2 -> alert;
+    # m5: long (m3-m5) 6/6 AND short 2/2 -> alert
+    assert got == [
+        (base_m + 4) % 10_000_000, (base_m + 5) % 10_000_000
+    ]
+
+
+def test_burn_rate_refuses_degenerate_params(spark):
+    from kinesis_stream_video_project_spark.operators.slo import (
+        burn_rate_alerts,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with pytest.raises(ValueError, match="no error budget"):
+        burn_rate_alerts(ev, slo_permille=1000)
+    with pytest.raises(ValueError, match="short_minutes"):
+        burn_rate_alerts(ev, short_minutes=60, long_minutes=60)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_burn_rate_oracle_shape_matches(spark, sf):
+    """Bit-exact vs the DuckDB global-RANGE-window replay at the
+    registration parameters (SLO 770permille, 1x burn, 60m/5m) — the day
+    -partition stitch must be invisible in the output. Non-degenerate
+    BOTH ways (some minutes alert, not all: 218/988, 1728/8961,
+    3620/38859 probed)."""
+    from kinesis_stream_video_project_spark.operators.slo import (
+        burn_rate_alerts,
+    )
+
+    got = burn_rate_alerts(
+        io.load_table(spark, sf, "events"),
+        slo_permille=770, burn_x_permille=1000,
+    )
+    con = _con(sf)
+    want = con.sql(BURN_ORACLE_SHAPE).df()
+    n_alert = len(want)
+    gp = _rendered(got.toPandas())
+    assert list(gp.columns) == list(_rendered(want).columns)
+    assert gp.equals(_rendered(want)), sf
+    n_minutes = con.sql(
+        "SELECT COUNT(DISTINCT epoch_us(ts) // 60000000) FROM events"
+    ).fetchone()[0]
+    assert 0 < n_alert < n_minutes, (sf, n_alert, n_minutes)
