@@ -81,21 +81,25 @@ def burn_rate_alerts(
             F.count(F.lit(1)).cast("long").alias("_total"),
         )
     )
-    w_long = Window.orderBy("_m").rangeBetween(-(long_minutes - 1), 0)
-    w_short = Window.orderBy("_m").rangeBetween(-(short_minutes - 1), 0)
     # the minute ledger is value-cardinality (one row per active
     # minute) — but the burn windows are still computed PARTITIONED by
     # a coarse epoch-day so no unpartitioned window exists; a window
-    # crossing a day boundary is stitched by including the previous
-    # day's tail minutes in both partitions and keeping rows once
+    # crossing day boundaries is stitched by copying each prior day's
+    # tail minutes into every later day partition whose long window can
+    # still reach them (ceil((long_minutes-1)/1440) days forward — the
+    # SRE-workbook ticket rule's 4320-minute window needs 3), keeping
+    # each minute's own row exactly once
     day = F.expr("_m DIV 1440").alias("_day")
     base = ledger.select("*", day)
-    tail = base.filter(
-        F.col("_m") % 1440 >= 1440 - (long_minutes - 1)
-    ).select(
-        "_m", "_errors", "_total", (F.col("_day") + 1).alias("_day")
-    )
-    stitched = base.unionByName(tail)
+    reach_days = -(-(long_minutes - 1) // 1440)  # ceil, 0 when long==1
+    stitched = base
+    for k in range(1, reach_days + 1):
+        tail_k = base.filter(
+            F.col("_m") % 1440 >= 1440 * k - (long_minutes - 1)
+        ).select(
+            "_m", "_errors", "_total", (F.col("_day") + k).alias("_day")
+        )
+        stitched = stitched.unionByName(tail_k)
     w_long_d = Window.partitionBy("_day").orderBy("_m").rangeBetween(
         -(long_minutes - 1), 0
     )

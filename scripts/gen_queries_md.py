@@ -17,9 +17,6 @@ sys.path.insert(0, ".")
 
 from kinesis_stream_video_project_spark.plans import registry  # noqa: E402
 
-ROUND = 9  # current round: queries with no CORRECTNESS row are `new`
-
-
 def _load_correctness() -> list[tuple[int, dict]]:
     out = []
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
@@ -30,6 +27,15 @@ def _load_correctness() -> list[tuple[int, dict]]:
 
 
 _CORRECTNESS = _load_correctness()
+
+# Current round = one past the newest driver artifact (the driver writes
+# CORRECTNESS_r{N}.json AFTER round N's commits, so when it appears the
+# repo is already in round N+1). Deriving it — instead of hand-bumping a
+# constant — means the first-commit regeneration of each round absorbs
+# the new (untracked) artifact automatically and the committed catalog
+# never drifts by a stale-round's worth of status cells (VERDICT r9
+# item 5).
+ROUND = max((rnd for rnd, _ in _CORRECTNESS), default=0) + 1
 
 
 def latest_green(name: str) -> int | None:

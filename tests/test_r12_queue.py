@@ -779,6 +779,71 @@ def test_burn_rate_handchecked(spark):
     ]
 
 
+def test_burn_rate_multiday_long_window(spark):
+    """The SRE-workbook TICKET rule's long window is 4320 minutes (3
+    days) — wider than one day partition, so the stitch must copy each
+    prior day's tail into EVERY later day it can still reach (advisor
+    finding: a one-day stitch silently truncated the window).  Pinned
+    bit-exact against a pure-pandas unpartitioned trailing window over
+    a 5-day series whose error bursts sit just after day boundaries."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2025, 3, 1, tzinfo=dt.timezone.utc)
+    rows, eid = [], 0
+    # one event every 37 minutes across 5 days; errors in bursts that
+    # start shortly after each midnight so the multi-day lookback is
+    # what decides the alert
+    for i in range(5 * 1440 // 37):
+        m = i * 37
+        is_err = (m % 1440) < 300 and (m // 1440) in (1, 2, 3)
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(minutes=m), 1,
+             "error" if is_err else "view", 1.0, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from kinesis_stream_video_project_spark.operators.slo import (
+        burn_rate_alerts,
+    )
+
+    long_m, short_m, slo, burn = 4320, 360, 900, 1000
+    got = sorted(
+        (r["minute_us"], r["long_errors"], r["long_total"],
+         r["short_errors"], r["short_total"])
+        for r in burn_rate_alerts(
+            ev, slo_permille=slo, burn_x_permille=burn,
+            long_minutes=long_m, short_minutes=short_m,
+        ).collect()
+    )
+    led = (
+        pd.DataFrame(rows, columns=["e", "ts", "u", "t", "v", "p"])
+        .assign(m=lambda d: d["ts"].astype("int64") // (60 * 10**9),
+                err=lambda d: (d["t"] == "error").astype(int))
+        .groupby("m")
+        .agg(errors=("err", "sum"), total=("err", "size"))
+        .reset_index()
+        .sort_values("m")
+    )
+    budget = 1000 - slo
+    want = []
+    for _, r in led.iterrows():
+        lw = led[(led["m"] >= r["m"] - (long_m - 1)) & (led["m"] <= r["m"])]
+        sw = led[(led["m"] >= r["m"] - (short_m - 1)) & (led["m"] <= r["m"])]
+        le, lt = int(lw["errors"].sum()), int(lw["total"].sum())
+        se, st = int(sw["errors"].sum()), int(sw["total"].sum())
+        if (le * 1000 * 1000 > burn * budget * lt
+                and se * 1000 * 1000 > burn * budget * st):
+            want.append((int(r["m"]) * 60_000_000, le, lt, se, st))
+    assert len(want) > 0  # the scenario actually alerts
+    assert got == sorted(want)
+
+
 def test_burn_rate_refuses_degenerate_params(spark):
     from kinesis_stream_video_project_spark.operators.slo import (
         burn_rate_alerts,
