@@ -76,16 +76,48 @@ BENCH_QUERIES = [
 # iterative queries whose build step does real work — the pagerank/LPA/
 # k-core family localCheckpoints and probes during construction).
 #
-# r9 window policy: the rotation aligns with the r9 DRIVER_PRIORITY
+# r10 window policy: the rotation aligns with the r10 DRIVER_PRIORITY
 # correctness window (minus stable-set members, which the stable child
-# times every round), led by the 10 new round-9 registrations (first timed
-# row lands the round a query is born), followed by the first-drift
-# re-measures of all 17 round-8-window registrations (their r8 numbers
-# are compile-heavy first timings — VERDICT r8 item 5; warm figures
-# compare against r8's rotation_warm), then the r4-latest cohort and the
-# r5-latest refresh head (the r9 correctness window's (a)+(c) blocks).
+# times every round), led by the 30 new round-10 registrations (first
+# timed row lands the round a query is born: the 9-query round10b module
+# + the 21-query round11 FIRST_WAVE), followed by the first-drift
+# re-measures of the 10 round-9 registrations (VERDICT r9 item 4; warm
+# figures compare against BENCH_r09's rotation_warm), then the 20
+# r5-latest correctness refreshes (the r10 window's block (c)).
 BENCH_ROTATION = [
-    # new round-9 registrations
+    # new round-10 registrations: queries_round10b (9)
+    "zorder_locality_audit",
+    "range_partition_bounds",
+    "truncated_rerank_topk",
+    "pq_adc_topk",
+    "frame_diff_energy",
+    "scene_cuts",
+    "dhash_near_dups",
+    "hits_bipartite",
+    "closed_sessions",
+    # new round-10 registrations: queries_round11 FIRST_WAVE (21)
+    "kmv_distinct_nations",
+    "dd_price_quantiles",
+    "peak_transit_suppliers",
+    "attribution_channels",
+    "readability_scores",
+    "props_charclass_profile",
+    "bpe_trained_merges",
+    "bpe_compression_report",
+    "chi2_priority_status",
+    "ks_purchase_click",
+    "benford_totalprice",
+    "gini_supplier_revenue",
+    "topk_quantity_ties",
+    "acf_daily_orders",
+    "priority_impurity_by_nation",
+    "cdc_customer_segments",
+    "anonymity_nation_segment",
+    "allpairs_jaccard_800",
+    "fd_nation_segment_name",
+    "kmv_setops_urgent_low",
+    "gopher_rules",
+    # the 10 round-9 registrations re-measured (first-drift check)
     "bloom_ingest_scores",
     "sq8_topk",
     "neighbor_jaccard",
@@ -96,79 +128,42 @@ BENCH_ROTATION = [
     "join_size_profile",
     "session_pattern_matches",
     "classification_report",
-    # the 17 round-8-window registrations re-measured (first-drift check)
-    "bpe_merge_topk",
-    "audio_energy_frames",
-    "sssp_bounded",
-    "session_paths",
-    "source_overlap_matrix",
-    "rank_normalize",
-    "sliding_chunks",
-    "image_dhash",
-    "funnel_user_advances",
-    "heavy_hitters_certificate",
-    "bloom_decontaminate",
-    "stupid_backoff_score",
-    "ngram_novelty",
-    "sq8_rerank_topk",
-    "rate_limit_decisions",
-    "audio_silence_runs",
-    "curation_pipeline_v4",
-    # the r4-latest correctness-refresh cohort (window block (a))
-    "ann_recall_eval",
-    "array_funcs",
-    "chunk_documents",
-    "cube_agg",
-    "datetime_funcs",
-    "distinct_ops",
-    "exists_correlated",
-    "filtered_cosine_topk",
-    "ivf_kmeans_topk",
-    "math_funcs",
-    "string_funcs",
-    # the r5-latest refresh head (window block (c), minus the 3
-    # stable-set members sort_ranked / minhash_lsh_near_dup /
-    # curation_pipeline_v2 the stable child times every round)
-    "point_lookup_status",
-    "iso8601_format",
-    "cast_truncate",
-    "computed_projection",
-    "rollup_agg",
-    "join_full_outer",
-    "semi_join_customers",
-    "scalar_subquery",
-    "in_subquery",
-    "pivot_priority_counts",
-    "stats_agg",
-    "string_funcs2",
-    "datetime_funcs2",
-    "grouping_sets_agg",
-    "near_dup_jaccard",
-    "embedding_near_dup",
-    "conversion_funnel",
-    "near_dup_shingle_jaccard",
-    "lsh_tier_consistency",
-    "near_dup_split_leakage",
-    "quality_percentile_gate",
-    "bigram_next_token",
-    "surprisal_score_salted",
-    "unpivot_priority_metrics",
-    "scd2_point_in_time",
+    # the r5-latest refresh cohort (window block (c), r5 order)
+    "nucleus_budget_filter",
+    "hll_merge_rollup",
+    "linear_interpolate_value",
+    "quality_weighted_sample",
+    "asof_tolerance_metric",
+    "asof_nearest_metric",
+    "ewma_metric",
+    "skyline_parts",
+    "weighted_median_price",
+    "interarrival_gap_percentiles",
+    "mode_order_priority",
+    "triangle_count_copurchase",
+    "copurchase_lift_pairs",
+    "containment_near_dup",
+    "rolling_zscore_anomalies",
+    "corr_acctbal_price_by_nation",
+    "trend_slope_per_type",
+    "cusum_changepoints",
+    "rrf_fused_topk",
+    "phrase_search_docs",
 ]
 
 # Entries that get a WARM re-execution figure in addition to the
-# construction+materialization span: the new registrations (their first
-# timings are compile-heavy) and the 17 r8-window registrations whose
-# warm figures the first-drift check compares against BENCH_r08's
-# rotation_warm (VERDICT r8 item 5).
-BENCH_ROTATION_HEAD = BENCH_ROTATION[:27]
+# construction+materialization span: the 30 new registrations (their
+# first timings are compile-heavy) and the 10 r9-window registrations
+# whose warm figures the first-drift check compares against BENCH_r09's
+# rotation_warm (VERDICT r9 item 4).
+BENCH_ROTATION_HEAD = BENCH_ROTATION[:40]
 
-# Of those, only the NEW registrations' rows ride the compact stdout
-# artifact (VERDICT r8 item 3: the artifact must PARSE inside the
-# driver's ~2000-char tail capture, so the wide maps move to the detail
-# file; the re-measure warm figures land in BENCH_DETAIL.json + the
-# PLANS.md drift note).
-BENCH_NEW = BENCH_ROTATION[:10]
+# The new registrations this round. With 30 of them, per-query rows no
+# longer fit the compact stdout artifact (the driver's ~2000-char tail
+# capture — VERDICT r8 item 3 requires the whole line to PARSE), so the
+# line carries cohort TOTALS for the new block plus the detail-file
+# pointer; every per-query first/warm figure lands in BENCH_DETAIL.json.
+BENCH_NEW = BENCH_ROTATION[:30]
 
 # Full per-query payload (stable + rotation + warm maps) is written here
 # by main(); the stdout line stays compact and carries the path.
@@ -369,12 +364,18 @@ def main() -> None:
                 "sf": float(sf),
                 "detail_file": DETAIL_FILE,
                 "rotation_total": round(sum(rotation.values()), 3),
-                "rotation_head": {
-                    k: rotation[k] for k in BENCH_NEW if k in rotation
-                },
-                "rotation_warm": {
-                    k: rotation_warm[k] for k in BENCH_NEW if k in rotation_warm
-                },
+                "new_head_total": round(
+                    sum(rotation[k] for k in BENCH_NEW if k in rotation), 3
+                ),
+                "new_warm_total": round(
+                    sum(
+                        rotation_warm[k]
+                        for k in BENCH_NEW
+                        if k in rotation_warm
+                    ),
+                    3,
+                ),
+                "n_new": len(BENCH_NEW),
                 "queries": timings,
                 "value": total,
             }

@@ -1,20 +1,19 @@
-"""Round-10-remainder registration module — PRE-WIRED, NOT YET
-REGISTERED (the queries_round11/round12 discipline).
+"""Round-10-remainder registration module — REGISTERED in the r10
+window (``registry._load_all`` calls :func:`register_all`; the
+DRIVER_PRIORITY splice, bench rotation, and QUERIES.md regeneration
+landed in the same commit — the four-place rule).
 
 The 9 r10-queue operators not promoted into the r9 window, each as a
 driver-contract query with the EXACT oracle string validated bit-exact
-at three SFs in tests/test_r10_queue.py / test_r9_queue.py. Wiring into
-the r10 window is mechanical: :func:`register_all` from
-``registry._load_all`` + DRIVER_PRIORITY splice + bench rotation +
-QUERIES.md regeneration, one commit (the four-place rule).
+at three SFs in tests/test_r10_queue.py / test_r9_queue.py.
 
-Registration caveat carried from the probes: ``dhash_near_dups`` has
-pairs ONLY at sf0.1 (the SF where the fixture plants hash-identical
-payloads; 0 pairs at sf0.001/0.01 — probed) — its driver hash row at
-sf0.01 would be an empty==empty match, so the r10 session should
-either keep it module-only or state the emptiness in the registration
-docstring; the brute-force completeness pin at small SFs is the
-algorithmic evidence either way.
+``dhash_near_dups`` REGISTERED-WITH-STATED-EMPTINESS (the VERDICT r9
+item-3 decision, following the empties-audit precedent): the fixture
+plants hash-identical payloads only at sf0.1, so its sf0.01 driver hash
+row is an empty==empty match BY DESIGN — the algorithmic evidence is
+the brute-force completeness pin at small SFs plus the non-empty
+rendered-value equality at sf0.1 in tests/test_r10_queue.py, both of
+which run every round.
 """
 
 from __future__ import annotations
@@ -432,8 +431,7 @@ TAGS = {name: ("round10",) for name in QUERIES}
 
 def register_all() -> None:
     """Wire every r10-remainder query into the live registry — called
-    from ``registry._load_all`` when the r10 window opens, never
-    before."""
+    from ``registry._load_all`` (the r10 window)."""
     from kinesis_stream_video_project_spark.plans.registry import register
 
     for name, fn in QUERIES.items():

@@ -1,14 +1,18 @@
-"""Round-11 registration module — PRE-WIRED, NOT YET REGISTERED.
+"""Round-11 queue module — FIRST_WAVE registered in the r10 window.
 
 Every r11-queue operator (tests/test_r11_queue.py) as a driver-contract
 query: ``QUERIES`` maps name → (spark, sf_dir) → DataFrame and
 ``ORACLES`` maps name → DuckDB SQL over the driver's pre-registered
-views. The registry does NOT import this module yet — a query
-registered in round N must be inside round N's 50-slot driver window
-(the r2/r3 evidence), and the r8 window is full. Wiring it in the r11
-window is mechanical: call :func:`register_all` from
-``registry._load_all`` and splice the names into ``DRIVER_PRIORITY``
-and the bench rotation in the SAME commit (the four-place rule).
+views. The r10 window registers ``FIRST_WAVE`` (21 of 27 — the PLANS
+r9-close allocation); ``DEFERRED_TO_R11`` holds the six composed/claim
+forms and stats-tier siblings whose operator families already carry a
+registered green twin (ks covers mwu's two-sample family; the TWA/OHLC
+ledger forms have registered streaming/ledger siblings) — they register
+in the r11 window together with the r12 module. A query registered in
+round N must be inside round N's 50-slot driver window (the r2/r3
+evidence); wiring is the four-place rule: :func:`register_all` from
+``registry._load_all``, the ``DRIVER_PRIORITY`` splice, the bench
+rotation, and QUERIES.md regeneration in the SAME commit.
 
 Column names are final here: the Spark select list and the oracle's
 aliases were validated equal at all three SFs before this module was
@@ -864,16 +868,29 @@ FROM r WHERE rk <= 2
 
 assert set(QUERIES) == set(ORACLES)
 
-# Scale-doc pointers for the r11 window wiring (four-place rule):
-# registry._load_all import + DRIVER_PRIORITY splice + bench rotation +
-# QUERIES.md regeneration, one commit.
 TAGS = {name: ("round11",) for name in QUERIES}
 
+# Registered in the r10 window; the six deferrals (composed/claim forms +
+# stats-tier entries whose two-sample / ledger families already have a
+# registered green sibling) take the r11 window with the r12 module.
+DEFERRED_TO_R11 = frozenset(
+    {
+        "ndcg_tier_claims",
+        "curation_pipeline_v5",
+        "bag_set_ops",
+        "mwu_purchase_click",
+        "twa_user_values",
+        "ohlc_hourly_values",
+    }
+)
+FIRST_WAVE = tuple(n for n in QUERIES if n not in DEFERRED_TO_R11)
+assert len(FIRST_WAVE) == 21 and DEFERRED_TO_R11 <= set(QUERIES)
 
-def register_all() -> None:
-    """Wire every r11 query into the live registry — called from
-    ``registry._load_all`` when the r11 window opens, never before."""
+
+def register_all(names: tuple[str, ...] = FIRST_WAVE) -> None:
+    """Wire the given wave into the live registry — called from
+    ``registry._load_all`` with the wave the current window budgets."""
     from kinesis_stream_video_project_spark.plans.registry import register
 
-    for name, fn in QUERIES.items():
-        register(name, oracle=ORACLES[name], tags=TAGS[name])(fn)
+    for name in names:
+        register(name, oracle=ORACLES[name], tags=TAGS[name])(QUERIES[name])

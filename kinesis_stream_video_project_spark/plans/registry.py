@@ -60,84 +60,122 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. Cross-round state entering r9: 210 registered, every query has a
-# green HASH row, latest-green distribution r8=50, r7=50, r6=50, r5=49,
-# r4=11 (VERDICT r8). The r9 window is budgeted 11+10+29 per VERDICT r8
-# items 1-3:
-# (a) the 11-query r4-latest staleness cohort at the HEAD — the one r7
-#     target missed in r8 (every one has an r5+-green operator-family
-#     sibling, but a 4-round-stale row is the weakest link); after
-#     CORRECTNESS_r9 nothing is older than r5;
-# (b) the 10 NEW round-9 registrations (queries_round9b.py): the
-#     r9-queue remainder (bloom_ingest_scores, sq8_topk,
-#     neighbor_jaccard, clustering_coefficient, rfm_segments) plus the
-#     first five r10-queue promotions (cms_user_counts,
-#     good_turing_counts, join_size_profile, session_pattern_matches,
-#     classification_report) — a query registered in round N must be in
-#     round N's window; the r10 window then has room for the heavy
-#     multimodal/PQ tier + the 27-query r11 module;
-# (c) 29 refresh slots: the HEAD of the 49-query r5-latest cohort in its
-#     r5 verification order (oldest evidence first). The 20 deferred
-#     entries lead the r10 refresh block (budget note: r10 = 8 r10-queue
-#     remainder + r11 module + these 20; if that exceeds 50, the
-#     composed/claim forms of the r11 module defer to r12 per PLANS
-#     Round-8n).
+# round. Cross-round state entering r10: 220 registered, every query has a
+# green HASH row, latest-green distribution r9=50, r8=50, r7=50, r6=50,
+# r5=20 (VERDICT r9). The r10 window is budgeted 9+21+20 per VERDICT r9
+# item 1 / the PLANS r9-close handoff:
+# (a) the 9-query queries_round10b module (NEW registrations —
+#     dhash_near_dups with its stated-empty-below-sf0.1 contract);
+# (b) 21 of the 27-query queries_round11 module (NEW registrations —
+#     FIRST_WAVE; the six composed/claim + family-covered stats forms
+#     defer to the r11 window, see queries_round11.DEFERRED_TO_R11);
+# (c) the 20 remaining r5-latest refreshes in their r5 verification
+#     order (oldest evidence first — after CORRECTNESS_r10 nothing is
+#     staler than r6).
+# This tuple is VALIDATED, not just documented: build_driver_priority()
+# below recomputes it from the CORRECTNESS_r*.json artifacts (new
+# registrations first, then max-staleness refreshes), and
+# test_registry_hygiene pins equality — the standing "nothing staler
+# than 4 rounds" SLO (VERDICT r9 item 9) is therefore enforced by the
+# builder instead of re-derived by hand each round.
 # Queries not listed keep registration order after these.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (a) the r4-latest staleness cohort (11) ---
-    "ann_recall_eval",
-    "array_funcs",
-    "chunk_documents",
-    "cube_agg",
-    "datetime_funcs",
-    "distinct_ops",
-    "exists_correlated",
-    "filtered_cosine_topk",
-    "ivf_kmeans_topk",
-    "math_funcs",
-    "string_funcs",
-    # --- (b) new round-9 registrations (10) ---
-    "bloom_ingest_scores",
-    "sq8_topk",
-    "neighbor_jaccard",
-    "clustering_coefficient",
-    "rfm_segments",
-    "cms_user_counts",
-    "good_turing_counts",
-    "join_size_profile",
-    "session_pattern_matches",
-    "classification_report",
-    # --- (c) r5-latest refresh cohort head (29 of 49, r5 order) ---
-    "point_lookup_status",
-    "iso8601_format",
-    "cast_truncate",
-    "computed_projection",
-    "sort_ranked",
-    "rollup_agg",
-    "join_full_outer",
-    "semi_join_customers",
-    "scalar_subquery",
-    "in_subquery",
-    "pivot_priority_counts",
-    "stats_agg",
-    "string_funcs2",
-    "datetime_funcs2",
-    "grouping_sets_agg",
-    "near_dup_jaccard",
-    "embedding_near_dup",
-    "conversion_funnel",
-    "near_dup_shingle_jaccard",
-    "dup_clusters",
-    "curation_pipeline_v2",
-    "lsh_tier_consistency",
-    "near_dup_split_leakage",
-    "minhash_lsh_near_dup",
-    "quality_percentile_gate",
-    "bigram_next_token",
-    "surprisal_score_salted",
-    "unpivot_priority_metrics",
-    "scd2_point_in_time",
+    # --- (a) queries_round10b: new r10 registrations (9) ---
+    "zorder_locality_audit",
+    "range_partition_bounds",
+    "truncated_rerank_topk",
+    "pq_adc_topk",
+    "frame_diff_energy",
+    "scene_cuts",
+    "dhash_near_dups",
+    "hits_bipartite",
+    "closed_sessions",
+    # --- (b) queries_round11 FIRST_WAVE: new r10 registrations (21) ---
+    "kmv_distinct_nations",
+    "dd_price_quantiles",
+    "peak_transit_suppliers",
+    "attribution_channels",
+    "readability_scores",
+    "props_charclass_profile",
+    "bpe_trained_merges",
+    "bpe_compression_report",
+    "chi2_priority_status",
+    "ks_purchase_click",
+    "benford_totalprice",
+    "gini_supplier_revenue",
+    "topk_quantity_ties",
+    "acf_daily_orders",
+    "priority_impurity_by_nation",
+    "cdc_customer_segments",
+    "anonymity_nation_segment",
+    "allpairs_jaccard_800",
+    "fd_nation_segment_name",
+    "kmv_setops_urgent_low",
+    "gopher_rules",
+    # --- (c) the r5-latest refresh cohort tail (20 of 20, r5 order) ---
+    "nucleus_budget_filter",
+    "hll_merge_rollup",
+    "linear_interpolate_value",
+    "quality_weighted_sample",
+    "asof_tolerance_metric",
+    "asof_nearest_metric",
+    "ewma_metric",
+    "skyline_parts",
+    "weighted_median_price",
+    "interarrival_gap_percentiles",
+    "mode_order_priority",
+    "triangle_count_copurchase",
+    "copurchase_lift_pairs",
+    "containment_near_dup",
+    "rolling_zscore_anomalies",
+    "corr_acctbal_price_by_nation",
+    "trend_slope_per_type",
+    "cusum_changepoints",
+    "rrf_fused_topk",
+    "phrase_search_docs",
 )
+
+
+def build_driver_priority(
+    repo_root: str = ".", window: int = 50
+) -> tuple[str, ...] | None:
+    """Recompute the driver window from the CORRECTNESS_r*.json history:
+    every registered query with NO driver row yet (this round's new
+    registrations, in export/registration order) first, then refresh
+    slots filled oldest-latest-green first (ties broken by position in
+    that round's artifact — its verification order). Returns ``None``
+    when no artifacts are present (fresh clone); otherwise a tuple of
+    exactly ``window`` names. The committed ``DRIVER_PRIORITY`` must
+    equal this (test_registry_hygiene) — that IS the standing staleness
+    SLO: a query can never silently age past the max the refresh budget
+    allows, because the builder always spends leftover slots on the
+    stalest rows."""
+    import glob
+    import json
+    import os
+    import re
+
+    latest: dict[str, tuple[int, int]] = {}
+    paths = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+    if not paths:
+        return None
+    for path in paths:
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for pos, name in enumerate(data):
+            latest[name] = (rnd, pos)
+    names = list(all_queries())
+    new = [n for n in names if n not in latest]
+    if len(new) > window:
+        raise ValueError(
+            f"{len(new)} unverified registrations exceed the {window}-slot "
+            "window — split the registration across rounds"
+        )
+    refresh = sorted(
+        (n for n in names if n in latest), key=lambda n: latest[n]
+    )
+    return tuple((new + refresh)[:window])
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -195,5 +233,16 @@ def _load_all() -> None:
         queries_round9b,
         queries_streaming_twins,
     )
+
+    # r10-window registrations: the round10b module (all 9) and the r11
+    # module's FIRST_WAVE (21 of 27; DEFERRED_TO_R11 waits for the r11
+    # window together with queries_round12).
+    from kinesis_stream_video_project_spark.plans import (
+        queries_round10b,
+        queries_round11,
+    )
+
+    queries_round10b.register_all()
+    queries_round11.register_all()
 
     _LOADED = True

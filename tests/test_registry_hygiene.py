@@ -18,6 +18,24 @@ def test_driver_window_is_exactly_the_export_prefix():
     assert list(qs)[:50] == list(win), "export order must start with the window"
 
 
+def test_window_matches_priority_builder():
+    """The standing staleness SLO (VERDICT r9 item 9): the committed
+    DRIVER_PRIORITY must equal what the builder derives from the
+    CORRECTNESS artifacts — new registrations first, then refreshes
+    oldest-latest-green first — so a query can never silently age past
+    what the refresh budget allows; the window is re-derived by code,
+    not by hand, every round."""
+    import pathlib
+
+    root = str(pathlib.Path(__file__).resolve().parent.parent)
+    built = registry.build_driver_priority(root)
+    if built is None:
+        import pytest
+
+        pytest.skip("no CORRECTNESS_r*.json artifacts (fresh clone)")
+    assert built == registry.DRIVER_PRIORITY
+
+
 def test_every_query_is_oracle_paired():
     qs = registry.all_queries()
     rows_only = [n for n, s in qs.items() if not s.oracle]
