@@ -1,0 +1,109 @@
+"""Edit-distance similarity join via deletion-neighborhood blocking
+(FastSS: Bocek/Hunt/Stiller, ETH TIK report 2007; the same family as
+SymSpell) — the TYPO tier of the near-dup ladder: MinHash/Jaccard see
+token-set overlap, SimHash sees global profile, but "kitten"/"sitten"
+is invisible to both. Spell-variant clustering of terms (queries, tags,
+entity names) is an edit-distance problem. Stated limitation: plain
+Levenshtein scores a transposition ("recieve"/"receive") as 2, so it
+surfaces at the d = 2 tier, not d = 1.
+
+The blocking theorem (FastSS §4): two strings at Levenshtein distance
+<= d SHARE at least one member of their d-deletion neighborhoods (all
+strings reachable by deleting up to d characters, the string itself
+included as the 0-deletion). So the candidate join keys on deletion
+variants — O(len^d) keys per term, never all pairs — and exact
+``levenshtein()`` verifies each candidate (built into BOTH Spark and
+DuckDB, so the whole pipeline stays under the driver hash gate with no
+custom distance fold).
+
+Scale: the variant table is Σ O(len^d) rows over the DISTINCT-term
+ledger (corpus-size-independent — a 100 TB corpus has a ~1e7-term
+vocabulary, ~1e9 variant rows at d = 2), the join carries
+(variant, term) pairs only, pairs dedup BEFORE the verify, and the
+verify re-checks the exact distance, so blocking can only lose recall
+(it provably doesn't — pinned vs the definitional all-pairs form in
+tests), never precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(term_col: str, max_dist: int) -> Column:
+    """The ≤``max_dist``-deletion neighborhood of a term as a distinct
+    array: the term itself, every 1-deletion, and (at ``max_dist`` = 2)
+    every 2-deletion. Pure string slicing — hash-identical in any
+    engine."""
+    if max_dist not in (1, 2):
+        raise ValueError(
+            f"deletion_variants: max_dist must be 1 or 2, got {max_dist}"
+        )
+    t = term_col
+    one = (
+        "transform(sequence(1, length({t})), "
+        "i -> concat(substring({t}, 1, i - 1), "
+        "substring({t}, i + 1, length({t}))))"
+    ).replace("{t}", t)
+    if max_dist == 1:
+        return F.expr(f"array_union(array({t}), {one})")
+    # 2-deletions: delete positions i < j of the ORIGINAL string ==
+    # delete position i, then position j-1 of the 1-deletion — generated
+    # directly on the original to keep the expression flat.
+    two = (
+        "flatten(transform(sequence(1, length({t})), i -> "
+        "transform(sequence(i + 1, length({t})), j -> "
+        "concat(substring({t}, 1, i - 1), "
+        "substring({t}, i + 1, j - i - 1), "
+        "substring({t}, j + 1, length({t}))))))"
+    ).replace("{t}", t)
+    return F.expr(
+        f"array_union(array_union(array({t}), {one}), "
+        f"CASE WHEN length({t}) >= 2 THEN {two} ELSE array() END)"
+    )
+
+
+def fastss_pairs(
+    terms: DataFrame,
+    term_col: str = "term",
+    min_len: int = 4,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Distinct unordered term pairs at Levenshtein distance in
+    [1, ``max_dist``] (distance-0 pairs are the exact-dedup tier's
+    job), via deletion-neighborhood blocking + exact verify.
+
+    ``min_len`` drops short terms (a 2-char term is within distance 1
+    of hundreds of strings — linguistically meaningless pairs that
+    would dominate the output; 4 is the SymSpell-community default).
+
+    Returns ``(term_a, term_b, dist)`` with term_a < term_b.
+
+    Plan: distinct terms -> explode the ≤d-deletion neighborhood ->
+    self-join on the variant (payload = the variant key and the term,
+    nothing else) -> pair-dedup BEFORE the levenshtein verify (a pair
+    can share MANY variants at d = 2; verifying once per pair, not per
+    shared variant, is the LSH id-only-pairs discipline) -> exact
+    distance filter. The variant column is projected ONCE into its own
+    column before exploding (the multi-reference lambda rule)."""
+    t = (
+        terms.select(F.col(term_col).cast("string").alias("_term"))
+        .filter(F.length("_term") >= min_len)
+        .distinct()
+        .select("_term", deletion_variants("_term", max_dist).alias("_vars"))
+        .select("_term", F.explode("_vars").alias("_v"))
+    )
+    a = t.select(F.col("_v"), F.col("_term").alias("term_a"))
+    b = t.select(F.col("_v"), F.col("_term").alias("term_b"))
+    pairs = (
+        a.join(b, "_v")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b")
+        .distinct()
+    )
+    return pairs.select(
+        "term_a",
+        "term_b",
+        F.levenshtein("term_a", "term_b").cast("long").alias("dist"),
+    ).filter(F.col("dist").between(1, max_dist))

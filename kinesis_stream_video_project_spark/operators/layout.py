@@ -175,3 +175,62 @@ def range_partition_bounds(
         F.max("v").alias("upper_value"),
         F.sum("cnt").cast("long").alias("n_rows"),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Sequential-fill small-file compaction plan — the third layout
+    decision operator: given a manifest of (partition, file, size),
+    assign each file to an output bin so every bin's total is the first
+    to reach ``target_bytes`` (the small-files problem at 100 TB: a
+    table ingested by streaming writers accumulates thousands of KB
+    files per partition, and every scan pays per-file open cost; Delta
+    OPTIMIZE / Iceberg rewriteDataFiles run exactly this plan shape).
+
+    Bin rule: files are packed in (file id) order within their
+    partition — sequential fill PRESERVES the existing sort/cluster
+    order, which bin-packing heuristics like first-fit-decreasing
+    destroy (they interleave ingest order and wreck data-skipping
+    min/max ranges) — and a file opens a new bin when the bin's running
+    total has already reached the target:
+    ``bin = (cumsum_before) DIV target_bytes`` over the partition-local
+    prefix sums. A single file larger than the target gets its own bin
+    (stated; splitting a file is the writer's job, not the planner's).
+
+    Returns one row per output bin:
+    ``(partition, bin, n_files, bin_bytes, first_file, last_file)``.
+
+    All-integer; refuses target_bytes <= 0 loudly. Scale: ONE window
+    keyed on the partition column (never global) over the MANIFEST —
+    at 100 TB the manifest is ~1e6 rows of metadata, not data; the
+    plan never touches file contents."""
+    if target_bytes <= 0:
+        raise ValueError(
+            f"compaction_plan: target_bytes must be positive, got {target_bytes}"
+        )
+    w = (
+        Window.partitionBy("partition")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = files.select(
+        F.col(partition_col).alias("partition"),
+        F.col(file_col).alias("file_id"),
+        F.col(size_col).cast("long").alias("bytes"),
+    ).withColumn(
+        "bin", F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("long")
+    )
+    staged = staged.withColumn(
+        "bin", F.expr(f"bin DIV CAST({target_bytes} AS BIGINT)").cast("long")
+    )
+    return staged.groupBy("partition", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )

@@ -199,3 +199,73 @@ def stratified_allocation(
             F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    k: int,
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Weighted-without-replacement top-k PRIORITY SAMPLE
+    (Duffield/Lund/Thorup, JACM 2007: draw u ~ U(0,1] per item, keep
+    the k largest priorities w/u) — the weight-aware upgrade of
+    :func:`deterministic_sample`: a doc with twice the weight is ~twice
+    as likely to make the sample, and the sample is STILL a pure
+    function of (key, weight), so it is reproducible across engines,
+    runs and corpus rebuilds, unlike any rand()-based draw.
+
+    The uniform is the md5-derived 48-bit rank of the key (the repo's
+    portable-hash rule), and the comparison keeps all-integer exactness
+    by ranking on the INVERTED priority ``u48 DIV w`` ascending (w/u
+    descending ⇔ u/w ascending; integer division only coarsens ties,
+    which the (priority, key) total order then breaks
+    deterministically). Weights must be positive integers — refused
+    loudly otherwise (in-plan ``raise_error``; a zero weight would
+    silently win every sample under DIV).
+
+    Returns ``(key, weight, priority)`` rows of the sample, plus the
+    group column when given.
+
+    Scale: global form compiles to TakeOrderedAndProject — a MERGEABLE
+    per-partition top-k, no corpus shuffle at any size (the 100 TB
+    reason priority sampling exists: DLT §1 — k bounded, one pass,
+    union-mergeable across shards). Grouped form is one window keyed on
+    the group — the per-group top-k discipline."""
+    if k <= 0:
+        raise ValueError(f"priority_sample: k must be positive, got {k}")
+    w = weight.cast("long")
+    guarded = F.when(
+        w <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit("priority_sample: non-positive weight for key "),
+                F.col(key).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(w)
+    u48 = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    staged = df.select(
+        *([group_col] if group_col else []),
+        F.col(key),
+        guarded.alias("weight"),
+        u48.alias("_u48"),
+    ).select(
+        *([group_col] if group_col else []),
+        key,
+        "weight",
+        F.expr("_u48 DIV weight").cast("long").alias("priority"),
+    )
+    if group_col is None:
+        return staged.orderBy("priority", key).limit(k)
+    from pyspark.sql import Window
+
+    w_grp = Window.partitionBy(group_col).orderBy("priority", key)
+    return (
+        staged.withColumn("_rk", F.row_number().over(w_grp))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

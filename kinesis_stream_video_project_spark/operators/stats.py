@@ -1065,3 +1065,77 @@ def ohlc_bars(
         F.min("_vm").cast("long").alias("low_milli"),
         F.max_by("_vm", F.col("_ord")).cast("long").alias("close_milli"),
     )
+
+
+def proportion_ztest_vs_global(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    trial: Column,
+    z2: int = 4,
+) -> DataFrame:
+    """Per-group two-sided proportion test against the GLOBAL rate —
+    the experiment-readout / segment-anomaly primitive ("does this
+    nation's conversion rate differ significantly from the corpus
+    rate?"), made hash-checkable by clearing every denominator: the
+    classic one-sample z-test z² = (p̂−p₀)² / (p₀(1−p₀)/n) with
+    p̂ = x/n, p₀ = X/N becomes the ALL-INTEGER comparison
+
+        (x·N − n·X)² · N  >  z² · X · (N−X) · n · N    (÷ both by N³n²)
+
+    …which after cancelling one N is evaluated here as
+    ``(x·N − n·X)² > z² · X · (N−X) · n`` in DECIMAL(38,0) — no
+    division, no sqrt, no float anywhere (z² = 4 is the two-sided 95%
+    bound z = 1.96 rounded up — stated, conservative).
+
+    Emits ``(group, successes, trials, rate_permille, global_permille,
+    significant)``; permilles are truncating-integer observability
+    columns, the decision uses the exact comparison.
+
+    Exactness bound, refused loudly in-plan (the hits_bipartite
+    discipline): the squared term must stay inside DECIMAL(38,0), so
+    the plan raises when x·N could reach 10^19 — at corpus sizes past
+    that (N·n > 10^19), run the test per-partition-of-time or sampled;
+    silent wraparound would flip decisions.
+
+    Scale: one group-keyed aggregate + a broadcast 1-row global join —
+    the |groups|-row ledger discipline; nothing scales with rows after
+    the first map-side-combined aggregate."""
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(success.cast("long")).cast("long").alias("successes"),
+        F.sum(trial.cast("long")).cast("long").alias("trials"),
+    )
+    glob = per.agg(
+        F.sum("successes").cast("long").alias("_X"),
+        F.sum("trials").cast("long").alias("_N"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    x, n, X, N = (d.format(c) for c in ("successes", "trials", "_X", "_N"))
+    guard = F.expr(
+        f"CASE WHEN {x} * {N} >= CAST(1e19 AS DECIMAL(38,0)) OR "
+        f"{n} * {X} >= CAST(1e19 AS DECIMAL(38,0)) THEN "
+        "raise_error('proportion_ztest_vs_global: x*N exceeds the "
+        "DECIMAL(38,0) exactness bound - test per time-partition') "
+        "ELSE 0 END"
+    )
+    diff = f"({x} * {N} - {n} * {X})"
+    rhs = f"(CAST({z2} AS DECIMAL(38,0)) * {X} * ({N} - {X}) * {n})"
+    return (
+        per.join(F.broadcast(glob))
+        .withColumn("_g", guard)
+        .select(
+            "group",
+            "successes",
+            "trials",
+            F.expr("CAST((successes * 1000) DIV trials AS BIGINT)").alias(
+                "rate_permille"
+            ),
+            F.expr("CAST((_X * 1000) DIV _N AS BIGINT)").alias(
+                "global_permille"
+            ),
+            (
+                F.expr(f"{diff} * {diff}") + F.col("_g")
+                > F.expr(rhs)
+            ).alias("significant"),
+        )
+    )
