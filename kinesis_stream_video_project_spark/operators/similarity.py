@@ -706,10 +706,6 @@ def pq_train_codes(
         "s",
         F.transform("_sv", lambda x: x.cast("double")).alias("_sv"),
     )
-    assigned = subs.withColumn(
-        "cell", (F.col(corpus_id) % n_centroids).cast("int")
-    )
-
     def centroids_of(a: DataFrame) -> DataFrame:
         per_dim = (
             a.select("s", "cell", F.posexplode("_sv").alias("dim", "c"))
@@ -733,25 +729,47 @@ def pq_train_codes(
         )
 
     def assign(a: DataFrame, cents: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("_sv"), F.col("centroid"), lambda x, c: (x - c) * (x - c)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # argmin over cells as a map-side-combinable min_by AGGREGATE on
+        # the same (distance, cell) total order — NOT a row_number
+        # window: at n_centroids=256 the scored frame is corpus × 8 ×
+        # 256 rows, and sorting it (three assigns per call) was the
+        # whole cost of the first registered run (12.6 s warm at sf0.1;
+        # 1.9 s after — the rfm/rate-limit "read the plan" discipline).
+        # _sv rides along via first(): constant within the (id, s)
+        # group, so any pick is THE value. The distance is UNROLLED to
+        # sub_d scalar terms (element_at is O(1) on array data) instead
+        # of zip_with+aggregate — the HOF form allocates two sub_d
+        # arrays per scored row, and at corpus × subspaces × cells rows
+        # the allocations were the measured bottleneck, not the math.
+        d2 = None
+        for i in range(1, sub_d + 1):
+            term = (
+                F.element_at("_sv", i) - F.element_at("centroid", i)
+            )
+            term = term * term
+            d2 = term if d2 is None else d2 + term
         scored = a.drop("cell").join(
             F.broadcast(cents.withColumnRenamed("cell", "_cc")), "s"
         )
-        w = Window.partitionBy(corpus_id, "s").orderBy(
-            d2.asc(), F.col("_cc").asc()
-        )
         return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(corpus_id, "s", "_sv", F.col("_cc").alias("cell"))
+            scored.groupBy(corpus_id, "s")
+            .agg(
+                F.min_by(
+                    "_cc", F.struct(d2.alias("_d2"), F.col("_cc"))
+                ).alias("cell"),
+                F.first("_sv").alias("_sv"),
+            )
+            .select(corpus_id, "s", "_sv", "cell")
         )
 
+    # the loop below re-reads subs once per assign (3x at n_iters=1),
+    # re-deriving the explode+cast pipeline from the parquet scan each
+    # time — stage it once (the iterative-loop staging rule; corpus × 8
+    # rows of 8-double arrays, tiny at any corpus the codebook fits)
+    subs = subs.localCheckpoint(eager=True)
+    assigned = subs.withColumn(
+        "cell", (F.col(corpus_id) % n_centroids).cast("int")
+    )
     cents = centroids_of(assigned)
     for _ in range(n_iters):
         assigned = assign(subs, cents)

@@ -3096,3 +3096,209 @@ def ivm_stream_tws(changes: DataFrame, key_col: str = "key") -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online Bloom ingest novelty scoring (growing membership filter, per key)
+# ---------------------------------------------------------------------------
+
+_BLOOM_OUT_SCHEMA = (
+    "ns string, doc_id bigint, seq bigint, n_grams bigint, n_prior_hits bigint"
+)
+_BLOOM_STATE_SCHEMA = "seq bigint, words array<long>"
+_BLOOM_WORDS = 65536 // 32  # m = 2^16 bits in 32-bit words (bloom.py geometry)
+
+
+def _bloom_stream_fold(words: list, docs: list) -> tuple:
+    """Pure per-key Bloom ingest step shared by BOTH stateful API forms:
+    ``docs`` is ``[(doc_id, n_grams, positions)]`` with ``positions``
+    the flat k-per-gram bit-position list (staged JVM-side by
+    ``operators/bloom.bloom_positions`` — the stateless scale-out
+    stage); rows are processed in ascending ``doc_id`` order (the
+    IN-BATCH ORDER CONTRACT — a growing filter is order-dependent by
+    nature, so the fold fixes a total order instead of inheriting
+    partition arrival order; feeding batches in doc_id order makes the
+    result chunking-INVARIANT, pinned in tests).
+
+    Per doc: count grams whose k bits are ALL already set (prior-
+    ingest hits, the novelty signal), THEN insert the doc's own grams.
+    Returns (words', emitted_rows). A doc's own grams never count
+    against itself; duplicate grams WITHIN a doc are already distinct
+    at staging."""
+    from kinesis_stream_video_project_spark.operators.bloom import K_HASHES
+
+    w = [int(x) for x in words] if words else [0] * _BLOOM_WORDS
+    out = []
+    for doc_id, n_grams, positions in sorted(docs):
+        pos = [int(p) for p in positions]  # GroupState pickles PYTHON ints
+        hits = 0
+        for g in range(0, len(pos), K_HASHES):
+            if all(
+                w[p // 32] & (1 << (p % 32)) for p in pos[g : g + K_HASHES]
+            ):
+                hits += 1
+        for p in pos:
+            w[p // 32] |= 1 << (p % 32)
+        out.append((doc_id, n_grams, hits))
+    return w, out
+
+
+def _bloom_stage(docs: DataFrame, ns_col: str, n: int) -> DataFrame:
+    """Stateless JVM-side staging: per doc, the distinct n-grams'
+    flattened k bit positions (``operators/bloom.bloom_positions`` —
+    md5 staged OUTSIDE the probe lambda, its own projection) plus the
+    gram count. This stage carries ALL the hashing cost and scales out;
+    the stateful fold only flips bits."""
+    from kinesis_stream_video_project_spark.functions.text import tokens
+    from kinesis_stream_video_project_spark.operators.bloom import (
+        K_HASHES,
+        M_BITS,
+    )
+
+    toked = docs.select(
+        F.col(ns_col).alias("ns"), "doc_id", tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, F.lit(n))),
+        )
+    )
+    staged = toked.select("ns", "doc_id", grams.alias("_grams")).select(
+        "ns",
+        "doc_id",
+        F.size("_grams").cast("long").alias("n_grams"),
+        F.transform("_grams", F.md5).alias("_hashes"),
+    )
+    pos = F.flatten(
+        F.transform(
+            "_hashes",
+            lambda h: F.array(
+                *[
+                    (
+                        F.conv(F.substring(h, 1 + 5 * j, 5), 16, 10).cast(
+                            "int"
+                        )
+                        % F.lit(M_BITS)
+                    )
+                    for j in range(K_HASHES)
+                ]
+            ),
+        )
+    )
+    return staged.select("ns", "doc_id", "n_grams", pos.alias("positions"))
+
+
+def bloom_stream(docs: DataFrame, ns_col: str = "source", n: int = 5) -> DataFrame:
+    """ONLINE Bloom ingest novelty scoring — the FOURTEENTH op on both
+    stateful APIs, and the streaming half of the registered
+    ``bloom_ingest_scores`` batch tier: per namespace key, a GROWING
+    m-bit Bloom filter of every n-gram ingested so far; each arriving
+    doc emits ``(ns, doc_id, seq, n_grams, n_prior_hits)`` where
+    ``n_prior_hits`` counts its grams already present — the
+    at-ingest near-dup/contamination signal ("how much of this doc
+    have I already crawled") at FIXED memory per namespace.
+
+    No false negatives by the Bloom law: n_prior_hits >= the exact
+    prior-gram overlap (pinned against a pure first-seen replay in
+    tests); overcount is the documented FP trade (bloom.py geometry
+    note). Docs shorter than ``n`` tokens emit no row (the batch
+    contract).
+
+    State: seq + 2 048 packed 32-bit words (16 KB) per namespace —
+    constant regardless of corpus size, the entire point; namespaces
+    are the sharding lever (per-source/per-lang filters shard the
+    key space the way production shards by crawl segment).
+    NoTimeout: a membership filter never expires."""
+    staged = _bloom_stage(docs, ns_col, n)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (ns,) = key
+        seq, words = state.get if state.exists else (0, [])
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        rows = list(
+            zip(
+                b["doc_id"].tolist(),
+                b["n_grams"].tolist(),
+                [list(p) for p in b["positions"].tolist()],
+            )
+        )
+        words, emitted = _bloom_stream_fold(list(words), rows)
+        seq += 1
+        state.update((seq, words))
+        yield pd.DataFrame(
+            {
+                "ns": [str(ns)] * len(emitted),
+                "doc_id": [int(d) for d, _, _ in emitted],
+                "seq": [seq] * len(emitted),
+                "n_grams": [int(g) for _, g, _ in emitted],
+                "n_prior_hits": [int(h) for _, _, h in emitted],
+            }
+        )
+
+    return staged.groupBy("ns").applyInPandasWithState(
+        update,
+        outputStructType=_BLOOM_OUT_SCHEMA,
+        stateStructType=_BLOOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def bloom_stream_tws(
+    docs: DataFrame, ns_col: str = "source", n: int = 5
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`bloom_stream` — same shared fold and in-batch doc_id order
+    contract; ProcessingTime with no timers. GS ≡ TWS pinned on the
+    same drain in tests."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _bloom_stage(docs, ns_col, n)
+
+    class BloomProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("bloom", _BLOOM_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (ns,) = key
+            held = self._state.get()
+            seq, words = held if held is not None else (0, [])
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            triples = list(
+                zip(
+                    b["doc_id"].tolist(),
+                    b["n_grams"].tolist(),
+                    [list(p) for p in b["positions"].tolist()],
+                )
+            )
+            words, emitted = _bloom_stream_fold(list(words), triples)
+            seq += 1
+            self._state.update((seq, list(words)))
+            yield pd.DataFrame(
+                {
+                    "ns": [str(ns)] * len(emitted),
+                    "doc_id": [int(d) for d, _, _ in emitted],
+                    "seq": [seq] * len(emitted),
+                    "n_grams": [int(g) for _, g, _ in emitted],
+                    "n_prior_hits": [int(h) for _, _, h in emitted],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("ns").transformWithStateInPandas(
+        statefulProcessor=BloomProcessor(),
+        outputStructType=_BLOOM_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -3063,3 +3063,120 @@ def test_ivm_stream_checkpoint_restart_resumes(spark, tmp_path):
     # key 2 tombstones at seq 2 — a state loss would restart seq at 1
     # and count at -1/0 instead
     assert run2 == {(1, 2, 1, 20), (2, 2, 0, 0)}
+
+
+# ---------------------------------------------------------------------------
+# Online Bloom ingest novelty scoring (the FOURTEENTH dual-API op)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pure_replay(rows, n=5):
+    """Pure-python reference: replay (source, doc_id, text) in doc_id
+    order per namespace through (a) an exact prior-gram-set overlap and
+    (b) the md5 Bloom fold itself — (a) lower-bounds the stream's
+    n_prior_hits (the no-false-negative law), (b) must match it
+    EXACTLY."""
+    import hashlib
+
+    M, K = 1 << 16, 3
+    exact_seen, bits = {}, {}
+    out = {}
+    by_ns = {}
+    for src, doc_id, text in rows:
+        by_ns.setdefault(src, []).append((doc_id, text))
+    for src, docs in by_ns.items():
+        exact_seen[src], bits[src] = set(), set()
+        for doc_id, text in sorted(docs):
+            toks = text.split(" ")
+            if len(toks) < n:
+                continue
+            grams = list(dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ))
+            bloom_hits = exact_hits = 0
+            gram_pos = []
+            for g in grams:
+                h = hashlib.md5(g.encode()).hexdigest()
+                pos = [int(h[5 * j : 5 * j + 5], 16) % M for j in range(K)]
+                gram_pos.append(pos)
+                if all(p in bits[src] for p in pos):
+                    bloom_hits += 1
+                if g in exact_seen[src]:
+                    exact_hits += 1
+            for g, pos in zip(grams, gram_pos):
+                exact_seen[src].add(g)
+                bits[src].update(pos)
+            out[(src, doc_id)] = (len(grams), bloom_hits, exact_hits)
+    return out
+
+
+def _drain_bloom(spark, tmp_path, fn, docs_rows, tag, nfiles):
+    schema = "source string, doc_id long, text string"
+    src = tmp_path / f"bloom_src_{tag}"
+    step = -(-len(docs_rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(
+                docs_rows[i * step : (i + 1) * step], schema
+            ),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"bloom_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_bloom_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        (r["ns"], r["doc_id"]): (r["n_grams"], r["n_prior_hits"])
+        for r in spark.sql(f"SELECT * FROM bloom_out_{tag}").collect()
+    }
+
+
+def _bloom_fixture_rows(spark, sf_dir):
+    """The full sf0.001 documents table (500 docs) — its dup clusters
+    give genuine same-source prior-gram overlap (probed: 108 grams by
+    source); doc_id order feeds originals before copies."""
+    docs = io.load_table(spark, "/root/testdata/sf0.001", "documents")
+    return sorted(
+        (r["source"], r["doc_id"], r["text"]) for r in docs.collect()
+    )
+
+
+def test_bloom_stream_matches_pure_replay_and_fp_law(spark, tmp_path, sf_dir):
+    rows = _bloom_fixture_rows(spark, sf_dir)
+    want = _bloom_pure_replay(rows)
+    got1 = _drain_bloom(spark, tmp_path, jobs.bloom_stream, rows, "gs1", 1)
+    got3 = _drain_bloom(spark, tmp_path, jobs.bloom_stream, rows, "gs3", 3)
+    # chunking invariance under the doc_id-ordered feed contract
+    assert got1 == got3
+    assert set(got1) == set(want)
+    n_overlap = 0
+    for k, (n_grams, prior) in got1.items():
+        wg, wbloom, wexact = want[k]
+        assert n_grams == wg, k
+        assert prior == wbloom, k          # the fold, bit-for-bit
+        assert prior >= wexact, k          # no false negatives
+        n_overlap += wexact
+    assert n_overlap > 0  # the fixture genuinely exercises prior hits
+
+
+def test_bloom_stream_tws_matches_group_state_form(spark, tmp_path, sf_dir):
+    rows = _bloom_fixture_rows(spark, sf_dir)
+    gs = _drain_bloom(spark, tmp_path, jobs.bloom_stream, rows, "gs_eq", 2)
+    tws = _drain_bloom(
+        spark, tmp_path, jobs.bloom_stream_tws, rows, "tws_eq", 2
+    )
+    assert gs == tws and len(gs) > 0
