@@ -320,32 +320,82 @@ def closed_sessions(
     which the streaming drain (watermark-horizon sessions stay open)
     cannot do alone.
 
-    Scale: one applyInPandas pass keyed on ``user_col``; state is the
-    fold's 24 B regardless of history; each group sorts its own rows
-    (the per-user event count, never the table)."""
+    Scale + the r10 rewrite: the first form was groupBy(user).
+    applyInPandas — ONE Arrow group per key, the same ~10k-tiny-groups
+    pandas overhead the rate_limit_decisions audit measured (the fold
+    itself is microseconds per user). This form is the partition-run
+    discipline (operators/ratelimit.py): shuffle ONCE on the key,
+    sortWithinPartitions((user, ts, id)) gives contiguous per-user
+    runs, and mapInPandas walks each partition's ordered Arrow batches
+    slicing runs into the SAME shared fold — ~|partitions| Python
+    invocations instead of ~|keys|; a run straddling an Arrow-batch
+    boundary continues from carried state and every carried open
+    session flushes at end-of-partition (batch EOF closes everything).
+    State is the fold's 24 B per key."""
     import pandas as pd
 
     from kinesis_stream_video_project_spark.streaming.jobs import _session_fold
 
     gap_us = gap_s * 1_000_000
 
-    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, id_col])
-        rows = (pdf[ts_col].astype("int64") // 1000).tolist()
-        start, end, n, emits = _session_fold(None, None, 0, gap_us, rows)
-        if start is not None:
-            emits.append((start, end, n))
-        uid = int(pdf[user_col].iloc[0])
-        return pd.DataFrame(
-            {
-                "user_id": [uid] * len(emits),
-                "session_start_us": [e[0] for e in emits],
-                "session_end_us": [e[1] for e in emits],
-                "n_events": [e[2] for e in emits],
-            }
-        )
+    def replay(batches):
+        carry: dict[int, tuple] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            import numpy as np
 
-    return events.groupBy(user_col).applyInPandas(
+            uids = pdf[user_col].to_numpy()
+            ts = pdf["_ts_us"].to_numpy()
+            cuts = (
+                [0]
+                + (np.flatnonzero(uids[1:] != uids[:-1]) + 1).tolist()
+                + [len(uids)]
+            )
+            out_uid: list[int] = []
+            out = []
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                uid = int(uids[a])
+                start, end, n = carry.pop(uid, (None, None, 0))
+                start, end, n, emits = _session_fold(
+                    start, end, n, gap_us, ts[a:b].tolist()
+                )
+                carry[uid] = (start, end, n)
+                out_uid.extend([uid] * len(emits))
+                out.extend(emits)
+            yield pd.DataFrame(
+                {
+                    "user_id": out_uid,
+                    "session_start_us": [e[0] for e in out],
+                    "session_end_us": [e[1] for e in out],
+                    "n_events": [e[2] for e in out],
+                }
+            )
+        # batch EOF: flush every open session (the online form keys
+        # this off the watermark; the batch replay closes at input end)
+        flushed = [
+            (uid, s, e, n) for uid, (s, e, n) in carry.items() if s is not None
+        ]
+        if flushed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [f[0] for f in flushed],
+                    "session_start_us": [f[1] for f in flushed],
+                    "session_end_us": [f[2] for f in flushed],
+                    "n_events": [f[3] for f in flushed],
+                }
+            )
+
+    staged = (
+        events.select(
+            F.col(user_col),
+            F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+            F.col(id_col),
+        )
+        .repartition(F.col(user_col))
+        .sortWithinPartitions(user_col, "_ts_us", id_col)
+    )
+    return staged.mapInPandas(
         replay,
         "user_id bigint, session_start_us bigint, session_end_us bigint, "
         "n_events bigint",
