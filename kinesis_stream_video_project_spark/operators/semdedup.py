@@ -1,0 +1,85 @@
+"""SemDeDup — semantic deduplication via cluster-local embedding
+cosine (Abbas/Tirumala/Simig/Ganguli/Morcos 2023, arXiv:2303.09540):
+k-means the embedding space, and within each cluster drop all but one
+of every near-identical group. The web-scale result (their LAION/
+C4 runs: few-% data removed, equal-or-better downstream) is exactly
+the 100 TB training-data use case; the CLUSTER-LOCAL pair join is what
+makes it tractable — the self-join is bounded per cell, never corpus-
+wide (the IVF/LSH bucketing argument, here applied to dedup instead of
+search).
+
+Determinism contract (the repo's min-keeper rule, replacing the
+paper's arbitrary within-group choice): a vector is DROPPED iff some
+SMALLER-id vector in its cell has cosine >= threshold with it. One
+anti-join — no transitive closure (pinned in tests: the rule is
+pairwise, stated; dup CHAINS keep their min-id head and drop every
+directly-similar follower, which at the paper's 0.95+ thresholds is
+the same set in practice).
+
+Everything reuses the deterministic primitives already under the hash
+gate: ``kmeans_assign`` (vec_id-mod init, max-cosine assignment,
+(cos, -cell) tiebreak) and the hoisted-norm pair cosine of
+``embedding_near_dups`` — so the full pipeline is oracle-checkable
+with the existing unrolled-CTE k-means SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.functions.numeric import r4
+from kinesis_stream_video_project_spark.functions.vectors import dot, l2_norm
+from kinesis_stream_video_project_spark.operators.similarity import kmeans_assign
+
+
+def semdedup_report(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 10,
+    n_iters: int = 2,
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Per-vector SemDeDup verdict: ``(vec_id, cell, kept)`` — kept is
+    false iff a smaller-id cell-mate sits at r4-rounded cosine >=
+    ``threshold`` (the threshold compare happens on the 4-dp ROUNDED
+    value, the repo's cross-engine float rule).
+
+    Scale: k-means cost is the documented Lloyd step; the pair join is
+    cell-keyed with norms hoisted per row (one dot fold per pair); the
+    drop set is id-only and the verdict is one left-anti-style join
+    back to the ledger-sized (id, cell) assignment."""
+    cells = kmeans_assign(
+        corpus, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
+    )
+    staged = corpus.select(F.col(corpus_id), F.col(vec)).join(cells, corpus_id)
+    a = staged.select(
+        F.col("cell"),
+        F.col(corpus_id).alias("_ida"),
+        F.col(vec).alias("_emba"),
+        l2_norm(F.col(vec)).alias("_na"),
+    )
+    b = staged.select(
+        F.col("cell"),
+        F.col(corpus_id).alias("_idb"),
+        F.col(vec).alias("_embb"),
+        l2_norm(F.col(vec)).alias("_nb"),
+    )
+    cos = dot(F.col("_emba"), F.col("_embb")) / (F.col("_na") * F.col("_nb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(r4(cos) >= threshold)
+        .select(F.col("_idb").alias(corpus_id))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        cells.join(dropped, corpus_id, "left")
+        .select(
+            corpus_id,
+            "cell",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
