@@ -22,6 +22,13 @@ Four operators new in round 10:
 * ``nation_urgent_ztest`` — per-nation two-proportion z-test vs the
   global urgent-order rate, all-integer cross-multiplied (z^2 = 4);
   probed non-degenerate BOTH ways at sf0.01 (2 significant / 23 not).
+* ``hrw_rebalance_audit`` — rendezvous-hashing shard movement ledger
+  (Thaler/Ravishankar 1998): zero-shuffle row-local assignment, the
+  minimal-disruption law measured on real keys.
+* ``semdedup_keep_report`` — SemDeDup (Abbas et al. 2023): k-means
+  cells + cluster-local cosine drop rule, min-id survivors; tau = 0.45
+  fixture-calibrated (max pairwise cosine ~0.6 in the synthetic
+  embeddings; production ~0.95 — a parameter, not a semantics change).
 """
 
 from __future__ import annotations
@@ -79,11 +86,91 @@ def _nation_urgent_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("group", "nationkey")
 
 
+def _hrw_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hashing rebalance ledger for adding shard s5 to a
+    5-shard layout over order keys: the minimal-disruption law on real
+    keys (all inflow lands on s5; expectation 1/6 of keys move)."""
+    from kinesis_stream_video_project_spark.operators.placement import (
+        rendezvous_rebalance_audit,
+    )
+
+    o = io.load_table(spark, sf_dir, "orders")
+    n5 = [f"s{i}" for i in range(5)]
+    return rendezvous_rebalance_audit(o, "o_orderkey", n5, n5 + ["s5"])
+
+
+def _semdedup_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop verdict per embedding at tau = 0.45 —
+    non-degenerate both ways at every SF (probed 2/500, 5/500, 34/2000
+    dropped)."""
+    from kinesis_stream_video_project_spark.operators.semdedup import (
+        semdedup_report,
+    )
+
+    return semdedup_report(
+        io.load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+def _hrw_case(nodes: "list[str]") -> str:
+    g = ",".join(f"h{i}" for i in range(len(nodes)))
+    whens = " ".join(f"WHEN h{i} THEN '{n}'" for i, n in enumerate(nodes[:-1]))
+    return f"CASE greatest({g}) {whens} ELSE '{nodes[-1]}' END"
+
+
+_HRW_HASHES = ",".join(
+    f"('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||':s{i}'),1,12))::BIGINT"
+    f" AS h{i}"
+    for i in range(6)
+)
+
+_N5 = [f"s{i}" for i in range(5)]
+_N6 = _N5 + ["s5"]
+
+
+def _semdedup_oracle() -> str:
+    from kinesis_stream_video_project_spark.plans.queries_llm import _dd_cosine
+
+    def centroids(src: str) -> str:
+        return f"""SELECT cell, list(mean_c ORDER BY dim) AS centroid
+  FROM (SELECT cell, dim, AVG(c) AS mean_c
+        FROM (SELECT cell, UNNEST(generate_series(1, len(embedding))) AS dim,
+                     UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS c
+              FROM {src}) GROUP BY cell, dim) GROUP BY cell"""
+
+    def assign(cents: str) -> str:
+        return f"""SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_dd_cosine('e.embedding', 'c.centroid')} DESC, c.cell) AS rn
+    FROM embeddings e CROSS JOIN {cents} c) WHERE rn = 1"""
+
+    return f"""
+WITH
+a0 AS (SELECT vec_id, embedding, vec_id % 10 AS cell FROM embeddings),
+c1 AS ({centroids('a0')}),
+a1 AS ({assign('c1')}),
+c2 AS ({centroids('a1')}),
+a2 AS ({assign('c2')}),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE (floor(({_dd_cosine('a.embedding', 'b.embedding')}) * 10000.0 + 0.5)
+         / 10000.0) >= 0.45
+)
+SELECT a2.vec_id, CAST(a2.cell AS BIGINT) AS cell,
+       (dropped.vec_id IS NULL) AS kept
+FROM a2 LEFT JOIN dropped ON a2.vec_id = dropped.vec_id
+"""
+
+
 QUERIES = {
     "priority_sample_docs": _priority_sample_docs,
     "compaction_bins": _compaction_bins,
     "fastss_typo_pairs": _fastss_typo_pairs,
     "nation_urgent_ztest": _nation_urgent_ztest,
+    "hrw_rebalance_audit": _hrw_rebalance_audit,
+    "semdedup_keep_report": _semdedup_keep_report,
 }
 
 ORACLES = {
@@ -147,6 +234,25 @@ SELECT nationkey,
         > 4 * X * (N - X) * CAST(trials AS HUGEINT)) AS significant
 FROM per, g
 """,
+    "hrw_rebalance_audit": f"""
+WITH r AS (SELECT o_orderkey AS k, {_HRW_HASHES} FROM orders),
+a AS (SELECT k, {_hrw_case(_N5)} AS _a, {_hrw_case(_N6)} AS _b FROM r),
+bef AS (SELECT _a AS shard, CAST(COUNT(*) AS BIGINT) AS n_before,
+        CAST(SUM(CASE WHEN _a <> _b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved_out
+        FROM a GROUP BY 1),
+aft AS (SELECT _b AS shard, CAST(COUNT(*) AS BIGINT) AS n_after,
+        CAST(SUM(CASE WHEN _a <> _b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved_in
+        FROM a GROUP BY 1)
+SELECT COALESCE(bef.shard, aft.shard) AS shard,
+       CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(n_moved_in, 0) AS BIGINT) AS n_moved_in,
+       CAST(COALESCE(n_moved_out, 0) AS BIGINT) AS n_moved_out
+FROM bef FULL OUTER JOIN aft ON bef.shard = aft.shard
+""",
+    "semdedup_keep_report": _semdedup_oracle(),
 }
 
 assert set(QUERIES) == set(ORACLES)
