@@ -5,7 +5,7 @@ slots). Wiring is the four-place rule: :func:`register_all` from
 ``registry._load_all`` + DRIVER_PRIORITY splice + bench rotation +
 QUERIES.md regeneration, one commit.
 
-Four operators new in round 10:
+Seven queries (six new operator families) built in round 10:
 
 * ``priority_sample_docs`` — Duffield/Lund/Thorup priority sampling
   (JACM 2007) in the repo's deterministic-md5 integer form: the
@@ -29,6 +29,10 @@ Four operators new in round 10:
   cells + cluster-local cosine drop rule, min-id survivors; tau = 0.45
   fixture-calibrated (max pairwise cosine ~0.6 in the synthetic
   embeddings; production ~0.95 — a parameter, not a semantics change).
+* ``semdedup_docs_keep`` — the same verdict over DOCUMENT text at the
+  paper's tau = 0.95, via the hashing-trick embedding
+  (functions/vectors.py::hashed_bow_table): embedding GENERATION and
+  dedup hash-check end to end.
 """
 
 from __future__ import annotations
@@ -128,7 +132,30 @@ _N5 = [f"s{i}" for i in range(5)]
 _N6 = _N5 + ["s5"]
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_docs_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over DOCUMENT text at the paper's tau = 0.95: the
+    hashing-trick embedding (hashed_bow_table — verbatim dup-cluster
+    copies embed at cosine 1.0) makes the semantic-dedup verdict
+    non-degenerate at the REAL threshold on every SF (probed 25/500,
+    24/500, 328/5000 dropped)."""
+    from kinesis_stream_video_project_spark.functions.vectors import (
+        hashed_bow_table,
+    )
+    from kinesis_stream_video_project_spark.operators.semdedup import (
+        semdedup_report,
+    )
+
+    docs = io.load_table(spark, sf_dir, "documents")
+    emb = hashed_bow_table(docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return semdedup_report(emb, threshold=0.95)
+
+
+def _semdedup_oracle(
+    source_cte: str = "SELECT vec_id, embedding FROM embeddings",
+    tau: float = 0.45,
+) -> str:
     from kinesis_stream_video_project_spark.plans.queries_llm import _dd_cosine
 
     def centroids(src: str) -> str:
@@ -143,11 +170,12 @@ def _semdedup_oracle() -> str:
     SELECT e.vec_id, e.embedding, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {_dd_cosine('e.embedding', 'c.centroid')} DESC, c.cell) AS rn
-    FROM embeddings e CROSS JOIN {cents} c) WHERE rn = 1"""
+    FROM src e CROSS JOIN {cents} c) WHERE rn = 1"""
 
     return f"""
 WITH
-a0 AS (SELECT vec_id, embedding, vec_id % 10 AS cell FROM embeddings),
+src AS ({source_cte}),
+a0 AS (SELECT vec_id, embedding, vec_id % 10 AS cell FROM src),
 c1 AS ({centroids('a0')}),
 a1 AS ({assign('c1')}),
 c2 AS ({centroids('a1')}),
@@ -156,11 +184,25 @@ dropped AS (
   SELECT DISTINCT b.vec_id
   FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE (floor(({_dd_cosine('a.embedding', 'b.embedding')}) * 10000.0 + 0.5)
-         / 10000.0) >= 0.45
+         / 10000.0) >= {tau}
 )
 SELECT a2.vec_id, CAST(a2.cell AS BIGINT) AS cell,
        (dropped.vec_id IS NULL) AS kept
 FROM a2 LEFT JOIN dropped ON a2.vec_id = dropped.vec_id
+"""
+
+
+# The documents-side embedding source: the hashing-trick bag-of-words
+# derived IN SQL (identical md5 buckets, identical integer counts cast
+# to double — the portable rule), so the doc-level SemDeDup verdict
+# hash-checks end to end including the embedding generation.
+_DOCS_BOW_CTE = """
+SELECT doc_id AS vec_id,
+       list_transform(generate_series(0, 63), d -> CAST(len(list_filter(
+         list_transform(string_split(lower(text), ' '),
+                        t -> CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS INT)),
+         b -> b = d)) AS DOUBLE)) AS embedding
+FROM documents
 """
 
 
@@ -171,6 +213,7 @@ QUERIES = {
     "nation_urgent_ztest": _nation_urgent_ztest,
     "hrw_rebalance_audit": _hrw_rebalance_audit,
     "semdedup_keep_report": _semdedup_keep_report,
+    "semdedup_docs_keep": _semdedup_docs_keep,
 }
 
 ORACLES = {
@@ -253,6 +296,7 @@ SELECT COALESCE(bef.shard, aft.shard) AS shard,
 FROM bef FULL OUTER JOIN aft ON bef.shard = aft.shard
 """,
     "semdedup_keep_report": _semdedup_oracle(),
+    "semdedup_docs_keep": _semdedup_oracle(_DOCS_BOW_CTE, tau=0.95),
 }
 
 assert set(QUERIES) == set(ORACLES)

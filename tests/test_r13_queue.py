@@ -228,7 +228,7 @@ def test_round13_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q13.QUERIES) == 6
+    assert len(q13.QUERIES) == 7
     for name, fn in q13.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q13.ORACLES[name]).df()

@@ -77,3 +77,24 @@ def test_fixture_nondegenerate_at_registration_tau(spark):
     ).toPandas()
     assert len(out) == 500
     assert 0 < int((~out["kept"]).sum()) < len(out)
+
+
+def test_hashed_bow_forms_bit_equal(spark):
+    """The row-local expression form and the aggregate table form of
+    the hashing-trick embedding produce IDENTICAL arrays (integer
+    counts cast to double) — either side of a downstream cosine can
+    use either form."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_video_project_spark import io
+    from kinesis_stream_video_project_spark.functions.vectors import (
+        hashed_bow,
+        hashed_bow_table,
+    )
+
+    docs = io.load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = docs.select("doc_id", hashed_bow(F.col("text")).alias("e1"))
+    b = hashed_bow_table(docs)
+    j = a.join(b, "doc_id")
+    assert j.count() == 500
+    assert j.filter(F.col("e1") != F.col("embedding")).count() == 0
