@@ -3302,3 +3302,154 @@ def bloom_stream_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online weighted priority sampling (bottom-k (priority, id) state, per key)
+# ---------------------------------------------------------------------------
+
+_WPS_OUT_SCHEMA = (
+    "key string, seq bigint, n_sample bigint, sample_ids array<long>, "
+    "kth_priority bigint"
+)
+_WPS_STATE_SCHEMA = "seq bigint, priorities array<long>, ids array<long>"
+
+
+def _wps_fold(held: list, new_pairs: list, k: int) -> tuple:
+    """Pure per-key priority-sampling step shared by BOTH stateful API
+    forms: merge the batch's (priority, id) pairs into the held
+    bottom-k set — the weighted sibling of :func:`_kmv_fold`, and the
+    SAME set-fold disorder story: bottom-k of a union equals bottom-k
+    of bottom-k's, so the drained state is order- and chunking-
+    invariant AND equals the batch ``operators/sampling.py::
+    priority_sample`` top-k exactly (pinned in tests — a streaming op
+    whose final state certifies against an oracle-validated batch
+    operator). Dedup on the pair (an id re-arriving with the same
+    weight is a redelivery, absorbed idempotently). Returns
+    ``(merged, changed)``."""
+    merged = sorted(set(held) | set(new_pairs))[:k]
+    return merged, merged != list(held)
+
+
+def wps_stream(
+    events: DataFrame, key_col: str = "event_type", k: int = 16
+) -> DataFrame:
+    """ONLINE weighted priority sample — the FIFTEENTH op on both
+    stateful APIs: per key, the k-element Duffield/Lund/Thorup priority
+    sample of everything seen so far (weight = the event's scaled
+    value), emitted as ``(key, seq, n_sample, sample_ids,
+    kth_priority)`` whenever a batch changes the sample. The max-seq
+    row per key IS the current sample; state is ≤ k (priority, id)
+    BIGINT pairs + seq — fixed memory regardless of stream length, the
+    reservoir property that makes weighted sampling a streaming
+    primitive at all.
+
+    Priorities are the batch operator's exact integers (48-bit md5 rank
+    DIV weight), staged JVM-side before the shuffle; weights must be
+    positive — rows with non-positive value are refused upstream by the
+    same in-plan guard the batch form uses (shared staging)."""
+    staged = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12), 16, 10)"
+            " AS BIGINT) DIV CAST(CASE WHEN CAST(value * 1000 AS BIGINT) > 0"
+            " THEN CAST(value * 1000 AS BIGINT) ELSE"
+            " raise_error('wps_stream: non-positive weight') END AS BIGINT)"
+        ).alias("priority"),
+        F.col("event_id").cast("long").alias("id"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        seq, prios, ids = state.get if state.exists else (0, [], [])
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        pairs = list(zip((int(p) for p in b["priority"]), (int(i) for i in b["id"])))
+        merged, changed = _wps_fold(list(zip(prios, ids)), pairs, k)
+        if changed:
+            seq += 1
+            state.update(
+                (seq, [p for p, _ in merged], [i for _, i in merged])
+            )
+            yield pd.DataFrame(
+                {
+                    "key": [str(key_val)],
+                    "seq": [seq],
+                    "n_sample": [len(merged)],
+                    "sample_ids": [[i for _, i in merged]],
+                    "kth_priority": [merged[-1][0]],
+                }
+            )
+
+    return staged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_WPS_OUT_SCHEMA,
+        stateStructType=_WPS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def wps_stream_tws(
+    events: DataFrame, key_col: str = "event_type", k: int = 16
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`wps_stream`
+    — same shared set-fold; ProcessingTime with no timers (a sample
+    never expires). GS ≡ TWS pinned on the same drain in tests."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12), 16, 10)"
+            " AS BIGINT) DIV CAST(CASE WHEN CAST(value * 1000 AS BIGINT) > 0"
+            " THEN CAST(value * 1000 AS BIGINT) ELSE"
+            " raise_error('wps_stream: non-positive weight') END AS BIGINT)"
+        ).alias("priority"),
+        F.col("event_id").cast("long").alias("id"),
+    )
+
+    class WpsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("wps", _WPS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            held = self._state.get()
+            seq, prios, ids = held if held is not None else (0, [], [])
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            pairs = list(
+                zip((int(p) for p in b["priority"]), (int(i) for i in b["id"]))
+            )
+            merged, changed = _wps_fold(list(zip(prios, ids)), pairs, k)
+            if changed:
+                seq += 1
+                self._state.update(
+                    (seq, [p for p, _ in merged], [i for _, i in merged])
+                )
+                yield pd.DataFrame(
+                    {
+                        "key": [str(key_val)],
+                        "seq": [seq],
+                        "n_sample": [len(merged)],
+                        "sample_ids": [[i for _, i in merged]],
+                        "kth_priority": [merged[-1][0]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=WpsProcessor(),
+        outputStructType=_WPS_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

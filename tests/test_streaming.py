@@ -3180,3 +3180,103 @@ def test_bloom_stream_tws_matches_group_state_form(spark, tmp_path, sf_dir):
         spark, tmp_path, jobs.bloom_stream_tws, rows, "tws_eq", 2
     )
     assert gs == tws and len(gs) > 0
+
+
+# ---------------------------------------------------------------------------
+# Online weighted priority sampling (the FIFTEENTH dual-API op)
+# ---------------------------------------------------------------------------
+
+
+def _drain_wps(spark, tmp_path, fn, events_rows, tag, nfiles, k=16):
+    schema = "event_type string, event_id long, value double"
+    src = tmp_path / f"wps_src_{tag}"
+    step = -(-len(events_rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(
+                events_rows[i * step : (i + 1) * step], schema
+            ),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream, k=k)
+        .writeStream.format("memory")
+        .queryName(f"wps_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_wps_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        r["key"]: (r["n_sample"], tuple(r["sample_ids"]), r["kth_priority"])
+        for r in spark.sql(
+            f"""SELECT * FROM wps_out_{tag} o
+                WHERE seq = (SELECT MAX(seq) FROM wps_out_{tag} i
+                             WHERE i.key = o.key)"""
+        ).collect()
+    }
+
+
+def _wps_rows(spark, sf_dir):
+    return [
+        (r["event_type"], r["event_id"], r["value"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .limit(3000)
+        .collect()
+    ]
+
+
+def test_wps_stream_matches_batch_sample(spark, tmp_path, sf_dir):
+    """Drained max-seq state equals the BATCH priority_sample top-k per
+    key exactly (the set fold is order-insensitive — bottom-k of a
+    union is bottom-k of bottom-k's), invariant to micro-batch
+    chunking."""
+    from kinesis_stream_video_project_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    rows = _wps_rows(spark, sf_dir)
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, value double"
+    )
+    batch = priority_sample(
+        df,
+        "event_id",
+        (F.col("value") * 1000).cast("long"),
+        16,
+        group_col="event_type",
+    )
+    want = {}
+    for r in batch.collect():
+        want.setdefault(r["event_type"], []).append(
+            (r["priority"], r["event_id"])
+        )
+    want = {
+        key: (
+            len(sorted(v)),
+            tuple(i for _, i in sorted(v)),
+            sorted(v)[-1][0],
+        )
+        for key, v in want.items()
+    }
+    got1 = _drain_wps(spark, tmp_path, jobs.wps_stream, rows, "gs1", 1)
+    got3 = _drain_wps(spark, tmp_path, jobs.wps_stream, rows, "gs3", 3)
+    assert got1 == got3 == want
+    assert len(got1) > 1
+
+
+def test_wps_stream_tws_matches_group_state_form(spark, tmp_path, sf_dir):
+    rows = _wps_rows(spark, sf_dir)
+    gs = _drain_wps(spark, tmp_path, jobs.wps_stream, rows, "gs_eq", 2)
+    tws = _drain_wps(spark, tmp_path, jobs.wps_stream_tws, rows, "tws_eq", 2)
+    assert gs == tws and len(gs) > 1
