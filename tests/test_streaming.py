@@ -3280,3 +3280,58 @@ def test_wps_stream_tws_matches_group_state_form(spark, tmp_path, sf_dir):
     gs = _drain_wps(spark, tmp_path, jobs.wps_stream, rows, "gs_eq", 2)
     tws = _drain_wps(spark, tmp_path, jobs.wps_stream_tws, rows, "tws_eq", 2)
     assert gs == tws and len(gs) > 1
+
+
+def test_bloom_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Stop-and-restart against the SAME checkpoint must resume the
+    GROWING filter's packed-word state: a doc re-ingested after restart
+    scores its grams as PRIOR HITS (the filter remembered), and the
+    union of emissions equals a fresh two-file drain — no state loss,
+    no re-emission. The most state-critical of the dual-API ops: losing
+    bits silently re-admits duplicates."""
+    schema = "source string, doc_id long, text string"
+    t1 = "alpha beta gamma delta epsilon zeta"
+    # t2 shares exactly ONE of its two 5-gram windows with t1 (the
+    # 'alpha..epsilon' head; the tail window differs at 'eta')
+    t2 = "alpha beta gamma delta epsilon eta"
+    rows1 = [("s", 1, t1)]
+    rows2 = [("s", 2, t1), ("s", 3, t2)]  # doc 2 verbatim copy of doc 1
+    src = tmp_path / "bloom_restart_src"
+    ckpt = str(tmp_path / "ckpt_bloom_restart")
+    out = str(tmp_path / "bloom_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.bloom_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.ns, r.doc_id, r.seq, r.n_grams, r.n_prior_hits)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_single_file(spark.createDataFrame(rows1, schema), src, "b0.parquet")
+    run1 = drain()
+    assert run1 == {("s", 1, 1, 2, 0)}  # 6 tokens -> 2 distinct 5-grams, novel
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(rows2, schema), src, "b1.parquet")
+    cumulative = drain()
+    run2 = cumulative - run1
+    # doc 2 is a verbatim copy of the PRE-RESTART doc 1: both its grams
+    # must score as prior hits — the restarted filter remembered its bits
+    assert ("s", 2, 2, 2, 2) in run2
+    # doc 3 shares one 5-gram window with nothing prior ('eta' tail
+    # changes both windows? no: 'alpha beta gamma delta epsilon' is
+    # shared) -> exactly 1 of its 2 grams is a prior hit
+    assert ("s", 3, 2, 2, 1) in run2
