@@ -76,7 +76,16 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a brute-force three-join count in tests/test_round5d.py (see
     operators/graph.py for the full argument). All counts integer →
     hash-exact."""
-    edges = graph.copurchase_edges(io.load_table(spark, sf_dir, "lineitem"))
+    # localCheckpoint the 16 B/row edge list ONCE (the neighbor_jaccard
+    # r9 discipline): triangle_count consumes it from FOUR subtrees
+    # (degrees, orientation, both adjacency sides, edge count) and the
+    # distinct-flavored aggregate below it defeats ReuseExchange —
+    # without staging, every subtree re-derives the basket pair explode
+    # from the lineitem scan (measured 4.7 → 3.4 s cons+mat at sf0.1 —
+    # the remainder is triangle_count's own orientation/intersect work).
+    edges = graph.copurchase_edges(
+        io.load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint()
     return graph.triangle_count(edges)
 
 
