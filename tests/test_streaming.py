@@ -3335,3 +3335,72 @@ def test_bloom_stream_checkpoint_restart_resumes(spark, tmp_path):
     # changes both windows? no: 'alpha beta gamma delta epsilon' is
     # shared) -> exactly 1 of its 2 grams is a prior hit
     assert ("s", 3, 2, 2, 1) in run2
+
+
+def test_wps_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Stop-and-restart against the SAME checkpoint must resume the
+    sample state: pre-restart members keep their slots, a post-restart
+    batch can only displace them by priority, and the emission union
+    equals a fresh two-file drain (the KMV restart contract, with
+    weights)."""
+    schema = "event_type string, event_id long, value double"
+    rows = [("k", i, 1.0 + (i % 3)) for i in range(20)]
+    src = tmp_path / "wps_restart_src"
+    ckpt = str(tmp_path / "ckpt_wps_restart")
+    out = str(tmp_path / "wps_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.wps_stream(stream, k=4)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.key, r.seq, r.n_sample, tuple(r.sample_ids), r.kth_priority)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_single_file(spark.createDataFrame(rows[:10], schema), src, "b0.parquet")
+    run1 = drain()
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(rows[10:], schema), src, "b1.parquet")
+    cumulative = drain()
+
+    # fresh single-session drain over both files, separate checkpoint
+    fresh_src = tmp_path / "wps_restart_fresh"
+    fresh_ckpt = str(tmp_path / "ckpt_wps_fresh")
+    fresh_out = str(tmp_path / "wps_fresh_out")
+    _write_single_file(spark.createDataFrame(rows[:10], schema), fresh_src, "b0.parquet")
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(rows[10:], schema), fresh_src, "b1.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(fresh_src))
+    )
+    q = (
+        jobs.wps_stream(stream, k=4)
+        .writeStream.format("parquet")
+        .option("path", fresh_out)
+        .outputMode("append")
+        .option("checkpointLocation", fresh_ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    fresh = {
+        (r.key, r.seq, r.n_sample, tuple(r.sample_ids), r.kth_priority)
+        for r in spark.read.parquet(fresh_out).collect()
+    }
+    assert cumulative == fresh and len(cumulative) >= 1
+    assert run1 <= cumulative  # restart re-emitted nothing
