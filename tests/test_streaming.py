@@ -3404,3 +3404,84 @@ def test_wps_stream_checkpoint_restart_resumes(spark, tmp_path):
     }
     assert cumulative == fresh and len(cumulative) >= 1
     assert run1 <= cumulative  # restart re-emitted nothing
+
+
+def test_wps_fold_chunking_invariance_hypothesis():
+    """Hypothesis pin: folding any chunking of any (priority, id)
+    multiset reaches the same bottom-k state (== the definitional
+    sorted-set head), and no-change batches report changed=False — the
+    KMV disorder law with weights."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.streaming.jobs import _wps_fold
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=1, max_value=30),
+            ),
+            max_size=40,
+        ),
+        cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=5),
+        k=st.integers(min_value=2, max_value=6),
+    )
+    def run(pairs, cuts, k):
+        held = []
+        bounds = sorted(set(c for c in cuts if c <= len(pairs)))
+        prev = 0
+        for b in bounds + [len(pairs)]:
+            held, _ = _wps_fold(held, pairs[prev:b], k)
+            prev = b
+        assert held == sorted(set(pairs))[:k]
+        again, changed = _wps_fold(held, pairs, k)
+        assert again == held and not changed
+
+    run()
+
+
+def test_bloom_fold_properties_hypothesis():
+    """Hypothesis pins for the growing-filter fold: (a) replaying the
+    SAME ordered docs in any batch chunking yields identical emissions
+    (the order contract makes chunking invisible); (b) a verbatim
+    re-ingest of an earlier doc scores ALL its grams as prior hits (no
+    false negatives — the Bloom law at the fold level); (c) word state
+    is pure-python ints (the pickler contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.streaming.jobs import (
+        _bloom_stream_fold,
+    )
+
+    pos = st.lists(
+        st.integers(min_value=0, max_value=65535), min_size=3, max_size=9
+    ).map(lambda xs: xs[: 3 * (len(xs) // 3)])
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        docs=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=50), pos),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda d: d[0],
+        ),
+        cut=st.integers(min_value=0, max_value=12),
+    )
+    def run(docs, cut):
+        docs = [(i, len(p) // 3, p) for i, p in docs]
+        w1, out1 = _bloom_stream_fold([], sorted(docs))
+        ordered = sorted(docs)
+        c = min(cut, len(ordered))
+        w2, outa = _bloom_stream_fold([], ordered[:c])
+        w2, outb = _bloom_stream_fold(w2, ordered[c:])
+        assert outa + outb == out1 and w2 == w1
+        assert all(isinstance(x, int) and not hasattr(x, "dtype") for x in w1)
+        # re-ingest the first doc: every gram must be a prior hit now
+        first = ordered[0]
+        _, out3 = _bloom_stream_fold(w1, [first])
+        assert out3 == [(first[0], first[1], first[1])]
+
+    run()
