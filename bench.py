@@ -76,16 +76,41 @@ BENCH_QUERIES = [
 # iterative queries whose build step does real work — the pagerank/LPA/
 # k-core family localCheckpoints and probes during construction).
 #
-# r10 window policy: the rotation aligns with the r10 DRIVER_PRIORITY
+# r11 window policy: the rotation aligns with the r11 DRIVER_PRIORITY
 # correctness window (minus stable-set members, which the stable child
-# times every round), led by the 30 new round-10 registrations (first
-# timed row lands the round a query is born: the 9-query round10b module
-# + the 21-query round11 FIRST_WAVE), followed by the first-drift
-# re-measures of the 10 round-9 registrations (VERDICT r9 item 4; warm
-# figures compare against BENCH_r09's rotation_warm), then the 20
-# r5-latest correctness refreshes (the r10 window's block (c)).
+# times every round), led by the 20 new round-11 registrations (the full
+# r12 + r13 queues + the six r11 deferrals), followed by the first-drift
+# re-measures of the 30 round-10 registrations (warm figures compare
+# against BENCH_r10's rotation_warm — this is also where the pq_adc_topk
+# ≤3 s target of VERDICT r10 item 2 is evidenced), then the 27
+# non-stable members of the r6-latest refresh cohort (the r11 window's
+# block (b); cosine_topk / curation_pipeline / exact_dedup_docs are
+# stable-set members and already timed every round).
 BENCH_ROTATION = [
-    # new round-10 registrations: queries_round10b (9)
+    # new round-11 registrations: r12 queue (7)
+    "burn_rate_alerts",
+    "ivm_orders_by_custkey",
+    "allpairs_jaccard_ppjoin",
+    "heaps_law_curve",
+    "rare_shingle_neighbors",
+    "stratified_allocation",
+    "followup_outer_pairs",
+    # new round-11 registrations: r13 queue (7)
+    "priority_sample_docs",
+    "compaction_bins",
+    "fastss_typo_pairs",
+    "nation_urgent_ztest",
+    "hrw_rebalance_audit",
+    "semdedup_keep_report",
+    "semdedup_docs_keep",
+    # new round-11 registrations: r11 deferrals (6)
+    "mwu_purchase_click",
+    "bag_set_ops",
+    "curation_pipeline_v5",
+    "twa_user_values",
+    "ohlc_hourly_values",
+    "ndcg_tier_claims",
+    # the 30 round-10 registrations re-measured (first-drift check)
     "zorder_locality_audit",
     "range_partition_bounds",
     "truncated_rerank_topk",
@@ -95,7 +120,6 @@ BENCH_ROTATION = [
     "dhash_near_dups",
     "hits_bipartite",
     "closed_sessions",
-    # new round-10 registrations: queries_round11 FIRST_WAVE (21)
     "kmv_distinct_nations",
     "dd_price_quantiles",
     "peak_transit_suppliers",
@@ -117,53 +141,50 @@ BENCH_ROTATION = [
     "fd_nation_segment_name",
     "kmv_setops_urgent_low",
     "gopher_rules",
-    # the 10 round-9 registrations re-measured (first-drift check)
-    "bloom_ingest_scores",
-    "sq8_topk",
-    "neighbor_jaccard",
-    "clustering_coefficient",
-    "rfm_segments",
-    "cms_user_counts",
-    "good_turing_counts",
-    "join_size_profile",
-    "session_pattern_matches",
-    "classification_report",
-    # the r5-latest refresh cohort (window block (c), r5 order)
-    "nucleus_budget_filter",
-    "hll_merge_rollup",
-    "linear_interpolate_value",
-    "quality_weighted_sample",
-    "asof_tolerance_metric",
-    "asof_nearest_metric",
-    "ewma_metric",
-    "skyline_parts",
-    "weighted_median_price",
-    "interarrival_gap_percentiles",
-    "mode_order_priority",
-    "triangle_count_copurchase",
-    "copurchase_lift_pairs",
-    "containment_near_dup",
-    "rolling_zscore_anomalies",
-    "corr_acctbal_price_by_nation",
-    "trend_slope_per_type",
-    "cusum_changepoints",
-    "rrf_fused_topk",
-    "phrase_search_docs",
+    # the r6-latest refresh cohort (window block (b), r6 order, minus
+    # the 3 stable-set members)
+    "lpa_communities",
+    "kcore_parts",
+    "robust_value_stats",
+    "winsorized_value_stats",
+    "table_drift_report",
+    "silent_periods",
+    "weighted_pagerank_topk",
+    "curation_pipeline_v3",
+    "pagerank_copurchase_topk",
+    "approx_distinct",
+    "approx_percentiles_value",
+    "bpe_regex_tokens",
+    "brand_volume_suppliers",
+    "dedup_survivors",
+    "deterministic_sample_docs",
+    "doc_fingerprint",
+    "dormant_rich_customers",
+    "event_transitions",
+    "frame_sample",
+    "fuzzy_pairs_levenshtein",
+    "grouped_pandas_stats",
+    "important_part_shares",
+    "lang_id_ngram",
+    "lang_stats",
+    "large_volume_customers",
+    "min_cost_supplier",
+    "multimodal_features",
 ]
 
 # Entries that get a WARM re-execution figure in addition to the
-# construction+materialization span: the 30 new registrations (their
-# first timings are compile-heavy) and the 10 r9-window registrations
-# whose warm figures the first-drift check compares against BENCH_r09's
-# rotation_warm (VERDICT r9 item 4).
-BENCH_ROTATION_HEAD = BENCH_ROTATION[:40]
+# construction+materialization span: the 20 new registrations (their
+# first timings are compile-heavy) and the 30 r10-window registrations
+# whose warm figures the first-drift check compares against BENCH_r10's
+# rotation_warm.
+BENCH_ROTATION_HEAD = BENCH_ROTATION[:50]
 
-# The new registrations this round. With 30 of them, per-query rows no
-# longer fit the compact stdout artifact (the driver's ~2000-char tail
-# capture — VERDICT r8 item 3 requires the whole line to PARSE), so the
-# line carries cohort TOTALS for the new block plus the detail-file
-# pointer; every per-query first/warm figure lands in BENCH_DETAIL.json.
-BENCH_NEW = BENCH_ROTATION[:30]
+# The new registrations this round. Per-query rows no longer fit the
+# compact stdout artifact (the driver's ~2000-char tail capture —
+# VERDICT r8 item 3 requires the whole line to PARSE), so the line
+# carries cohort TOTALS for the new block plus the detail-file pointer;
+# every per-query first/warm figure lands in BENCH_DETAIL.json.
+BENCH_NEW = BENCH_ROTATION[:20]
 
 # Full per-query payload (stable + rotation + warm maps) is written here
 # by main(); the stdout line stays compact and carries the path.

@@ -289,10 +289,13 @@ assert set(QUERIES) == set(ORACLES)
 TAGS = {name: ("round12",) for name in QUERIES}
 
 
-def register_all() -> None:
-    """Wire every r12 query into the live registry — called from
-    ``registry._load_all`` when a window has room, never before."""
+def register_all(names: "tuple[str, ...] | None" = None) -> None:
+    """Wire the given r12 queries into the live registry — called from
+    ``registry._load_all`` when a window has room, never before. The
+    explicit ``names`` order is load-bearing: registration order is the
+    builder's new-query window order (VERDICT r10 item 1 leads the r11
+    window with burn_rate_alerts and ivm_orders_by_custkey)."""
     from kinesis_stream_video_project_spark.plans.registry import register
 
-    for name, fn in QUERIES.items():
-        register(name, oracle=ORACLES[name], tags=TAGS[name])(fn)
+    for name in names if names is not None else tuple(QUERIES):
+        register(name, oracle=ORACLES[name], tags=TAGS[name])(QUERIES[name])

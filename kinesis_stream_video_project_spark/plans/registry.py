@@ -60,18 +60,18 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. Cross-round state entering r10: 220 registered, every query has a
-# green HASH row, latest-green distribution r9=50, r8=50, r7=50, r6=50,
-# r5=20 (VERDICT r9). The r10 window is budgeted 9+21+20 per VERDICT r9
-# item 1 / the PLANS r9-close handoff:
-# (a) the 9-query queries_round10b module (NEW registrations —
-#     dhash_near_dups with its stated-empty-below-sf0.1 contract);
-# (b) 21 of the 27-query queries_round11 module (NEW registrations —
-#     FIRST_WAVE; the six composed/claim + family-covered stats forms
-#     defer to the r11 window, see queries_round11.DEFERRED_TO_R11);
-# (c) the 20 remaining r5-latest refreshes in their r5 verification
-#     order (oldest evidence first — after CORRECTNESS_r10 nothing is
-#     staler than r6).
+# round. Cross-round state entering r11: 250 registered, every query has a
+# green HASH row, latest-green distribution r10=50, r9=50, r8=50, r7=50,
+# r6=50 (VERDICT r10). The r11 window is budgeted 20+30 per VERDICT r10
+# item 1:
+# (a) the full r12 queue (7 — burn_rate_alerts, the reference's
+#     3-strikes watchdog generalized to SRE burn-rate alerts, leads) +
+#     the full r13 queue (7 — semdedup_docs_keep closes the last
+#     LLM-pipeline family without a driver row) + the six r11
+#     deferrals (20 NEW registrations total);
+# (b) the 30 stalest refreshes — the r6-latest cohort in its r6
+#     verification order (after CORRECTNESS_r11 nothing is staler
+#     than r7).
 # This tuple is VALIDATED, not just documented: build_driver_priority()
 # below recomputes it from the CORRECTNESS_r*.json artifacts (new
 # registrations first, then max-staleness refreshes), and
@@ -79,65 +79,78 @@ def register(
 # than 4 rounds" SLO (VERDICT r9 item 9) is therefore enforced by the
 # builder instead of re-derived by hand each round.
 # Queries not listed keep registration order after these.
+#
+# The artifact-round pin the committed window was derived from: the
+# hygiene test recomputes the window from artifacts r1..r{BUILT_FROM}
+# so the driver landing CORRECTNESS_r{BUILT_FROM+1}.json at the round
+# boundary does not flip the equality red (ADVICE r10 item 4); a
+# second assertion caps the lag at one round, which is what forces the
+# per-round rotation. Rotation is now a FIVE-place rule, one commit:
+# register_all wiring + DRIVER_PRIORITY + DRIVER_PRIORITY_BUILT_FROM +
+# bench rotation + QUERIES.md regeneration.
+DRIVER_PRIORITY_BUILT_FROM: int = 10
+
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (a) queries_round10b: new r10 registrations (9) ---
-    "zorder_locality_audit",
-    "range_partition_bounds",
-    "truncated_rerank_topk",
-    "pq_adc_topk",
-    "frame_diff_energy",
-    "scene_cuts",
-    "dhash_near_dups",
-    "hits_bipartite",
-    "closed_sessions",
-    # --- (b) queries_round11 FIRST_WAVE: new r10 registrations (21) ---
-    "kmv_distinct_nations",
-    "dd_price_quantiles",
-    "peak_transit_suppliers",
-    "attribution_channels",
-    "readability_scores",
-    "props_charclass_profile",
-    "bpe_trained_merges",
-    "bpe_compression_report",
-    "chi2_priority_status",
-    "ks_purchase_click",
-    "benford_totalprice",
-    "gini_supplier_revenue",
-    "topk_quantity_ties",
-    "acf_daily_orders",
-    "priority_impurity_by_nation",
-    "cdc_customer_segments",
-    "anonymity_nation_segment",
-    "allpairs_jaccard_800",
-    "fd_nation_segment_name",
-    "kmv_setops_urgent_low",
-    "gopher_rules",
-    # --- (c) the r5-latest refresh cohort tail (20 of 20, r5 order) ---
-    "nucleus_budget_filter",
-    "hll_merge_rollup",
-    "linear_interpolate_value",
-    "quality_weighted_sample",
-    "asof_tolerance_metric",
-    "asof_nearest_metric",
-    "ewma_metric",
-    "skyline_parts",
-    "weighted_median_price",
-    "interarrival_gap_percentiles",
-    "mode_order_priority",
-    "triangle_count_copurchase",
-    "copurchase_lift_pairs",
-    "containment_near_dup",
-    "rolling_zscore_anomalies",
-    "corr_acctbal_price_by_nation",
-    "trend_slope_per_type",
-    "cusum_changepoints",
-    "rrf_fused_topk",
-    "phrase_search_docs",
+    # --- (a) 20 NEW registrations: r12 queue (7) + r13 queue (7) +
+    #         r11 deferrals (6), in registration order ---
+    "burn_rate_alerts",
+    "ivm_orders_by_custkey",
+    "allpairs_jaccard_ppjoin",
+    "heaps_law_curve",
+    "rare_shingle_neighbors",
+    "stratified_allocation",
+    "followup_outer_pairs",
+    "priority_sample_docs",
+    "compaction_bins",
+    "fastss_typo_pairs",
+    "nation_urgent_ztest",
+    "hrw_rebalance_audit",
+    "semdedup_keep_report",
+    "semdedup_docs_keep",
+    "mwu_purchase_click",
+    "bag_set_ops",
+    "curation_pipeline_v5",
+    "twa_user_values",
+    "ohlc_hourly_values",
+    "ndcg_tier_claims",
+    # --- (b) the 30 stalest refreshes (r6-latest cohort, r6 order) ---
+    "lpa_communities",
+    "kcore_parts",
+    "robust_value_stats",
+    "winsorized_value_stats",
+    "table_drift_report",
+    "silent_periods",
+    "weighted_pagerank_topk",
+    "curation_pipeline_v3",
+    "pagerank_copurchase_topk",
+    "approx_distinct",
+    "approx_percentiles_value",
+    "bpe_regex_tokens",
+    "brand_volume_suppliers",
+    "cosine_topk",
+    "curation_pipeline",
+    "dedup_survivors",
+    "deterministic_sample_docs",
+    "doc_fingerprint",
+    "dormant_rich_customers",
+    "event_transitions",
+    "exact_dedup_docs",
+    "frame_sample",
+    "fuzzy_pairs_levenshtein",
+    "grouped_pandas_stats",
+    "important_part_shares",
+    "lang_id_ngram",
+    "lang_stats",
+    "large_volume_customers",
+    "min_cost_supplier",
+    "multimodal_features",
 )
 
 
 def build_driver_priority(
-    repo_root: str = ".", window: int = 50
+    repo_root: str = ".",
+    window: int = 50,
+    max_round: int | None = None,
 ) -> tuple[str, ...] | None:
     """Recompute the driver window from the CORRECTNESS_r*.json history:
     every registered query with NO driver row yet (this round's new
@@ -149,7 +162,18 @@ def build_driver_priority(
     equal this (test_registry_hygiene) — that IS the standing staleness
     SLO: a query can never silently age past the max the refresh budget
     allows, because the builder always spends leftover slots on the
-    stalest rows."""
+    stalest rows.
+
+    ``max_round`` pins which artifacts the derivation may see (ADVICE
+    r10 item 4): the committed window for round N+1 is built from
+    artifacts r1..rN, but the driver lands CORRECTNESS_r{N+1}.json at
+    the round boundary BEFORE the next rotation commit — without the
+    pin, that artifact would flip the equality test red at the judged
+    head every round by design. The hygiene test passes
+    ``DRIVER_PRIORITY_BUILT_FROM`` so the designed handshake stays
+    green, and separately asserts the pin never lags the newest
+    artifact by more than one round (the staleness SLO's rotation
+    forcing-function)."""
     import glob
     import json
     import os
@@ -161,6 +185,8 @@ def build_driver_priority(
         return None
     for path in paths:
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             data = json.load(f)
         for pos, name in enumerate(data):
@@ -235,8 +261,7 @@ def _load_all() -> None:
     )
 
     # r10-window registrations: the round10b module (all 9) and the r11
-    # module's FIRST_WAVE (21 of 27; DEFERRED_TO_R11 waits for the r11
-    # window together with queries_round12).
+    # module's FIRST_WAVE (21 of 27).
     from kinesis_stream_video_project_spark.plans import (
         queries_round10b,
         queries_round11,
@@ -244,5 +269,35 @@ def _load_all() -> None:
 
     queries_round10b.register_all()
     queries_round11.register_all()
+
+    # r11-window registrations (VERDICT r10 item 1): the full r12 + r13
+    # queues plus the six r11 deferrals — 20 new names. Registration
+    # order IS the builder's new-block window order, so the r12 queue is
+    # passed explicitly to lead with burn_rate_alerts (the reference's
+    # 3-strikes watchdog in modern SRE form) and ivm_orders_by_custkey.
+    from kinesis_stream_video_project_spark.plans import (
+        queries_round12,
+        queries_round13,
+    )
+
+    queries_round12.register_all(
+        (
+            "burn_rate_alerts",
+            "ivm_orders_by_custkey",
+            "allpairs_jaccard_ppjoin",
+            "heaps_law_curve",
+            "rare_shingle_neighbors",
+            "stratified_allocation",
+            "followup_outer_pairs",
+        )
+    )
+    queries_round13.register_all()
+    queries_round11.register_all(
+        tuple(
+            n
+            for n in queries_round11.QUERIES
+            if n in queries_round11.DEFERRED_TO_R11
+        )
+    )
 
     _LOADED = True

@@ -24,16 +24,49 @@ def test_window_matches_priority_builder():
     CORRECTNESS artifacts — new registrations first, then refreshes
     oldest-latest-green first — so a query can never silently age past
     what the refresh budget allows; the window is re-derived by code,
-    not by hand, every round."""
+    not by hand, every round.
+
+    The derivation is pinned to artifacts r1..r{BUILT_FROM} (ADVICE r10
+    item 4): the driver lands CORRECTNESS_r{BUILT_FROM+1}.json at the
+    round boundary before the next rotation commit, and without the pin
+    that artifact flipped this test red at every judged head by design.
+    The companion assertion below caps the pin's lag at ONE round —
+    that cap is what still forces the per-round rotation."""
     import pathlib
 
     root = str(pathlib.Path(__file__).resolve().parent.parent)
-    built = registry.build_driver_priority(root)
+    built = registry.build_driver_priority(
+        root, max_round=registry.DRIVER_PRIORITY_BUILT_FROM
+    )
     if built is None:
         import pytest
 
         pytest.skip("no CORRECTNESS_r*.json artifacts (fresh clone)")
     assert built == registry.DRIVER_PRIORITY
+
+
+def test_priority_pin_lags_artifacts_by_at_most_one_round():
+    """The rotation forcing-function: if two correctness artifacts land
+    without a DRIVER_PRIORITY rotation, the window is serving stale
+    verification priorities — the five-place rotation commit is
+    overdue (registry.py DRIVER_PRIORITY comment)."""
+    import glob
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    rounds = [
+        int(re.search(r"r(\d+)", pathlib.Path(p).name).group(1))
+        for p in glob.glob(str(root / "CORRECTNESS_r*.json"))
+    ]
+    if not rounds:
+        import pytest
+
+        pytest.skip("no CORRECTNESS_r*.json artifacts (fresh clone)")
+    assert max(rounds) <= registry.DRIVER_PRIORITY_BUILT_FROM + 1, (
+        f"newest artifact is r{max(rounds)} but DRIVER_PRIORITY was built "
+        f"from r{registry.DRIVER_PRIORITY_BUILT_FROM} — rotate the window"
+    )
 
 
 def test_every_query_is_oracle_paired():
