@@ -34,9 +34,19 @@ from pyspark.sql import functions as F
 
 
 def _weight(key: Column, node: str) -> Column:
+    # NULL keys are refused loudly (ADVICE r10): concat_ws SKIPS nulls,
+    # so a NULL key would hash ":node" on the Spark side while the
+    # DuckDB oracle's `CAST(k AS VARCHAR) || ':node'` NULL-propagates
+    # and falls to the CASE ELSE node — a silent cross-engine placement
+    # divergence. Placement of a NULL key is meaningless anyway; the
+    # in-plan raise keeps the projection narrow and codegen-friendly.
+    guarded = F.when(
+        key.isNull(),
+        F.raise_error(F.lit("rendezvous_assign: NULL key")).cast("string"),
+    ).otherwise(key.cast("string"))
     return F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", key.cast("string"), F.lit(node))), 1, 12
+            F.md5(F.concat_ws(":", guarded, F.lit(node))), 1, 12
         ),
         16,
         10,

@@ -236,12 +236,16 @@ def priority_sample(
     if k <= 0:
         raise ValueError(f"priority_sample: k must be positive, got {k}")
     w = weight.cast("long")
+    # NULL is guarded explicitly: `w <= 0` is NULL (not true) for a NULL
+    # weight, so without the isNull arm a NULL-weight row would bypass
+    # the raise, get a NULL priority, and under ASC NULLS FIRST silently
+    # win every sample slot (ADVICE r10).
     guarded = F.when(
-        w <= 0,
+        w.isNull() | (w <= 0),
         F.raise_error(
             F.concat(
-                F.lit("priority_sample: non-positive weight for key "),
-                F.col(key).cast("string"),
+                F.lit("priority_sample: non-positive or NULL weight for key "),
+                F.coalesce(F.col(key).cast("string"), F.lit("NULL")),
             )
         ).cast("long"),
     ).otherwise(w)

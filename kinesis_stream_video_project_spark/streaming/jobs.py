@@ -3324,10 +3324,23 @@ def _wps_fold(held: list, new_pairs: list, k: int) -> tuple:
     invariant AND equals the batch ``operators/sampling.py::
     priority_sample`` top-k exactly (pinned in tests — a streaming op
     whose final state certifies against an oracle-validated batch
-    operator). Dedup on the pair (an id re-arriving with the same
-    weight is a redelivery, absorbed idempotently). Returns
-    ``(merged, changed)``."""
-    merged = sorted(set(held) | set(new_pairs))[:k]
+    operator).
+
+    Dedup is BY ID, keeping the minimum priority (ADVICE r10): an id
+    re-arriving with the same weight is a redelivery, absorbed
+    idempotently; an id re-arriving with a DIFFERENT weight collapses
+    to its best (lowest) priority instead of occupying two sample
+    slots, so ``sample_ids`` can never contain duplicates. Per-id min
+    is a semilattice, so the fold stays mergeable and chunking-
+    invariant: an evicted pair can never re-enter (eviction implies k
+    strictly-smaller pairs that only ever get smaller), and a
+    re-arrival below the bar is fresh input either way — pinned by the
+    hypothesis chunking test. Returns ``(merged, changed)``."""
+    best: dict[int, int] = {}
+    for p, i in list(held) + list(new_pairs):
+        if i not in best or p < best[i]:
+            best[i] = p
+    merged = sorted((p, i) for i, p in best.items())[:k]
     return merged, merged != list(held)
 
 

@@ -95,3 +95,12 @@ def test_assign_refusals():
         rendezvous_assign(F.lit(1), [])
     with pytest.raises(ValueError, match="duplicate"):
         rendezvous_assign(F.lit(1), ["a", "a"])
+
+
+def test_assign_refuses_null_key(spark):
+    """ADVICE r10: concat_ws SKIPS nulls, so a NULL key used to hash
+    ":node" Spark-side while the oracle's `k || ':node'` NULL-propagates
+    to the CASE ELSE node — refuse loudly instead of diverging."""
+    df = spark.createDataFrame([(None,), (1,)], "k long")
+    with pytest.raises(Exception, match="NULL key"):
+        df.select(rendezvous_assign(F.col("k"), ["a", "b"])).collect()

@@ -79,7 +79,17 @@ def test_priority_sample_refusals(spark):
     df = spark.createDataFrame([(1, 0)], "k long, w long")
     with pytest.raises(ValueError, match="k must be positive"):
         priority_sample(df, "k", F.col("w"), 0)
-    with pytest.raises(Exception, match="non-positive weight"):
+    with pytest.raises(Exception, match="non-positive or NULL weight"):
+        priority_sample(df, "k", F.col("w"), 1).collect()
+
+
+def test_priority_sample_refuses_null_weight(spark):
+    """ADVICE r10: `w <= 0` is NULL (not true) for a NULL weight, so a
+    NULL-weight row used to bypass the raise, take a NULL priority, and
+    silently win every slot under ASC NULLS FIRST — the guard must
+    refuse loudly, not sample silently."""
+    df = spark.createDataFrame([(1, None), (2, 5)], "k long, w long")
+    with pytest.raises(Exception, match="non-positive or NULL weight"):
         priority_sample(df, "k", F.col("w"), 1).collect()
 
 

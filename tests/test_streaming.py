@@ -3409,8 +3409,11 @@ def test_wps_stream_checkpoint_restart_resumes(spark, tmp_path):
 def test_wps_fold_chunking_invariance_hypothesis():
     """Hypothesis pin: folding any chunking of any (priority, id)
     multiset reaches the same bottom-k state (== the definitional
-    sorted-set head), and no-change batches report changed=False — the
-    KMV disorder law with weights."""
+    per-id-MIN-priority bottom-k — an id re-arriving with a different
+    weight collapses to its best priority instead of occupying two
+    slots, ADVICE r10), sample_ids never hold duplicate ids, and
+    no-change batches report changed=False — the KMV disorder law
+    with weights."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -3435,7 +3438,11 @@ def test_wps_fold_chunking_invariance_hypothesis():
         for b in bounds + [len(pairs)]:
             held, _ = _wps_fold(held, pairs[prev:b], k)
             prev = b
-        assert held == sorted(set(pairs))[:k]
+        best = {}
+        for p, i in pairs:
+            best[i] = min(best.get(i, p), p)
+        assert held == sorted((p, i) for i, p in best.items())[:k]
+        assert len({i for _, i in held}) == len(held)
         again, changed = _wps_fold(held, pairs, k)
         assert again == held and not changed
 
