@@ -2796,6 +2796,90 @@ def test_followup_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
     }
 
 
+def test_followup_outer_join_max_policy_drains_with_one_silent_side(
+    spark, tmp_path
+):
+    """The X-172 escape, EXERCISED (VERDICT r10 item 5): with spacers on
+    ONLY ONE side (purchase — the trigger side goes silent after the
+    data), the default min watermark policy freezes the global mark at
+    the silent side's max and every pending no-response verdict stays
+    frozen forever; switching spark.sql.streaming.multipleWatermarkPolicy
+    to max lets the advancing side drive the mark and the NULL rows
+    drain. Both halves run the same input: the min half is the negative
+    control proving the policy (not the spacers) is what drained."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    rows = [
+        (1, base, 1, "error", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 1, "purchase", 2.0, "{}"),
+        (3, base, 2, "error", 1.0, "{}"),
+    ]
+    # purchase-ONLY spacers: the error side's own watermark stays at
+    # base - 10 s (its filter sits below the EventTimeWatermark node, so
+    # it never sees these), while the purchase side advances to +10 h.
+    spacers = [
+        [(4, base + dt.timedelta(hours=9), 8, "purchase", 0.0, "{}")],
+        [(5, base + dt.timedelta(hours=10), 8, "purchase", 0.0, "{}")],
+    ]
+
+    def drain(policy: str, tag: str) -> set:
+        src = tmp_path / f"fo_pol_{tag}_src"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src))
+        for sp in spacers:
+            spark.createDataFrame(sp, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+        prev = spark.conf.get(
+            "spark.sql.streaming.multipleWatermarkPolicy", "min"
+        )
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            q = (
+                jobs.followup_outer_join_stream(stream)
+                .writeStream.format("memory")
+                .queryName(f"fo_pol_{tag}_out")
+                .outputMode("append")
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ckpt_fo_pol_{tag}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        finally:
+            spark.conf.set(
+                "spark.sql.streaming.multipleWatermarkPolicy", prev
+            )
+        return {
+            (r.user_id, r.trigger_event_id, r.response_event_id, r.lag_us)
+            for r in spark.sql(f"SELECT * FROM fo_pol_{tag}_out").collect()
+        }
+
+    # min policy (default): global mark = min(error side frozen at
+    # base-10s, purchase side) -> user 2's no-response verdict is never
+    # provable; only the arrival-driven matched pair emits.
+    assert drain("min", "min") == {(1, 1, 2, 3_600_000_000)}
+    # max policy: the purchase side drives the mark past t + within and
+    # the NULL row drains (the documented trade: max can drop late rows
+    # the min policy would keep).
+    assert drain("max", "max") == {
+        (1, 1, 2, 3_600_000_000),
+        (2, 3, None, None),
+    }
+
+
 def test_followup_outer_join_trailing_triggers_stay_pending(
     spark, tmp_path, events_df
 ):
