@@ -1,0 +1,124 @@
+"""Holt linear (double-exponential) smoothing — the trend-aware
+forecasting tier above the EWMA level smoother (Holt 1957, reprinted
+IJF 2004; Hyndman & Athanasopoulos FPP §8.2): per key, maintain a level
+and a trend and emit the one-step-ahead forecast. The watchdog family
+reads it as "where is this stream's health HEADING", where EWMA only
+says where it is.
+
+Determinism discipline (the CUSUM precedent, one step past EWMA): with
+α = β = 1/2 the recursion is ALL-INTEGER on scaled values —
+
+    l_t = tdiv(x_t + l_{t-1} + b_{t-1}, 2)
+    b_t = tdiv(l_t - l_{t-1} + b_{t-1}, 2)
+
+initialized l_1 = x_1, b_1 = x_2 − x_1 (the classic two-point init;
+keys with fewer than 2 points emit nothing — stated). ``tdiv``
+truncates toward zero exactly like DuckDB's ``//`` on BIGINT, so the
+sharded Arrow fold and the recursive-CTE oracle agree bit-for-bit with
+no IEEE reasoning at all. Outputs per (key, step): the smoothed level,
+the trend, and forecast_next = l_t + b_t.
+
+Scale: one exchange on the shard key, one pandas invocation per shard,
+O(rows) integer fold inside — the EWMA/CUSUM shape. A streaming form
+would carry (l, b) per key in applyInPandasWithState (two BIGINTs —
+bounded state by construction).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.functions.numeric import tdiv
+
+_HOLT_SCHEMA = (
+    "grp string, step bigint, level_s bigint, trend_s bigint, "
+    "forecast_next bigint"
+)
+
+
+def holt_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure per-shard Holt replay (module-level so tests can drive it):
+    expects columns (grp, step, xs) — xs already integer-scaled, step
+    the 1-based dense order within grp."""
+    pdf = pdf.sort_values(["grp", "step"])
+    out_g: list = []
+    out_t: list = []
+    out_l: list = []
+    out_b: list = []
+    out_f: list = []
+    for gid, g in pdf.groupby("grp", sort=False):
+        xs = [int(v) for v in g["xs"]]
+        steps = [int(v) for v in g["step"]]
+        if len(xs) < 2:
+            continue
+        lvl = xs[0]
+        trd = xs[1] - xs[0]
+        for i, (t, x) in enumerate(zip(steps, xs)):
+            if i >= 1:
+                new_l = tdiv(x + lvl + trd, 2)
+                trd = tdiv(new_l - lvl + trd, 2)
+                lvl = new_l
+            out_g.append(gid)
+            out_t.append(t)
+            out_l.append(lvl)
+            out_b.append(trd)
+            out_f.append(lvl + trd)
+    return pd.DataFrame(
+        {
+            "grp": out_g,
+            "step": out_t,
+            "level_s": out_l,
+            "trend_s": out_b,
+            "forecast_next": out_f,
+        }
+    )
+
+
+def holt_linear(series: DataFrame, n_shards: int | None = None) -> DataFrame:
+    """Run the Holt fold over ``series`` (columns: grp string,
+    step bigint — dense 1-based per-grp order, xs bigint — the scaled
+    metric). Returns (grp, step, level_s, trend_s, forecast_next)."""
+    if n_shards is None:
+        n_shards = 2 * series.sparkSession.sparkContext.defaultParallelism
+    return (
+        series.select(
+            "grp",
+            "step",
+            "xs",
+            (F.crc32(F.col("grp").cast("string")) % n_shards).alias("_shard"),
+        )
+        .groupBy("_shard")
+        .applyInPandas(holt_fold, _HOLT_SCHEMA)
+    )
+
+
+# Recursive-CTE oracle template over a `series(grp, step, xs)` CTE the
+# caller provides; the walk replays the IDENTICAL integer recursion.
+# DuckDB's // truncates toward zero on BIGINT exactly like tdiv.
+HOLT_ORACLE_WALK = """
+walk AS (
+  SELECT s2.grp, CAST(2 AS BIGINT) AS step,
+         (s2.xs + s1.xs + (s2.xs - s1.xs)) // 2 AS level_s,
+         ((s2.xs + s1.xs + (s2.xs - s1.xs)) // 2 - s1.xs
+          + (s2.xs - s1.xs)) // 2 AS trend_s,
+         s1.xs AS l1, s2.xs - s1.xs AS b1
+  FROM series s1 JOIN series s2
+    ON s1.grp = s2.grp AND s1.step = 1 AND s2.step = 2
+  UNION ALL
+  SELECT s.grp, s.step,
+         (s.xs + w.level_s + w.trend_s) // 2,
+         ((s.xs + w.level_s + w.trend_s) // 2 - w.level_s + w.trend_s) // 2,
+         w.l1, w.b1
+  FROM walk w JOIN series s ON s.grp = w.grp AND s.step = w.step + 1
+),
+holt AS (
+  SELECT grp, CAST(1 AS BIGINT) AS step, l1 AS level_s, b1 AS trend_s,
+         l1 + b1 AS forecast_next
+  FROM walk WHERE step = 2
+  UNION ALL
+  SELECT grp, step, level_s, trend_s, level_s + trend_s AS forecast_next
+  FROM walk
+)
+"""

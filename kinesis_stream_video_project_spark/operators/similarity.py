@@ -899,6 +899,158 @@ def pq_adc_topk(
     )
 
 
+def ivfadc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_centroids: int = 256,
+    n_iters: int = 2,
+    dims: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC — the FAISS IVFADC composition (Jégou/Douze/Schmid TPAMI
+    2011 §IV.C) and the top of the quantization ladder: the coarse
+    k-means quantizer prunes WHERE to scan (:func:`kmeans_assign` cells,
+    nprobe probed per query), product quantization on the RESIDUALS
+    (x − coarse centroid) shrinks what is scanned to sub-vector codes,
+    and the asymmetric-distance LUT scores it. Residual PQ is the whole
+    point of the composition: residuals have far less variance than raw
+    vectors, so the same code budget quantizes them with less error —
+    the reason FAISS defaults to encode-residuals for IVF+PQ indexes.
+
+    Inner-product metric throughout (the pq_adc_topk contract):
+    score(q, x̃) = q·c_cell(x) + Σ_s q_s·codebook[s][code_s(x)] — the
+    LUT is the RAW query against the residual codebooks (for IP the
+    identity q·x̃ = q·c + q·r̃ makes the LUT cell-independent; L2 would
+    need a per-probed-cell LUT). Probing ranks cells by cosine(q, c)
+    with the smaller-cell tiebreak — the same probe rule as
+    :func:`ivf_topk_kmeans`. Output (query_id, vec_id, score_q, rank),
+    r4-rounded score, (score desc, id) rank; candidates restricted to
+    probed cells, self excluded; recall vs the exact tier measured in
+    pytest (the ann_tier_claims discipline).
+
+    Scale: the index build (coarse assign + residuals + PQ codes) is
+    the one-off localCheckpointed stage a production deployment writes
+    out as a table; query-time state is all broadcast-sized (coarse
+    centroids, the per-query LUT of |Q|·n_subspaces·n_centroids partial
+    dots) and the scan moves (cell, 4-byte codes) — never the f32
+    column. Eager at construction (the pq_train_codes collects)."""
+    assigned = kmeans_assign(
+        corpus, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
+    )
+    # The index build is multi-consumer (residual PQ, membership,
+    # centroid recompute) with collects downstream — stage it once
+    # (the multi-consumer staging rule).
+    indexed = (
+        corpus.select(corpus_id, vec)
+        .join(assigned, corpus_id)
+        .localCheckpoint(eager=True)
+    )
+    coarse = (
+        indexed.select("cell", F.posexplode(vec).alias("dim", "c"))
+        .groupBy("cell", "dim")
+        .agg(F.avg(F.col("c").cast("double")).alias("mean_c"))
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_c"))
+            ).alias("_p")
+        )
+        .select(
+            "cell",
+            F.transform("_p", lambda p: p.getField("mean_c")).alias(
+                "_coarse"
+            ),
+        )
+    )
+    resid = indexed.join(F.broadcast(coarse), "cell").select(
+        corpus_id,
+        "cell",
+        F.zip_with(
+            F.col(vec), F.col("_coarse"), lambda a, b: a.cast("double") - b
+        ).alias("_rv"),
+    )
+    pq_cents, codes = pq_train_codes(
+        resid,
+        n_subspaces=n_subspaces,
+        n_centroids=n_centroids,
+        dims=dims,
+        corpus_id=corpus_id,
+        vec="_rv",
+    )
+    sub_d = dims // n_subspaces
+    qsubs = queries.select(
+        F.col(query_id),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec), s * sub_d + 1, sub_d)
+                    for s in range(n_subspaces)
+                ]
+            )
+        ).alias("s", "_qv"),
+    ).select(
+        query_id,
+        "s",
+        F.transform("_qv", lambda x: x.cast("double")).alias("_qv"),
+    )
+    lut = F.broadcast(
+        qsubs.join(pq_cents, "s").select(
+            query_id,
+            "s",
+            F.col("cell").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("_qv"), F.col("centroid"), lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_pdot"),
+        )
+    )
+    w_probe = Window.partitionBy(query_id).orderBy(
+        F.col("_pcos").desc(), F.col("cell").asc()
+    )
+    probed = F.broadcast(
+        queries.crossJoin(F.broadcast(coarse))
+        .select(
+            query_id,
+            "cell",
+            cosine(F.col(vec), F.col("_coarse")).alias("_pcos"),
+            dot(F.col(vec), F.col("_coarse")).alias("_qc"),
+        )
+        .withColumn("_cr", F.row_number().over(w_probe))
+        .filter(F.col("_cr") <= nprobe)
+        .select(query_id, "cell", "_qc")
+    )
+    scored = (
+        codes.join(resid.select(corpus_id, "cell"), corpus_id)
+        .join(probed, "cell")
+        .join(lut, [query_id, "s", "code"])
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .groupBy(query_id, corpus_id)
+        .agg(r4(F.first("_qc") + F.sum("_pdot")).alias("score_q"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score_q").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            "score_q",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def truncated_rerank_topk(
     queries: DataFrame,
     corpus: DataFrame,
