@@ -3466,3 +3466,180 @@ def wps_stream_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online latest-value as-of enrichment (live point-in-time join per key)
+# ---------------------------------------------------------------------------
+
+_LVE_OUT_SCHEMA = (
+    "user_id long, probe_event_id long, probe_ts_us long, "
+    "ref_ts_us long, ref_vm long"
+)
+_LVE_STATE_SCHEMA = "ref_ts_us long, ref_vm long"
+
+
+def _lve_fold(state: "tuple | None", rows: list) -> tuple:
+    """Pure per-key latest-value-enrichment step shared by BOTH stateful
+    API forms: walk ``rows`` — ``(ts_us, side, event_id, vm)`` tuples,
+    side 0 = reference, 1 = probe — in (ts_us, side, event_id) order;
+    a reference row advances the held (ref_ts_us, ref_vm), a probe row
+    emits itself stamped with the held reference (NULLs while no
+    reference has arrived — the left-outer as-of contract). The sort
+    puts references BEFORE probes at equal ts (an exactly-simultaneous
+    reference is visible — the ``asof_join`` >= tie rule) and breaks
+    equal-(ts, side) ties by event_id, the highest winning the state
+    (the batch twin's deterministic-carry rule; the fixture has no such
+    ties — probed at 3 SFs — so the rule is stated, not load-bearing).
+
+    ORDER CONTRACT (the bloom_stream discipline): batches must arrive
+    in event-time order for the drained output to equal the batch
+    ``operators/asof.py::asof_join`` twin exactly (pinned in tests); a
+    reference arriving AFTER a probe already emitted does not
+    retro-enrich — the live-enrichment trade, stated. Returns
+    ``(new_state, emitted)``."""
+    emitted = []
+    for ts_us, side, eid, vm in sorted(rows):
+        if side == 0:
+            state = (int(ts_us), int(vm))
+        elif state is None:
+            emitted.append((int(eid), int(ts_us), None, None))
+        else:
+            emitted.append((int(eid), int(ts_us), state[0], state[1]))
+    return state, emitted
+
+
+def _lve_staged(
+    events: DataFrame, ref_type: str, probe_type: str
+) -> DataFrame:
+    """Shared JVM staging: the two event types keyed by user, reference
+    values scaled to milli-units via ``numeric.scaled_long`` (the same
+    IEEE steps as every batch tier, so the twin-equality pin compares
+    identical integers); NULL-value references are excluded — a reading
+    with no value cannot vouch for anything (stated)."""
+    from kinesis_stream_video_project_spark.functions.numeric import (
+        scaled_long as _scaled,
+    )
+
+    def _scaled_milli(c):
+        return _scaled(c, 1000)
+
+    is_ref = (F.col("event_type") == ref_type) & F.col("value").isNotNull()
+    is_probe = F.col("event_type") == probe_type
+    return events.filter(is_ref | is_probe).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(is_ref, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.when(is_ref, _scaled_milli(F.col("value"))).alias("vm"),
+    )
+
+
+def lve_stream(
+    events: DataFrame,
+    ref_type: str = "purchase",
+    probe_type: str = "click",
+) -> DataFrame:
+    """ONLINE latest-value as-of enrichment — the SIXTEENTH op on both
+    stateful APIs: per user, hold the latest reference reading (two
+    BIGINTs — bounded state by construction, the kdb `aj`/Flink
+    temporal-join shape) and stamp every probe event with it at
+    micro-batch latency. The drained output equals the batch
+    ``asof_join(probes, refs, direction="backward")`` exactly under the
+    in-order feed contract (pinned — a streaming op certified against
+    the oracle-validated as-of operator, the wps/priority_sample
+    pattern)."""
+    staged = _lve_staged(events, ref_type, probe_type)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        held = tuple(state.get) if state.exists else None
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        rows = [
+            (int(t), int(s), int(e), None if pd.isna(v) else int(v))
+            for t, s, e, v in zip(
+                b["ts_us"], b["side"], b["event_id"], b["vm"]
+            )
+        ]
+        held, emitted = _lve_fold(held, rows)
+        if held is not None:
+            state.update(held)
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(uid)] * len(emitted),
+                    "probe_event_id": [e for e, _, _, _ in emitted],
+                    "probe_ts_us": [t for _, t, _, _ in emitted],
+                    "ref_ts_us": [r for _, _, r, _ in emitted],
+                    "ref_vm": [v for _, _, _, v in emitted],
+                }
+            )
+
+    return staged.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_LVE_OUT_SCHEMA,
+        stateStructType=_LVE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def lve_stream_tws(
+    events: DataFrame,
+    ref_type: str = "purchase",
+    probe_type: str = "click",
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`lve_stream`
+    — same shared fold, no timers (a latest value never expires; the
+    staleness bound is the batch twin's ``tolerance_us``, deliberately
+    not replicated here — stated). GS ≡ TWS pinned on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _lve_staged(events, ref_type, probe_type)
+
+    class LveProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("lve", _LVE_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (uid,) = key
+            got = self._state.get()
+            held = tuple(got) if got is not None else None
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            pairs = [
+                (int(t), int(s), int(e), None if pd.isna(v) else int(v))
+                for t, s, e, v in zip(
+                    b["ts_us"], b["side"], b["event_id"], b["vm"]
+                )
+            ]
+            held, emitted = _lve_fold(held, pairs)
+            if held is not None:
+                self._state.update(held)
+            if emitted:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(uid)] * len(emitted),
+                        "probe_event_id": [e for e, _, _, _ in emitted],
+                        "probe_ts_us": [t for _, t, _, _ in emitted],
+                        "ref_ts_us": [r for _, _, r, _ in emitted],
+                        "ref_vm": [v for _, _, _, v in emitted],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=LveProcessor(),
+        outputStructType=_LVE_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

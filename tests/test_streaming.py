@@ -3576,3 +3576,247 @@ def test_bloom_fold_properties_hypothesis():
         assert out3 == [(first[0], first[1], first[1])]
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Online latest-value as-of enrichment (16th dual-API op)
+# ---------------------------------------------------------------------------
+
+_LVE_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double"
+)
+
+
+def _lve_rows(spark, sf_dir):
+    """Fixture purchases+clicks in EVENT-TIME order (the op's in-order
+    feed contract — chunk boundaries must respect it)."""
+    return [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .orderBy("ts", "event_id")
+        .limit(3000)
+        .collect()
+    ]
+
+
+def _drain_lve(spark, tmp_path, fn, rows, tag, nfiles):
+    src = tmp_path / f"lve_src_{tag}"
+    step = -(-len(rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(rows[i * step : (i + 1) * step], _LVE_SCHEMA),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(_LVE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"lve_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_lve_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        (r.user_id, r.probe_event_id, r.ref_ts_us, r.ref_vm)
+        for r in spark.sql(f"SELECT * FROM lve_out_{tag}").collect()
+    }
+
+
+def _lve_batch_twin(spark, rows):
+    """The oracle-validated batch as-of: latest purchase <= each click."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+    from kinesis_stream_video_project_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame(rows, _LVE_SCHEMA)
+    refs = df.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        scaled_long(F.col("value"), 1000).alias("vm"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ref_ts"),
+    )
+    probes = df.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return {
+        (r.user_id, r.event_id, r.asof_ref_ts, r.asof_vm)
+        for r in asof_join(
+            probes, refs, "user_id", right_payload=["vm", "ref_ts"]
+        ).collect()
+    }
+
+
+def test_lve_stream_matches_batch_asof(spark, tmp_path, sf_dir):
+    """Drained enrichment equals the batch asof_join(backward) twin
+    exactly — on one file AND on three event-time-ordered files (the
+    in-order chunking contract): a streaming op certified against the
+    oracle-validated as-of operator."""
+    rows = _lve_rows(spark, sf_dir)
+    want = _lve_batch_twin(spark, rows)
+    got1 = _drain_lve(spark, tmp_path, jobs.lve_stream, rows, "gs1", 1)
+    got3 = _drain_lve(spark, tmp_path, jobs.lve_stream, rows, "gs3", 3)
+    assert got1 == got3 == want
+    # non-degenerate both ways: enriched probes and no-ref-yet NULL rows
+    assert any(v is not None for (_, _, _, v) in want)
+    assert any(v is None for (_, _, _, v) in want)
+
+
+def test_lve_stream_tws_matches_group_state_form(spark, tmp_path, sf_dir):
+    """GS ≡ TWS on the same drain (the dual-API law, op sixteen)."""
+    rows = _lve_rows(spark, sf_dir)[:1200]
+    gs = _drain_lve(spark, tmp_path, jobs.lve_stream, rows, "eq_gs", 2)
+    tws = _drain_lve(spark, tmp_path, jobs.lve_stream_tws, rows, "eq_tws", 2)
+    assert gs == tws and len(gs) > 10
+
+
+def test_lve_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Stop-and-restart against the SAME checkpoint must resume the
+    held latest value: a post-restart probe is enriched with the
+    pre-restart reference, nothing re-emits, and the emission union
+    equals a fresh two-file drain."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 3, 1, tzinfo=dt.timezone.utc)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    b0 = [
+        (1, t(0), 7, "purchase", 5.0),
+        (2, t(10), 7, "click", None),
+    ]
+    b1 = [
+        (3, t(20), 7, "click", None),
+        (4, t(30), 7, "purchase", 9.0),
+        (5, t(40), 7, "click", None),
+    ]
+    src = tmp_path / "lve_restart_src"
+    ckpt = str(tmp_path / "ckpt_lve_restart")
+    out = str(tmp_path / "lve_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(_LVE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.lve_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.user_id, r.probe_event_id, r.ref_ts_us, r.ref_vm)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    base_us = int(base.timestamp()) * 1_000_000
+    _write_single_file(spark.createDataFrame(b0, _LVE_SCHEMA), src, "b0.parquet")
+    run1 = drain()
+    assert run1 == {(7, 2, base_us, 5000)}
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b1, _LVE_SCHEMA), src, "b1.parquet")
+    cumulative = drain()
+    # click 3 enriched from the RESTORED pre-restart state; click 5 from
+    # the post-restart purchase
+    assert cumulative == {
+        (7, 2, base_us, 5000),
+        (7, 3, base_us, 5000),
+        (7, 5, base_us + 30_000_000, 9000),
+    }
+
+    fresh_src = tmp_path / "lve_restart_fresh"
+    fresh_ckpt = str(tmp_path / "ckpt_lve_fresh")
+    fresh_out = str(tmp_path / "lve_fresh_out")
+    _write_single_file(spark.createDataFrame(b0, _LVE_SCHEMA), fresh_src, "b0.parquet")
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b1, _LVE_SCHEMA), fresh_src, "b1.parquet")
+    stream = (
+        spark.readStream.schema(_LVE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(fresh_src))
+    )
+    q = (
+        jobs.lve_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", fresh_out)
+        .outputMode("append")
+        .option("checkpointLocation", fresh_ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    fresh = {
+        (r.user_id, r.probe_event_id, r.ref_ts_us, r.ref_vm)
+        for r in spark.read.parquet(fresh_out).collect()
+    }
+    assert cumulative == fresh
+    assert run1 <= cumulative  # restart re-emitted nothing
+
+
+def test_lve_fold_laws_hypothesis():
+    """Hypothesis pins for the enrichment fold: (a) splitting any
+    EVENT-TIME-SORTED row sequence at any cut points emits exactly the
+    one-batch emissions with the same final state (the in-order
+    chunking law); (b) every probe before the first reference gets
+    NULLs; (c) a reference at the same ts as a probe IS visible (the
+    asof >= tie rule)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.streaming.jobs import _lve_fold
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        raw=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),  # ts
+                st.integers(min_value=0, max_value=1),  # side
+                st.integers(min_value=0, max_value=500),  # value seed
+            ),
+            max_size=40,
+        ),
+        cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=4),
+    )
+    def run(raw, cuts):
+        rows = sorted(
+            (ts, side, eid, v if side == 0 else None)
+            for eid, (ts, side, v) in enumerate(raw)
+        )
+        state_all, emitted_all = _lve_fold(None, rows)
+        state = None
+        emitted = []
+        bounds = sorted(set(c for c in cuts if c <= len(rows)))
+        prev = 0
+        for b in bounds + [len(rows)]:
+            state, e = _lve_fold(state, rows[prev:b])
+            emitted.extend(e)
+            prev = b
+        assert state == state_all and emitted == emitted_all
+        first_ref = min(
+            (ts for ts, side, _, _ in rows if side == 0), default=None
+        )
+        for (eid, ts, ref_ts, vm), _ in zip(emitted_all, range(10**9)):
+            if first_ref is None or ts < first_ref:
+                assert ref_ts is None and vm is None
+            else:
+                assert ref_ts is not None and ref_ts <= ts
+
+    run()
