@@ -139,6 +139,72 @@ def _ri_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _scd2_cdc_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-operator law as a driver-hashed claim (X-191, the
+    ann_tier_claims discipline applied across operator FAMILIES): over
+    the SAME changelog, scd2_history's open versions must agree with
+    cdc_apply's merged state — every key whose last effective change is
+    an upsert carries the identical payload in both, and every key
+    whose last effective change is a delete is absent from the merge.
+    Emits the counts plus the boolean; a divergence between the two
+    operators flips all_consistent and fails the driver hash."""
+    from kinesis_stream_video_project_spark.plans.queries_round11 import (
+        _cdc_customer_segments,
+    )
+
+    hist = _scd2_customer_history(spark, sf_dir)
+    merged = _cdc_customer_segments(spark, sf_dir)
+    changed = (
+        io.load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    open_v = hist.filter("is_current").select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("open_p")
+    )
+    m = merged.select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("m_p")
+    )
+    j = changed.join(open_v, "k", "left").join(m, "k", "left")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_changed_keys"),
+        F.count("open_p").cast("long").alias("n_open"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("open_p").isNotNull()
+                    & (F.col("open_p") == F.col("m_p")),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_open_match"),
+        F.coalesce(
+            F.sum(F.when(F.col("open_p").isNull() & F.col("m_p").isNull(), 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_closed_absent"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("open_p").isNull() & F.col("m_p").isNotNull(), 1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_closed_still_present"),
+    )
+    return agg.select(
+        "*",
+        (
+            (F.col("n_open") == F.col("n_open_match"))
+            & (F.col("n_closed_still_present") == 0)
+        ).alias("all_consistent"),
+    )
+
+
 def _ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ADC composed ANN (X-189): coarse k=8 k-means cells, nprobe=4,
     PQ 8×256 on residuals — the FAISS IVFADC composition at the ladder's
@@ -362,10 +428,75 @@ QUALIFY rank <= 10
 """
 
 
+_SCD2_CDC_ORACLE = """
+WITH ch AS (
+  SELECT o_custkey AS k,
+         CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I'
+              ELSE 'D' END AS op,
+         o_orderkey AS seq,
+         o_orderpriority AS p
+  FROM orders
+),
+lagged AS (
+  SELECT k, op, seq, p,
+         lag(op) OVER w AS prev_op,
+         lag(p) OVER w AS prev_p
+  FROM ch WINDOW w AS (PARTITION BY k ORDER BY seq)
+),
+eff AS (
+  SELECT k, op, seq, p FROM lagged
+  WHERE NOT (op IN ('I','U') AND prev_op IN ('I','U')
+             AND p IS NOT DISTINCT FROM prev_p)
+),
+closed AS (
+  SELECT k, op, seq, p,
+         lead(seq) OVER (PARTITION BY k ORDER BY seq) AS close_seq
+  FROM eff
+),
+open_v AS (
+  SELECT k, p AS open_p FROM closed WHERE op <> 'D' AND close_seq IS NULL
+),
+r2 AS (SELECT k, op, p AS newp,
+              seq * 4 + CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END
+                AS ord
+       FROM ch),
+w2 AS (SELECT k, arg_max(op, ord) AS op, arg_max(newp, ord) AS newp
+       FROM r2 GROUP BY 1),
+m2 AS (SELECT c.c_custkey AS sk, c.c_mktsegment AS old, w2.k, w2.op, w2.newp
+       FROM customer c FULL OUTER JOIN w2 ON c.c_custkey = w2.k),
+merged AS (
+  SELECT COALESCE(sk, k) AS k,
+         CASE WHEN op IS NULL THEN old ELSE newp END AS m_p
+  FROM m2 WHERE op IS NULL OR op != 'D'
+),
+chk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+j AS (
+  SELECT chk.k, o.open_p, g.m_p
+  FROM chk LEFT JOIN open_v o ON o.k = chk.k
+           LEFT JOIN merged g ON g.k = chk.k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_changed_keys,
+       CAST(COUNT(open_p) AS BIGINT) AS n_open,
+       CAST(COALESCE(SUM(CASE WHEN open_p IS NOT NULL AND open_p = m_p
+                              THEN 1 END), 0) AS BIGINT) AS n_open_match,
+       CAST(COALESCE(SUM(CASE WHEN open_p IS NULL AND m_p IS NULL
+                              THEN 1 END), 0) AS BIGINT) AS n_closed_absent,
+       CAST(COALESCE(SUM(CASE WHEN open_p IS NULL AND m_p IS NOT NULL
+                              THEN 1 END), 0) AS BIGINT)
+         AS n_closed_still_present,
+       (COUNT(open_p) = COALESCE(SUM(CASE WHEN open_p IS NOT NULL
+                                          AND open_p = m_p THEN 1 END), 0)
+        AND COALESCE(SUM(CASE WHEN open_p IS NULL AND m_p IS NOT NULL
+                              THEN 1 END), 0) = 0) AS all_consistent
+FROM j
+"""
+
+
 QUERIES = {
     "scd2_customer_history": _scd2_customer_history,
     "holt_daily_revenue": _holt_daily_revenue,
     "ri_coverage_audit": _ri_coverage_audit,
+    "scd2_cdc_consistency": _scd2_cdc_consistency,
     "ivfadc_topk": _ivfadc_topk,
 }
 
@@ -373,6 +504,7 @@ ORACLES = {
     "scd2_customer_history": _SCD2_ORACLE,
     "holt_daily_revenue": _HOLT_ORACLE,
     "ri_coverage_audit": _ri_oracle(),
+    "scd2_cdc_consistency": _SCD2_CDC_ORACLE,
     "ivfadc_topk": _ivfadc_oracle(),
 }
 
