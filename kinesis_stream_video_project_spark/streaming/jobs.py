@@ -3643,3 +3643,163 @@ def lve_stream_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online Holt linear smoothing (live level+trend forecast per key)
+# ---------------------------------------------------------------------------
+
+_HOLT_OUT_SCHEMA = (
+    "key string, step bigint, level_s bigint, trend_s bigint, "
+    "forecast_next bigint"
+)
+_HOLT_STATE_SCHEMA = "n bigint, a bigint, b bigint"
+
+
+def _holt_stream_fold(state: tuple, xs: list) -> tuple:
+    """Pure per-key Holt step shared by BOTH stateful API forms: fold
+    the batch's series-ordered scaled values into (n, a, b) — n values
+    seen; for n == 1, a holds the awaited x₁ (b unused); for n >= 2,
+    (a, b) are the live (level, trend). EXACTLY the
+    ``operators/forecast.py::holt_fold`` recursion (α=β=1/2 truncating
+    integer arithmetic), so the drained emissions equal the batch fold
+    on the same series verbatim (pinned) — including the two-point
+    init: nothing emits until the SECOND value arrives, at which point
+    the deferred step-1 row and the step-2 row emit together (the
+    batch form's <2-point skip, made causal).
+
+    ORDER CONTRACT (the lve/bloom discipline): values must arrive in
+    series order across batches; within a batch the caller sorts.
+    Returns ``(new_state, emitted)`` with emitted rows
+    ``(step, level_s, trend_s, forecast_next)``."""
+    from kinesis_stream_video_project_spark.functions.numeric import tdiv
+
+    n, a, b = state
+    emitted = []
+    for x in xs:
+        x = int(x)
+        n += 1
+        if n == 1:
+            a = x
+        elif n == 2:
+            b = x - a
+            emitted.append((1, a, b, a + b))
+            new_l = tdiv(x + a + b, 2)
+            b = tdiv(new_l - a + b, 2)
+            a = new_l
+            emitted.append((2, a, b, a + b))
+        else:
+            new_l = tdiv(x + a + b, 2)
+            b = tdiv(new_l - a + b, 2)
+            a = new_l
+            emitted.append((n, a, b, a + b))
+    return (n, a, b), emitted
+
+
+def _holt_staged(events: DataFrame) -> DataFrame:
+    """Shared JVM staging: per event-type series of milli-scaled values
+    in (ts, event_id) series order (NULL values excluded — stated)."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+
+    return events.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").cast("string").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        scaled_long(F.col("value"), 1000).alias("xm"),
+    )
+
+
+def _holt_batch_rows(b: pd.DataFrame) -> list:
+    return [
+        int(x)
+        for _, _, x in sorted(
+            zip(b["ts_us"], b["event_id"], b["xm"]),
+            key=lambda t: (int(t[0]), int(t[1])),
+        )
+    ]
+
+
+def holt_stream(events: DataFrame) -> DataFrame:
+    """ONLINE Holt linear smoothing — the SEVENTEENTH op on both
+    stateful APIs: per event type, the live (level, trend, one-step
+    forecast) of the scaled value series at micro-batch latency —
+    "where is this metric HEADING", the watchdog family's leading
+    indicator (the batch tier is the r14-queue `holt_daily_revenue`).
+    State is three BIGINTs per key — bounded by construction. Drained
+    emissions equal the batch ``forecast.holt_fold`` on the same
+    series exactly (pinned — certified against the oracle-validated
+    batch operator, the wps/lve pattern)."""
+    staged = _holt_staged(events)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        held = tuple(state.get) if state.exists else (0, 0, 0)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        held, emitted = _holt_stream_fold(held, _holt_batch_rows(b))
+        state.update(held)
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "key": [str(key_val)] * len(emitted),
+                    "step": [s for s, _, _, _ in emitted],
+                    "level_s": [l for _, l, _, _ in emitted],
+                    "trend_s": [t for _, _, t, _ in emitted],
+                    "forecast_next": [f for _, _, _, f in emitted],
+                }
+            )
+
+    return staged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_HOLT_OUT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def holt_stream_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`holt_stream`
+    — same shared fold, no timers. GS ≡ TWS pinned on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _holt_staged(events)
+
+    class HoltProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("holt", _HOLT_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            got = self._state.get()
+            held = tuple(got) if got is not None else (0, 0, 0)
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            held, emitted = _holt_stream_fold(held, _holt_batch_rows(b))
+            self._state.update(held)
+            if emitted:
+                yield pd.DataFrame(
+                    {
+                        "key": [str(key_val)] * len(emitted),
+                        "step": [s for s, _, _, _ in emitted],
+                        "level_s": [l for _, l, _, _ in emitted],
+                        "trend_s": [t for _, _, t, _ in emitted],
+                        "forecast_next": [f for _, _, _, f in emitted],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=HoltProcessor(),
+        outputStructType=_HOLT_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -3820,3 +3820,202 @@ def test_lve_fold_laws_hypothesis():
                 assert ref_ts is not None and ref_ts <= ts
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Online Holt linear smoothing (17th dual-API op)
+# ---------------------------------------------------------------------------
+
+
+def _holt_rows(spark, sf_dir, limit=2400):
+    """Fixture events with values, in series order per event type."""
+    return [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .orderBy("ts", "event_id")
+        .limit(limit)
+        .collect()
+    ]
+
+
+def _drain_holt(spark, tmp_path, fn, rows, tag, nfiles):
+    src = tmp_path / f"holt_src_{tag}"
+    step = -(-len(rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(rows[i * step : (i + 1) * step], _LVE_SCHEMA),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(_LVE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"holt_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_holt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        (r.key, r.step, r.level_s, r.trend_s, r.forecast_next)
+        for r in spark.sql(f"SELECT * FROM holt_out_{tag}").collect()
+    }
+
+
+def _holt_batch_twin(spark, rows):
+    """The oracle-validated batch fold on the same per-type series."""
+    from pyspark.sql import Window
+
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+    from kinesis_stream_video_project_spark.operators.forecast import holt_linear
+
+    df = spark.createDataFrame(rows, _LVE_SCHEMA).filter(
+        F.col("value").isNotNull()
+    )
+    series = df.select(
+        F.col("event_type").alias("grp"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id")
+        )
+        .cast("long")
+        .alias("step"),
+        scaled_long(F.col("value"), 1000).alias("xs"),
+    )
+    return {
+        (r.grp, r.step, r.level_s, r.trend_s, r.forecast_next)
+        for r in holt_linear(series).collect()
+    }
+
+
+def test_holt_stream_matches_batch_fold(spark, tmp_path, sf_dir):
+    """Drained emissions equal the batch holt_linear fold on the same
+    per-type series — on one file AND three series-ordered files (the
+    in-order chunking contract), op seventeen certified against the
+    oracle-validated batch operator."""
+    rows = _holt_rows(spark, sf_dir)
+    want = _holt_batch_twin(spark, rows)
+    got1 = _drain_holt(spark, tmp_path, jobs.holt_stream, rows, "gs1", 1)
+    got3 = _drain_holt(spark, tmp_path, jobs.holt_stream, rows, "gs3", 3)
+    assert got1 == got3 == want and len(want) > 100
+
+
+def test_holt_stream_tws_matches_group_state_form(spark, tmp_path, sf_dir):
+    """GS ≡ TWS on the same drain (the dual-API law, op seventeen)."""
+    rows = _holt_rows(spark, sf_dir, limit=1000)
+    gs = _drain_holt(spark, tmp_path, jobs.holt_stream, rows, "eq_gs", 2)
+    tws = _drain_holt(spark, tmp_path, jobs.holt_stream_tws, rows, "eq_tws", 2)
+    assert gs == tws and len(gs) > 10
+
+
+def test_holt_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Restart against the SAME checkpoint resumes (n, level, trend):
+    a post-restart value continues the recursion exactly (== a fresh
+    two-file drain), nothing re-emits, and the deferred step-1 row
+    emits only when the second value arrives — across the restart."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 4, 1, tzinfo=dt.timezone.utc)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    b0 = [(1, t(0), 7, "m", 0.010)]  # x1 = 10 milli: nothing may emit yet
+    b1 = [(2, t(10), 7, "m", 0.014), (3, t(20), 7, "m", 0.020)]
+    src = tmp_path / "holt_restart_src"
+    ckpt = str(tmp_path / "ckpt_holt_restart")
+    out = str(tmp_path / "holt_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(_LVE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.holt_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.key, r.step, r.level_s, r.trend_s, r.forecast_next)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_single_file(spark.createDataFrame(b0, _LVE_SCHEMA), src, "b0.parquet")
+    run1 = drain()
+    assert run1 == set()  # two-point init: nothing before x2
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b1, _LVE_SCHEMA), src, "b1.parquet")
+    cumulative = drain()
+    # the handchecked series [10, 14, 20] (test_holt_fold_handchecked),
+    # step-1 row emitted AFTER the restart from restored x1 state
+    assert cumulative == {
+        ("m", 1, 10, 4, 14),
+        ("m", 2, 14, 4, 18),
+        ("m", 3, 19, 4, 23),
+    }
+
+
+def test_holt_stream_fold_matches_batch_fold_hypothesis():
+    """Hypothesis pin: folding any in-order chunking of any integer
+    series emits exactly the batch holt_fold rows with the same final
+    (level, trend) — the causal form of the two-point-init batch
+    fold."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.operators.forecast import holt_fold
+    from kinesis_stream_video_project_spark.streaming.jobs import (
+        _holt_stream_fold,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        xs=st.lists(
+            st.integers(min_value=-10**6, max_value=10**6), max_size=30
+        ),
+        cuts=st.lists(st.integers(min_value=0, max_value=30), max_size=4),
+    )
+    def run(xs, cuts):
+        state = (0, 0, 0)
+        emitted = []
+        bounds = sorted(set(c for c in cuts if c <= len(xs)))
+        prev = 0
+        for b in bounds + [len(xs)]:
+            state, e = _holt_stream_fold(state, xs[prev:b])
+            emitted.extend(e)
+            prev = b
+        batch = holt_fold(
+            pd.DataFrame(
+                {
+                    "grp": ["g"] * len(xs),
+                    "step": list(range(1, len(xs) + 1)),
+                    "xs": xs,
+                }
+            )
+        )
+        want = [
+            (int(r.step), int(r.level_s), int(r.trend_s), int(r.forecast_next))
+            for r in batch.itertuples()
+        ]
+        assert emitted == want
+        if len(xs) >= 2:
+            assert (state[1], state[2]) == (want[-1][1], want[-1][2])
+
+    run()
