@@ -122,3 +122,65 @@ holt AS (
   FROM walk
 )
 """
+
+
+def theilsen_slope(
+    series: DataFrame,
+    grp: str = "grp",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Theil–Sen robust slope per group (Theil 1950 / Sen JASA 1968; the
+    median-of-pairwise-slopes estimator with a 29.3% breakdown point —
+    the robust sibling of the OLS ``trend_slope_per_type`` tier, immune
+    to the outliers that drag a least-squares line).
+
+    Cross-engine determinism: slopes are exact RATIONALS
+    (num = y_j − y_i scaled BIGINT, den = x_j − x_i > 0); the selection
+    orders by (CAST(num AS DOUBLE)/den, num, den) — the double division
+    of identical integers is bit-identical in any engine, and the
+    (num, den) tiebreak makes equal-double groups deterministic — and
+    picks the LOWER median, rank (n+1) DIV 2. Emitted slope is the
+    r4-rounded double plus the exact (num, den) pair and n_pairs.
+
+    Scale contract (stated): pairwise per group — O(n²) pairs — so
+    groups must be LEDGER-sized (weekly/daily rollups, hundreds of
+    points); the input is an aggregate's output, never raw rows. The
+    pair join is grp-keyed (one shuffle); the median is a
+    grp-partitioned window (never unpartitioned)."""
+    from kinesis_stream_video_project_spark.functions.numeric import r4
+
+    a = series.select(
+        F.col(grp).alias("_g"), F.col(x).alias("_xi"), F.col(y).alias("_yi")
+    )
+    b = series.select(
+        F.col(grp).alias("_g"), F.col(x).alias("_xj"), F.col(y).alias("_yj")
+    )
+    pairs = a.join(b, "_g").filter(F.col("_xi") < F.col("_xj")).select(
+        "_g",
+        (F.col("_yj") - F.col("_yi")).cast("long").alias("num"),
+        (F.col("_xj") - F.col("_xi")).cast("long").alias("den"),
+    )
+    slope = F.col("num").cast("double") / F.col("den")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_g").orderBy(
+        slope.asc(), F.col("num").asc(), F.col("den").asc()
+    )
+    wn = Window.partitionBy("_g")
+    ranked = pairs.select(
+        "_g",
+        "num",
+        "den",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("_rn") == F.expr("(n_pairs + 1) DIV 2")
+    ).select(
+        F.col("_g").alias(grp),
+        r4(slope).alias("slope"),
+        "num",
+        "den",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )

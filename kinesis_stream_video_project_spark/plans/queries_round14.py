@@ -205,6 +205,54 @@ def _scd2_cdc_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _theilsen_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of weekly revenue-cents per order
+    priority (X-193) — the outlier-immune trend next to the OLS
+    `trend_slope_per_type` tier. x = epoch-week index (real gaps kept,
+    not a dense rank), y = exact per-row-cents weekly sum."""
+    from kinesis_stream_video_project_spark.operators.forecast import (
+        theilsen_slope,
+    )
+
+    orders = io.load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') DIV 7"
+        ).alias("x"),
+    ).agg(F.sum(scaled_long(F.col("o_totalprice"), 100)).alias("y"))
+    return theilsen_slope(weekly)
+
+
+_THEILSEN_ORACLE = """
+WITH weekly AS (
+  SELECT o_orderpriority AS g,
+         CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7
+              AS BIGINT) AS x,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+  FROM orders GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.g, CAST(b.y - a.y AS BIGINT) AS num,
+         CAST(b.x - a.x AS BIGINT) AS den
+  FROM weekly a JOIN weekly b ON a.g = b.g AND a.x < b.x
+),
+ranked AS (
+  SELECT g, num, den,
+         row_number() OVER (
+           PARTITION BY g
+           ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n_pairs
+  FROM pairs
+)
+SELECT g AS grp,
+       (floor((CAST(num AS DOUBLE) / den) * 10000.0 + 0.5) / 10000.0)
+         AS slope,
+       num, den, CAST(n_pairs AS BIGINT) AS n_pairs
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+
 def _ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ADC composed ANN (X-189): coarse k=8 k-means cells, nprobe=4,
     PQ 8×256 on residuals — the FAISS IVFADC composition at the ladder's
@@ -497,6 +545,7 @@ QUERIES = {
     "holt_daily_revenue": _holt_daily_revenue,
     "ri_coverage_audit": _ri_coverage_audit,
     "scd2_cdc_consistency": _scd2_cdc_consistency,
+    "theilsen_weekly_trend": _theilsen_weekly_trend,
     "ivfadc_topk": _ivfadc_topk,
 }
 
@@ -505,6 +554,7 @@ ORACLES = {
     "holt_daily_revenue": _HOLT_ORACLE,
     "ri_coverage_audit": _ri_oracle(),
     "scd2_cdc_consistency": _SCD2_CDC_ORACLE,
+    "theilsen_weekly_trend": _THEILSEN_ORACLE,
     "ivfadc_topk": _ivfadc_oracle(),
 }
 

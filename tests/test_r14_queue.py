@@ -194,6 +194,32 @@ def test_ri_audit_counts_orphans_and_nulls(spark):
 
 
 # ---------------------------------------------------------------------------
+# Theil-Sen robust slope
+# ---------------------------------------------------------------------------
+
+
+def test_theilsen_handchecked_and_robust(spark):
+    """Points (0,0),(1,10),(2,20),(3,1000): OLS is dragged far above 10
+    by the outlier; Theil-Sen's 6 pairwise slopes sorted by
+    (slope, num, den) are [(10,1),(10,1),(20,2),(1000,3),(990,2),
+    (980,1)] -> lower median (rank 3) is slope 10 as the exact
+    rational (20, 2). Two-point group: its single pair IS the
+    median."""
+    from kinesis_stream_video_project_spark.operators.forecast import (
+        theilsen_slope,
+    )
+
+    rows = [("a", 0, 0), ("a", 1, 10), ("a", 2, 20), ("a", 3, 1000),
+            ("b", 0, 5), ("2", 2, 9)]
+    rows = [r for r in rows if r[0] != "2"] + [("b", 2, 9)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    got = {r["grp"]: (r["slope"], r["num"], r["den"], r["n_pairs"])
+           for r in theilsen_slope(df).collect()}
+    assert got["a"] == (10.0, 20, 2, 6)
+    assert got["b"] == (2.0, 4, 2, 1)
+
+
+# ---------------------------------------------------------------------------
 # IVF-ADC composed ANN
 # ---------------------------------------------------------------------------
 
@@ -233,7 +259,7 @@ def test_round14_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q14.QUERIES) == 5
+    assert len(q14.QUERIES) == 6
     for name, fn in q14.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q14.ORACLES[name]).df()
