@@ -253,6 +253,79 @@ FROM ranked WHERE rn = (n_pairs + 1) // 2
 """
 
 
+def _bootstrap_weekly_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 90% CI of mean weekly revenue-cents per
+    order priority (X-194): B=200 deterministic md5 resamples over the
+    same weekly ledger the Theil–Sen tier trends — a bootstrap that
+    hash-checks across engines because the resampling is a pure
+    function of (group, replicate, draw)."""
+    from kinesis_stream_video_project_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+
+    orders = io.load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') DIV 7"
+        ).alias("x"),
+    ).agg(F.sum(scaled_long(F.col("o_totalprice"), 100)).alias("y"))
+    return bootstrap_mean_ci(weekly)
+
+
+_BOOTSTRAP_ORACLE = """
+WITH series AS (
+  SELECT o_orderpriority AS g,
+         CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7
+              AS BIGINT) AS x,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y) AS r
+  FROM series
+),
+sizes AS (SELECT g, COUNT(*) AS n, SUM(y) AS tot FROM series GROUP BY 1),
+grid AS (
+  SELECT s.g, b.b,
+         (('0x' || substr(md5(CAST(s.g AS VARCHAR) || ':'
+                              || CAST(b.b AS VARCHAR) || ':'
+                              || CAST(i.i AS VARCHAR)), 1, 12))::BIGINT
+          % s.n) + 1 AS draw
+  FROM sizes s,
+       generate_series(1, 200) AS b(b),
+       generate_series(1, 4096) AS i(i)
+  WHERE i.i <= s.n
+),
+rep AS (
+  SELECT grid.g, grid.b, SUM(ranked.y) AS bsum
+  FROM grid JOIN ranked ON ranked.g = grid.g AND ranked.r = grid.draw
+  GROUP BY 1, 2
+),
+sel AS (
+  SELECT g, bsum,
+         row_number() OVER (PARTITION BY g ORDER BY bsum, b) AS brn
+  FROM rep
+),
+picked AS (
+  SELECT g,
+         arg_min(bsum, brn) AS losum,
+         arg_max(bsum, brn) AS hisum
+  FROM sel WHERE brn IN (11, 190) GROUP BY 1
+)
+SELECT s.g AS grp,
+       CAST(s.n AS BIGINT) AS n,
+       CAST(200 AS BIGINT) AS n_boot,
+       (floor((CAST(s.tot AS DOUBLE) / s.n) * 10000.0 + 0.5) / 10000.0)
+         AS mean_y,
+       (floor((CAST(p.losum AS DOUBLE) / s.n) * 10000.0 + 0.5) / 10000.0)
+         AS ci_lo,
+       (floor((CAST(p.hisum AS DOUBLE) / s.n) * 10000.0 + 0.5) / 10000.0)
+         AS ci_hi
+FROM sizes s JOIN picked p ON p.g = s.g
+"""
+
+
 def _ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ADC composed ANN (X-189): coarse k=8 k-means cells, nprobe=4,
     PQ 8×256 on residuals — the FAISS IVFADC composition at the ladder's
@@ -546,6 +619,7 @@ QUERIES = {
     "ri_coverage_audit": _ri_coverage_audit,
     "scd2_cdc_consistency": _scd2_cdc_consistency,
     "theilsen_weekly_trend": _theilsen_weekly_trend,
+    "bootstrap_weekly_ci": _bootstrap_weekly_ci,
     "ivfadc_topk": _ivfadc_topk,
 }
 
@@ -555,6 +629,7 @@ ORACLES = {
     "ri_coverage_audit": _ri_oracle(),
     "scd2_cdc_consistency": _SCD2_CDC_ORACLE,
     "theilsen_weekly_trend": _THEILSEN_ORACLE,
+    "bootstrap_weekly_ci": _BOOTSTRAP_ORACLE,
     "ivfadc_topk": _ivfadc_oracle(),
 }
 

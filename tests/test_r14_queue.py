@@ -220,6 +220,59 @@ def test_theilsen_handchecked_and_robust(spark):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic percentile bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_laws(spark, sf_dir):
+    """Structural laws on the real weekly ledger: ci_lo <= mean <= ci_hi
+    per group (a percentile interval of resampled means brackets the
+    point estimate on this data), lo < hi at B=200, and the interval is
+    REPRODUCIBLE (two runs identical - the whole point of md5-seeded
+    resampling)."""
+    from kinesis_stream_video_project_spark.plans.queries_round14 import (
+        _bootstrap_weekly_ci,
+    )
+
+    rows = {r["grp"]: r for r in _bootstrap_weekly_ci(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["ci_lo"] <= r["mean_y"] <= r["ci_hi"]
+        assert r["ci_lo"] < r["ci_hi"]
+    again = {r["grp"]: r for r in _bootstrap_weekly_ci(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_bootstrap_refusals(spark):
+    from kinesis_stream_video_project_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "grp string, y long")
+    with pytest.raises(ValueError, match="alpha_pct"):
+        bootstrap_mean_ci(df, alpha_pct=60)
+    with pytest.raises(ValueError, match="n_boot"):
+        bootstrap_mean_ci(df, n_boot=1)
+
+
+def test_bootstrap_degenerate_group_collapses(spark):
+    """A group whose values are all identical gets a zero-width interval
+    equal to the mean (every resample sums the same) - the sanity law
+    that catches a broken draw join immediately."""
+    from kinesis_stream_video_project_spark.operators.bootstrap import (
+        bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 7), ("c", 7), ("c", 7), ("c", 7)], "grp string, y long"
+    )
+    row = bootstrap_mean_ci(df, n_boot=20).collect()[0]
+    assert (row["mean_y"], row["ci_lo"], row["ci_hi"]) == (7.0, 7.0, 7.0)
+
+
+# ---------------------------------------------------------------------------
 # IVF-ADC composed ANN
 # ---------------------------------------------------------------------------
 
@@ -259,7 +312,7 @@ def test_round14_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q14.QUERIES) == 6
+    assert len(q14.QUERIES) == 7
     for name, fn in q14.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q14.ORACLES[name]).df()
