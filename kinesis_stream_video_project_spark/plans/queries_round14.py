@@ -253,6 +253,83 @@ FROM ranked WHERE rn = (n_pairs + 1) // 2
 """
 
 
+def _scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitemporal READ side of the Type-2 build (X-195): "what was
+    each customer's segment AT clock c" — versions live at c under the
+    half-open [valid_from, valid_to) rule, aggregated per segment.
+    c = max(orderkey) DIV 2, computed in-query on both engines (a
+    mid-history clock at every SF, no magic literal)."""
+    hist = _scd2_customer_history(spark, sf_dir)
+    clock = (
+        io.load_table(spark, sf_dir, "orders")
+        .agg((F.max("o_orderkey") / 2).cast("long").alias("_c"))
+    )
+    live = hist.crossJoin(F.broadcast(clock)).filter(
+        (F.col("valid_from") <= F.col("_c"))
+        & (F.col("valid_to").isNull() | (F.col("_c") < F.col("valid_to")))
+    )
+    return (
+        live.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_live"))
+    )
+
+
+def _holt_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast evaluation tier (X-196): one-step-ahead backtest of the
+    Holt smoother on its own series — MAE of forecast_next(t) vs the
+    actual x(t+1), all-integer (sum of |err| DIV n). The discipline:
+    a forecaster without a measured error is a hope, not an operator."""
+    orders = io.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").alias("_day"),
+    ).agg(F.sum(scaled_long(F.col("o_totalprice"), 100)).alias("xs"))
+    series = daily.select(
+        "grp",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("_day"))
+        .cast("long")
+        .alias("step"),
+        "xs",
+    )
+    fc = holt_linear(series).select(
+        "grp", (F.col("step") + 1).alias("step"), "forecast_next"
+    )
+    evals = fc.join(series, ["grp", "step"]).select(
+        "grp", F.abs(F.col("xs") - F.col("forecast_next")).alias("_err")
+    )
+    return evals.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.expr("SUM(_err) DIV COUNT(*)").cast("long").alias("mae_cents"),
+    )
+
+
+_HOLT_BACKTEST_ORACLE = (
+    """
+WITH RECURSIVE daily AS (
+  SELECT o_orderpriority AS grp, o_orderdate AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS xs
+  FROM orders GROUP BY 1, 2
+),
+series AS (
+  SELECT grp,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY day) AS BIGINT)
+           AS step,
+         CAST(xs AS BIGINT) AS xs
+  FROM daily
+),
+"""
+    + HOLT_ORACLE_WALK
+    + """
+SELECT h.grp, CAST(COUNT(*) AS BIGINT) AS n_evals,
+       CAST(SUM(ABS(s.xs - h.forecast_next)) // COUNT(*) AS BIGINT)
+         AS mae_cents
+FROM holt h JOIN series s ON s.grp = h.grp AND s.step = h.step + 1
+GROUP BY 1
+"""
+)
+
+
 def _bootstrap_weekly_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-bootstrap 90% CI of mean weekly revenue-cents per
     order priority (X-194): B=200 deterministic md5 resamples over the
@@ -370,6 +447,23 @@ SELECT k AS c_custkey, p AS c_mktsegment,
        close_seq IS NULL AS is_current
 FROM closed WHERE op <> 'D'
 """
+
+_SCD2_SNAPSHOT_ORACLE = (
+    _SCD2_ORACLE.replace(
+        """SELECT k AS c_custkey, p AS c_mktsegment,
+       CAST(seq AS BIGINT) AS valid_from,
+       CAST(close_seq AS BIGINT) AS valid_to,
+       close_seq IS NULL AS is_current
+FROM closed WHERE op <> 'D'""",
+        """SELECT p AS segment, CAST(COUNT(*) AS BIGINT) AS n_live
+FROM closed, (SELECT MAX(o_orderkey) // 2 AS c FROM orders) clk
+WHERE op <> 'D' AND seq <= clk.c
+  AND (close_seq IS NULL OR clk.c < close_seq)
+GROUP BY 1""",
+    )
+)
+
+
 
 _HOLT_ORACLE = (
     """
@@ -618,6 +712,8 @@ QUERIES = {
     "holt_daily_revenue": _holt_daily_revenue,
     "ri_coverage_audit": _ri_coverage_audit,
     "scd2_cdc_consistency": _scd2_cdc_consistency,
+    "scd2_snapshot_at": _scd2_snapshot_at,
+    "holt_backtest_mae": _holt_backtest_mae,
     "theilsen_weekly_trend": _theilsen_weekly_trend,
     "bootstrap_weekly_ci": _bootstrap_weekly_ci,
     "ivfadc_topk": _ivfadc_topk,
@@ -628,6 +724,8 @@ ORACLES = {
     "holt_daily_revenue": _HOLT_ORACLE,
     "ri_coverage_audit": _ri_oracle(),
     "scd2_cdc_consistency": _SCD2_CDC_ORACLE,
+    "scd2_snapshot_at": _SCD2_SNAPSHOT_ORACLE,
+    "holt_backtest_mae": _HOLT_BACKTEST_ORACLE,
     "theilsen_weekly_trend": _THEILSEN_ORACLE,
     "bootstrap_weekly_ci": _BOOTSTRAP_ORACLE,
     "ivfadc_topk": _ivfadc_oracle(),

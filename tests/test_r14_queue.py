@@ -312,7 +312,7 @@ def test_round14_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q14.QUERIES) == 7
+    assert len(q14.QUERIES) == 9
     for name, fn in q14.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q14.ORACLES[name]).df()
