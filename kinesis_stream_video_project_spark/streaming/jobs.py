@@ -995,6 +995,60 @@ def cusum_stream(
     )
 
 
+def cusum_stream_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`cusum_stream`
+    (unbuffered mode) — the EIGHTEENTH op on both stateful APIs. Same
+    shared ``_cusum_step`` fold, same within-batch (ts, event_id) sort +
+    micro scaling as ``_keyed_value_stream``'s unbuffered shell, no
+    timers. GS ≡ TWS pinned on the same drain; the batch twin is the
+    r10-green ``cusum_changepoints``."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class CusumProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("cusum", _CUSUM_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            got = self._state.get()
+            if got is None:
+                warmup, ref, sp, sm = [], None, 0, 0
+            else:
+                warmup, ref, sp, sm = list(got[0] or []), got[1], got[2], got[3]
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch[batch["value"].notna()]
+            batch = batch.sort_values(["ts", "event_id"])
+            warmup, ref, sp, sm, alarms = _cusum_step(
+                warmup,
+                ref,
+                sp,
+                sm,
+                list(zip(batch["event_id"].tolist(), _scale_micro(batch["value"]))),
+            )
+            self._state.update((warmup, ref, sp, sm))
+            if alarms:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(user_id)] * len(alarms),
+                        "event_id": [eid for eid, _ in alarms],
+                        "direction": [d for _, d in alarms],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CusumProcessor(),
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 _SILENCE_OUT_SCHEMA = (
     StructType()
     .add("user_id", "long")

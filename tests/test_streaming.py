@@ -951,6 +951,98 @@ def test_cusum_stream_buffered_reorders_late_events(spark, tmp_path):
     assert got == set(alarms) and len(got) > 0
 
 
+def test_cusum_stream_tws_matches_group_state_form(spark, events_df, tmp_path):
+    """GS ≡ TWS on the same two-file drain (the dual-API law, op
+    EIGHTEEN — online CUSUM): both stateful-API forms of the
+    self-calibrating sequential test emit the identical alarm set."""
+    cols = events_df.select("user_id", "ts", "event_id", "value")
+    cut = cols.approxQuantile("event_id", [0.5], 0.01)[0]
+    src = tmp_path / "cusum_tws_src"
+    _write_single_file(cols.filter(F.col("event_id") <= cut), src, "e0.parquet")
+    time.sleep(1.1)
+    _write_single_file(cols.filter(F.col("event_id") > cut), src, "e1.parquet")
+    got = {}
+    for tag, fn in (("gs", jobs.cusum_stream), ("tws", jobs.cusum_stream_tws)):
+        stream = (
+            spark.readStream.schema(cols.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            fn(stream)
+            .writeStream.format("memory")
+            .queryName(f"cusum_eq_{tag}")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_cusum_eq_{tag}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got[tag] = {
+            (r.user_id, r.event_id, r.direction)
+            for r in spark.sql(f"SELECT * FROM cusum_eq_{tag}").collect()
+        }
+    assert got["gs"] == got["tws"] and len(got["gs"]) > 0
+
+
+def test_cusum_stream_tws_checkpoint_restart_resumes(spark, tmp_path):
+    """Restart against the SAME checkpoint resumes the calibration buffer
+    and (ref, S+, S-): the first drain holds ONLY calibration values (no
+    alarm possible), the shift block arrives after the restart, and the
+    cumulative emissions equal the one-shot in-order fold — the alarm
+    position depends on state restored across the restart."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 5, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, sec, val):
+        return (int(eid), base + dt.timedelta(seconds=sec), 1, float(val))
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    calm = [ev(i, i, 100 + (i % 3)) for i in range(24)]
+    shift = [ev(i, i, 160.0) for i in range(24, 40)]
+    src = tmp_path / "cusum_restart_src"
+    ckpt = str(tmp_path / "ckpt_cusum_restart")
+    out = str(tmp_path / "cusum_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.cusum_stream_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.user_id, r.event_id, r.direction)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_single_file(spark.createDataFrame(calm, schema), src, "b0.parquet")
+    assert drain() == set()  # calibration + 4 in-band values: no alarm yet
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(shift, schema), src, "b1.parquet")
+    cumulative = drain()
+    *_, want = jobs._cusum_step(
+        [],
+        None,
+        0,
+        0,
+        [(eid, int(v * 1_000_000)) for eid, _ts, _u, v in calm + shift],
+    )
+    assert cumulative == {(1, eid, d) for eid, d in want} and len(cumulative) > 0
+
+
 def test_silence_alerts_fires_for_stalled_key_only(spark, tmp_path):
     """Two streams: user 1 stops uploading at t=10s, user 2 keeps going
     through t=400s. With a 60 s silence bound and a 10 s watermark,
