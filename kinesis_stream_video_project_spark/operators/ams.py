@@ -1,0 +1,123 @@
+"""AMS "tug-of-war" sketch: fixed-memory estimation of the second
+frequency moment F₂ = Σₖ cₖ² (Alon, Matias & Szegedy, STOC 1996 — the
+paper that founded the streaming-sketch field). The self-join size /
+repeat-rate estimator that completes the sketch shelf next to HLL/KMV
+(F₀), Count-Min (point frequencies), and Space-Saving (top-k).
+
+Each estimator r keeps ONE integer Xᵣ = Σ_rows sign(key, r): every
+arrival adds ±1, the sign a pure function of (r, key) via the portable
+md5-substring parity (the ``cms_bucket`` hash family), so DuckDB derives
+bit-identical registers and the sketch itself is driver-hash-checkable.
+E[Xᵣ²] = F₂ exactly; Var[Xᵣ²] ≤ 2·F₂², so the mean of R independent
+estimators has relative sd ≤ √(2/R) (R = 16 ⇒ ~35%).
+
+100 TB story: the sketch pass is ONE aggregate with R sum expressions —
+map-side partial combine reduces every partition to R integers, the
+shuffle moves R values total. The exact-F₂ companion (carried next to
+the estimate, the CMS measured-error discipline) needs the one groupBy
+shuffle on the key; at true scale you keep only the sketch and drop the
+exact pass — here both are emitted so the error is measured, not
+assumed. Registers ride as DECIMAL(38,0): |Xᵣ| is bounded by n_rows, so
+Xᵣ² needs headroom beyond BIGINT once n_rows passes ~3·10⁹.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.functions.numeric import r4
+
+
+def ams_sign(key: Column, r: int) -> Column:
+    """Estimator ``r``'s ±1 sign for ``key``: parity of the portable
+    md5-substring integer (identical in DuckDB:
+    ``CASE WHEN ('0x' || substr(md5(r || ':' || k), 1, 8))::BIGINT % 2 = 0
+    THEN 1 ELSE -1 END``)."""
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{r}:"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    return F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def ams_f2_report(df: DataFrame, key: str, n_estimators: int = 16) -> DataFrame:
+    """One-row F₂ report: ``(n_rows, n_keys, f2_exact, f2_est,
+    est_over_exact)`` — the AMS mean-of-R estimate next to the exact
+    moment, ratio r4-rounded. ``f2_est`` is the truncating integer mean
+    of the R squared registers (sums positive, so Spark DIV and DuckDB
+    // agree)."""
+    if not (1 <= n_estimators <= 64):
+        raise ValueError(
+            f"n_estimators must be in 1..64, got {n_estimators}"
+        )
+    k = F.col(key)
+    sketch = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(ams_sign(k, r).cast("decimal(38,0)")).alias(f"_x{r}")
+            for r in range(n_estimators)
+        ],
+    )
+    sq_sum = None
+    for r in range(n_estimators):
+        term = F.col(f"_x{r}") * F.col(f"_x{r}")
+        sq_sum = term if sq_sum is None else sq_sum + term
+    est = sketch.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        # floor == truncation here (squares are non-negative), matching
+        # DuckDB's truncating // — a decimal CAST would HALF_UP-round.
+        F.floor(sq_sum / F.lit(n_estimators)).cast("long").alias("f2_est"),
+    )
+    exact = (
+        df.groupBy(k.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("_c") * F.col("_c")).cast("long").alias("f2_exact"),
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_rows",
+        "n_keys",
+        "f2_exact",
+        "f2_est",
+        r4(F.col("f2_est").cast("double") / F.col("f2_exact")).alias(
+            "est_over_exact"
+        ),
+    )
+
+
+def ams_oracle_sql(table: str, key: str, n_estimators: int = 16) -> str:
+    """DuckDB replay of :func:`ams_f2_report` — generated from the same
+    constants as the Spark side (hash family, R, truncating mean)."""
+    signs = ",\n         ".join(
+        f"SUM(CASE WHEN ('0x' || substr(md5('{r}:' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) AS x{r}"
+        for r in range(n_estimators)
+    )
+    sq = " + ".join(f"x{r} * x{r}" for r in range(n_estimators))
+    return f"""
+WITH sketch AS (
+  SELECT COUNT(*) AS n,
+         {signs}
+  FROM {table}
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c * c) AS BIGINT) AS f2_exact
+  FROM (SELECT {key}, COUNT(*) AS c FROM {table} GROUP BY 1)
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       n_keys,
+       f2_exact,
+       CAST(({sq}) // {n_estimators} AS BIGINT) AS f2_est,
+       (floor((CAST(({sq}) // {n_estimators} AS DOUBLE) / f2_exact)
+              * 10000.0 + 0.5) / 10000.0) AS est_over_exact
+FROM sketch, exact
+"""

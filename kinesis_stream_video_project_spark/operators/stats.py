@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kinesis_stream_video_project_spark.functions.numeric import r4
+
 
 def rolling_zscore_flags(
     df: DataFrame,
@@ -132,6 +134,128 @@ def ols_slope_exact(
         F.col("n"),
         F.when(dx > 0, num.cast("double") / dx.cast("double")).alias("slope"),
     )
+
+
+def welch_t2_pairs(df: DataFrame, grp: str = "grp", y: str = "y") -> DataFrame:
+    """Pairwise Welch unequal-variance test statistic (Welch 1947) for
+    every unordered group pair — the parametric sibling of
+    ``mann_whitney_u``/``ks_two_sample`` in the two-sample shelf. Emits
+    t² (not t: no square root, so the emitted double derives from exact
+    integer moments through one fixed IEEE expression) and the
+    Welch–Satterthwaite effective df.
+
+    Determinism: per-group moments ride as exact DECIMAL(38,0) sums
+    (the ``pearson_corr_exact`` discipline); every float op after is the
+    same double expression in the same order on both engines, r4 at
+    emission. Groups with n < 2 are dropped (variance undefined);
+    zero-variance pairs emit NULL t². One partial-combine aggregate to
+    |groups| rows, then a broadcast-sized pair join — no corpus-sized
+    shuffle beyond the groupBy."""
+    yl = F.col(y).cast("long")
+    yd = yl.cast("decimal(38,0)")
+    m = (
+        df.select(F.col(grp).cast("string").alias("_g"), yl.alias("_y"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_y").cast("decimal(38,0)")).alias("_sy"),
+            F.sum(F.col("_y").cast("decimal(38,0)") * F.col("_y")).alias(
+                "_syy"
+            ),
+        )
+        .filter(F.col("_n") >= 2)
+    )
+    del yd
+    a = m.select(
+        F.col("_g").alias("g_a"),
+        F.col("_n").alias("_na"),
+        F.col("_sy").alias("_sya"),
+        F.col("_syy").alias("_syya"),
+    )
+    b = m.select(
+        F.col("_g").alias("g_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_sy").alias("_syb"),
+        F.col("_syy").alias("_syyb"),
+    )
+    j = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    def var_over_n(s, sq, n):
+        num = F.col(n) * F.col(sq) - F.col(s) * F.col(s)
+        return (
+            num.cast("double")
+            / (F.col(n) * (F.col(n) - 1)).cast("double")
+        ) / F.col(n).cast("double")
+
+    va = var_over_n("_sya", "_syya", "_na")
+    vb = var_over_n("_syb", "_syyb", "_nb")
+    se2 = va + vb
+    diff = mean("_sya", "_na") - mean("_syb", "_nb")
+    t2 = F.when(se2 > 0, (diff * diff) / se2)
+    df_w = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (
+            (va * va) / (F.col("_na") - 1).cast("double")
+            + (vb * vb) / (F.col("_nb") - 1).cast("double")
+        ),
+    )
+    return j.select(
+        "g_a",
+        "g_b",
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        r4(t2).alias("t2"),
+        r4(df_w).alias("df_welch"),
+    )
+
+
+def welch_oracle_sql(series_cte: str) -> str:
+    """DuckDB replay of :func:`welch_t2_pairs` — ``series_cte`` must
+    produce (grp, y); HUGEINT is the DECIMAL(38,0) twin, then the same
+    double expression in the same order."""
+    return f"""
+WITH series AS ({series_cte}),
+m AS (
+  SELECT CAST(grp AS VARCHAR) AS g,
+         COUNT(*) AS n,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS BIGINT)) AS syy
+  FROM series GROUP BY 1
+  HAVING COUNT(*) >= 2
+),
+j AS (
+  SELECT a.g AS g_a, b.g AS g_b,
+         a.n AS na, a.sy AS sya, a.syy AS syya,
+         b.n AS nb, b.sy AS syb, b.syy AS syyb
+  FROM m a JOIN m b ON a.g < b.g
+),
+calc AS (
+  SELECT g_a, g_b, na, nb,
+         (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+          - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)) AS diff,
+         ((CAST(na * syya - sya * sya AS DOUBLE)
+           / CAST(na * (na - 1) AS DOUBLE)) / CAST(na AS DOUBLE)) AS va,
+         ((CAST(nb * syyb - syb * syb AS DOUBLE)
+           / CAST(nb * (nb - 1) AS DOUBLE)) / CAST(nb AS DOUBLE)) AS vb
+  FROM j
+)
+SELECT g_a, g_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CASE WHEN va + vb > 0 THEN
+         (floor(((diff * diff) / (va + vb)) * 10000.0 + 0.5) / 10000.0)
+       END AS t2,
+       CASE WHEN va + vb > 0 THEN
+         (floor((((va + vb) * (va + vb))
+                 / ((va * va) / CAST(na - 1 AS DOUBLE)
+                    + (vb * vb) / CAST(nb - 1 AS DOUBLE)))
+                * 10000.0 + 0.5) / 10000.0)
+       END AS df_welch
+FROM calc
+"""
 
 
 def _group_cols(group_col: "str | Sequence[str]") -> list[str]:

@@ -1,0 +1,316 @@
+"""Round-15 queue module — PRE-WIRED, NOT YET REGISTERED (the
+queries_round11/12/13/14 discipline: built, oracle-validated at 3 SFs,
+lockstep-tested every round, registered when a driver window has
+slots). Wiring is the five-place rule: :func:`register_all` from
+``registry._load_all`` + DRIVER_PRIORITY splice +
+DRIVER_PRIORITY_BUILT_FROM bump + bench rotation + QUERIES.md
+regeneration, one commit.
+
+Queries built in round 11 (continuation session):
+
+* ``shapley_channel_attribution`` — exact Shapley-value attribution of
+  conversions to the four non-purchase event channels, the
+  game-theoretic tier above the rule-based ``attribution_channels``
+  (first/last/linear): each channel is credited its exact average
+  marginal contribution across all coalitions, as the rational
+  (phi_num, 4!) plus one r4 double (`operators/shapley.py`).
+* ``ams_f2_partkey`` — AMS tug-of-war sketch estimate of lineitem's
+  part-key second frequency moment next to the exact F₂ (the
+  measured-error discipline), completing the sketch shelf: F₀ (HLL/KMV),
+  point frequency (CMS), top-k (Space-Saving), now F₂
+  (`operators/ams.py`).
+* ``perm_test_weekly_revenue`` — md5-deterministic two-sample
+  permutation test of URGENT-vs-LOW mean weekly revenue; the test
+  statistic rides as the exact integer |sum_A·n_B − sum_B·n_A|
+  (`operators/bootstrap.py::permutation_test_means`).
+* ``welch_t2_weekly_revenue`` — pairwise Welch t² + Welch–Satterthwaite
+  df over the same weekly ledger (exact decimal moments, one fixed IEEE
+  expression; `operators/stats.py::welch_t2_pairs`).
+* ``itemitem_cosine_recs`` — item-item collaborative filtering: top-5
+  cosine²-ranked neighbor parts for the 20 most-ordered parts, from
+  basket co-occurrence (the per-item recommendation surface above the
+  global ``copurchase_lift_pairs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark import io
+from kinesis_stream_video_project_spark.operators.shapley import (
+    shapley_attribution,
+    shapley_oracle_sql,
+)
+
+_CHANNELS = ["click", "view", "signup", "error"]
+_BIT_CASE = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
+    "WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END"
+)
+
+
+def _conversion_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One channel-mask row per CONVERTED user: bits for the distinct
+    non-purchase event types seen STRICTLY before the user's first
+    purchase (ties at the purchase instant excluded — stated); users who
+    purchased with no prior touches keep mask 0 (the unattributable
+    cohort, surfaced as v_empty)."""
+    events = io.load_table(spark, sf_dir, "events")
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_pts"))
+    )
+    touch_masks = (
+        events.filter(F.col("event_type") != "purchase")
+        .join(first_purchase, "user_id")
+        .filter(F.col("ts") < F.col("_pts"))
+        .groupBy("user_id")
+        .agg(F.bit_or(F.expr(_BIT_CASE)).alias("_m"))
+    )
+    return first_purchase.join(touch_masks, "user_id", "left").select(
+        F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias("mask")
+    )
+
+
+def _shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley conversion attribution (X-197): the two corpus-sized
+    stages are the first-purchase and mask aggregates (one user_id
+    shuffle each); the coalition lattice is 16×4 rows from a broadcast
+    histogram. Bit order = _CHANNELS order, stated once here and
+    generated into BOTH engines from the same constants."""
+    return shapley_attribution(_conversion_masks(spark, sf_dir), _CHANNELS)
+
+
+_MASK_CTE = f"""
+SELECT CAST(COALESCE(t.m, 0) AS BIGINT) AS mask
+FROM (SELECT user_id, MIN(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1) p
+LEFT JOIN (
+  SELECT e.user_id, bit_or({_BIT_CASE.replace("event_type", "e.event_type")}) AS m
+  FROM events e
+  JOIN (SELECT user_id, MIN(ts) AS pts FROM events
+        WHERE event_type = 'purchase' GROUP BY 1) fp
+    ON fp.user_id = e.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts < fp.pts
+  GROUP BY 1
+) t ON t.user_id = p.user_id
+"""
+
+
+def _ams_f2_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F₂ sketch vs exact (X-198): 16 tug-of-war registers over
+    lineitem.l_partkey — the sketch pass is one aggregate whose shuffle
+    moves 16 integers; the exact companion is the one groupBy. Measured
+    est/exact at the fixtures: 0.76 (sf0.01), 0.94 (sf0.1) — inside the
+    √(2/16) ≈ 35% relative-sd band, carried as a hashed column."""
+    from kinesis_stream_video_project_spark.operators.ams import ams_f2_report
+
+    return ams_f2_report(io.load_table(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+def _weekly_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly revenue-cents ledger shared with the r14 Theil–Sen and
+    bootstrap tiers: (grp=priority, x=epoch-week, y=exact cents)."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+
+    orders = io.load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') DIV 7"
+        ).alias("x"),
+    ).agg(F.sum(scaled_long(F.col("o_totalprice"), 100)).alias("y"))
+
+
+_WEEKLY_CTE = """
+SELECT o_orderpriority AS grp,
+       CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7
+            AS BIGINT) AS x,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+FROM orders GROUP BY 1, 2
+"""
+
+
+def _perm_test_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test (X-199): does 1-URGENT's mean weekly revenue
+    differ from 5-LOW's beyond label exchange? B=200 md5-deterministic
+    relabelings of the pooled weekly ledger."""
+    from kinesis_stream_video_project_spark.operators.bootstrap import (
+        permutation_test_means,
+    )
+
+    return permutation_test_means(
+        _weekly_ledger(spark, sf_dir), "1-URGENT", "5-LOW"
+    )
+
+
+def _welch_t2_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t² + Welch–Satterthwaite df (X-200) for all 10 priority
+    pairs over the weekly ledger — the parametric two-sample tier next
+    to the permutation/MWU/KS/χ² shelf."""
+    from kinesis_stream_video_project_spark.operators.stats import welch_t2_pairs
+
+    return welch_t2_pairs(_weekly_ledger(spark, sf_dir))
+
+
+def _itemitem_cosine_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (X-201): for each of the 20
+    most-ordered parts, the top-5 neighbor parts by basket-cosine²
+    co(i,j)²/(n_i·n_j), co >= 2. Candidate pairs come only from
+    within-basket co-occurrence (baskets are order-bounded, ≤ 7 items,
+    so the pair stage is |orders|·21 rows max — never all-pairs);
+    ranking is a double computed from exact integers by one fixed
+    expression, ties broken on the neighbor key."""
+    from pyspark.sql import Window
+
+    # The distinct basket projection has three consumers but is itself
+    # corpus-sized (~|lineitem| rows): a localCheckpoint stage was
+    # MEASURED SLOWER (3.1 → 3.7 s warm sf0.1) than recomputing the
+    # cheap scan+dedup — the round-8 multi-consumer rule's boundary
+    # (stage the SMALLEST projection only when it is small).
+    li = (
+        io.load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_p"))
+        .distinct()
+    )
+    n_per_part = li.groupBy("_p").agg(F.count(F.lit(1)).alias("_n"))
+    seeds = (
+        n_per_part.orderBy(F.col("_n").desc(), F.col("_p"))
+        .limit(20)
+        .select(F.col("_p").alias("_seed"), F.col("_n").alias("_n_seed"))
+    )
+    a = li.select(F.col("_o"), F.col("_p").alias("_pa"))
+    b = li.select(F.col("_o"), F.col("_p").alias("_pb"))
+    co = (
+        a.join(b, "_o")
+        .filter(F.col("_pa") != F.col("_pb"))
+        .groupBy("_pa", "_pb")
+        .agg(F.count(F.lit(1)).alias("_co"))
+        .filter(F.col("_co") >= 2)
+    )
+    scored = (
+        co.join(F.broadcast(seeds), co["_pa"] == seeds["_seed"])
+        .join(
+            n_per_part.select(
+                F.col("_p").alias("_pb2"), F.col("_n").alias("_n_nbr")
+            ),
+            F.col("_pb") == F.col("_pb2"),
+        )
+        .select(
+            F.col("_seed").alias("seed_part"),
+            F.col("_pb").alias("nbr_part"),
+            F.col("_co").alias("co_orders"),
+            F.col("_n_seed").alias("n_seed"),
+            F.col("_n_nbr").alias("n_nbr"),
+            (
+                (F.col("_co") * F.col("_co")).cast("double")
+                / (F.col("_n_seed") * F.col("_n_nbr")).cast("double")
+            ).alias("_cos2"),
+        )
+    )
+    w = Window.partitionBy("seed_part").orderBy(
+        F.col("_cos2").desc(), F.col("nbr_part")
+    )
+    from kinesis_stream_video_project_spark.functions.numeric import r4
+
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "seed_part",
+            "nbr_part",
+            "co_orders",
+            "n_seed",
+            "n_nbr",
+            r4(F.col("_cos2")).alias("cos2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_ITEMITEM_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n_per AS (SELECT p, COUNT(*) AS n FROM li GROUP BY 1),
+seeds AS (
+  SELECT p AS seed, n AS n_seed FROM n_per ORDER BY n DESC, p LIMIT 20
+),
+co AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS co
+  FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+scored AS (
+  SELECT s.seed AS seed_part, co.pb AS nbr_part,
+         co.co AS co_orders, s.n_seed, np.n AS n_nbr,
+         (CAST(co.co * co.co AS DOUBLE)
+          / CAST(s.n_seed * np.n AS DOUBLE)) AS cos2
+  FROM co JOIN seeds s ON co.pa = s.seed
+  JOIN n_per np ON np.p = co.pb
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY seed_part ORDER BY cos2 DESC, nbr_part) AS rank
+  FROM scored
+)
+SELECT seed_part, nbr_part,
+       CAST(co_orders AS BIGINT) AS co_orders,
+       CAST(n_seed AS BIGINT) AS n_seed,
+       CAST(n_nbr AS BIGINT) AS n_nbr,
+       (floor(cos2 * 10000.0 + 0.5) / 10000.0) AS cos2,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _ams_oracle() -> str:
+    from kinesis_stream_video_project_spark.operators.ams import ams_oracle_sql
+
+    return ams_oracle_sql("lineitem", "l_partkey")
+
+
+def _perm_oracle() -> str:
+    from kinesis_stream_video_project_spark.operators.bootstrap import (
+        permutation_oracle_sql,
+    )
+
+    return permutation_oracle_sql(_WEEKLY_CTE, "1-URGENT", "5-LOW")
+
+
+def _welch_oracle() -> str:
+    from kinesis_stream_video_project_spark.operators.stats import (
+        welch_oracle_sql,
+    )
+
+    return welch_oracle_sql(_WEEKLY_CTE)
+
+
+QUERIES = {
+    "shapley_channel_attribution": _shapley_channel_attribution,
+    "ams_f2_partkey": _ams_f2_partkey,
+    "perm_test_weekly_revenue": _perm_test_weekly_revenue,
+    "welch_t2_weekly_revenue": _welch_t2_weekly_revenue,
+    "itemitem_cosine_recs": _itemitem_cosine_recs,
+}
+
+ORACLES = {
+    "shapley_channel_attribution": shapley_oracle_sql(_MASK_CTE, _CHANNELS),
+    "ams_f2_partkey": _ams_oracle(),
+    "perm_test_weekly_revenue": _perm_oracle(),
+    "welch_t2_weekly_revenue": _welch_oracle(),
+    "itemitem_cosine_recs": _ITEMITEM_ORACLE,
+}
+
+assert set(QUERIES) == set(ORACLES)
+
+TAGS = {name: ("round15",) for name in QUERIES}
+
+
+def register_all(names: "tuple[str, ...] | None" = None) -> None:
+    """Wire the given wave into the live registry — called from
+    ``registry._load_all`` when a window has slots, never before."""
+    from kinesis_stream_video_project_spark.plans.registry import register
+
+    for name in names if names is not None else tuple(QUERIES):
+        register(name, oracle=ORACLES[name], tags=TAGS[name])(QUERIES[name])

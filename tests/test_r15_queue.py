@@ -1,0 +1,274 @@
+"""Round-15 queue: exact Shapley attribution, AMS F₂ sketch,
+permutation test, Welch t², item-item CF — operator unit pins + the
+module lockstep rendered-value gate (the queries_round11..14
+discipline: the module stays consistent with operator-signature
+changes every round until a driver window registers it)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_stream_video_project_spark.operators.ams import ams_f2_report
+from kinesis_stream_video_project_spark.operators.bootstrap import (
+    permutation_test_means,
+)
+from kinesis_stream_video_project_spark.operators.shapley import (
+    shapley_attribution,
+)
+from kinesis_stream_video_project_spark.operators.stats import welch_t2_pairs
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def _rendered(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley attribution
+# ---------------------------------------------------------------------------
+
+
+def test_shapley_handchecked(spark):
+    """Masks {A}=1, {B}=1, {A,B}=1 (n=2, den=2): v(∅)=0, v(A)=1, v(B)=1,
+    v(AB)=3; φ_A = [1·(1−0) + 1·(3−1)]/2 = 3/2 = φ_B; efficiency:
+    Σφ = 3 = v(full) − v(∅)."""
+    df = spark.createDataFrame([(1,), (2,), (3,)], "mask long")
+    got = {
+        r["channel"]: (r["phi_num"], r["phi_den"], r["phi"])
+        for r in shapley_attribution(df, ["A", "B"]).collect()
+    }
+    assert got == {"A": (3, 2, 1.5), "B": (3, 2, 1.5)}
+
+
+def test_shapley_efficiency_law_on_fixture(spark, sf_dir):
+    """Σ phi_num = n! · (v(full) − v(∅)) on the real conversion masks —
+    the efficiency axiom as an executable law; v_empty surfaces the
+    unattributable cohort instead of hiding it."""
+    from kinesis_stream_video_project_spark.plans.queries_round15 import (
+        _shapley_channel_attribution,
+    )
+
+    rows = _shapley_channel_attribution(spark, sf_dir).collect()
+    assert len(rows) == 4
+    den = rows[0]["phi_den"]
+    n_conv, v_empty = rows[0]["n_conv"], rows[0]["v_empty"]
+    assert sum(r["phi_num"] for r in rows) == den * (n_conv - v_empty)
+    assert all(r["phi_num"] >= 0 for r in rows)
+
+
+def test_shapley_null_player_and_refusals(spark):
+    """A channel never touched by any journey gets φ = 0 exactly (the
+    null-player axiom); channel counts outside 1..12 refuse loudly."""
+    df = spark.createDataFrame([(1,), (1,), (3,)], "mask long")
+    got = {
+        r["channel"]: r["phi_num"]
+        for r in shapley_attribution(df, ["A", "B", "C"]).collect()
+    }
+    assert got["C"] == 0
+    with pytest.raises(ValueError, match="1..12"):
+        shapley_attribution(df, [f"c{i}" for i in range(13)])
+    with pytest.raises(ValueError, match="1..12"):
+        shapley_attribution(df, [])
+
+
+def test_conversion_masks_exclude_purchase_instant(spark):
+    """The mask window is STRICTLY before the first purchase: a click at
+    exactly the purchase ts and a view after it contribute nothing; a
+    signup before it does. A no-touch purchaser keeps mask 0."""
+    import datetime as dt
+    import unittest.mock as mock
+
+    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, t(5), 10, "signup", 1.0, None),
+        (2, t(10), 10, "purchase", 1.0, None),
+        (3, t(10), 10, "click", 1.0, None),
+        (4, t(20), 10, "view", 1.0, None),
+        (5, t(0), 11, "purchase", 1.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(r15.io, "load_table", lambda *_a: events):
+        masks = sorted(
+            r["mask"] for r in r15._conversion_masks(spark, "unused").collect()
+        )
+    assert masks == [0, 4]  # user 11 no-touch; user 10 signup-only
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch
+# ---------------------------------------------------------------------------
+
+
+def test_ams_exact_f2_and_bounds(spark):
+    """Exact side: keys [a,a,b] → F₂ = 2² + 1² = 5, n_keys = 2. Sketch
+    side: each register is a ±1 sum, so f2_est ≤ n_rows² and ≥ 0."""
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    row = ams_f2_report(df, "k").collect()[0]
+    assert (row["n_rows"], row["n_keys"], row["f2_exact"]) == (3, 2, 5)
+    assert 0 <= row["f2_est"] <= 9
+
+
+def test_ams_estimate_within_band_on_fixture(spark, sf_dir):
+    """Measured-error discipline: at every fixture SF the 16-register
+    mean lands within ±50% of exact F₂ (measured 0.76/0.94 at
+    sf0.01/sf0.1; the √(2/16) ≈ 35% relative sd makes ±50% a
+    comfortable-but-meaningful pin for THIS hash family — a broken sign
+    function lands near n_rows²/16, far outside)."""
+    from kinesis_stream_video_project_spark import io
+
+    li = io.load_table(spark, sf_dir, "lineitem")
+    row = ams_f2_report(li, "l_partkey").collect()[0]
+    assert 0.5 <= row["f2_est"] / row["f2_exact"] <= 1.5
+
+
+def test_ams_refuses_bad_estimator_count(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="n_estimators"):
+        ams_f2_report(df, "k", n_estimators=0)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic permutation test
+# ---------------------------------------------------------------------------
+
+
+def test_permutation_separated_groups_reject(spark):
+    """A=[1000]×10 vs B=[0]×10: only the two all-or-nothing relabelings
+    reach D_obs, so n_ge ≈ 0 and p ≈ 1/201 — the test must reject."""
+    rows = [("a", i, 1000) for i in range(10)] + [
+        ("b", i + 10, 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    r = permutation_test_means(df, "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["mean_a"], r["mean_b"]) == (10, 10, 1000.0, 0.0)
+    assert r["d_obs"] == 100000 and r["p_value"] <= 0.01
+
+
+def test_permutation_identical_groups_accept_and_reproduce(spark):
+    """All-equal values: every relabeling gives D_b = D_obs = 0, so
+    n_ge = n_perm and p = 1.0; a second run is bit-identical (the md5
+    determinism point)."""
+    rows = [("a", i, 7) for i in range(8)] + [("b", i + 8, 7) for i in range(8)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    r1 = permutation_test_means(df, "a", "b", n_perm=50).collect()[0]
+    r2 = permutation_test_means(df, "a", "b", n_perm=50).collect()[0]
+    assert r1["d_obs"] == 0 and r1["n_ge"] == 50 and r1["p_value"] == 1.0
+    assert tuple(r1) == tuple(r2)
+
+
+def test_permutation_refusals(spark):
+    df = spark.createDataFrame([("a", 1, 1)], "grp string, x long, y long")
+    with pytest.raises(ValueError, match="distinct"):
+        permutation_test_means(df, "a", "a")
+    with pytest.raises(ValueError, match="n_perm"):
+        permutation_test_means(df, "a", "b", n_perm=1)
+
+
+# ---------------------------------------------------------------------------
+# Welch t²
+# ---------------------------------------------------------------------------
+
+
+def test_welch_handchecked(spark):
+    """a=[1,2,3], b=[7,9]: means 2/8, s²/n = 1/3 and 1 → t² = 36/(4/3)
+    = 27; df = (4/3)² / ((1/3)²/2 + 1²/1) = 1.6842."""
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 7), ("b", 9)]
+    df = spark.createDataFrame(rows, "grp string, y long")
+    r = welch_t2_pairs(df).collect()[0]
+    assert (r["g_a"], r["g_b"], r["n_a"], r["n_b"]) == ("a", "b", 3, 2)
+    assert (r["t2"], r["df_welch"]) == (27.0, 1.6842)
+
+
+def test_welch_drops_singletons_and_nulls_zero_variance(spark):
+    """n=1 groups are dropped (no pair emitted for them); a pair of
+    zero-variance groups emits NULL t² instead of dividing by zero."""
+    rows = [
+        ("solo", 5),
+        ("c1", 4), ("c1", 4),
+        ("c2", 9), ("c2", 9),
+    ]
+    df = spark.createDataFrame(rows, "grp string, y long")
+    out = {(r["g_a"], r["g_b"]): r for r in welch_t2_pairs(df).collect()}
+    assert set(out) == {("c1", "c2")}
+    assert out[("c1", "c2")]["t2"] is None
+
+
+# ---------------------------------------------------------------------------
+# Item-item CF
+# ---------------------------------------------------------------------------
+
+
+def test_itemitem_handchecked(spark, sf_dir):
+    """Orders {1:(A,B), 2:(A,B), 3:(A,C)} → n_A=3, n_B=2, n_C=1;
+    co(A,B)=2 is the only pair at co ≥ 2; cos²(A,B) = 4/6 = 0.6667,
+    symmetric from both seeds; C gets no recommendations."""
+    import unittest.mock as mock
+
+    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
+
+    li = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 100), (2, 200), (3, 100), (3, 300)],
+        "l_orderkey long, l_partkey long",
+    )
+    with mock.patch.object(r15.io, "load_table", lambda *_a: li):
+        rows = r15._itemitem_cosine_recs(spark, "unused").collect()
+    got = {(r["seed_part"], r["nbr_part"]): r for r in rows}
+    assert set(got) == {(100, 200), (200, 100)}
+    assert got[(100, 200)]["cos2"] == 0.6667
+    assert got[(100, 200)]["co_orders"] == 2 and got[(100, 200)]["rank"] == 1
+
+
+def test_itemitem_structural_laws(spark, sf_dir):
+    """On the fixture: ≤5 recs per seed with dense ranks from 1, no
+    self-recommendation, co ≥ 2, and cos² ∈ (0, 1]."""
+    from kinesis_stream_video_project_spark.plans.queries_round15 import (
+        _itemitem_cosine_recs,
+    )
+
+    out = _itemitem_cosine_recs(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["seed_part"] != out["nbr_part"]).all()
+    assert (out["co_orders"] >= 2).all()
+    assert ((out["cos2"] > 0) & (out["cos2"] <= 1)).all()
+    for _, g in out.groupby("seed_part"):
+        ranks = sorted(g["rank"])
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 5
+
+
+# ---------------------------------------------------------------------------
+# Module lockstep gate (3 SFs)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_round15_module_entries_match_oracles(spark, sf):
+    """Driver-style rendered-value check over every pre-wired r15 query
+    — the lockstep gate, run at ALL THREE SFs."""
+    from kinesis_stream_video_project_spark.plans import queries_round15 as q15
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    assert len(q15.QUERIES) == 5
+    for name, fn in q15.QUERIES.items():
+        got = fn(spark, sf).toPandas()
+        want = con.sql(q15.ORACLES[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert _rendered(got).equals(_rendered(want)), name
+        assert len(got) > 0, name
