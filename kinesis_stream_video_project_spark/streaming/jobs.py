@@ -3857,3 +3857,133 @@ def holt_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online AMS F2 sketch (live repeat-rate / self-join-size estimate per key)
+# ---------------------------------------------------------------------------
+
+_AMS_OUT_SCHEMA = "key string, n_rows bigint, f2_est bigint"
+_AMS_STATE_SCHEMA = (
+    StructType().add("n", LongType()).add("regs", ArrayType(LongType()))
+)
+_AMS_R = 16
+
+
+def _ams_stream_sign(r: int, key: str) -> int:
+    """Python twin of ``operators/ams.py::ams_sign`` — the SAME md5
+    parity rule (first 8 hex chars as an integer, % 2), so the streaming
+    registers are bit-identical to the batch/DuckDB sketch."""
+    import hashlib
+
+    h = hashlib.md5(f"{r}:{key}".encode("utf-8")).hexdigest()[:8]
+    return 1 if int(h, 16) % 2 == 0 else -1
+
+
+def _ams_stream_fold(state: tuple, keys: list) -> tuple:
+    """Pure register fold shared by BOTH stateful API forms: add each
+    arrival's ±1 sign into all R registers. Signs SUM, so the fold is
+    ORDER-FREE — the one stream op in the shelf with no ordering
+    contract at all (late, reordered, or resharded delivery cannot
+    change the drained estimate). Returns ``(new_state, (n, f2_est))``
+    with f2_est = truncating mean of the squared registers (exactly the
+    batch ``ams_f2_report`` emission)."""
+    n, regs = state
+    regs = list(regs)
+    for k in keys:
+        n += 1
+        for r in range(_AMS_R):
+            regs[r] += _ams_stream_sign(r, k)
+    est = sum(x * x for x in regs) // _AMS_R
+    return (n, regs), (n, est)
+
+
+def _ams_staged(events: DataFrame) -> DataFrame:
+    """Shared JVM staging: (namespace key = event_type, hashed key =
+    user_id as string) — the per-type live estimate of Σ user_counts²,
+    the self-join-size / repeat-concentration signal."""
+    return events.select(
+        F.col("event_type").cast("string").alias("key"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+
+
+def ams_stream(events: DataFrame) -> DataFrame:
+    """ONLINE AMS F₂ sketch — the NINETEENTH op on both stateful APIs:
+    per event type, the live tug-of-war estimate of the second frequency
+    moment of the user-activity distribution ("how concentrated is this
+    event type's traffic", the repeat-rate siren behind hot-key and
+    self-join-size alarms). State is R+1 = 17 BIGINTs per key — bounded
+    by construction, and the ONLY shelf op whose fold is fully
+    commutative (no ordering contract, no reorder buffer mode needed).
+    The drained final emission per key equals the batch
+    ``operators/ams.py::ams_f2_report`` estimate on the same rows
+    exactly (pinned — certified against the oracle-validated batch
+    operator, the wps/lve/holt pattern)."""
+    staged = _ams_staged(events)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        held = (
+            tuple(state.get) if state.exists else (0, [0] * _AMS_R)
+        )
+        held = (held[0], list(held[1] or [0] * _AMS_R))
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        held, (n, est) = _ams_stream_fold(held, b["k"].astype(str).tolist())
+        state.update(held)
+        yield pd.DataFrame(
+            {"key": [str(key_val)], "n_rows": [n], "f2_est": [est]}
+        )
+
+    return staged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_AMS_OUT_SCHEMA,
+        stateStructType=_AMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def ams_stream_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`ams_stream`
+    — same shared fold, no timers. GS ≡ TWS pinned on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _ams_staged(events)
+
+    class AmsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ams", _AMS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            got = self._state.get()
+            held = (
+                (got[0], list(got[1] or [0] * _AMS_R))
+                if got is not None
+                else (0, [0] * _AMS_R)
+            )
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            held, (n, est) = _ams_stream_fold(held, b["k"].astype(str).tolist())
+            self._state.update(held)
+            yield pd.DataFrame(
+                {"key": [str(key_val)], "n_rows": [n], "f2_est": [est]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=AmsProcessor(),
+        outputStructType=_AMS_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -951,6 +951,165 @@ def test_cusum_stream_buffered_reorders_late_events(spark, tmp_path):
     assert got == set(alarms) and len(got) > 0
 
 
+def _drain_ams(spark, tmp_path, fn, rows, tag, nfiles, schema):
+    src = tmp_path / f"ams_src_{tag}"
+    step = -(-len(rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(rows[i * step : (i + 1) * step], schema),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"ams_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_ams_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows_out = spark.sql(f"SELECT * FROM ams_out_{tag}").collect()
+    final = {}
+    for r in rows_out:
+        if r.key not in final or r.n_rows > final[r.key][0]:
+            final[r.key] = (r.n_rows, r.f2_est)
+    return final
+
+
+def test_ams_stream_final_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Drained final emission per event type equals the oracle-validated
+    batch ams_f2_report estimate on the same rows — on one file AND
+    three ARBITRARILY-ORDERED files (the fold is commutative, the one
+    shelf op with NO ordering contract), op nineteen certified against
+    the batch operator."""
+    from kinesis_stream_video_project_spark.operators.ams import ams_f2_report
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    base = [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(3000)
+        .collect()
+    ]
+    df = spark.createDataFrame(base, schema)
+    want = {}
+    for t in [r["event_type"] for r in df.select("event_type").distinct().collect()]:
+        row = ams_f2_report(
+            df.filter(F.col("event_type") == t), "user_id"
+        ).collect()[0]
+        want[t] = (row["n_rows"], row["f2_est"])
+    got1 = _drain_ams(spark, tmp_path, jobs.ams_stream, base, "gs1", 1, schema)
+    shuffled = sorted(base, key=lambda r: (r[0] * 2654435761) % 104729)
+    got3 = _drain_ams(
+        spark, tmp_path, jobs.ams_stream, shuffled, "gs3", 3, schema
+    )
+    assert got1 == got3 == want and len(want) >= 4
+
+
+def test_ams_stream_tws_matches_group_state_form(spark, sf_dir, tmp_path):
+    """GS ≡ TWS on the same drain (the dual-API law, op nineteen)."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    base = [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(1200)
+        .collect()
+    ]
+    gs = _drain_ams(spark, tmp_path, jobs.ams_stream, base, "eq_gs", 2, schema)
+    tws = _drain_ams(
+        spark, tmp_path, jobs.ams_stream_tws, base, "eq_tws", 2, schema
+    )
+    assert gs == tws and len(gs) >= 4
+
+
+def test_ams_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Restart against the SAME checkpoint resumes (n, registers): the
+    post-restart estimate equals the batch sketch over BOTH batches'
+    rows — register state survives the restart."""
+    import datetime as dt
+
+    from kinesis_stream_video_project_spark.operators.ams import ams_f2_report
+
+    base_ts = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    b0 = [(i, base_ts, i % 3, "m") for i in range(10)]
+    b1 = [(10 + i, base_ts, i % 2, "m") for i in range(10)]
+    src = tmp_path / "ams_restart_src"
+    ckpt = str(tmp_path / "ckpt_ams_restart")
+    out = str(tmp_path / "ams_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.ams_stream_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.read.parquet(out).collect()
+        return max(((r.n_rows, r.f2_est) for r in rows), default=None)
+
+    _write_single_file(spark.createDataFrame(b0, schema), src, "b0.parquet")
+    first = drain()
+    assert first is not None and first[0] == 10
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b1, schema), src, "b1.parquet")
+    cumulative = drain()
+    both = spark.createDataFrame(b0 + b1, schema)
+    batch = ams_f2_report(both, "user_id").collect()[0]
+    assert cumulative == (batch["n_rows"], batch["f2_est"]) == (20, batch["f2_est"])
+
+
+def test_ams_stream_fold_commutes_hypothesis():
+    """Hypothesis pin: ANY permutation and ANY chunking of any key
+    sequence folds to the same registers and estimate — the
+    commutativity law that exempts this op from the ordering
+    contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=9), max_size=30),
+        seed=st.integers(min_value=0, max_value=2**31),
+        chunk=st.integers(min_value=1, max_value=7),
+    )
+    def law(keys, seed, chunk):
+        import random
+
+        ks = [str(k) for k in keys]
+        state_a = (0, [0] * jobs._AMS_R)
+        for i in range(0, len(ks), chunk):
+            state_a, last_a = jobs._ams_stream_fold(state_a, ks[i : i + chunk])
+        perm = ks[:]
+        random.Random(seed).shuffle(perm)
+        state_b, _ = ((0, [0] * jobs._AMS_R), None)
+        state_b, last_b = jobs._ams_stream_fold(state_b, perm)
+        if ks:
+            assert state_a == state_b and last_a == last_b
+
+    law()
+
+
 def test_cusum_stream_tws_matches_group_state_form(spark, events_df, tmp_path):
     """GS ≡ TWS on the same two-file drain (the dual-API law, op
     EIGHTEEN — online CUSUM): both stateful-API forms of the
