@@ -124,6 +124,121 @@ holt AS (
 """
 
 
+_HW_SCHEMA = (
+    "grp string, step bigint, level_s bigint, trend_s bigint, "
+    "season_s bigint, forecast_next bigint"
+)
+_HW_PERIOD = 7
+
+
+def hw_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure per-shard additive Holt-Winters replay (Winters 1960;
+    Hyndman & Athanasopoulos FPP §8.3), m = 7, α = β = γ = 1/2 —
+    ALL-INTEGER like the Holt fold one tier down:
+
+        l_t = tdiv(x_t − s_{t−m} + l_{t−1} + b_{t−1}, 2)
+        b_t = tdiv(l_t − l_{t−1} + b_{t−1}, 2)
+        s_t = tdiv(x_t − l_t + s_{t−m}, 2)
+
+    initialized at step m: l = tdiv(Σ x_{1..m}, m), b = 0,
+    s_i = x_i − l (groups shorter than m emit nothing — stated).
+    Emits from step m on: (level, trend, the step's seasonal, and
+    forecast_next = l + b + s_{t+1−m}). Expects (grp, step, xs) with
+    step the dense 1-based per-grp order — the period runs over the
+    SERIES index, not the calendar (stated at the call sites)."""
+    pdf = pdf.sort_values(["grp", "step"])
+    out: dict[str, list] = {
+        "grp": [], "step": [], "level_s": [], "trend_s": [],
+        "season_s": [], "forecast_next": [],
+    }
+    m = _HW_PERIOD
+    for gid, g in pdf.groupby("grp", sort=False):
+        xs = [int(v) for v in g["xs"]]
+        steps = [int(v) for v in g["step"]]
+        if len(xs) < m:
+            continue
+        lvl = tdiv(sum(xs[:m]), m)
+        trd = 0
+        sv = [x - lvl for x in xs[:m]]
+        rows = [(steps[m - 1], lvl, trd, sv[-1], lvl + trd + sv[0])]
+        for i in range(m, len(xs)):
+            x = xs[i]
+            s_old = sv[0]
+            new_l = tdiv(x - s_old + lvl + trd, 2)
+            trd = tdiv(new_l - lvl + trd, 2)
+            lvl = new_l
+            s_new = tdiv(x - lvl + s_old, 2)
+            sv = sv[1:] + [s_new]
+            rows.append((steps[i], lvl, trd, s_new, lvl + trd + sv[0]))
+        for t, l_, b_, s_, f_ in rows:
+            out["grp"].append(gid)
+            out["step"].append(t)
+            out["level_s"].append(l_)
+            out["trend_s"].append(b_)
+            out["season_s"].append(s_)
+            out["forecast_next"].append(f_)
+    return pd.DataFrame(out)
+
+
+def holt_winters(series: DataFrame, n_shards: int | None = None) -> DataFrame:
+    """Run the additive Holt-Winters fold over ``series`` (grp string,
+    step bigint dense 1-based, xs bigint scaled). Same shard shape as
+    :func:`holt_linear`: one exchange on the shard key, O(rows) integer
+    fold per shard; a streaming form would carry (l, b, 7 seasonals) =
+    9 BIGINTs per key."""
+    if n_shards is None:
+        n_shards = 2 * series.sparkSession.sparkContext.defaultParallelism
+    return (
+        series.select(
+            "grp",
+            "step",
+            "xs",
+            (F.crc32(F.col("grp").cast("string")) % n_shards).alias("_shard"),
+        )
+        .groupBy("_shard")
+        .applyInPandas(hw_fold, _HW_SCHEMA)
+    )
+
+
+# Recursive-CTE oracle template over a `series(grp, step, xs)` CTE: the
+# seasonal vector rides as a 7-element LIST column that rotates each
+# step (sv[1] is always s_{t+1-7} for the NEXT step). DuckDB's // is
+# the tdiv twin; list slicing is 1-based inclusive.
+HW_ORACLE_WALK = """
+l0 AS (
+  SELECT grp, CAST(SUM(xs) // 7 AS BIGINT) AS l
+  FROM series WHERE step <= 7 GROUP BY grp HAVING COUNT(*) = 7
+),
+sv0 AS (
+  SELECT s.grp, MAX(l0.l) AS l,
+         list(CAST(s.xs - l0.l AS BIGINT) ORDER BY s.step) AS sv
+  FROM series s JOIN l0 ON l0.grp = s.grp
+  WHERE s.step <= 7 GROUP BY s.grp
+),
+walk AS (
+  SELECT grp, CAST(7 AS BIGINT) AS step, l AS level_s,
+         CAST(0 AS BIGINT) AS trend_s, sv
+  FROM sv0
+  UNION ALL
+  SELECT s.grp, s.step,
+         (s.xs - w.sv[1] + w.level_s + w.trend_s) // 2 AS level_s,
+         (((s.xs - w.sv[1] + w.level_s + w.trend_s) // 2)
+          - w.level_s + w.trend_s) // 2 AS trend_s,
+         list_concat(
+           w.sv[2:7],
+           [CAST((s.xs - ((s.xs - w.sv[1] + w.level_s + w.trend_s) // 2)
+                  + w.sv[1]) // 2 AS BIGINT)]
+         ) AS sv
+  FROM walk w JOIN series s ON s.grp = w.grp AND s.step = w.step + 1
+),
+hw AS (
+  SELECT grp, step, level_s, trend_s, sv[7] AS season_s,
+         level_s + trend_s + sv[1] AS forecast_next
+  FROM walk
+)
+"""
+
+
 def theilsen_slope(
     series: DataFrame,
     grp: str = "grp",

@@ -251,6 +251,65 @@ def test_itemitem_structural_laws(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal
+# ---------------------------------------------------------------------------
+
+
+def test_hw_fold_locks_onto_pure_period():
+    """A noiseless period-7 series: level locks at the mean, trend at 0,
+    and forecast_next reproduces the cycle EXACTLY — including the wrap
+    from the last pattern position back to the first."""
+    from kinesis_stream_video_project_spark.operators.forecast import hw_fold
+
+    pat = [100, 110, 120, 130, 140, 150, 160]
+    pdf = pd.DataFrame(
+        {"grp": ["s"] * 21, "step": range(1, 22), "xs": pat * 3}
+    )
+    out = hw_fold(pdf)
+    tail = out[out["step"] >= 19].set_index("step")
+    assert (tail["level_s"] == 130).all() and (tail["trend_s"] == 0).all()
+    assert list(tail["forecast_next"]) == [150, 160, 100]
+
+
+def test_hw_fold_short_group_emits_nothing_and_init_is_exact():
+    """Groups under 7 points emit nothing; at exactly 7 the seed row is
+    l = tdiv(Σx, 7), b = 0, season = x₇ − l, forecast = l + s₁."""
+    from kinesis_stream_video_project_spark.operators.forecast import hw_fold
+
+    pdf = pd.DataFrame(
+        {
+            "grp": ["short"] * 6 + ["full"] * 7,
+            "step": list(range(1, 7)) + list(range(1, 8)),
+            "xs": [5] * 6 + [10, 20, 30, 40, 50, 60, 100],
+        }
+    )
+    out = hw_fold(pdf)
+    assert (out["grp"] == "full").all() and len(out) == 1
+    r = out.iloc[0]
+    # l = 310 // 7 = 44; s7 = 100 - 44 = 56; s1 = 10 - 44 = -34
+    assert (r["level_s"], r["trend_s"], r["season_s"]) == (44, 0, 56)
+    assert r["forecast_next"] == 44 + 0 + (10 - 44)
+
+
+def test_hw_beats_naive_on_truly_seasonal_series(spark):
+    """On a seasonal+trend series (the regime the operator exists for)
+    the HW one-step MAE beats seasonal-naive — the skill metric goes
+    BELOW 1 (on the non-seasonal fixture it sits ≈1.1, stated in the
+    query docstring)."""
+    from kinesis_stream_video_project_spark.operators.forecast import hw_fold
+
+    pat = [0, 100, 200, 300, 400, 500, 600]
+    xs = [pat[i % 7] + 5 * i for i in range(70)]
+    pdf = pd.DataFrame({"grp": ["s"] * 70, "step": range(1, 71), "xs": xs})
+    out = hw_fold(pdf).set_index("step")
+    e_hw, e_nv = 0, 0
+    for t in range(7, 70):
+        e_hw += abs(xs[t] - out.loc[t]["forecast_next"])
+        e_nv += abs(xs[t] - xs[t - 7])
+    assert e_hw < e_nv
+
+
+# ---------------------------------------------------------------------------
 # Module lockstep gate (3 SFs)
 # ---------------------------------------------------------------------------
 
@@ -265,7 +324,7 @@ def test_round15_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q15.QUERIES) == 5
+    assert len(q15.QUERIES) == 7
     for name, fn in q15.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q15.ORACLES[name]).df()
