@@ -3860,6 +3860,158 @@ def holt_stream_tws(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Online Holt-Winters additive seasonal smoothing (live seasonal forecast)
+# ---------------------------------------------------------------------------
+
+_HW_OUT_SCHEMA = (
+    "key string, step bigint, level_s bigint, trend_s bigint, "
+    "season_s bigint, forecast_next bigint"
+)
+_HW_STATE_SCHEMA = (
+    StructType()
+    .add("n", LongType())
+    .add("l", LongType())
+    .add("b", LongType())
+    .add("sv", ArrayType(LongType()))
+    .add("warm", ArrayType(LongType()))
+)
+_HW_M = 7
+
+
+def _hw_stream_fold(state: tuple, xs: list) -> tuple:
+    """Pure per-key Holt-Winters step shared by BOTH stateful API forms
+    — the seven-point generalization of the Holt recipe (hold the first
+    m−1 values in a warmup buffer, emit nothing; the m-th arrival seeds
+    l = tdiv(Σ, m) / b = 0 / s_i = x_i − l and emits the step-m row;
+    every later arrival runs the ``operators/forecast.py::hw_fold``
+    recursion). EXACTLY the batch fold's integer arithmetic, so drained
+    emissions equal it verbatim (pinned).
+
+    ORDER CONTRACT (the holt/lve discipline): values must arrive in
+    series order across batches; within a batch the caller sorts.
+    State: (n, l, b, sv[7], warm[<7]) — at most 10 BIGINTs, bounded.
+    Returns ``(new_state, emitted)`` with rows
+    ``(step, level_s, trend_s, season_s, forecast_next)``."""
+    from kinesis_stream_video_project_spark.functions.numeric import tdiv
+
+    n, lvl, trd, sv, warm = state
+    sv, warm = list(sv), list(warm)
+    emitted = []
+    for x in xs:
+        x = int(x)
+        n += 1
+        if n < _HW_M:
+            warm.append(x)
+        elif n == _HW_M:
+            warm.append(x)
+            lvl = tdiv(sum(warm), _HW_M)
+            trd = 0
+            sv = [v - lvl for v in warm]
+            warm = []
+            emitted.append((n, lvl, trd, sv[-1], lvl + trd + sv[0]))
+        else:
+            s_old = sv[0]
+            new_l = tdiv(x - s_old + lvl + trd, 2)
+            trd = tdiv(new_l - lvl + trd, 2)
+            lvl = new_l
+            s_new = tdiv(x - lvl + s_old, 2)
+            sv = sv[1:] + [s_new]
+            emitted.append((n, lvl, trd, s_new, lvl + trd + sv[0]))
+    return (n, lvl, trd, sv, warm), emitted
+
+
+def _hw_emit(key_val, emitted) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "key": [str(key_val)] * len(emitted),
+            "step": [s for s, _, _, _, _ in emitted],
+            "level_s": [l for _, l, _, _, _ in emitted],
+            "trend_s": [t for _, _, t, _, _ in emitted],
+            "season_s": [sn for _, _, _, sn, _ in emitted],
+            "forecast_next": [f for _, _, _, _, f in emitted],
+        }
+    )
+
+
+def hw_stream(events: DataFrame) -> DataFrame:
+    """ONLINE additive Holt-Winters — the TWENTIETH op on both stateful
+    APIs: per event type, the live (level, trend, seasonal, one-step
+    seasonal forecast) of the scaled value series — the seasonal tier
+    above ``holt_stream``, for metrics with a daily/weekly rhythm where
+    a linear forecaster reads the cycle as trend. State is ≤ 10 BIGINTs
+    per key — bounded by construction. The m-point init follows the
+    Holt deferred-emission recipe: nothing emits until the 7th value
+    arrives (pinned across a checkpoint restart). Drained emissions
+    equal the batch ``forecast.hw_fold`` on the same series exactly
+    (pinned — certified against the oracle-validated batch operator)."""
+    staged = _holt_staged(events)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        if state.exists:
+            t = tuple(state.get)
+            held = (t[0], t[1], t[2], list(t[3] or []), list(t[4] or []))
+        else:
+            held = (0, 0, 0, [], [])
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        held, emitted = _hw_stream_fold(held, _holt_batch_rows(b))
+        state.update(held)
+        if emitted:
+            yield _hw_emit(key_val, emitted)
+
+    return staged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_HW_OUT_SCHEMA,
+        stateStructType=_HW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hw_stream_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`hw_stream`
+    — same shared fold, no timers. GS ≡ TWS pinned on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _holt_staged(events)
+
+    class HwProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("hw", _HW_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            got = self._state.get()
+            if got is not None:
+                held = (got[0], got[1], got[2], list(got[3] or []), list(got[4] or []))
+            else:
+                held = (0, 0, 0, [], [])
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            held, emitted = _hw_stream_fold(held, _holt_batch_rows(b))
+            self._state.update(held)
+            if emitted:
+                yield _hw_emit(key_val, emitted)
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=HwProcessor(),
+        outputStructType=_HW_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Online AMS F2 sketch (live repeat-rate / self-join-size estimate per key)
 # ---------------------------------------------------------------------------
 

@@ -4222,6 +4222,189 @@ def test_holt_stream_checkpoint_restart_resumes(spark, tmp_path):
     }
 
 
+# ---------------------------------------------------------------------------
+# Online Holt-Winters additive seasonal (20th dual-API op)
+# ---------------------------------------------------------------------------
+
+
+def _drain_hw(spark, tmp_path, fn, rows, tag, nfiles):
+    src = tmp_path / f"hw_src_{tag}"
+    step = -(-len(rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(rows[i * step : (i + 1) * step], _LVE_SCHEMA),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(_LVE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"hw_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_hw_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        (r.key, r.step, r.level_s, r.trend_s, r.season_s, r.forecast_next)
+        for r in spark.sql(f"SELECT * FROM hw_out_{tag}").collect()
+    }
+
+
+def _hw_batch_twin(spark, rows):
+    """The oracle-validated batch fold on the same per-type series."""
+    from pyspark.sql import Window
+
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+    from kinesis_stream_video_project_spark.operators.forecast import holt_winters
+
+    df = spark.createDataFrame(rows, _LVE_SCHEMA).filter(
+        F.col("value").isNotNull()
+    )
+    series = df.select(
+        F.col("event_type").alias("grp"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("step"),
+        scaled_long(F.col("value"), 1000).alias("xs"),
+    )
+    return {
+        (r.grp, r.step, r.level_s, r.trend_s, r.season_s, r.forecast_next)
+        for r in holt_winters(series).collect()
+    }
+
+
+def test_hw_stream_matches_batch_fold(spark, tmp_path, sf_dir):
+    """Drained emissions equal the batch holt_winters fold on the same
+    per-type series — on one file AND three series-ordered files (the
+    in-order chunking contract), op twenty certified against the
+    oracle-validated batch operator."""
+    rows = _holt_rows(spark, sf_dir)
+    want = _hw_batch_twin(spark, rows)
+    got1 = _drain_hw(spark, tmp_path, jobs.hw_stream, rows, "gs1", 1)
+    got3 = _drain_hw(spark, tmp_path, jobs.hw_stream, rows, "gs3", 3)
+    assert got1 == got3 == want and len(want) > 100
+
+
+def test_hw_stream_tws_matches_group_state_form(spark, tmp_path, sf_dir):
+    """GS ≡ TWS on the same drain (the dual-API law, op twenty)."""
+    rows = _holt_rows(spark, sf_dir, limit=1000)
+    gs = _drain_hw(spark, tmp_path, jobs.hw_stream, rows, "eq_gs", 2)
+    tws = _drain_hw(spark, tmp_path, jobs.hw_stream_tws, rows, "eq_tws", 2)
+    assert gs == tws and len(gs) > 10
+
+
+def test_hw_stream_checkpoint_restart_defers_seed(spark, tmp_path):
+    """The 7-point init across a restart: six values drain with ZERO
+    emissions (the warmup buffer is pure state), the 7th and 8th arrive
+    after the restart, and the cumulative output equals the batch fold
+    on all eight — the seed row emits from RESTORED warmup values."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 7, 1, tzinfo=dt.timezone.utc)
+    vals = [0.100, 0.110, 0.120, 0.130, 0.140, 0.150, 0.160, 0.104]
+
+    def ev(i):
+        return (i + 1, base + dt.timedelta(seconds=10 * i), 7, "m", vals[i])
+
+    src = tmp_path / "hw_restart_src"
+    ckpt = str(tmp_path / "ckpt_hw_restart")
+    out = str(tmp_path / "hw_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(_LVE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.hw_stream_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.key, r.step, r.level_s, r.trend_s, r.season_s, r.forecast_next)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_single_file(
+        spark.createDataFrame([ev(i) for i in range(6)], _LVE_SCHEMA),
+        src,
+        "b0.parquet",
+    )
+    assert drain() == set()  # 7-point init: nothing before x7
+    time.sleep(1.1)
+    _write_single_file(
+        spark.createDataFrame([ev(6), ev(7)], _LVE_SCHEMA), src, "b1.parquet"
+    )
+    cumulative = drain()
+    want = _hw_batch_twin(spark, [ev(i) for i in range(8)])
+    assert cumulative == want and len(want) == 2
+
+
+def test_hw_stream_fold_matches_batch_fold_hypothesis():
+    """Hypothesis pin: folding any in-order chunking of any integer
+    series emits exactly the batch hw_fold rows with the same final
+    (level, trend, seasonal vector) — the m-point-init recipe holds for
+    every chunk boundary, including ones splitting the warmup."""
+    import pandas as pd
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_stream_video_project_spark.operators.forecast import hw_fold
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        xs=st.lists(
+            st.integers(min_value=-10**9, max_value=10**9),
+            min_size=0,
+            max_size=40,
+        ),
+        cuts=st.lists(st.integers(min_value=1, max_value=8), max_size=8),
+    )
+    def law(xs, cuts):
+        state = (0, 0, 0, [], [])
+        emitted = []
+        i = 0
+        for c in cuts + [len(xs)]:
+            state, e = jobs._hw_stream_fold(state, xs[i : i + c])
+            emitted.extend(e)
+            i += c
+            if i >= len(xs):
+                break
+        batch = hw_fold(
+            pd.DataFrame(
+                {
+                    "grp": ["k"] * len(xs),
+                    "step": range(1, len(xs) + 1),
+                    "xs": xs,
+                }
+            )
+        )
+        want = [
+            (r.step, r.level_s, r.trend_s, r.season_s, r.forecast_next)
+            for r in batch.itertuples()
+        ]
+        assert emitted == want
+
+    law()
+
+
 def test_holt_stream_fold_matches_batch_fold_hypothesis():
     """Hypothesis pin: folding any in-order chunking of any integer
     series emits exactly the batch holt_fold rows with the same final
