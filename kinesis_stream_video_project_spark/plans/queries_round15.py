@@ -409,6 +409,66 @@ FROM evals GROUP BY 1
     )
 
 
+def _km_user_tenure_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier tenure curves per market segment (X-204): subject =
+    user, lifetime = hours between first and last event, event observed
+    iff the user has been inactive for > 12 h at observation end
+    (probed: a ~60/40 churned/censored split at every SF — a 30-day rule
+    censors EVERYONE on this ~30-day fixture, measured), censored
+    otherwise. The observation horizon is max(last activity) computed
+    in-query on both engines — no magic clock literal."""
+    from kinesis_stream_video_project_spark.operators.survival import km_survival
+
+    ev = io.load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("_f"),
+        F.max(F.unix_micros("ts")).alias("_l"),
+    )
+    horizon = per_user.agg(F.max("_l").alias("_mx"))
+    subj = per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.expr("(_l - _f) DIV 3600000000").alias("duration"),
+        F.when(F.col("_mx") - F.col("_l") > 43_200_000_000, 1)
+        .otherwise(0)
+        .alias("event"),
+    )
+    cust = io.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return km_survival(
+        subj.join(cust, "user_id"), grp="c_mktsegment"
+    ).withColumnRenamed("grp", "c_mktsegment")
+
+
+def _km_oracle() -> str:
+    from kinesis_stream_video_project_spark.operators.survival import (
+        KM_ORACLE_WALK,
+    )
+
+    return (
+        """
+WITH RECURSIVE per_user AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l
+  FROM events GROUP BY 1
+),
+horizon AS (SELECT MAX(l) AS mx FROM per_user),
+subjects AS (
+  SELECT c.c_mktsegment AS grp,
+         (p.l - p.f) // 3600000000 AS dur,
+         CASE WHEN h.mx - p.l > 43200000000 THEN 1 ELSE 0 END AS ev
+  FROM per_user p
+  JOIN customer c ON c.c_custkey = p.user_id
+  CROSS JOIN horizon h
+),
+"""
+        + KM_ORACLE_WALK.strip()
+        + """
+SELECT grp AS c_mktsegment, t, n_risk, n_events, n_censored, survival
+FROM km
+"""
+    )
+
+
 def _ams_oracle() -> str:
     from kinesis_stream_video_project_spark.operators.ams import ams_oracle_sql
 
@@ -439,11 +499,13 @@ QUERIES = {
     "itemitem_cosine_recs": _itemitem_cosine_recs,
     "hw_daily_revenue": _hw_daily_revenue,
     "hw_backtest_skill": _hw_backtest_skill,
+    "km_user_tenure_by_segment": _km_user_tenure_by_segment,
 }
 
 ORACLES = {
     "hw_daily_revenue": _hw_oracle(),
     "hw_backtest_skill": _hw_backtest_oracle(),
+    "km_user_tenure_by_segment": _km_oracle(),
     "shapley_channel_attribution": shapley_oracle_sql(_MASK_CTE, _CHANNELS),
     "ams_f2_partkey": _ams_oracle(),
     "perm_test_weekly_revenue": _perm_oracle(),

@@ -310,6 +310,67 @@ def test_hw_beats_naive_on_truly_seasonal_series(spark):
 
 
 # ---------------------------------------------------------------------------
+# Kaplan-Meier survival
+# ---------------------------------------------------------------------------
+
+
+def test_km_handchecked(spark):
+    """Durations/events (1,1),(2,1),(3,0),(4,1),(5,0): S(1)=4/5=0.8,
+    S(2)=0.8·3/4=0.6, the censoring at 3 shrinks the risk set without a
+    row, S(4)=0.6·1/2=0.3 — the textbook product-limit walk."""
+    from kinesis_stream_video_project_spark.operators.survival import km_survival
+
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 0), ("g", 4, 1), ("g", 5, 0)]
+    df = spark.createDataFrame(rows, "grp string, duration long, event long")
+    got = [
+        (r["t"], r["n_risk"], r["n_events"], r["survival"])
+        for r in km_survival(df).orderBy("t").collect()
+    ]
+    assert got == [(1, 5, 1, 0.8), (2, 4, 1, 0.6), (4, 2, 1, 0.3)]
+
+
+def test_km_tie_rule_censored_at_t_still_at_risk(spark):
+    """A death and a censoring at the same t: the censored subject
+    counts in n_risk at t (deaths precede censorings — the standard
+    convention, stated in the docstring): S(2) = 1 − 1/3 = 0.6667."""
+    from kinesis_stream_video_project_spark.operators.survival import km_survival
+
+    rows = [("g", 2, 1), ("g", 2, 0), ("g", 3, 0)]
+    df = spark.createDataFrame(rows, "grp string, duration long, event long")
+    r = km_survival(df).collect()[0]
+    assert (r["t"], r["n_risk"], r["n_events"], r["n_censored"]) == (2, 3, 1, 1)
+    assert r["survival"] == 0.6667
+
+
+def test_km_refuses_bad_event_flag(spark):
+    from kinesis_stream_video_project_spark.operators.survival import km_survival
+
+    df = spark.createDataFrame(
+        [("g", 1, 2)], "grp string, duration long, event long"
+    )
+    with pytest.raises(Exception, match="event must be 0 or 1"):
+        km_survival(df).collect()
+
+
+def test_km_fixture_laws(spark, sf_dir):
+    """On the real tenure data: per segment the curve is strictly
+    positive, non-increasing in t, bounded by 1, and both deaths and
+    censorings occur (the 12 h rule was CHOSEN because a 30-day rule
+    censors everyone — measured, stated in the query docstring)."""
+    from kinesis_stream_video_project_spark.plans.queries_round15 import (
+        _km_user_tenure_by_segment,
+    )
+
+    out = _km_user_tenure_by_segment(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert ((out["survival"] > 0) & (out["survival"] <= 1)).all()
+    assert (out["n_events"] > 0).all()
+    for _, g in out.sort_values("t").groupby("c_mktsegment"):
+        assert g["survival"].is_monotonic_decreasing
+    assert out["n_censored"].sum() + out["n_events"].sum() <= out["n_risk"].max() * 5
+
+
+# ---------------------------------------------------------------------------
 # Module lockstep gate (3 SFs)
 # ---------------------------------------------------------------------------
 
@@ -324,7 +385,7 @@ def test_round15_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q15.QUERIES) == 7
+    assert len(q15.QUERIES) == 8
     for name, fn in q15.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q15.ORACLES[name]).df()
