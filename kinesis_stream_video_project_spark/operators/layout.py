@@ -153,6 +153,184 @@ def zorder_locality_audit(
     return out[0].unionByName(out[1])
 
 
+def hilbert_stages(
+    df: DataFrame, x: str, y: str, bits: int, out: str
+) -> DataFrame:
+    """Append the Hilbert-curve index of non-negative ``(x, y)`` (each
+    < 2^bits) as column ``out`` — the canonical xy2d bit walk (Hilbert
+    1891; the iterative form of Butz 1971), unrolled into ``bits``
+    projection stages. Each stage materializes (rx, ry) then the
+    rotated/reflected coordinates as REAL columns: the state variables
+    are referenced multiple times per level, so CollapseProject keeps
+    the stages separate (the dedup.py ``_hs`` pattern) instead of
+    inlining an exponentially-nested expression. The n-reflection
+    variant keeps coordinates in [0, 2^bits) throughout — no negative
+    intermediates, so BIGINT bitwise ops agree across engines.
+
+    Per level (s = 2^i, top bit first): d += s²·((3·rx) XOR ry); if
+    ry = 0 reflect (when rx = 1) by n−1−· and swap x/y."""
+    n = 1 << bits
+    cur = (
+        df.withColumn("_hx", F.col(x).cast("long"))
+        .withColumn("_hy", F.col(y).cast("long"))
+        .withColumn("_hd", F.lit(0).cast("long"))
+    )
+    keep = [c for c in df.columns]
+    for i in reversed(range(bits)):
+        s = 1 << i
+        cur = cur.select(
+            "*",
+            F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_rx"),
+            F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_ry"),
+        )
+        cur = cur.select(
+            *keep,
+            (
+                F.col("_hd")
+                + F.lit(s)
+                * F.lit(s)
+                * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")).cast(
+                    "long"
+                )
+            ).alias("_hd"),
+            F.when(
+                F.col("_ry") == 0,
+                F.when(
+                    F.col("_rx") == 1, F.lit(n - 1) - F.col("_hy")
+                ).otherwise(F.col("_hy")),
+            )
+            .otherwise(F.col("_hx"))
+            .alias("_hx"),
+            F.when(
+                F.col("_ry") == 0,
+                F.when(
+                    F.col("_rx") == 1, F.lit(n - 1) - F.col("_hx")
+                ).otherwise(F.col("_hx")),
+            )
+            .otherwise(F.col("_hy"))
+            .alias("_hy"),
+        )
+    return cur.select(*keep, F.col("_hd").alias(out))
+
+
+def hilbert_sql_ctes(src: str, bits: int) -> str:
+    """DuckDB replay of :func:`hilbert_stages` — a generated chain of
+    per-level CTEs over ``src`` (which must expose hx, hy, hd plus any
+    carried columns as ``* ``). Returns CTE text ending in ``hN``; the
+    final level's hd is the Hilbert index. Generated from the same
+    constants as the Spark side (same reflection variant, same XOR)."""
+    n = 1 << bits
+    parts = []
+    prev = src
+    for lvl, i in enumerate(reversed(range(bits))):
+        s = 1 << i
+        name = f"h{lvl + 1}"
+        parts.append(
+            f"""{name} AS (
+  SELECT * EXCLUDE (hx, hy, hd),
+         hd + {s}::BIGINT * {s} * CAST(xor(3 * (CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END),
+                  (CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS hd,
+         CASE WHEN (hy & {s}) = 0 THEN
+           CASE WHEN (hx & {s}) > 0 THEN {n - 1} - hy ELSE hy END
+         ELSE hx END AS hx,
+         CASE WHEN (hy & {s}) = 0 THEN
+           CASE WHEN (hx & {s}) > 0 THEN {n - 1} - hx ELSE hx END
+         ELSE hy END AS hy
+  FROM {prev}
+)"""
+        )
+        prev = name
+    return ",\n".join(parts)
+
+
+def curve_locality_audit(
+    df: DataFrame,
+    x: str,
+    y: str,
+    x_lo: int,
+    x_hi: int,
+    y_lo_div: int,
+    y_hi_div: int,
+    bits: int = 14,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Three-way read-amplification audit: the :func:`zorder_locality_audit`
+    rectangle measurement extended with the Hilbert layout — the curve
+    whose theoretical locality beats Morton (no quadrant-boundary jumps;
+    Moon et al., IEEE TKDE 2001). Emits the same four measured columns
+    per layout ∈ {zorder, hilbert, rowmajor}; which curve wins on REAL
+    keys is the audit's output, not an assumption."""
+    lim = 1 << bits
+    ymax_f = df.agg(F.max(F.col(y).cast("long")).alias("_ymax"))
+    base = (
+        df.select(
+            F.col(x).cast("long").alias("_x"), F.col(y).cast("long").alias("_y")
+        )
+        .crossJoin(F.broadcast(ymax_f))
+        .withColumn(
+            "_x",
+            F.expr(
+                f"CASE WHEN _x >= 0 AND _x < {lim} THEN _x ELSE "
+                f"raise_error(concat('curve_locality_audit: x=', CAST(_x AS STRING), "
+                f"' outside [0, {lim}) — raise bits')) END"
+            ),
+        )
+        .withColumn(
+            "_y",
+            F.expr(
+                f"CASE WHEN _y >= 0 AND _y < {lim} THEN _y ELSE "
+                f"raise_error(concat('curve_locality_audit: y=', CAST(_y AS STRING), "
+                f"' outside [0, {lim}) — raise bits')) END"
+            ),
+        )
+    )
+    shift = 2 * bits - bucket_bits
+    xc, yc = F.col("_x"), F.col("_y")
+    pre = base.select(
+        (
+            xc.between(F.lit(x_lo), F.lit(x_hi))
+            & yc.between(
+                F.expr(f"_ymax DIV {y_lo_div}"), F.expr(f"_ymax DIV {y_hi_div}")
+            )
+        ).alias("hit"),
+        F.shiftright(zorder_key(xc, yc, bits), shift).alias("zb"),
+        F.shiftright(F.shiftleft(xc, bits) + yc, shift).alias("rb"),
+        "_x",
+        "_y",
+    )
+    keyed = hilbert_stages(pre, "_x", "_y", bits, "_hd").select(
+        "hit", "zb", "rb", F.shiftright(F.col("_hd"), shift).alias("hb")
+    )
+    # Six consumers (per layout: touched-block distinct + probe join) —
+    # stage the (hit, zb, rb, hb) projection ONCE (the zorder audit's
+    # measured multi-consumer rule, now amortizing the 14-level Hilbert
+    # walk as well).
+    keyed = keyed.localCheckpoint(eager=True)
+    out = None
+    for layout, bcol in (("zorder", "zb"), ("hilbert", "hb"), ("rowmajor", "rb")):
+        touched = keyed.filter("hit").select(bcol).distinct()
+        stats = keyed.join(F.broadcast(touched), bcol, "inner").agg(
+            F.sum(F.col("hit").cast("long")).alias("n_rect_rows"),
+            F.count(F.lit(1)).alias("n_rows_read"),
+            F.countDistinct(bcol).alias("n_blocks_touched"),
+        )
+        row = stats.select(
+            F.lit(layout).alias("layout"),
+            "n_rect_rows",
+            "n_blocks_touched",
+            "n_rows_read",
+            F.expr("(n_rows_read * 1000) DIV n_rect_rows").alias(
+                "read_amp_permille"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def range_partition_bounds(
     df: DataFrame, value: str, n_parts: int
 ) -> DataFrame:

@@ -39,6 +39,15 @@ Queries built in round 11 (continuation session):
   seasonal-naive baseline (the MASE discipline); measured ≈1.1 on the
   non-seasonal fixture, stated, with the beats-naive regime pinned on a
   truly seasonal series in tests.
+* ``km_user_tenure_by_segment`` — Kaplan-Meier product-limit survival
+  curves of user tenure under right censoring (12 h inactivity rule,
+  chosen by measurement), a new analysis family
+  (`operators/survival.py`).
+* ``hilbert_locality_audit`` — three-way Hilbert/Z-order/row-major
+  read-amplification audit; measured finding: Hilbert ties Morton
+  exactly at power-of-two block granularity (aligned-quadrant
+  equivalence), so the audit's decision value is refusing the encode
+  cost (`operators/layout.py::curve_locality_audit`).
 """
 
 from __future__ import annotations
@@ -469,6 +478,77 @@ FROM km
     )
 
 
+def _hilbert_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way layout audit (X-205): Hilbert vs Z-order vs row-major
+    read amplification on the SAME (order-day, custkey) rectangle as the
+    registered zorder_locality_audit — directly comparable rows. The
+    MEASURED finding (probed at bucket_bits ∈ {8,10,12,14}, sf0.1):
+    Hilbert ties Z-order EXACTLY (same blocks, same rows read — at
+    power-of-two block granularity both curves assign each aligned
+    quadrant one contiguous key range, so their block partitions
+    coincide; they differ only in inter-block visit order), while
+    row-major reads 3.4× more. The audit's decision value is precisely
+    that: on this workload the Hilbert encode cost buys nothing over
+    Morton — measure, don't assume the textbook ranking."""
+    from kinesis_stream_video_project_spark.operators import layout
+    from kinesis_stream_video_project_spark.plans.queries_round10b import (
+        _orders_xy,
+    )
+
+    return layout.curve_locality_audit(
+        _orders_xy(spark, sf_dir), "x", "y", 1460, 1825, 10, 5,
+        bits=14, bucket_bits=8,
+    )
+
+
+def _hilbert_oracle() -> str:
+    from kinesis_stream_video_project_spark.operators.layout import (
+        hilbert_sql_ctes,
+    )
+    from kinesis_stream_video_project_spark.plans.queries_round10b import (
+        _zorder_interleave_sql,
+    )
+
+    z = _zorder_interleave_sql("x", "y", 14)
+    shift = 2 * 14 - 8
+    blocks = []
+    for layout_name, bcol in (("zorder", "zb"), ("hilbert", "hb"), ("rowmajor", "rb")):
+        blocks.append(
+            f"""
+  SELECT '{layout_name}' AS layout,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_rect_rows,
+         COUNT(DISTINCT {bcol}) AS n_blocks_touched,
+         COUNT(*) AS n_rows_read
+  FROM keyed WHERE {bcol} IN (SELECT {bcol} FROM keyed WHERE hit)
+"""
+        )
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH base AS (
+  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+         CAST(o_custkey AS BIGINT) AS y
+  FROM orders
+),
+ymax AS (SELECT MAX(y) AS my FROM base),
+h0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM base),
+{hilbert_sql_ctes("h0", 14)},
+keyed AS (
+  SELECT (x BETWEEN 1460 AND 1825
+          AND y BETWEEN (SELECT my FROM ymax) // 10
+                    AND (SELECT my FROM ymax) // 5) AS hit,
+         ({z}) >> {shift} AS zb,
+         ((x << 14) + y) >> {shift} AS rb,
+         hd >> {shift} AS hb
+  FROM h14
+)
+SELECT layout, CAST(n_rect_rows AS BIGINT) AS n_rect_rows,
+       CAST(n_blocks_touched AS BIGINT) AS n_blocks_touched,
+       CAST(n_rows_read AS BIGINT) AS n_rows_read,
+       CAST((n_rows_read * 1000) // n_rect_rows AS BIGINT) AS read_amp_permille
+FROM ({union})
+"""
+
+
 def _ams_oracle() -> str:
     from kinesis_stream_video_project_spark.operators.ams import ams_oracle_sql
 
@@ -500,9 +580,11 @@ QUERIES = {
     "hw_daily_revenue": _hw_daily_revenue,
     "hw_backtest_skill": _hw_backtest_skill,
     "km_user_tenure_by_segment": _km_user_tenure_by_segment,
+    "hilbert_locality_audit": _hilbert_locality_audit,
 }
 
 ORACLES = {
+    "hilbert_locality_audit": _hilbert_oracle(),
     "hw_daily_revenue": _hw_oracle(),
     "hw_backtest_skill": _hw_backtest_oracle(),
     "km_user_tenure_by_segment": _km_oracle(),
