@@ -48,6 +48,12 @@ Queries built in round 11 (continuation session):
   exactly at power-of-two block granularity (aligned-quadrant
   equivalence), so the audit's decision value is refusing the encode
   cost (`operators/layout.py::curve_locality_audit`).
+* ``markov_transition_matrix`` — Laplace-smoothed first-order Markov
+  P(next | prev) over per-user event sequences as exact rationals, the
+  probability tier above the r6-green event_transitions counts.
+* ``markov_backtest_accuracy`` — temporal-holdout (80/20) top-1
+  accuracy of the Markov predictor NEXT TO the majority-class baseline
+  (the hw_backtest_skill discipline applied to a sequence model).
 """
 
 from __future__ import annotations
@@ -549,6 +555,203 @@ FROM ({union})
 """
 
 
+def _user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive event-type transitions in (ts, event_id)
+    order: (prev_ty, next_ty, next_us) — the Markov view of the
+    registered event_transitions counts, with the next-event timestamp
+    carried for temporal splitting."""
+    from pyspark.sql import Window
+
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("_ty"),
+        F.unix_micros("ts").alias("_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    return (
+        ev.select(
+            F.lag("_ty").over(w).alias("prev_ty"),
+            F.col("_ty").alias("next_ty"),
+            F.col("_us").alias("next_us"),
+        )
+        .filter(F.col("prev_ty").isNotNull())
+    )
+
+
+_TRANSITIONS_CTE = """
+trans AS (
+  SELECT lag(event_type) OVER w AS prev_ty,
+         event_type AS next_ty,
+         epoch_us(ts) AS next_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+tr AS (SELECT * FROM trans WHERE prev_ty IS NOT NULL)
+"""
+
+
+def _markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed first-order Markov transition matrix (X-206)
+    over per-user event sequences: P(next | prev) = (c + 1) /
+    (row_total + V) as the exact rational (p_num, p_den) plus one r4
+    double — the probability tier above the r6-green event_transitions
+    counts. V = 5 observed event types (in-query, not a literal)."""
+    from kinesis_stream_video_project_spark.functions.numeric import r4
+    from pyspark.sql import Window
+
+    tr = _user_transitions(spark, sf_dir)
+    cells = tr.groupBy("prev_ty", "next_ty").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    v = tr.agg(F.countDistinct("next_ty").alias("_v"))
+    w_row = Window.partitionBy("prev_ty")
+    return (
+        cells.withColumn("_rt", F.sum("c").over(w_row))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "prev_ty",
+            "next_ty",
+            F.col("c").cast("long").alias("c"),
+            (F.col("c") + 1).cast("long").alias("p_num"),
+            (F.col("_rt") + F.col("_v")).cast("long").alias("p_den"),
+            r4(
+                (F.col("c") + 1).cast("double")
+                / (F.col("_rt") + F.col("_v")).cast("double")
+            ).alias("p"),
+        )
+    )
+
+
+def _markov_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-holdout evaluation of the Markov predictor (X-207):
+    train the transition matrix on the first 80% of the time span,
+    predict argmax P(next | prev) (ties → type asc) on the held-out
+    20%, and emit top-1 accuracy NEXT TO the majority-class baseline
+    (always predict the globally most frequent next type) — the
+    hw_backtest_skill discipline: a predictor without a measured
+    baseline is decoration. All counts integer; the two accuracies are
+    one r4 double each."""
+    from kinesis_stream_video_project_spark.functions.numeric import r4
+    from pyspark.sql import Window
+
+    tr = _user_transitions(spark, sf_dir)
+    span = tr.agg(
+        (
+            F.min("next_us")
+            + F.expr("(MAX(next_us) - MIN(next_us)) * 4 DIV 5")
+        ).alias("_cut")
+    )
+    tagged = tr.crossJoin(F.broadcast(span)).select(
+        "prev_ty", "next_ty", (F.col("next_us") < F.col("_cut")).alias("_is_train")
+    )
+    train = tagged.filter("_is_train")
+    cells = train.groupBy("prev_ty", "next_ty").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_pred = Window.partitionBy("prev_ty").orderBy(
+        F.col("c").desc(), F.col("next_ty")
+    )
+    pred = (
+        cells.withColumn("_rn", F.row_number().over(w_pred))
+        .filter(F.col("_rn") == 1)
+        .select("prev_ty", F.col("next_ty").alias("_pred"))
+    )
+    majority = (
+        train.groupBy("next_ty")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("next_ty"))
+        .limit(1)
+        .select(F.col("next_ty").alias("_maj"))
+    )
+    test = tagged.filter(~F.col("_is_train"))
+    scored = test.join(F.broadcast(pred), "prev_ty", "left").crossJoin(
+        F.broadcast(majority)
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.coalesce(
+            F.sum(F.when(F.col("next_ty") == F.col("_pred"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.coalesce(
+            F.sum(F.when(F.col("next_ty") == F.col("_maj"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_majority"),
+    ).select(
+        "n_test",
+        "n_correct",
+        "n_majority",
+        r4(F.col("n_correct").cast("double") / F.col("n_test")).alias(
+            "accuracy"
+        ),
+        r4(F.col("n_majority").cast("double") / F.col("n_test")).alias(
+            "majority_accuracy"
+        ),
+    )
+
+
+_MARKOV_MATRIX_ORACLE = (
+    "WITH "
+    + _TRANSITIONS_CTE.strip()
+    + """,
+cells AS (SELECT prev_ty, next_ty, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+v AS (SELECT COUNT(DISTINCT next_ty) AS v FROM tr),
+rows_t AS (SELECT prev_ty, SUM(c) AS rt FROM cells GROUP BY 1)
+SELECT c.prev_ty, c.next_ty, CAST(c.c AS BIGINT) AS c,
+       CAST(c.c + 1 AS BIGINT) AS p_num,
+       CAST(r.rt + v.v AS BIGINT) AS p_den,
+       (floor((CAST(c.c + 1 AS DOUBLE) / CAST(r.rt + v.v AS DOUBLE))
+              * 10000.0 + 0.5) / 10000.0) AS p
+FROM cells c JOIN rows_t r ON r.prev_ty = c.prev_ty CROSS JOIN v
+"""
+)
+
+_MARKOV_BACKTEST_ORACLE = (
+    "WITH "
+    + _TRANSITIONS_CTE.strip()
+    + """,
+span AS (SELECT MIN(next_us) + (MAX(next_us) - MIN(next_us)) * 4 // 5 AS cut
+         FROM tr),
+tagged AS (SELECT prev_ty, next_ty, next_us < (SELECT cut FROM span)
+             AS is_train FROM tr),
+cells AS (SELECT prev_ty, next_ty, COUNT(*) AS c FROM tagged
+          WHERE is_train GROUP BY 1, 2),
+pred AS (
+  SELECT prev_ty, next_ty AS pred FROM (
+    SELECT prev_ty, next_ty, row_number() OVER (
+      PARTITION BY prev_ty ORDER BY c DESC, next_ty) AS rn
+    FROM cells
+  ) WHERE rn = 1
+),
+majority AS (
+  SELECT next_ty AS maj FROM tagged WHERE is_train
+  GROUP BY 1 ORDER BY COUNT(*) DESC, next_ty LIMIT 1
+),
+scored AS (
+  SELECT t.next_ty, p.pred, m.maj
+  FROM tagged t LEFT JOIN pred p ON p.prev_ty = t.prev_ty
+  CROSS JOIN majority m
+  WHERE NOT t.is_train
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(COALESCE(SUM(CASE WHEN next_ty = pred THEN 1 END), 0) AS BIGINT)
+         AS n_correct,
+       CAST(COALESCE(SUM(CASE WHEN next_ty = maj THEN 1 END), 0) AS BIGINT)
+         AS n_majority,
+       (floor((CAST(COALESCE(SUM(CASE WHEN next_ty = pred THEN 1 END), 0)
+                    AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0)
+         AS accuracy,
+       (floor((CAST(COALESCE(SUM(CASE WHEN next_ty = maj THEN 1 END), 0)
+                    AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0)
+         AS majority_accuracy
+FROM scored
+"""
+)
+
+
 def _ams_oracle() -> str:
     from kinesis_stream_video_project_spark.operators.ams import ams_oracle_sql
 
@@ -581,10 +784,14 @@ QUERIES = {
     "hw_backtest_skill": _hw_backtest_skill,
     "km_user_tenure_by_segment": _km_user_tenure_by_segment,
     "hilbert_locality_audit": _hilbert_locality_audit,
+    "markov_transition_matrix": _markov_transition_matrix,
+    "markov_backtest_accuracy": _markov_backtest_accuracy,
 }
 
 ORACLES = {
     "hilbert_locality_audit": _hilbert_oracle(),
+    "markov_transition_matrix": _MARKOV_MATRIX_ORACLE,
+    "markov_backtest_accuracy": _MARKOV_BACKTEST_ORACLE,
     "hw_daily_revenue": _hw_oracle(),
     "hw_backtest_skill": _hw_backtest_oracle(),
     "km_user_tenure_by_segment": _km_oracle(),

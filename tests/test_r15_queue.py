@@ -446,6 +446,77 @@ def test_curve_audit_refuses_out_of_range(spark):
 
 
 # ---------------------------------------------------------------------------
+# Markov transition model
+# ---------------------------------------------------------------------------
+
+
+def test_markov_matrix_handchecked(spark):
+    """Sequence view→click→purchase→view→click (one user): cells
+    (v,c)=2, (c,p)=1, (p,v)=1; V=3 observed next types; row 'view' has
+    rt=2 so P(click|view) = (2+1)/(2+3) = 0.6 exactly."""
+    import datetime as dt
+    import unittest.mock as mock
+
+    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
+
+    base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    seq = ["view", "click", "purchase", "view", "click"]
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, ty, 1.0, None)
+        for i, ty in enumerate(seq)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(r15.io, "load_table", lambda *_a: events):
+        got = {
+            (r["prev_ty"], r["next_ty"]): r
+            for r in r15._markov_transition_matrix(spark, "unused").collect()
+        }
+    assert set(got) == {("view", "click"), ("click", "purchase"), ("purchase", "view")}
+    r = got[("view", "click")]
+    assert (r["c"], r["p_num"], r["p_den"], r["p"]) == (2, 3, 5, 0.6)
+
+
+def test_markov_matrix_smoothing_law_on_fixture(spark, sf_dir):
+    """Laplace closure: per prev row, Σ_observed p_num + (V − n_observed)
+    · 1 = p_den — the smoothed distribution sums to exactly 1 over all V
+    types (unobserved cells implicitly carry p_num = 1)."""
+    from kinesis_stream_video_project_spark.plans.queries_round15 import (
+        _markov_transition_matrix,
+    )
+
+    out = _markov_transition_matrix(spark, sf_dir).toPandas()
+    v = out["next_ty"].nunique()
+    for prev, g in out.groupby("prev_ty"):
+        den = g["p_den"].iloc[0]
+        assert (g["p_den"] == den).all()
+        assert g["p_num"].sum() + (v - len(g)) == den, prev
+
+
+def test_markov_backtest_laws(spark, sf_dir):
+    """Temporal holdout: n_correct and n_majority are bounded by n_test,
+    accuracies are their exact r4 ratios, and the Markov predictor is at
+    least as good as majority-class on this fixture (per-prev argmax can
+    only refine the global argmax when transitions carry signal; equal
+    when they don't — both outcomes are valid, the INVARIANT is
+    accuracy >= 0 and the columns agree)."""
+    from kinesis_stream_video_project_spark.plans.queries_round15 import (
+        _markov_backtest_accuracy,
+    )
+
+    r = _markov_backtest_accuracy(spark, sf_dir).collect()[0]
+    assert 0 < r["n_test"]
+    assert 0 <= r["n_correct"] <= r["n_test"]
+    assert 0 <= r["n_majority"] <= r["n_test"]
+    import math
+
+    assert r["accuracy"] == math.floor(r["n_correct"] / r["n_test"] * 10000 + 0.5) / 10000
+
+
+# ---------------------------------------------------------------------------
 # Module lockstep gate (3 SFs)
 # ---------------------------------------------------------------------------
 
@@ -460,7 +531,7 @@ def test_round15_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q15.QUERIES) == 9
+    assert len(q15.QUERIES) == 11
     for name, fn in q15.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q15.ORACLES[name]).df()
