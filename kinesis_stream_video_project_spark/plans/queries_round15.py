@@ -54,6 +54,10 @@ Queries built in round 11 (continuation session):
 * ``markov_backtest_accuracy`` — temporal-holdout (80/20) top-1
   accuracy of the Markov predictor NEXT TO the majority-class baseline
   (the hw_backtest_skill discipline applied to a sequence model).
+* ``logrank_tenure_by_segment`` — log-rank χ² of each segment's tenure
+  survival vs the rest (Mantel 1966), the hypothesis-test companion of
+  the KM curves; fixed-order float accumulation over exact integer
+  hypergeometric terms (`operators/survival.py::logrank_vs_rest`).
 """
 
 from __future__ import annotations
@@ -424,16 +428,12 @@ FROM evals GROUP BY 1
     )
 
 
-def _km_user_tenure_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier tenure curves per market segment (X-204): subject =
-    user, lifetime = hours between first and last event, event observed
-    iff the user has been inactive for > 12 h at observation end
-    (probed: a ~60/40 churned/censored split at every SF — a 30-day rule
-    censors EVERYONE on this ~30-day fixture, measured), censored
-    otherwise. The observation horizon is max(last activity) computed
-    in-query on both engines — no magic clock literal."""
-    from kinesis_stream_video_project_spark.operators.survival import km_survival
-
+def _tenure_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival-subject frame: per user, (segment, tenure hours,
+    event = inactive > 12 h at observation end). Probed: ~60/40
+    churned/censored at every SF (a 30-day rule censors EVERYONE on
+    this ~30-day fixture — measured); the horizon is max(last activity)
+    computed in-query — no magic clock literal."""
     ev = io.load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.unix_micros("ts")).alias("_f"),
@@ -450,19 +450,34 @@ def _km_user_tenure_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = io.load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
+    return subj.join(cust, "user_id")
+
+
+def _km_user_tenure_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier tenure curves per market segment (X-204) over the
+    shared :func:`_tenure_subjects` frame."""
+    from kinesis_stream_video_project_spark.operators.survival import km_survival
+
     return km_survival(
-        subj.join(cust, "user_id"), grp="c_mktsegment"
+        _tenure_subjects(spark, sf_dir), grp="c_mktsegment"
     ).withColumnRenamed("grp", "c_mktsegment")
 
 
-def _km_oracle() -> str:
+def _logrank_tenure_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (X-211): each segment's tenure survival against the
+    rest of the cohort — the hypothesis-test companion of the KM curves
+    (curves without a test invite eyeballing). chi2 ~ χ²(1) under H₀."""
     from kinesis_stream_video_project_spark.operators.survival import (
-        KM_ORACLE_WALK,
+        logrank_vs_rest,
     )
 
-    return (
-        """
-WITH RECURSIVE per_user AS (
+    return logrank_vs_rest(
+        _tenure_subjects(spark, sf_dir), grp="c_mktsegment"
+    ).withColumnRenamed("grp", "c_mktsegment")
+
+
+_TENURE_SUBJECTS_CTE = """
+per_user AS (
   SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l
   FROM events GROUP BY 1
 ),
@@ -476,10 +491,37 @@ subjects AS (
   CROSS JOIN horizon h
 ),
 """
+
+
+def _km_oracle() -> str:
+    from kinesis_stream_video_project_spark.operators.survival import (
+        KM_ORACLE_WALK,
+    )
+
+    return (
+        "WITH RECURSIVE "
+        + _TENURE_SUBJECTS_CTE.strip()
+        + "\n"
         + KM_ORACLE_WALK.strip()
         + """
 SELECT grp AS c_mktsegment, t, n_risk, n_events, n_censored, survival
 FROM km
+"""
+    )
+
+
+def _logrank_oracle() -> str:
+    from kinesis_stream_video_project_spark.operators.survival import (
+        LOGRANK_ORACLE_WALK,
+    )
+
+    return (
+        "WITH RECURSIVE "
+        + _TENURE_SUBJECTS_CTE.strip()
+        + "\n"
+        + LOGRANK_ORACLE_WALK.strip()
+        + """
+SELECT grp AS c_mktsegment, n_deaths, sum_oe, sum_v, chi2 FROM lr
 """
     )
 
@@ -786,9 +828,11 @@ QUERIES = {
     "hilbert_locality_audit": _hilbert_locality_audit,
     "markov_transition_matrix": _markov_transition_matrix,
     "markov_backtest_accuracy": _markov_backtest_accuracy,
+    "logrank_tenure_by_segment": _logrank_tenure_by_segment,
 }
 
 ORACLES = {
+    "logrank_tenure_by_segment": _logrank_oracle(),
     "hilbert_locality_audit": _hilbert_oracle(),
     "markov_transition_matrix": _MARKOV_MATRIX_ORACLE,
     "markov_backtest_accuracy": _MARKOV_BACKTEST_ORACLE,

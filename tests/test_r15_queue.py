@@ -446,6 +446,55 @@ def test_curve_audit_refuses_out_of_range(spark):
 
 
 # ---------------------------------------------------------------------------
+# Log-rank test
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_handchecked_two_groups(spark):
+    """A: (1,†),(2,†); B: (2,†),(3,censored). t=1: n=4, n1A=2, d=1 →
+    oe_A = 0.5, v = 1·2·2·3/48 = 0.25. t=2: n=3, n1A=1, d=2 →
+    oe_A = 1/3, v = 2·1·2·1/18 = 2/9. Σoe_A = 0.8333, Σv = 0.4722,
+    χ² = 1.4706; B is the exact mirror (Σoe_B = −Σoe_A, same χ²) —
+    the two-group antisymmetry."""
+    from kinesis_stream_video_project_spark.operators.survival import (
+        logrank_vs_rest,
+    )
+
+    rows = [("A", 1, 1), ("A", 2, 1), ("B", 2, 1), ("B", 3, 0)]
+    df = spark.createDataFrame(rows, "grp string, duration long, event long")
+    got = {r["grp"]: r for r in logrank_vs_rest(df).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n_deaths"], b["n_deaths"]) == (2, 1)
+    assert (a["sum_oe"], a["sum_v"], a["chi2"]) == (0.8333, 0.4722, 1.4706)
+    assert (b["sum_oe"], b["sum_v"], b["chi2"]) == (-0.8333, 0.4722, 1.4706)
+
+
+def test_logrank_fixture_laws(spark, sf_dir):
+    """vs-rest closure: per death time Σ_g (d1 − d·n1/n) = 0, so the
+    r4-rounded sum_oe column sums to ~0 across segments; χ² ≥ 0; per-
+    group deaths sum to the cohort's total churn count."""
+    from kinesis_stream_video_project_spark.plans.queries_round15 import (
+        _logrank_tenure_by_segment,
+        _tenure_subjects,
+    )
+
+    out = _logrank_tenure_by_segment(spark, sf_dir).toPandas()
+    n_segments = (
+        _tenure_subjects(spark, sf_dir)
+        .select("c_mktsegment")
+        .distinct()
+        .count()
+    )
+    assert len(out) == n_segments  # 4 at sf0.001 (15 users), 5 above
+    assert abs(out["sum_oe"].sum()) <= 0.001
+    assert (out["chi2"].dropna() >= 0).all()
+    total_events = (
+        _tenure_subjects(spark, sf_dir).agg(F.sum("event")).collect()[0][0]
+    )
+    assert out["n_deaths"].sum() == total_events
+
+
+# ---------------------------------------------------------------------------
 # Markov transition model
 # ---------------------------------------------------------------------------
 
@@ -531,7 +580,7 @@ def test_round15_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q15.QUERIES) == 11
+    assert len(q15.QUERIES) == 12
     for name, fn in q15.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q15.ORACLES[name]).df()
