@@ -154,7 +154,12 @@ def zorder_locality_audit(
 
 
 def hilbert_stages(
-    df: DataFrame, x: str, y: str, bits: int, out: str
+    df: DataFrame,
+    x: str,
+    y: str,
+    bits: int,
+    out: str,
+    levels: int | None = None,
 ) -> DataFrame:
     """Append the Hilbert-curve index of non-negative ``(x, y)`` (each
     < 2^bits) as column ``out`` — the canonical xy2d bit walk (Hilbert
@@ -168,15 +173,26 @@ def hilbert_stages(
     intermediates, so BIGINT bitwise ops agree across engines.
 
     Per level (s = 2^i, top bit first): d += s²·((3·rx) XOR ry); if
-    ry = 0 reflect (when rx = 1) by n−1−· and swap x/y."""
+    ry = 0 reflect (when rx = 1) by n−1−· and swap x/y.
+
+    ``levels`` (default ``bits``) truncates the walk to the first k
+    levels — the PREFIX PROPERTY: level i contributes 4^i·{0..3} and
+    all later levels together contribute < 4^(bits−k), so the partial
+    index's top 2k bits equal the full index's. Block assignment at
+    ``bucket_bits`` granularity needs only ⌈bucket_bits/2⌉ levels —
+    a 3.5× walk reduction for the audit's 8-bit blocks (measured)."""
     n = 1 << bits
+    if levels is None:
+        levels = bits
+    if not (1 <= levels <= bits):
+        raise ValueError(f"levels must be in 1..{bits}, got {levels}")
     cur = (
         df.withColumn("_hx", F.col(x).cast("long"))
         .withColumn("_hy", F.col(y).cast("long"))
         .withColumn("_hd", F.lit(0).cast("long"))
     )
     keep = [c for c in df.columns]
-    for i in reversed(range(bits)):
+    for i in reversed(range(bits - levels, bits)):
         s = 1 << i
         cur = cur.select(
             "*",
@@ -217,16 +233,18 @@ def hilbert_stages(
     return cur.select(*keep, F.col("_hd").alias(out))
 
 
-def hilbert_sql_ctes(src: str, bits: int) -> str:
+def hilbert_sql_ctes(src: str, bits: int, levels: int | None = None) -> str:
     """DuckDB replay of :func:`hilbert_stages` — a generated chain of
     per-level CTEs over ``src`` (which must expose hx, hy, hd plus any
-    carried columns as ``* ``). Returns CTE text ending in ``hN``; the
-    final level's hd is the Hilbert index. Generated from the same
-    constants as the Spark side (same reflection variant, same XOR)."""
+    carried columns as ``* ``). Returns CTE text ending in ``h<levels>``;
+    that level's hd is the (possibly prefix-truncated) Hilbert index.
+    Generated from the same constants as the Spark side."""
     n = 1 << bits
+    if levels is None:
+        levels = bits
     parts = []
     prev = src
-    for lvl, i in enumerate(reversed(range(bits))):
+    for lvl, i in enumerate(reversed(range(bits - levels, bits))):
         s = 1 << i
         name = f"h{lvl + 1}"
         parts.append(
@@ -302,7 +320,11 @@ def curve_locality_audit(
         "_x",
         "_y",
     )
-    keyed = hilbert_stages(pre, "_x", "_y", bits, "_hd").select(
+    # Prefix property: the hb block id needs only ⌈bucket_bits/2⌉ walk
+    # levels (4 of 14 here) — the partial index's top bits equal the
+    # full index's (pinned in tests; measured 3.5× less walk work).
+    k_levels = -(-bucket_bits // 2)
+    keyed = hilbert_stages(pre, "_x", "_y", bits, "_hd", levels=k_levels).select(
         "hit", "zb", "rb", F.shiftright(F.col("_hd"), shift).alias("hb")
     )
     # Six consumers (per layout: touched-block distinct + probe join) —

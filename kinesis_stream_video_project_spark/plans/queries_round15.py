@@ -559,6 +559,7 @@ def _hilbert_oracle() -> str:
 
     z = _zorder_interleave_sql("x", "y", 14)
     shift = 2 * 14 - 8
+    k_levels = 4  # prefix property: 8-bit blocks need only 4 walk levels
     blocks = []
     for layout_name, bcol in (("zorder", "zb"), ("hilbert", "hb"), ("rowmajor", "rb")):
         blocks.append(
@@ -579,7 +580,7 @@ WITH base AS (
 ),
 ymax AS (SELECT MAX(y) AS my FROM base),
 h0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM base),
-{hilbert_sql_ctes("h0", 14)},
+{hilbert_sql_ctes("h0", 14, levels=k_levels)},
 keyed AS (
   SELECT (x BETWEEN 1460 AND 1825
           AND y BETWEEN (SELECT my FROM ymax) // 10
@@ -587,7 +588,7 @@ keyed AS (
          ({z}) >> {shift} AS zb,
          ((x << 14) + y) >> {shift} AS rb,
          hd >> {shift} AS hb
-  FROM h14
+  FROM h{k_levels}
 )
 SELECT layout, CAST(n_rect_rows AS BIGINT) AS n_rect_rows,
        CAST(n_blocks_touched AS BIGINT) AS n_blocks_touched,

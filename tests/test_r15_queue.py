@@ -435,6 +435,28 @@ def test_curve_audit_hilbert_ties_zorder_on_aligned_blocks(spark, sf_dir):
     )
 
 
+def test_hilbert_prefix_property(spark):
+    """The truncated walk's top bits equal the full walk's: at bits=7,
+    a 4-level partial index >> 6 equals the full index >> 6 for every
+    cell — the property that lets the audit compute 8-bit blocks with
+    4 of 14 levels."""
+    from kinesis_stream_video_project_spark.operators.layout import hilbert_stages
+
+    bits, n = 7, 128
+    df = spark.createDataFrame(
+        [(x, y) for x in range(0, n, 3) for y in range(0, n, 3)],
+        "x long, y long",
+    )
+    full = hilbert_stages(df, "x", "y", bits, "hd_full")
+    both = hilbert_stages(full, "x", "y", bits, "hd_part", levels=4)
+    bad = both.filter(
+        F.shiftright("hd_full", 6) != F.shiftright("hd_part", 6)
+    ).count()
+    assert bad == 0
+    with pytest.raises(ValueError, match="levels"):
+        hilbert_stages(df, "x", "y", bits, "hd", levels=0)
+
+
 def test_curve_audit_refuses_out_of_range(spark):
     from kinesis_stream_video_project_spark.operators.layout import (
         curve_locality_audit,
