@@ -17,6 +17,16 @@ Queries built in round 11 (continuation session):
   have no lineitems at all. The audit exists to REPORT exactly that
   honestly (the RI-audit discipline: a failing invariant is a result,
   not a bug in the audit).
+* ``abc_part_classes`` — ABC/Pareto inventory classification by exact
+  cumulative revenue share (80/95 cuts as integer cross-products — no
+  division in the classifier).
+
+A ``suspect_duplicate_orders`` query (same customer, same cents,
+within 7 days — the duplicate-payment classic) was built and DROPPED:
+probed empty at every SF (o_totalprice is a near-uniform double, zero
+exact-cent collisions; even a ±$100 band finds 2 pairs at sf0.1 and 0
+at sf0.01) — an always-empty row only ever hash-matches empty==empty,
+the round-3 degenerate-predicate trap.
 """
 
 from __future__ import annotations
@@ -165,14 +175,88 @@ FROM j GROUP BY 1
 """
 
 
+def _abc_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification (X-214): parts ranked by
+    exact revenue-cents; class A = parts while the RUNNING share (rank
+    window, integer cross-multiplication cum·1000 ≤ total·800 — no
+    division) stays within 80% of total revenue, B to 95%, C the tail.
+    Emits per class: part count, revenue, exact permille share. The
+    rank window is unpartitioned BY NATURE over the |parts| ledger
+    (20k rows at sf0.1 — never the corpus; lineitem is pre-aggregated
+    per part first). Measured finding: this generator's part revenues
+    are near-UNIFORM — A holds ~78% of parts, not the textbook Pareto
+    20%; the classifier measures concentration, it does not assume
+    it."""
+    rev = (
+        io.load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(scaled_long(F.col("l_extendedprice"), 100)).alias("_rev")
+        )
+    )
+    w = Window.orderBy(F.col("_rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = rev.agg(F.sum("_rev").alias("_tot"))
+    classed = (
+        rev.withColumn("_cum", F.sum("_rev").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_rev",
+            F.when(F.col("_cum") * 1000 <= F.col("_tot") * 800, "A")
+            .when(F.col("_cum") * 1000 <= F.col("_tot") * 950, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "_tot",
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("_rev").cast("long").alias("rev_cents"),
+        F.expr("(SUM(_rev) * 1000) DIV MAX(_tot)")
+        .cast("long")
+        .alias("share_permille"),
+    )
+
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS tot FROM rev),
+classed AS (
+  SELECT rev,
+         CASE WHEN cum * 1000 <= t.tot * 800 THEN 'A'
+              WHEN cum * 1000 <= t.tot * 950 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         t.tot
+  FROM (
+    SELECT l_partkey, rev,
+           SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM rev
+  ) r, tot t
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS rev_cents,
+       CAST((SUM(rev) * 1000) // MAX(tot) AS BIGINT) AS share_permille
+FROM classed GROUP BY 1
+"""
+
+
 QUERIES = {
     "ltv_cohort_revenue": _ltv_cohort_revenue,
     "order_total_reconciliation": _order_total_reconciliation,
+    "abc_part_classes": _abc_part_classes,
 }
 
 ORACLES = {
     "ltv_cohort_revenue": _LTV_ORACLE,
     "order_total_reconciliation": _RECON_ORACLE,
+    "abc_part_classes": _ABC_ORACLE,
 }
 
 assert set(QUERIES) == set(ORACLES)

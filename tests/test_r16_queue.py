@@ -125,6 +125,37 @@ def test_reconciliation_detects_clean_order(spark):
     assert row["max_gap_cents"] == 89900  # order 2: stated 999, lines 100
 
 
+def test_abc_handchecked_and_laws(spark, sf_dir):
+    """Synthetic: revenues [80, 15, 3, 2] → the first part alone is
+    exactly 80% (A), the second reaches 95% (B), the tail is C. On the
+    fixture: classes partition all parts, shares sum to ~1000‰, and A
+    holds STRICTLY LESS than 80% of the parts (with desc ordering the
+    richest parts reach the 80% revenue line first). Measured finding:
+    this generator's part revenues are near-UNIFORM — A holds ~78% of
+    parts, not the textbook Pareto 20%; the classifier measures the
+    concentration, it does not assume it."""
+    import unittest.mock as mock
+
+    from kinesis_stream_video_project_spark.plans import queries_round16 as r16
+
+    li = spark.createDataFrame(
+        [(1, 80.0), (2, 15.0), (3, 3.0), (4, 2.0)],
+        "l_partkey long, l_extendedprice double",
+    )
+    with mock.patch.object(r16.io, "load_table", lambda *_a: li):
+        got = {
+            r["abc_class"]: (r["n_parts"], r["share_permille"])
+            for r in r16._abc_part_classes(spark, "unused").collect()
+        }
+    assert got == {"A": (1, 800), "B": (1, 150), "C": (2, 50)}
+
+    out = r16._abc_part_classes(spark, sf_dir).toPandas()
+    assert set(out["abc_class"]) == {"A", "B", "C"}
+    assert 998 <= out["share_permille"].sum() <= 1000  # DIV truncation
+    by = out.set_index("abc_class")
+    assert by.loc["A", "n_parts"] < 0.8 * out["n_parts"].sum()
+
+
 @pytest.mark.parametrize("sf", SFS)
 def test_round16_module_entries_match_oracles(spark, sf):
     """Driver-style rendered-value check over every pre-wired r16 query
@@ -135,7 +166,7 @@ def test_round16_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q16.QUERIES) == 2
+    assert len(q16.QUERIES) == 3
     for name, fn in q16.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q16.ORACLES[name]).df()
