@@ -20,6 +20,10 @@ Queries built in round 11 (continuation session):
 * ``abc_part_classes`` — ABC/Pareto inventory classification by exact
   cumulative revenue share (80/95 cuts as integer cross-products — no
   division in the classifier).
+* ``mmr_diverse_topk`` — Maximal Marginal Relevance diversity
+  re-ranking (Carbonell & Goldstein SIGIR 1998): greedy
+  rel − λ·max-sim-to-selected over a 50-candidate exact-cosine tier —
+  deduplicated RAG context assembly (`operators/mmr.py`).
 
 A ``suspect_duplicate_orders`` query (same customer, same cents,
 within 7 days — the duplicate-payment classic) was built and DROPPED:
@@ -247,16 +251,48 @@ FROM classed GROUP BY 1
 """
 
 
+def _mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (X-216): the 10 most relevant-yet-
+    diverse neighbors of query vector 0 from a 50-candidate exact-cosine
+    tier, λ = 0.5 — deduplicated context assembly for RAG (top-k hands a
+    prompt five copies of the same paragraph; MMR hands it five
+    different ones)."""
+    from kinesis_stream_video_project_spark.operators.mmr import mmr_topk
+
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    corpus = e.filter(F.col("vec_id") != 0)
+    return mmr_topk(q, corpus, n_candidates=50, k_select=10, lam=0.5)
+
+
+def _mmr_oracle() -> str:
+    from kinesis_stream_video_project_spark.operators.mmr import mmr_oracle_sql
+    from kinesis_stream_video_project_spark.plans.queries_llm import _dd_cosine
+
+    rel_cte = f"""
+  SELECT e.vec_id AS i, e.embedding,
+         (floor(({_dd_cosine('q.embedding', 'e.embedding')}) * 10000.0 + 0.5)
+          / 10000.0) AS rel
+  FROM embeddings e,
+       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id LIMIT 50
+"""
+    return mmr_oracle_sql(rel_cte, n_candidates=50, k_select=10, lam=0.5)
+
+
 QUERIES = {
     "ltv_cohort_revenue": _ltv_cohort_revenue,
     "order_total_reconciliation": _order_total_reconciliation,
     "abc_part_classes": _abc_part_classes,
+    "mmr_diverse_topk": _mmr_diverse_topk,
 }
 
 ORACLES = {
     "ltv_cohort_revenue": _LTV_ORACLE,
     "order_total_reconciliation": _RECON_ORACLE,
     "abc_part_classes": _ABC_ORACLE,
+    "mmr_diverse_topk": _mmr_oracle(),
 }
 
 assert set(QUERIES) == set(ORACLES)

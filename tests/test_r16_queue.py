@@ -156,6 +156,71 @@ def test_abc_handchecked_and_laws(spark, sf_dir):
     assert by.loc["A", "n_parts"] < 0.8 * out["n_parts"].sum()
 
 
+def test_mmr_fold_prefers_diversity():
+    """rel: d1=0.9, d2=0.89, d3=0.5; sim(d1,d2)=1.0 (near-duplicates),
+    sim(·,d3)=0. Greedy at λ=0.5: step1 = d1 (0.9); step2 = d3 (0.5
+    beats d2's 0.89 − 0.5·1.0 = 0.39 — diversity beats raw rank);
+    step3 = d2 at 0.39."""
+    from kinesis_stream_video_project_spark.operators.mmr import mmr_fold
+
+    rel = [(1, None, 0.9, "r"), (2, None, 0.89, "r"), (3, None, 0.5, "r")]
+    sims = []
+    s = {(1, 2): 1.0, (1, 3): 0.0, (2, 3): 0.0}
+    for (i, j), v in s.items():
+        sims += [(i, j, v, "s"), (j, i, v, "s")]
+    pdf = pd.DataFrame(rel + sims, columns=["i", "j", "v", "kind"])
+    pdf["k_select"], pdf["lam"] = 3, 0.5
+    out = mmr_fold(pdf)
+    got = list(zip(out["step"], out["vec_id"], out["mmr_score"]))
+    assert got == [(1, 1, 0.9), (2, 3, 0.5), (3, 2, 0.39)]
+
+
+def test_mmr_lambda_zero_is_pure_relevance(spark, sf_dir):
+    """λ = 0 removes the penalty: the selection equals the cosine top-10
+    in rank order — MMR degrades to the relevance tier exactly."""
+    from kinesis_stream_video_project_spark import io
+    from kinesis_stream_video_project_spark.operators import similarity as sim
+    from kinesis_stream_video_project_spark.operators.mmr import mmr_topk
+
+    e = io.load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    corpus = e.filter(F.col("vec_id") != 0)
+    got = [
+        r["vec_id"]
+        for r in mmr_topk(q, corpus, k_select=10, lam=0.0)
+        .orderBy("step")
+        .collect()
+    ]
+    qid = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = [
+        r["vec_id"]
+        for r in sim.cosine_topk(qid, e, k=10).orderBy("rank").collect()
+    ]
+    assert got == want
+
+
+def test_mmr_fixture_laws_and_refusal(spark, sf_dir):
+    """10 distinct selections; step-1 carries the maximum score (it is
+    the unpenalized argmax — every later score is some rel' − pen ≤
+    rel' ≤ rel₁); k_select > n_candidates refuses."""
+    from kinesis_stream_video_project_spark.plans.queries_round16 import (
+        _mmr_diverse_topk,
+    )
+
+    out = _mmr_diverse_topk(spark, sf_dir).toPandas()
+    assert len(out) == 10 and out["vec_id"].nunique() == 10
+    s1 = out.loc[out["step"] == 1, "mmr_score"].iloc[0]
+    assert (out["mmr_score"] <= s1).all()
+
+    from kinesis_stream_video_project_spark.operators.mmr import mmr_topk
+
+    df = spark.createDataFrame([([1.0],)], "embedding array<double>")
+    with pytest.raises(ValueError, match="k_select"):
+        mmr_topk(df, df, n_candidates=5, k_select=6)
+
+
 @pytest.mark.parametrize("sf", SFS)
 def test_round16_module_entries_match_oracles(spark, sf):
     """Driver-style rendered-value check over every pre-wired r16 query
@@ -166,7 +231,7 @@ def test_round16_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q16.QUERIES) == 3
+    assert len(q16.QUERIES) == 4
     for name, fn in q16.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q16.ORACLES[name]).df()
