@@ -281,7 +281,87 @@ def _mmr_oracle() -> str:
     return mmr_oracle_sql(rel_cte, n_candidates=50, k_select=10, lam=0.5)
 
 
+def _quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-vs-duplication calibration (X-217): per quality-score
+    decile, the exact-duplicate rate — the cross-family evaluation row
+    that asks whether the quality filter and the dedup tier agree about
+    which documents are junk (a curation pipeline that filters on
+    quality but keeps duplicate clusters is leaking). Decile = ntile(10)
+    over (r4 quality, doc_id) — a ledger-sized unpartitioned window
+    (|documents| rows); dup flag = text-group count > 1 (no hash needed
+    cross-engine: the text IS the key). Measured: the generator plants
+    duplicate clusters only at sf0.1 (16 dup docs; 0 at sf≤0.01, exact
+    AND normalized — probed), so the dup column is live at the bench SF
+    and honestly zero at the gate SF; deciles/counts carry signal at
+    every SF."""
+    from kinesis_stream_video_project_spark.functions import text as T
+    from kinesis_stream_video_project_spark.functions.numeric import r4
+
+    d = io.load_table(spark, sf_dir, "documents")
+    w_dup = Window.partitionBy("text")
+    scored = d.select(
+        "doc_id",
+        r4(T.quality_score("text", "n_chars")).alias("_q"),
+        (F.count(F.lit(1)).over(w_dup) > 1).alias("_is_dup"),
+    )
+    w_tile = Window.orderBy(F.col("_q"), F.col("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w_tile))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.when(F.col("_is_dup"), 1)), F.lit(0))
+            .cast("long")
+            .alias("n_dups"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs",
+            "n_dups",
+            F.expr("(n_dups * 1000) DIV n_docs").cast("long").alias("dup_permille"),
+        )
+    )
+
+
+def _quality_dup_oracle() -> str:
+    from kinesis_stream_video_project_spark.plans.queries_llm import _STOP_SQL
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text,
+         (floor(((LEAST(n_chars, 400) / 400.0
+                  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  + 1.0 - abs(CAST(len(list_filter(toks,
+                        tok -> list_contains({_STOP_SQL}, tok))) AS DOUBLE)
+                        / len(toks) - 0.1)) / 3.0) * 10000.0 + 0.5)
+          / 10000.0) AS qual
+  FROM t
+),
+flagged AS (
+  SELECT doc_id, qual,
+         COUNT(*) OVER (PARTITION BY text) > 1 AS is_dup
+  FROM q
+),
+tiled AS (
+  SELECT ntile(10) OVER (ORDER BY qual, doc_id) AS decile, is_dup
+  FROM flagged
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN is_dup THEN 1 END), 0) AS BIGINT)
+         AS n_dups,
+       CAST((COALESCE(SUM(CASE WHEN is_dup THEN 1 END), 0) * 1000)
+            // COUNT(*) AS BIGINT) AS dup_permille
+FROM tiled GROUP BY 1
+"""
+
+
 QUERIES = {
+    "quality_dup_calibration": _quality_dup_calibration,
     "ltv_cohort_revenue": _ltv_cohort_revenue,
     "order_total_reconciliation": _order_total_reconciliation,
     "abc_part_classes": _abc_part_classes,
@@ -289,6 +369,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_dup_calibration": _quality_dup_oracle(),
     "ltv_cohort_revenue": _LTV_ORACLE,
     "order_total_reconciliation": _RECON_ORACLE,
     "abc_part_classes": _ABC_ORACLE,

@@ -221,6 +221,23 @@ def test_mmr_fixture_laws_and_refusal(spark, sf_dir):
         mmr_topk(df, df, n_candidates=5, k_select=6)
 
 
+def test_quality_dup_calibration_laws(spark, sf_dir):
+    """Deciles partition all documents into 10 near-equal bins (ntile
+    law: sizes differ by at most 1), dup counts are bounded by bin
+    sizes, and the doc total matches the corpus."""
+    from kinesis_stream_video_project_spark import io
+    from kinesis_stream_video_project_spark.plans.queries_round16 import (
+        _quality_dup_calibration,
+    )
+
+    out = _quality_dup_calibration(spark, sf_dir).toPandas()
+    assert sorted(out["decile"]) == list(range(1, 11))
+    assert out["n_docs"].max() - out["n_docs"].min() <= 1
+    assert (out["n_dups"] <= out["n_docs"]).all()
+    total = io.load_table(spark, sf_dir, "documents").count()
+    assert out["n_docs"].sum() == total
+
+
 @pytest.mark.parametrize("sf", SFS)
 def test_round16_module_entries_match_oracles(spark, sf):
     """Driver-style rendered-value check over every pre-wired r16 query
@@ -231,7 +248,7 @@ def test_round16_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q16.QUERIES) == 4
+    assert len(q16.QUERIES) == 5
     for name, fn in q16.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q16.ORACLES[name]).df()
