@@ -360,8 +360,119 @@ FROM tiled GROUP BY 1
 """
 
 
+def _growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting ledger (X-218, the Social-Capital/a16z growth
+    decomposition): per activity day, users split into NEW (first-ever
+    day), RETAINED (also active the previous day), RESURRECTED (active,
+    not yesterday, not new), and CHURNED (active yesterday, silent
+    today — attributed to today). The four flows plus the running
+    identity DAU(d) = new + retained + resurrected are all exact
+    integers; churned rows ride one day forward via a +1-day self-key.
+    One distinct (user, day) aggregate, one user-partitioned lag window,
+    day-level rollups after."""
+    ev = io.load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("_d")
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    w_u = W.partitionBy("user_id").orderBy("_d")
+    tagged = ud.select(
+        "user_id",
+        "_d",
+        F.lag("_d").over(w_u).alias("_prev"),
+        F.min("_d").over(
+            W.partitionBy("user_id").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("_first"),
+    )
+    flows = tagged.select(
+        "_d",
+        F.when(F.col("_d") == F.col("_first"), 1).otherwise(0).alias("_new"),
+        F.when(
+            F.col("_prev").isNotNull()
+            & (F.datediff(F.col("_d"), F.col("_prev")) == 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("_ret"),
+        F.when(
+            (F.col("_d") != F.col("_first"))
+            & (
+                F.col("_prev").isNull()
+                | (F.datediff(F.col("_d"), F.col("_prev")) > 1)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("_res"),
+    )
+    active = flows.groupBy("_d").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum("_new").alias("n_new"),
+        F.sum("_ret").alias("n_retained"),
+        F.sum("_res").alias("n_resurrected"),
+    )
+    # churned(d) = active(d−1) − retained(d): users active yesterday who
+    # did not show today (computed by shifting yesterday's DAU forward).
+    prev = active.select(
+        F.date_add(F.col("_d"), 1).alias("_d"),
+        F.col("dau").alias("_prev_dau"),
+    )
+    return (
+        active.join(prev, "_d", "left")
+        .select(
+            F.col("_d").cast("date").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.col("n_retained").cast("long").alias("n_retained"),
+            F.col("n_resurrected").cast("long").alias("n_resurrected"),
+            (F.coalesce(F.col("_prev_dau"), F.lit(0)) - F.col("n_retained"))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )
+
+
+_GROWTH_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+tagged AS (
+  SELECT user_id, d,
+         lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev,
+         MIN(d) OVER (PARTITION BY user_id) AS first_d
+  FROM ud
+),
+flows AS (
+  SELECT d,
+         CASE WHEN d = first_d THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN prev IS NOT NULL AND d - prev = 1 THEN 1 ELSE 0 END
+           AS is_ret,
+         CASE WHEN d <> first_d AND (prev IS NULL OR d - prev > 1)
+              THEN 1 ELSE 0 END AS is_res
+  FROM tagged
+),
+active AS (
+  SELECT d, COUNT(*) AS dau, SUM(is_new) AS n_new,
+         SUM(is_ret) AS n_retained, SUM(is_res) AS n_resurrected
+  FROM flows GROUP BY 1
+)
+SELECT a.d AS day,
+       CAST(a.dau AS BIGINT) AS dau,
+       CAST(a.n_new AS BIGINT) AS n_new,
+       CAST(a.n_retained AS BIGINT) AS n_retained,
+       CAST(a.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(p.dau, 0) - a.n_retained AS BIGINT) AS n_churned
+FROM active a
+LEFT JOIN active p ON p.d = a.d - 1
+"""
+
+
 QUERIES = {
     "quality_dup_calibration": _quality_dup_calibration,
+    "growth_accounting_daily": _growth_accounting_daily,
     "ltv_cohort_revenue": _ltv_cohort_revenue,
     "order_total_reconciliation": _order_total_reconciliation,
     "abc_part_classes": _abc_part_classes,
@@ -370,6 +481,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_dup_calibration": _quality_dup_oracle(),
+    "growth_accounting_daily": _GROWTH_ORACLE,
     "ltv_cohort_revenue": _LTV_ORACLE,
     "order_total_reconciliation": _RECON_ORACLE,
     "abc_part_classes": _ABC_ORACLE,
