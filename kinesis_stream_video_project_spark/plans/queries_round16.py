@@ -24,6 +24,11 @@ Queries built in round 11 (continuation session):
   re-ranking (Carbonell & Goldstein SIGIR 1998): greedy
   rel − λ·max-sim-to-selected over a 50-candidate exact-cosine tier —
   deduplicated RAG context assembly (`operators/mmr.py`).
+* ``quality_dup_calibration`` — per quality-score decile, the exact-dup
+  rate: does the quality filter agree with the dedup tier about junk?
+* ``growth_accounting_daily`` — the classic new/retained/resurrected/
+  churned decomposition of daily active users, with the ledger
+  identities pinned.
 
 A ``suspect_duplicate_orders`` query (same customer, same cents,
 within 7 days — the duplicate-payment classic) was built and DROPPED:
