@@ -4012,6 +4012,130 @@ def hw_stream_tws(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Online event-transition pairing (live Markov bigram feed per user)
+# ---------------------------------------------------------------------------
+
+_TRANS_OUT_SCHEMA = (
+    "user_id bigint, prev_ty string, next_ty string, next_us bigint"
+)
+_TRANS_STATE_SCHEMA = StructType().add("last_ty", StringType())
+
+
+def _trans_fold(last_ty, rows):
+    """Pure per-user transition pairing shared by BOTH stateful API
+    forms: walk (ts_us, event_id, type)-sorted rows carrying the last
+    seen type across batches; every row after the first seen emits
+    (prev_ty, next_ty, next_us) — EXACTLY the batch window-lag view
+    (`queries_round15._user_transitions`), so drained emissions equal
+    it verbatim (pinned). ORDER CONTRACT (the holt/lve discipline):
+    rows arrive in series order across batches; within a batch the
+    caller sorts. State = ONE string per key."""
+    emitted = []
+    for us, _eid, ty in rows:
+        if last_ty is not None:
+            emitted.append((last_ty, ty, int(us)))
+        last_ty = ty
+    return last_ty, emitted
+
+
+def _trans_staged(events: DataFrame) -> DataFrame:
+    return events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").cast("string").alias("ty"),
+    )
+
+
+def _trans_batch_rows(b: pd.DataFrame) -> list:
+    return sorted(
+        zip(b["ts_us"].tolist(), b["event_id"].tolist(), b["ty"].tolist()),
+        key=lambda t: (int(t[0]), int(t[1])),
+    )
+
+
+def _trans_emit(user_id, emitted) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [int(user_id)] * len(emitted),
+            "prev_ty": [p for p, _, _ in emitted],
+            "next_ty": [n for _, n, _ in emitted],
+            "next_us": [u for _, _, u in emitted],
+        }
+    )
+
+
+def transitions_stream(events: DataFrame) -> DataFrame:
+    """ONLINE event-transition pairing — the TWENTY-FIRST op on both
+    stateful APIs: the streaming half of the r15 Markov family
+    (`markov_transition_matrix` consumes exactly these rows). Per user,
+    carry the last event type (ONE string of state — the smallest state
+    in the shelf) and emit each consecutive (prev, next) bigram at
+    micro-batch latency; a downstream stateless groupBy turns the feed
+    into live transition counts. Drained emissions equal the batch
+    window-lag transitions on the same rows exactly (pinned)."""
+    staged = _trans_staged(events)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_ty = state.get[0] if state.exists else None
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        last_ty, emitted = _trans_fold(last_ty, _trans_batch_rows(b))
+        state.update((last_ty,))
+        if emitted:
+            yield _trans_emit(user_id, emitted)
+
+    return staged.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def transitions_stream_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`transitions_stream` — same shared fold, no timers. GS ≡ TWS
+    pinned on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _trans_staged(events)
+
+    class TransProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("trans", _TRANS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            got = self._state.get()
+            last_ty = got[0] if got is not None else None
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            last_ty, emitted = _trans_fold(last_ty, _trans_batch_rows(b))
+            self._state.update((last_ty,))
+            if emitted:
+                yield _trans_emit(user_id, emitted)
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TransProcessor(),
+        outputStructType=_TRANS_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Online AMS F2 sketch (live repeat-rate / self-join-size estimate per key)
 # ---------------------------------------------------------------------------
 

@@ -4223,6 +4223,184 @@ def test_holt_stream_checkpoint_restart_resumes(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Online event-transition pairing (21st dual-API op)
+# ---------------------------------------------------------------------------
+
+_TRANS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string"
+)
+
+
+def _drain_trans(spark, tmp_path, fn, rows, tag, nfiles):
+    src = tmp_path / f"trans_src_{tag}"
+    step = -(-len(rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(rows[i * step : (i + 1) * step], _TRANS_SCHEMA),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(_TRANS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"trans_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_trans_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        (r.user_id, r.prev_ty, r.next_ty, r.next_us)
+        for r in spark.sql(f"SELECT * FROM trans_out_{tag}").collect()
+    }
+
+
+def _trans_rows(spark, sf_dir, limit=3000):
+    return [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .limit(limit)
+        .collect()
+    ]
+
+
+def _trans_batch_twin(spark, rows):
+    """The r15 window-lag view on the same rows — the oracle-validated
+    batch derivation (queries_round15._user_transitions) the stream
+    must reproduce."""
+    df = spark.createDataFrame(rows, _TRANS_SCHEMA)
+    ud = df.select(
+        "user_id",
+        F.col("event_type"),
+        F.unix_micros("ts").alias("_us"),
+        "event_id",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    out = (
+        ud.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_ty"),
+            F.col("event_type").alias("next_ty"),
+            F.col("_us").alias("next_us"),
+        )
+        .filter(F.col("prev_ty").isNotNull())
+    )
+    return {
+        (r.user_id, r.prev_ty, r.next_ty, r.next_us) for r in out.collect()
+    }
+
+
+def test_transitions_stream_matches_batch_lag(spark, tmp_path, sf_dir):
+    """Drained emissions equal the batch window-lag transitions on the
+    same rows — on one file AND three event-time-ordered files (the
+    in-order chunking contract: a bigram spanning a file boundary pairs
+    through restored state), op twenty-one certified against the
+    oracle-validated r15 derivation."""
+    rows = _trans_rows(spark, sf_dir)
+    want = _trans_batch_twin(spark, rows)
+    got1 = _drain_trans(spark, tmp_path, jobs.transitions_stream, rows, "gs1", 1)
+    got3 = _drain_trans(spark, tmp_path, jobs.transitions_stream, rows, "gs3", 3)
+    assert got1 == got3 == want and len(want) > 500
+
+
+def test_transitions_stream_tws_matches_group_state_form(spark, tmp_path, sf_dir):
+    """GS ≡ TWS on the same drain (the dual-API law, op twenty-one)."""
+    rows = _trans_rows(spark, sf_dir, limit=1200)
+    gs = _drain_trans(spark, tmp_path, jobs.transitions_stream, rows, "eq_gs", 2)
+    tws = _drain_trans(
+        spark, tmp_path, jobs.transitions_stream_tws, rows, "eq_tws", 2
+    )
+    assert gs == tws and len(gs) > 100
+
+
+def test_transitions_stream_checkpoint_restart_pairs_across(spark, tmp_path):
+    """A bigram spanning the restart boundary: batch 1 ends on 'click',
+    batch 2 (after restart) opens with 'purchase' — the pair
+    (click, purchase) emits from RESTORED last-type state, and nothing
+    re-emits."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 8, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, sec, ty):
+        return (eid, base + dt.timedelta(seconds=sec), 5, ty)
+
+    src = tmp_path / "trans_restart_src"
+    ckpt = str(tmp_path / "ckpt_trans_restart")
+    out = str(tmp_path / "trans_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(_TRANS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.transitions_stream_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.user_id, r.prev_ty, r.next_ty)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_single_file(
+        spark.createDataFrame([ev(1, 0, "view"), ev(2, 10, "click")], _TRANS_SCHEMA),
+        src,
+        "b0.parquet",
+    )
+    assert drain() == {(5, "view", "click")}
+    time.sleep(1.1)
+    _write_single_file(
+        spark.createDataFrame([ev(3, 20, "purchase")], _TRANS_SCHEMA),
+        src,
+        "b1.parquet",
+    )
+    assert drain() == {(5, "view", "click"), (5, "click", "purchase")}
+
+
+def test_transitions_fold_chunking_hypothesis():
+    """Hypothesis pin: any in-order chunking of any type sequence emits
+    exactly the one-shot pairing — state carries the boundary bigram."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        tys=st.lists(st.sampled_from(["a", "b", "c"]), max_size=25),
+        chunk=st.integers(min_value=1, max_value=6),
+    )
+    def law(tys, chunk):
+        rows = [(i * 10, i, t) for i, t in enumerate(tys)]
+        _, want = jobs._trans_fold(None, rows)
+        last, emitted = None, []
+        for i in range(0, len(rows), chunk):
+            last, e = jobs._trans_fold(last, rows[i : i + chunk])
+            emitted.extend(e)
+        assert emitted == want
+
+    law()
+
+
+# ---------------------------------------------------------------------------
 # Online Holt-Winters additive seasonal (20th dual-API op)
 # ---------------------------------------------------------------------------
 
