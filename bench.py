@@ -76,18 +76,45 @@ BENCH_QUERIES = [
 # iterative queries whose build step does real work — the pagerank/LPA/
 # k-core family localCheckpoints and probes during construction).
 #
-# r11 window policy: the rotation aligns with the r11 DRIVER_PRIORITY
+# r12 window policy: the rotation aligns with the r12 DRIVER_PRIORITY
 # correctness window (minus stable-set members, which the stable child
-# times every round), led by the 20 new round-11 registrations (the full
-# r12 + r13 queues + the six r11 deferrals), followed by the first-drift
-# re-measures of the 30 round-10 registrations (warm figures compare
-# against BENCH_r10's rotation_warm — this is also where the pq_adc_topk
-# ≤3 s target of VERDICT r10 item 2 is evidenced), then the 27
-# non-stable members of the r6-latest refresh cohort (the r11 window's
-# block (b); cosine_topk / curation_pipeline / exact_dedup_docs are
-# stable-set members and already timed every round).
+# times every round), led by the 20 new round-12 registrations (the full
+# r14 queue + the eleven strongest r15 entries), followed by the
+# first-drift re-measures of the 20 round-11 registrations (warm figures
+# compare against BENCH_r11's rotation_warm — this is also where the
+# rare_shingle_neighbors ≤2 s target of VERDICT r11 item 2 is
+# evidenced), then the 22 non-stable members of the r12 refresh cohort
+# (the window's block (b); quality_score / session_windows /
+# stream_health_60s / consecutive_failures / token_stats /
+# tumbling_hourly / weekly_retention / window_running_agg are stable-set
+# members and already timed every round).
 BENCH_ROTATION = [
-    # new round-11 registrations: r12 queue (7)
+    # new round-12 registrations: r14 queue (9)
+    "scd2_customer_history",
+    "scd2_cdc_consistency",
+    "scd2_snapshot_at",
+    "ivfadc_topk",
+    "holt_daily_revenue",
+    "holt_backtest_mae",
+    "theilsen_weekly_trend",
+    "bootstrap_weekly_ci",
+    "ri_coverage_audit",
+    # new round-12 registrations: r15 strongest (11)
+    "shapley_channel_attribution",
+    "km_user_tenure_by_segment",
+    "logrank_tenure_by_segment",
+    "hilbert_locality_audit",
+    "ams_f2_partkey",
+    "perm_test_weekly_revenue",
+    "welch_t2_weekly_revenue",
+    "hw_daily_revenue",
+    "hw_backtest_skill",
+    "markov_transition_matrix",
+    "markov_backtest_accuracy",
+    # the 20 round-11 registrations re-measured (first-drift check;
+    # warm figures compare against BENCH_r11 rotation_warm — this is
+    # where the rare_shingle_neighbors <=2 s target of VERDICT r11
+    # item 2 is evidenced)
     "burn_rate_alerts",
     "ivm_orders_by_custkey",
     "allpairs_jaccard_ppjoin",
@@ -95,7 +122,6 @@ BENCH_ROTATION = [
     "rare_shingle_neighbors",
     "stratified_allocation",
     "followup_outer_pairs",
-    # new round-11 registrations: r13 queue (7)
     "priority_sample_docs",
     "compaction_bins",
     "fastss_typo_pairs",
@@ -103,81 +129,44 @@ BENCH_ROTATION = [
     "hrw_rebalance_audit",
     "semdedup_keep_report",
     "semdedup_docs_keep",
-    # new round-11 registrations: r11 deferrals (6)
     "mwu_purchase_click",
     "bag_set_ops",
     "curation_pipeline_v5",
     "twa_user_values",
     "ohlc_hourly_values",
     "ndcg_tier_claims",
-    # the 30 round-10 registrations re-measured (first-drift check)
-    "zorder_locality_audit",
-    "range_partition_bounds",
-    "truncated_rerank_topk",
-    "pq_adc_topk",
-    "frame_diff_energy",
-    "scene_cuts",
-    "dhash_near_dups",
-    "hits_bipartite",
-    "closed_sessions",
-    "kmv_distinct_nations",
-    "dd_price_quantiles",
-    "peak_transit_suppliers",
-    "attribution_channels",
-    "readability_scores",
-    "props_charclass_profile",
-    "bpe_trained_merges",
-    "bpe_compression_report",
-    "chi2_priority_status",
-    "ks_purchase_click",
-    "benford_totalprice",
-    "gini_supplier_revenue",
-    "topk_quantity_ties",
-    "acf_daily_orders",
-    "priority_impurity_by_nation",
-    "cdc_customer_segments",
-    "anonymity_nation_segment",
-    "allpairs_jaccard_800",
-    "fd_nation_segment_name",
-    "kmv_setops_urgent_low",
-    "gopher_rules",
-    # the r6-latest refresh cohort (window block (b), r6 order, minus
-    # the 3 stable-set members)
-    "lpa_communities",
-    "kcore_parts",
-    "robust_value_stats",
-    "winsorized_value_stats",
-    "table_drift_report",
-    "silent_periods",
-    "weighted_pagerank_topk",
-    "curation_pipeline_v3",
-    "pagerank_copurchase_topk",
-    "approx_distinct",
-    "approx_percentiles_value",
-    "bpe_regex_tokens",
-    "brand_volume_suppliers",
-    "dedup_survivors",
-    "deterministic_sample_docs",
-    "doc_fingerprint",
-    "dormant_rich_customers",
-    "event_transitions",
-    "frame_sample",
-    "fuzzy_pairs_levenshtein",
-    "grouped_pandas_stats",
-    "important_part_shares",
-    "lang_id_ngram",
-    "lang_stats",
-    "large_volume_customers",
-    "min_cost_supplier",
-    "multimodal_features",
+    # the r12 window refresh cohort (block (b): r6-latest remainder +
+    # r7-latest head, minus the stable-set members timed every round)
+    "multimodal_resized",
+    "normalized_dedup_docs",
+    "pandas_udf_token_count",
+    "salted_join_orders",
+    "sliding_windows",
+    "small_quantity_revenue",
+    "stratified_sample_docs",
+    "streaming_dedup_twin",
+    "time_range_moving_window",
+    "train_test_split_counts",
+    "udtf_explode_tokens",
+    "window_distribution_funcs",
+    "error_followup_pairs",
+    "bigram_surprisal_score",
+    "seasonal_value_anomalies",
+    "simhash_bucket_pairs",
+    "copurchase_blast_radius",
+    "token_budget_waterfall",
+    "near_dup_candidates_horizon",
+    "ann_tier_claims",
+    "anti_join_customers",
+    "asof_forward_metric",
 ]
 
 # Entries that get a WARM re-execution figure in addition to the
 # construction+materialization span: the 20 new registrations (their
-# first timings are compile-heavy) and the 30 r10-window registrations
-# whose warm figures the first-drift check compares against BENCH_r10's
+# first timings are compile-heavy) and the 20 r11-window registrations
+# whose warm figures the first-drift check compares against BENCH_r11's
 # rotation_warm.
-BENCH_ROTATION_HEAD = BENCH_ROTATION[:50]
+BENCH_ROTATION_HEAD = BENCH_ROTATION[:40]
 
 # The new registrations this round. Per-query rows no longer fit the
 # compact stdout artifact (the driver's ~2000-char tail capture —

@@ -5,9 +5,13 @@ repeat-rate estimator that completes the sketch shelf next to HLL/KMV
 (F₀), Count-Min (point frequencies), and Space-Saving (top-k).
 
 Each estimator r keeps ONE integer Xᵣ = Σ_rows sign(key, r): every
-arrival adds ±1, the sign a pure function of (r, key) via the portable
-md5-substring parity (the ``cms_bucket`` hash family), so DuckDB derives
-bit-identical registers and the sketch itself is driver-hash-checkable.
+arrival adds ±1, the sign a pure function of (r, key) via portable md5
+parity — one md5 BLOCK DIGEST per 32 estimators, estimator r reading
+the parity of hex digit r MOD 32 (one hash evaluation per row at the
+default R = 16; the per-estimator-md5 form measured 6× slower at sf0.1
+for no extra independence — md5's digits are the randomness either
+way). DuckDB derives bit-identical registers, so the sketch itself is
+driver-hash-checkable.
 E[Xᵣ²] = F₂ exactly; Var[Xᵣ²] ≤ 2·F₂², so the mean of R independent
 estimators has relative sd ≤ √(2/R) (R = 16 ⇒ ~35%).
 
@@ -29,20 +33,25 @@ from pyspark.sql import functions as F
 from kinesis_stream_video_project_spark.functions.numeric import r4
 
 
-def ams_sign(key: Column, r: int) -> Column:
-    """Estimator ``r``'s ±1 sign for ``key``: parity of the portable
-    md5-substring integer (identical in DuckDB:
-    ``CASE WHEN ('0x' || substr(md5(r || ':' || k), 1, 8))::BIGINT % 2 = 0
+def ams_block_hash(key: Column, block: int) -> Column:
+    """One md5 hex digest serving 32 estimators (block = r DIV 32):
+    estimator r's sign is the parity of hex digit ``r MOD 32``. One
+    hash evaluation per row covers the default R = 16 — the r12 replan
+    that took the registered sketch from 6.0 to ~1 s warm at sf0.1 (16
+    per-row md5 calls collapsed into one; the digits of one md5 are as
+    independent as sixteen md5s for the √(2/R) bound, which is already
+    a randomness-of-md5 argument). Identical in DuckDB:
+    ``md5(block || ':' || CAST(k AS VARCHAR))``."""
+    return F.md5(F.concat(F.lit(f"{block}:"), key.cast("string")))
+
+
+def ams_sign_from_hash(h: Column, r: int) -> Column:
+    """Estimator ``r``'s ±1 sign from its block digest: parity of hex
+    digit ``r MOD 32`` (DuckDB:
+    ``CASE WHEN ('0x' || substr(h, (r % 32) + 1, 1))::BIGINT % 2 = 0
     THEN 1 ELSE -1 END``)."""
     parity = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{r}:"), key.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
+        F.conv(F.substring(h, (r % 32) + 1, 1), 16, 10).cast("bigint") % 2
     )
     return F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1))
 
@@ -58,10 +67,22 @@ def ams_f2_report(df: DataFrame, key: str, n_estimators: int = 16) -> DataFrame:
             f"n_estimators must be in 1..64, got {n_estimators}"
         )
     k = F.col(key)
-    sketch = df.agg(
+    n_blocks = (n_estimators + 31) // 32
+    # Block digests projected into their OWN columns before the
+    # aggregate (the _hs multi-reference rule): each digest feeds up to
+    # 32 sign expressions, and without the projection every sum term
+    # would re-evaluate the md5 per row.
+    hashed = df.select(
+        *[ams_block_hash(k, b).alias(f"_h{b}") for b in range(n_blocks)]
+    )
+    sketch = hashed.agg(
         F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(ams_sign(k, r).cast("decimal(38,0)")).alias(f"_x{r}")
+            F.sum(
+                ams_sign_from_hash(F.col(f"_h{r // 32}"), r).cast(
+                    "decimal(38,0)"
+                )
+            ).alias(f"_x{r}")
             for r in range(n_estimators)
         ],
     )
@@ -97,16 +118,25 @@ def ams_f2_report(df: DataFrame, key: str, n_estimators: int = 16) -> DataFrame:
 def ams_oracle_sql(table: str, key: str, n_estimators: int = 16) -> str:
     """DuckDB replay of :func:`ams_f2_report` — generated from the same
     constants as the Spark side (hash family, R, truncating mean)."""
+    n_blocks = (n_estimators + 31) // 32
+    digests = ",\n         ".join(
+        f"md5('{b}:' || CAST({key} AS VARCHAR)) AS h{b}"
+        for b in range(n_blocks)
+    )
     signs = ",\n         ".join(
-        f"SUM(CASE WHEN ('0x' || substr(md5('{r}:' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) AS x{r}"
+        f"SUM(CASE WHEN ('0x' || substr(h{r // 32}, {(r % 32) + 1}, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) AS x{r}"
         for r in range(n_estimators)
     )
     sq = " + ".join(f"x{r} * x{r}" for r in range(n_estimators))
     return f"""
-WITH sketch AS (
+WITH hashed AS (
+  SELECT {digests}
+  FROM {table}
+),
+sketch AS (
   SELECT COUNT(*) AS n,
          {signs}
-  FROM {table}
+  FROM hashed
 ),
 exact AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,

@@ -186,6 +186,16 @@ def hilbert_stages(
         levels = bits
     if not (1 <= levels <= bits):
         raise ValueError(f"levels must be in 1..{bits}, got {levels}")
+    # The walk stages its state in reserved columns; an input frame that
+    # already carries one would produce ambiguous-column analysis errors
+    # mid-walk — refuse clearly at entry instead (ADVICE r11).
+    reserved = {"_hx", "_hy", "_hd", "_rx", "_ry"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"hilbert_stages: input columns {sorted(clash)} collide with "
+            f"reserved walk-state names {sorted(reserved)} — rename them first"
+        )
     cur = (
         df.withColumn("_hx", F.col(x).cast("long"))
         .withColumn("_hy", F.col(y).cast("long"))

@@ -113,6 +113,12 @@ def mmr_topk(
                 / (F.col("_qnorm") * F.col("_cnorm"))
             ).alias("_rel"),
         )
+        # Zero-norm guard (ADVICE r11): a zero-norm embedding makes the
+        # cosine NULL/NaN, and a NaN reaching mmr_fold poisons max() and
+        # every argmax comparison (NaN > x is always False) — drop such
+        # rows HERE, mirrored by the oracle's isnan filter, so both
+        # engines select from the same candidate set.
+        .filter(F.col("_rel").isNotNull() & ~F.isnan(F.col("_rel")))
         .orderBy(F.col("_rel").desc(), F.col("_i"))
         .limit(n_candidates)
     )
@@ -135,6 +141,10 @@ def mmr_topk(
                 / (F.col("_cnorm") * F.col("_jnorm"))
             ).alias("_v"),
         )
+        # Same NaN guard as the relevance tier: with zero-norm rows
+        # already excluded from `rel` this is vacuous, but a caller-side
+        # candidate frame must never smuggle NaN into the greedy fold.
+        .filter(F.col("_v").isNotNull() & ~F.isnan(F.col("_v")))
     )
     union = sims.select(
         F.col("_i").alias("i"),
@@ -181,13 +191,20 @@ def mmr_oracle_sql(
     # previous prefix ~3×, so default inlining re-expands the chain
     # ~3^k times — at k=10 that is ~59 000 inlined parquet scans
     # ("Too many open files", measured before this keyword landed).
+    # NULL/NaN relevance and similarity rows are filtered on BOTH sides
+    # (zero-norm guard, ADVICE r11) so the engines agree on the
+    # candidate set even for degenerate embeddings.
     parts = [
-        f"cand AS MATERIALIZED ({rel_cte})",
+        "cand AS MATERIALIZED (SELECT * FROM ("
+        f"{rel_cte}"
+        ") WHERE rel IS NOT NULL AND NOT isnan(rel))",
         f"""sims AS MATERIALIZED (
-  SELECT a.i AS i, b.i AS j,
-         (floor(({_dd_cosine('a.embedding', 'b.embedding')}) * 10000.0 + 0.5)
-          / 10000.0) AS v
-  FROM cand a JOIN cand b ON a.i <> b.i
+  SELECT * FROM (
+    SELECT a.i AS i, b.i AS j,
+           (floor(({_dd_cosine('a.embedding', 'b.embedding')}) * 10000.0 + 0.5)
+            / 10000.0) AS v
+    FROM cand a JOIN cand b ON a.i <> b.i
+  ) WHERE v IS NOT NULL AND NOT isnan(v)
 )""",
         "s1 AS MATERIALIZED (SELECT i, CAST(rel AS DOUBLE) AS score FROM cand "
         "ORDER BY rel DESC, i LIMIT 1)",

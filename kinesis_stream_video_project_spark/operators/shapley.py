@@ -53,8 +53,17 @@ def shapley_attribution(masks: DataFrame, channels: list[str]) -> DataFrame:
     spark = masks.sparkSession
     full = (1 << n) - 1
 
+    # In-plan refusal (ADVICE r11): a mask with bits at/above position n
+    # is a subset of NO coalition — without this guard such journeys
+    # silently vanish from n_conv and every phi instead of failing
+    # loudly (the km_survival event-flag discipline).
     hist = (
         masks.select(F.col("mask").cast("long").alias("_m"))
+        .select(
+            F.when((F.col("_m") < 0) | (F.col("_m") > full), F.expr(
+                f"raise_error('shapley_attribution: mask outside [0, 2^{n})')"
+            ).cast("long")).otherwise(F.col("_m")).alias("_m")
+        )
         .groupBy("_m")
         .agg(F.count(F.lit(1)).alias("_c"))
     )

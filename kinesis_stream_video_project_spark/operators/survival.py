@@ -174,6 +174,15 @@ def logrank_vs_rest(
         F.col(grp).cast("string").alias("_g"),
         F.col(duration).cast("long").alias("_t"),
         F.col(event).cast("long").alias("_e"),
+    ).select(
+        "_g",
+        "_t",
+        # Same in-plan refusal as km_survival (ADVICE r11): an event
+        # value of 2 or −1 would silently inflate d1/d into a
+        # meaningless chi2 instead of erroring.
+        F.when((F.col("_e") < 0) | (F.col("_e") > 1), F.expr(
+            "raise_error('logrank_vs_rest: event must be 0 or 1')"
+        ).cast("long")).otherwise(F.col("_e")).alias("_e"),
     )
     tot = subj.groupBy("_t").agg(
         F.sum("_e").alias("_d"), F.count(F.lit(1)).alias("_a")

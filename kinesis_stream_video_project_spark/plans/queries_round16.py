@@ -274,14 +274,19 @@ def _mmr_oracle() -> str:
     from kinesis_stream_video_project_spark.operators.mmr import mmr_oracle_sql
     from kinesis_stream_video_project_spark.plans.queries_llm import _dd_cosine
 
+    # NaN/NULL relevance filtered BEFORE the limit — the Spark side drops
+    # zero-norm cosines before its top-50 (mmr.py zero-norm guard), so
+    # the oracle must select from the same candidate pool.
     rel_cte = f"""
-  SELECT e.vec_id AS i, e.embedding,
-         (floor(({_dd_cosine('q.embedding', 'e.embedding')}) * 10000.0 + 0.5)
-          / 10000.0) AS rel
-  FROM embeddings e,
-       (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-  WHERE e.vec_id <> 0
-  ORDER BY rel DESC, e.vec_id LIMIT 50
+  SELECT * FROM (
+    SELECT e.vec_id AS i, e.embedding,
+           (floor(({_dd_cosine('q.embedding', 'e.embedding')}) * 10000.0 + 0.5)
+            / 10000.0) AS rel
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+  ) WHERE rel IS NOT NULL AND NOT isnan(rel)
+  ORDER BY rel DESC, i LIMIT 50
 """
     return mmr_oracle_sql(rel_cte, n_candidates=50, k_select=10, lam=0.5)
 
@@ -374,7 +379,15 @@ def _growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity DAU(d) = new + retained + resurrected are all exact
     integers; churned rows ride one day forward via a +1-day self-key.
     One distinct (user, day) aggregate, one user-partitioned lag window,
-    day-level rollups after."""
+    day-level rollups after.
+
+    ACTIVE-DAYS-ONLY semantics (stated, ADVICE r11): the ledger emits a
+    row per day WITH activity, and churn on day d is computed only when
+    day d itself has a row — users who churned into a fully-silent
+    calendar day are NOT reported on any later row (each row compares
+    against exactly d−1). Both engines implement the same rule, so the
+    oracle agrees by construction; densify the day spine upstream if
+    zero-DAU days must report their churn."""
     ev = io.load_table(spark, sf_dir, "events")
     ud = ev.select(
         "user_id", F.col("ts").cast("date").alias("_d")

@@ -60,18 +60,18 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. Cross-round state entering r11: 250 registered, every query has a
-# green HASH row, latest-green distribution r10=50, r9=50, r8=50, r7=50,
-# r6=50 (VERDICT r10). The r11 window is budgeted 20+30 per VERDICT r10
-# item 1:
-# (a) the full r12 queue (7 — burn_rate_alerts, the reference's
-#     3-strikes watchdog generalized to SRE burn-rate alerts, leads) +
-#     the full r13 queue (7 — semdedup_docs_keep closes the last
-#     LLM-pipeline family without a driver row) + the six r11
-#     deferrals (20 NEW registrations total);
-# (b) the 30 stalest refreshes — the r6-latest cohort in its r6
-#     verification order (after CORRECTNESS_r11 nothing is staler
-#     than r7).
+# round. Cross-round state entering r12: 270 registered, every query has a
+# green HASH row, latest-green distribution r11=50, r10=50, r9=50, r8=50,
+# r7=50, r6=20 (VERDICT r11). The r12 window is budgeted 20+30 per VERDICT
+# r11 item 1 + the PLANS final handoff:
+# (a) the full r14 queue (9 — the SCD2 consistency pair leads: two
+#     independent derivations of "current state" hashed equal; ivfadc_topk
+#     tops the quantization ladder) + the ELEVEN strongest r15 entries
+#     (Shapley/survival/forecast/inference families) — 20 NEW
+#     registrations total; itemitem_cosine_recs is the sole r15 deferral;
+# (b) the 30 stalest refreshes — the 20-query r6-latest remainder in its
+#     r6 verification order, then the first 10 of the r7-latest cohort
+#     (after CORRECTNESS_r12 nothing is staler than r7).
 # This tuple is VALIDATED, not just documented: build_driver_priority()
 # below recomputes it from the CORRECTNESS_r*.json artifacts (new
 # registrations first, then max-staleness refreshes), and
@@ -88,62 +88,63 @@ def register(
 # per-round rotation. Rotation is now a FIVE-place rule, one commit:
 # register_all wiring + DRIVER_PRIORITY + DRIVER_PRIORITY_BUILT_FROM +
 # bench rotation + QUERIES.md regeneration.
-DRIVER_PRIORITY_BUILT_FROM: int = 10
+DRIVER_PRIORITY_BUILT_FROM: int = 11
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (a) 20 NEW registrations: r12 queue (7) + r13 queue (7) +
-    #         r11 deferrals (6), in registration order ---
-    "burn_rate_alerts",
-    "ivm_orders_by_custkey",
-    "allpairs_jaccard_ppjoin",
-    "heaps_law_curve",
-    "rare_shingle_neighbors",
-    "stratified_allocation",
-    "followup_outer_pairs",
-    "priority_sample_docs",
-    "compaction_bins",
-    "fastss_typo_pairs",
-    "nation_urgent_ztest",
-    "hrw_rebalance_audit",
-    "semdedup_keep_report",
-    "semdedup_docs_keep",
-    "mwu_purchase_click",
-    "bag_set_ops",
-    "curation_pipeline_v5",
-    "twa_user_values",
-    "ohlc_hourly_values",
-    "ndcg_tier_claims",
-    # --- (b) the 30 stalest refreshes (r6-latest cohort, r6 order) ---
-    "lpa_communities",
-    "kcore_parts",
-    "robust_value_stats",
-    "winsorized_value_stats",
-    "table_drift_report",
-    "silent_periods",
-    "weighted_pagerank_topk",
-    "curation_pipeline_v3",
-    "pagerank_copurchase_topk",
-    "approx_distinct",
-    "approx_percentiles_value",
-    "bpe_regex_tokens",
-    "brand_volume_suppliers",
-    "cosine_topk",
-    "curation_pipeline",
-    "dedup_survivors",
-    "deterministic_sample_docs",
-    "doc_fingerprint",
-    "dormant_rich_customers",
-    "event_transitions",
-    "exact_dedup_docs",
-    "frame_sample",
-    "fuzzy_pairs_levenshtein",
-    "grouped_pandas_stats",
-    "important_part_shares",
-    "lang_id_ngram",
-    "lang_stats",
-    "large_volume_customers",
-    "min_cost_supplier",
-    "multimodal_features",
+    # --- (a) 20 NEW registrations: r14 queue (9) + r15 strongest (11),
+    #         in registration order ---
+    "scd2_customer_history",
+    "scd2_cdc_consistency",
+    "scd2_snapshot_at",
+    "ivfadc_topk",
+    "holt_daily_revenue",
+    "holt_backtest_mae",
+    "theilsen_weekly_trend",
+    "bootstrap_weekly_ci",
+    "ri_coverage_audit",
+    "shapley_channel_attribution",
+    "km_user_tenure_by_segment",
+    "logrank_tenure_by_segment",
+    "hilbert_locality_audit",
+    "ams_f2_partkey",
+    "perm_test_weekly_revenue",
+    "welch_t2_weekly_revenue",
+    "hw_daily_revenue",
+    "hw_backtest_skill",
+    "markov_transition_matrix",
+    "markov_backtest_accuracy",
+    # --- (b) 30 stalest refreshes: the 20-query r6-latest remainder
+    #         (r6 order), then the first 10 of the r7-latest cohort ---
+    "multimodal_resized",
+    "normalized_dedup_docs",
+    "pandas_udf_token_count",
+    "quality_score",
+    "salted_join_orders",
+    "session_windows",
+    "sliding_windows",
+    "small_quantity_revenue",
+    "stratified_sample_docs",
+    "streaming_dedup_twin",
+    "time_range_moving_window",
+    "token_stats",
+    "train_test_split_counts",
+    "tumbling_hourly",
+    "udtf_explode_tokens",
+    "weekly_retention",
+    "window_distribution_funcs",
+    "window_running_agg",
+    "stream_health_60s",
+    "consecutive_failures",
+    "error_followup_pairs",
+    "bigram_surprisal_score",
+    "seasonal_value_anomalies",
+    "simhash_bucket_pairs",
+    "copurchase_blast_radius",
+    "token_budget_waterfall",
+    "near_dup_candidates_horizon",
+    "ann_tier_claims",
+    "anti_join_customers",
+    "asof_forward_metric",
 )
 
 
@@ -297,6 +298,49 @@ def _load_all() -> None:
             n
             for n in queries_round11.QUERIES
             if n in queries_round11.DEFERRED_TO_R11
+        )
+    )
+
+    # r12-window registrations (VERDICT r11 item 1 + PLANS final handoff):
+    # the full r14 queue (9) plus the ELEVEN strongest r15 entries — 20 new
+    # names. Registration order IS the builder's new-block window order, so
+    # both tuples are explicit: the SCD2 consistency pair leads (two
+    # independent derivations of "current state" hashed equal is the
+    # strongest single row), ivfadc_topk tops the quantization ladder, and
+    # the r15 block leads with the Shapley/survival family.
+    # itemitem_cosine_recs is the one r15 deferral (r13 window, with the
+    # six queries_round16 entries — that drains the queue to zero by r13).
+    from kinesis_stream_video_project_spark.plans import (
+        queries_round14,
+        queries_round15,
+    )
+
+    queries_round14.register_all(
+        (
+            "scd2_customer_history",
+            "scd2_cdc_consistency",
+            "scd2_snapshot_at",
+            "ivfadc_topk",
+            "holt_daily_revenue",
+            "holt_backtest_mae",
+            "theilsen_weekly_trend",
+            "bootstrap_weekly_ci",
+            "ri_coverage_audit",
+        )
+    )
+    queries_round15.register_all(
+        (
+            "shapley_channel_attribution",
+            "km_user_tenure_by_segment",
+            "logrank_tenure_by_segment",
+            "hilbert_locality_audit",
+            "ams_f2_partkey",
+            "perm_test_weekly_revenue",
+            "welch_t2_weekly_revenue",
+            "hw_daily_revenue",
+            "hw_backtest_skill",
+            "markov_transition_matrix",
+            "markov_backtest_accuracy",
         )
     )
 

@@ -4147,13 +4147,14 @@ _AMS_R = 16
 
 
 def _ams_stream_sign(r: int, key: str) -> int:
-    """Python twin of ``operators/ams.py::ams_sign`` — the SAME md5
-    parity rule (first 8 hex chars as an integer, % 2), so the streaming
-    registers are bit-identical to the batch/DuckDB sketch."""
+    """Python twin of ``operators/ams.py::ams_sign_from_hash`` — the
+    SAME block-digest parity rule (one md5 per 32 estimators, sign r =
+    parity of hex digit r MOD 32), so the streaming registers are
+    bit-identical to the batch/DuckDB sketch."""
     import hashlib
 
-    h = hashlib.md5(f"{r}:{key}".encode("utf-8")).hexdigest()[:8]
-    return 1 if int(h, 16) % 2 == 0 else -1
+    h = hashlib.md5(f"{r // 32}:{key}".encode("utf-8")).hexdigest()
+    return 1 if int(h[r % 32], 16) % 2 == 0 else -1
 
 
 def _ams_stream_fold(state: tuple, keys: list) -> tuple:

@@ -359,3 +359,97 @@ def test_round8_registration_plan_shapes(spark, sf_dir):
     for name in ("bm25_lexical_topk", "pmi_collocations_topk"):
         plan = plan_of(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in plan, f"{name}: no top-k plan"
+
+
+# ---------------------------------------------------------------------------
+# Repeated-expensive-subtree guard (VERDICT r11 item 5): two rounds in a
+# row found a multi-consumer HOF/regexp subtree recomputed per consumer
+# (dhash r10, rare_shingle_neighbors r11 — 3.81 s warm until staged).
+# This guard makes that class mechanical: a query whose physical plan
+# evaluates the SAME normalized expensive expression (HOF lambda,
+# regexp, Arrow/Python eval) in >= 3 separate plan nodes must either be
+# staged (localCheckpoint the shared subtree) or carry a recorded
+# decision below.
+#
+# Every allowlisted name was adjudicated in r12 (all <= 2 s warm at
+# sf0.1 in BENCH_DETAIL r11 where timed — none is a staging miss):
+#   - tier-replay by design: evaluation/claims queries deliberately
+#     re-run several ANN/LSH tiers and compare them; the repeated cosine
+#     is one evaluation per tier, not a shared subtree.
+#   - join-side corpus projection: near-dup pair joins evaluate the
+#     shingle/norm expression once per join SIDE x aggregate stage on a
+#     corpus-sized frame — the X-201 measured rule (itemitem r11):
+#     materializing a corpus-sized projection costs more than
+#     recomputing a scan-cheap expression.
+#   - iterative unroll: Lloyd/k-means and basket-pair builders unroll a
+#     bounded loop into stages; each occurrence is a different
+#     iteration, not a recompute of one value.
+_EXPENSIVE_REPEAT_ALLOWLIST = {
+    # tier-replay by design
+    "ann_tier_claims", "ann_recall_eval", "lsh_tier_consistency",
+    "ndcg_tier_claims",
+    # join-side corpus projection (X-201 recompute-is-cheaper)
+    "simhash_bucket_pairs", "near_dup_shingle_jaccard",
+    "minhash_lsh_near_dup", "embedding_near_dup", "near_dup_split_leakage",
+    "verbatim_spans", "source_overlap_matrix", "bloom_decontaminate",
+    "truncated_rerank_topk", "semdedup_keep_report", "semdedup_docs_keep",
+    "pmi_collocations_topk",
+    # iterative unroll
+    "ivf_kmeans_topk", "ra_linkpred_smallbasket",
+}
+
+_EXPENSIVE_MARKERS = (
+    "transform(", "aggregate(", "zip_with(", "regexp_replace(",
+    "regexp_extract", "sentences(", "ArrowEvalPython", "MapInPandas",
+    "FlatMapGroupsInPandas", "BatchEvalPython",
+)
+
+
+def _repeated_expensive_snippets(plan: str, min_repeats: int = 3) -> dict:
+    """Normalized expensive-expression snippets appearing in >= 3
+    separate plan nodes. Normalization strips expr IDs, lambda variable
+    numbering, and plan ids so textually-identical subtrees collapse;
+    ReusedExchange/InMemoryTableScan lines are references, not
+    recomputes, and don't count."""
+    import re
+
+    counts: dict = {}
+    for raw in plan.splitlines():
+        line = re.sub(r"#\d+[A-Za-z]*", "#_", raw)
+        line = re.sub(r"\blambda [a-z]+_\d+", "lambda v", line)
+        line = re.sub(r"plan_id=\d+", "plan_id=_", line)
+        line = line.strip().lstrip("+-: ")
+        if line.startswith("ReusedExchange") or line.startswith("InMemoryTableScan"):
+            continue
+        seen = set()
+        for m in _EXPENSIVE_MARKERS:
+            start = 0
+            while True:
+                i = line.find(m, start)
+                if i < 0:
+                    break
+                seen.add(line[i : i + 160])
+                start = i + 1
+        for s in seen:
+            counts[s] = counts.get(s, 0) + 1
+    return {s: c for s, c in counts.items() if c >= min_repeats}
+
+
+def test_no_unstaged_repeated_expensive_subtrees(spark, sf_dir):
+    """Registry-wide: any query evaluating the same expensive leaf
+    expression in >= 3 plan nodes must be in the adjudicated allowlist.
+    A new flag means: stage the shared subtree (the rare_shingle fix,
+    retrieval.py) or record the measured recompute-is-cheaper decision
+    here (the X-201 proviso)."""
+    offenders = {}
+    for name, spec in SPECS.items():
+        if name in _EXPENSIVE_REPEAT_ALLOWLIST:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        rep = _repeated_expensive_snippets(plan)
+        if rep:
+            offenders[name] = {s[:80]: c for s, c in rep.items()}
+    assert not offenders, (
+        "queries recompute an expensive subtree >= 3x without a recorded "
+        f"staging decision: {offenders}"
+    )

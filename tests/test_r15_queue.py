@@ -125,9 +125,9 @@ def test_ams_exact_f2_and_bounds(spark):
 
 def test_ams_estimate_within_band_on_fixture(spark, sf_dir):
     """Measured-error discipline: at every fixture SF the 16-register
-    mean lands within ±50% of exact F₂ (measured 0.76/0.94 at
-    sf0.01/sf0.1; the √(2/16) ≈ 35% relative sd makes ±50% a
-    comfortable-but-meaningful pin for THIS hash family — a broken sign
+    mean lands within ±50% of exact F₂ (block-digest family, measured
+    1.21/0.61/0.89 at sf0.001/sf0.01/sf0.1; the √(2/16) ≈ 35% relative
+    sd makes ±50% a meaningful pin for THIS hash family — a broken sign
     function lands near n_rows²/16, far outside)."""
     from kinesis_stream_video_project_spark import io
 
