@@ -4264,3 +4264,142 @@ def ams_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online hourly-mix Shannon entropy (claims form) — both stateful APIs
+# ---------------------------------------------------------------------------
+
+_ENT_OUT_SCHEMA = (
+    "key string, n_events bigint, n_hours bigint, sum_c2 bigint, "
+    "h_le_max boolean, h_ge_renyi2 boolean, h_flat boolean"
+)
+_ENT_STATE_SCHEMA = StructType().add("counts", ArrayType(LongType()))
+
+
+def _entropy_stream_fold(counts: list, hours: list) -> tuple:
+    """Pure fold shared by BOTH stateful API forms: bump the 24 hour
+    counters, then emit exactly the batch ``entropy_hourly_claims``
+    row — exact integers (n, nonzero hours, Σc²) plus the three
+    certification booleans from Python's libm log2 (the claims-pattern
+    argument: margins ≥ 1e-3 dwarf any libm drift, so JVM/DuckDB/
+    CPython agree on every boolean). Counters SUM, so the fold is
+    fully COMMUTATIVE — the second shelf op (after online AMS) with no
+    ordering contract at all."""
+    import math
+
+    counts = list(counts)
+    for h in hours:
+        counts[int(h)] += 1
+    live = [c for c in counts if c > 0]
+    n = sum(live)
+    k = len(live)
+    sum_c2 = sum(c * c for c in live)
+    h_val = math.log2(n) - sum(c * math.log2(c) for c in live) / n
+    log2k = math.log2(k)
+    renyi2 = 2 * math.log2(n) - math.log2(sum_c2)
+    out = (
+        n,
+        k,
+        sum_c2,
+        h_val <= log2k + 1e-9,
+        h_val >= renyi2 - 1e-9,
+        h_val >= 0.96 * log2k,
+    )
+    return counts, out
+
+
+def _entropy_staged(events: DataFrame) -> DataFrame:
+    """Shared JVM staging: (key = event_type, h = hour-of-day) — the
+    live uniformity/anomaly signal of each type's traffic shape (batch
+    twin: queries_round17._entropy_hourly_claims, X-220)."""
+    return events.select(
+        F.col("event_type").cast("string").alias("key"),
+        F.hour("ts").cast("long").alias("h"),
+    )
+
+
+def _entropy_emit(key_val, out) -> pd.DataFrame:
+    n, k, sum_c2, le_max, ge_renyi2, flat = out
+    return pd.DataFrame(
+        {
+            "key": [str(key_val)],
+            "n_events": [n],
+            "n_hours": [k],
+            "sum_c2": [sum_c2],
+            "h_le_max": [le_max],
+            "h_ge_renyi2": [ge_renyi2],
+            "h_flat": [flat],
+        }
+    )
+
+
+def entropy_stream(events: DataFrame) -> DataFrame:
+    """ONLINE hourly-mix Shannon entropy — the TWENTY-SECOND op on both
+    stateful APIs: per event type, the live entropy-certification row
+    of the hour-of-day distribution (a traffic shape collapsing onto
+    one hour — an outage, a replay storm, a bot burst — drives the
+    flatness claim FALSE in the next micro-batch). State is a FIXED
+    24-long counter array per key — bounded by construction; the fold
+    is commutative (counters sum), so late/reordered/resharded
+    delivery cannot change any drained emission. The drained final row
+    per key equals the oracle-validated batch
+    ``queries_round17._entropy_hourly_claims`` row on the same rows
+    exactly (pinned — the wps/lve/holt/ams certification pattern)."""
+    staged = _entropy_staged(events)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        held = list(state.get[0]) if state.exists else [0] * 24
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        held, out = _entropy_stream_fold(held, b["h"].tolist())
+        state.update((held,))
+        yield _entropy_emit(key_val, out)
+
+    return staged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_ENT_OUT_SCHEMA,
+        stateStructType=_ENT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def entropy_stream_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`entropy_stream` — same shared fold, no timers. GS ≡ TWS
+    pinned on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _entropy_staged(events)
+
+    class EntropyProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ent", _ENT_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            got = self._state.get()
+            held = list(got[0]) if got is not None else [0] * 24
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            held, out = _entropy_stream_fold(held, b["h"].tolist())
+            self._state.update((held,))
+            yield _entropy_emit(key_val, out)
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=EntropyProcessor(),
+        outputStructType=_ENT_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

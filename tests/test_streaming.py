@@ -4631,3 +4631,186 @@ def test_holt_stream_fold_matches_batch_fold_hypothesis():
             assert (state[1], state[2]) == (want[-1][1], want[-1][2])
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Online hourly-mix entropy (op twenty-two)
+# ---------------------------------------------------------------------------
+
+
+def _drain_entropy(spark, tmp_path, fn, rows, tag, nfiles, schema):
+    src = tmp_path / f"ent_src_{tag}"
+    step = -(-len(rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(rows[i * step : (i + 1) * step], schema),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"ent_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_ent_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows_out = spark.sql(f"SELECT * FROM ent_out_{tag}").collect()
+    final = {}
+    for r in rows_out:
+        if r.key not in final or r.n_events > final[r.key][0]:
+            final[r.key] = (
+                r.n_events, r.n_hours, r.sum_c2,
+                r.h_le_max, r.h_ge_renyi2, r.h_flat,
+            )
+    return final
+
+
+def test_entropy_stream_final_matches_batch_claims(spark, sf_dir, tmp_path):
+    """Drained final emission per event type equals the oracle-validated
+    batch entropy_hourly_claims row on the same rows — on one file AND
+    three ARBITRARILY-ORDERED files (the fold is commutative: counters
+    sum), op twenty-two certified against the X-220 batch twin."""
+    import unittest.mock as mock
+
+    from kinesis_stream_video_project_spark.plans import queries_round17 as r17
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    base = [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(3000)
+        .collect()
+    ]
+    df = spark.createDataFrame(base, schema)
+    with mock.patch.object(r17.io, "load_table", lambda *_a: df):
+        want = {
+            r["event_type"]: (
+                r["n_events"], r["n_hours"], r["sum_c2"],
+                r["h_le_max"], r["h_ge_renyi2"], r["h_flat"],
+            )
+            for r in r17._entropy_hourly_claims(spark, "unused").collect()
+        }
+    got1 = _drain_entropy(
+        spark, tmp_path, jobs.entropy_stream, base, "gs1", 1, schema
+    )
+    shuffled = sorted(base, key=lambda r: (r[0] * 2654435761) % 104729)
+    got3 = _drain_entropy(
+        spark, tmp_path, jobs.entropy_stream, shuffled, "gs3", 3, schema
+    )
+    assert got1 == got3 == want and len(want) >= 4
+
+
+def test_entropy_stream_tws_matches_group_state_form(spark, sf_dir, tmp_path):
+    """GS ≡ TWS on the same drain (the dual-API law, op twenty-two)."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    base = [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(1200)
+        .collect()
+    ]
+    gs = _drain_entropy(
+        spark, tmp_path, jobs.entropy_stream, base, "eq_gs", 2, schema
+    )
+    tws = _drain_entropy(
+        spark, tmp_path, jobs.entropy_stream_tws, base, "eq_tws", 2, schema
+    )
+    assert gs == tws and len(gs) >= 4
+
+
+def test_entropy_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Restart against the SAME checkpoint resumes the 24 counters: a
+    flat first batch certifies flat; a second batch that slams one hour
+    flips h_flat FALSE on the RESUMED counts (state survived — a fresh
+    fold over batch 2 alone would see a 2-hour mix and stay flat)."""
+    import datetime as dt
+
+    base_d = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    b0 = [
+        (i, base_d.replace(hour=i % 24), 1, "m") for i in range(24)
+    ]
+    b1 = [
+        (100 + i, base_d.replace(hour=3), 1, "m") for i in range(200)
+    ]
+    src = tmp_path / "ent_restart_src"
+    ckpt = str(tmp_path / "ckpt_ent_restart")
+    out = str(tmp_path / "ent_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.entropy_stream_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.read.parquet(out).collect()
+        return max(
+            ((r.n_events, r.n_hours, r.sum_c2, r.h_flat) for r in rows),
+            default=None,
+        )
+
+    _write_single_file(spark.createDataFrame(b0, schema), src, "b0.parquet")
+    first = drain()
+    assert first == (24, 24, 24, True)
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b1, schema), src, "b1.parquet")
+    cumulative = drain()
+    # 24 uniform + 200 on hour 3: sum_c2 = 23*1 + 201^2
+    assert cumulative == (224, 24, 23 + 201 * 201, False)
+
+
+def test_entropy_stream_fold_commutes_hypothesis():
+    """Hypothesis pin: ANY permutation and ANY chunking of any hour
+    sequence folds to the same counters and claims row — the
+    commutativity law (counters sum) that exempts op twenty-two from
+    the ordering contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        hours=st.lists(
+            st.integers(min_value=0, max_value=23), min_size=1, max_size=40
+        ),
+        seed=st.integers(min_value=0, max_value=2**31),
+        chunk=st.integers(min_value=1, max_value=7),
+    )
+    def law(hours, seed, chunk):
+        import random
+
+        state_a = [0] * 24
+        state_a, out_a = jobs._entropy_stream_fold(state_a, hours)
+        rng = random.Random(seed)
+        perm = hours[:]
+        rng.shuffle(perm)
+        state_b = [0] * 24
+        out_b = None
+        for i in range(0, len(perm), chunk):
+            state_b, out_b = jobs._entropy_stream_fold(
+                state_b, perm[i : i + chunk]
+            )
+        assert state_a == state_b and out_a == out_b
+
+    law()
