@@ -34,6 +34,13 @@ are exact integers + booleans — no float crosses the hash boundary.
   two-stage truncating division's exact error envelope), plus the
   sign-vs-rational-comparison claim. The float tier and the integer
   tier certify each other row by row.
+* ``markov_removal_attribution`` (X-225) — Anderl et al. 2014
+  removal-effect attribution: each channel's credit is the drop in
+  absorbing-chain conversion probability when its node is removed —
+  the counterfactual tier completing the attribution triad (rule-based
+  → Shapley → Markov). All-integer fixed point in millionths (the r5
+  all-integer-recursion rule): order-free, hash-exact, no claims
+  needed; 60 iterations verified stationary.
 * ``ams_join_size_events_orders`` (X-223) — AMS inner-product
   join-size estimate (the 1996 paper's headline application):
   events.user_id ⋈ orders.o_custkey cardinality estimated from two
@@ -363,3 +370,268 @@ def register_all(names: "tuple[str, ...] | None" = None) -> None:
 
     for name in names if names is not None else tuple(QUERIES):
         register(name, oracle=ORACLES[name], tags=TAGS[name])(QUERIES[name])
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (X-225)
+# ---------------------------------------------------------------------------
+
+_MRA_SCALE = 10**6
+_MRA_ITERS = 60
+_MRA_SCHEMA = (
+    "channel string, p_full_start bigint, p_removed_start bigint, "
+    "removal_millionths bigint, share_millionths bigint"
+)
+
+
+def mra_fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Pure removal-effect computation (module-level so tests can drive
+    it): expects the model-sized transition-count frame (src, dst, n).
+    For the full chain and for each channel-removed variant, run the
+    ALL-INTEGER absorbing-chain fixed point
+
+        p(s) ← (Σ_dst n(s,dst) · val(dst)) DIV rowtotal(s)
+
+    with val(CONV) = 10⁶, val(NULL) = 0, val(channel) = p(channel),
+    edges into the removed channel contributing 0 (row totals stay the
+    count totals — removed mass is LOST, the Anderl et al. node-removal
+    convention). Integer iteration from p ≡ 0 is monotone nondecreasing
+    and integer-valued, so it reaches its exact stationary point in
+    finitely many steps; both engines run exactly 60, so the emitted
+    integers are hash-identical even mid-convergence. Removal effect =
+    p_full(START) − p_removed(START); shares normalize by the effect
+    sum (millionths)."""
+    import pandas as pd
+
+    counts: dict = {}
+    rt: dict = {}
+    for r in pdf.itertuples():
+        counts[(r.src, r.dst)] = int(r.n)
+        rt[r.src] = rt.get(r.src, 0) + int(r.n)
+    channels = sorted(
+        {s for s, _ in counts if s != "START"}
+        | {d for _, d in counts if d not in ("CONV", "NULL")}
+    )
+
+    def p_start(removed: "str | None") -> int:
+        states = ["START"] + [c for c in channels if c != removed]
+        p = {s: 0 for s in states}
+        for _ in range(_MRA_ITERS):
+            nxt = {}
+            for s in states:
+                acc = 0
+                for d in ["CONV"] + channels:
+                    n = counts.get((s, d), 0)
+                    if n == 0 or d == removed:
+                        continue
+                    acc += n * (_MRA_SCALE if d == "CONV" else p[d])
+                nxt[s] = acc // rt[s] if rt.get(s) else 0
+            p = nxt
+        return p["START"]
+
+    full = p_start(None)
+    removal = {c: full - p_start(c) for c in channels}
+    total = sum(removal.values())
+    return pd.DataFrame(
+        {
+            "channel": channels,
+            "p_full_start": [full] * len(channels),
+            "p_removed_start": [full - removal[c] for c in channels],
+            "removal_millionths": [removal[c] for c in channels],
+            "share_millionths": [
+                (removal[c] * _MRA_SCALE) // total if total > 0 else 0
+                for c in channels
+            ],
+        }
+    )
+
+
+def _mra_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey transition counts for the removal-effect chain: per
+    user, events in (ts, event_id) order TRUNCATED at the first
+    purchase (post-conversion activity is out of the journey — stated);
+    the purchase itself absorbs as CONV, a journey with no purchase
+    falls off the end into NULL, and START precedes the first state.
+    One corpus window pass, one model-sized count aggregate."""
+    from pyspark.sql import Window
+
+    ev = io.load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("_ty"),
+        F.unix_micros("ts").alias("_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    wall = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rn = ev.select(
+        "user_id",
+        "_ty",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("_nrows"),
+    )
+    rn = rn.withColumn(
+        "_first_p",
+        F.min(F.when(F.col("_ty") == "purchase", F.col("_rn"))).over(wall),
+    )
+    kept = rn.filter(
+        F.col("_first_p").isNull() | (F.col("_rn") <= F.col("_first_p"))
+    ).select(
+        "user_id",
+        "_rn",
+        "_nrows",
+        "_first_p",
+        F.when(F.col("_rn") == F.col("_first_p"), F.lit("CONV"))
+        .otherwise(F.col("_ty"))
+        .alias("_st"),
+    )
+    wk = Window.partitionBy("user_id").orderBy("_rn")
+    edges = kept.select(
+        F.coalesce(F.lag("_st").over(wk), F.lit("START")).alias("src"),
+        F.col("_st").alias("dst"),
+        "_rn",
+        "_nrows",
+        "_first_p",
+    )
+    # a non-converting journey's LAST kept row also emits (state, NULL)
+    tail = kept.filter(
+        F.col("_first_p").isNull() & (F.col("_rn") == F.col("_nrows"))
+    ).select(F.col("_st").alias("src"), F.lit("NULL").alias("dst"))
+    return (
+        edges.select("src", "dst")
+        .unionByName(tail)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (X-225, Anderl et al. 2014 —
+    "Mapping the customer journey"): each channel's credit is the drop
+    in chain conversion probability when the channel's node is removed
+    — the counterfactual tier of the attribution triad next to the
+    rule-based `attribution_channels` and the game-theoretic
+    `shapley_channel_attribution`. All-integer absorbing-chain fixed
+    point (millionths), so every emitted value is hash-exact with no
+    claims needed.
+
+    Scale: one corpus window pass → a model-sized (src, dst, n) count
+    table (≤ (V+1)·(V+2) rows) → the V+1 fixed-point iterations run in
+    ONE Arrow group (the mmr_fold pattern)."""
+    counts = _mra_transition_counts(spark, sf_dir)
+    return (
+        counts.withColumn("_one", F.lit(1))
+        .groupBy("_one")
+        .applyInPandas(lambda pdf: mra_fold(pdf), _MRA_SCHEMA)
+        .select(
+            "channel",
+            "p_full_start",
+            "p_removed_start",
+            "removal_millionths",
+            "share_millionths",
+        )
+    )
+
+
+def _mra_oracle() -> str:
+    """Recursive-CTE replay: the same journey truncation, the same
+    all-integer fixed point iterated exactly 60 times over a
+    (variant, state) grid — absorbing rows carry themselves forward so
+    the recursive term references the walk exactly once."""
+    K = _MRA_ITERS
+    S = _MRA_SCALE
+    return f"""
+WITH RECURSIVE
+ev AS (
+  SELECT user_id, event_type AS ty,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nrows
+  FROM events
+),
+fp AS (
+  SELECT *, MIN(CASE WHEN ty = 'purchase' THEN rn END)
+              OVER (PARTITION BY user_id) AS first_p
+  FROM ev
+),
+kept AS (
+  SELECT user_id, rn, nrows, first_p,
+         CASE WHEN rn = first_p THEN 'CONV' ELSE ty END AS st
+  FROM fp WHERE first_p IS NULL OR rn <= first_p
+),
+edges AS (
+  SELECT COALESCE(lag(st) OVER (PARTITION BY user_id ORDER BY rn),
+                  'START') AS src,
+         st AS dst
+  FROM kept
+  UNION ALL
+  SELECT st AS src, 'NULL' AS dst
+  FROM kept WHERE first_p IS NULL AND rn = nrows
+),
+counts AS (SELECT src, dst, COUNT(*) AS n FROM edges GROUP BY 1, 2),
+rt AS (SELECT src, SUM(n) AS total FROM counts GROUP BY 1),
+channels AS (
+  SELECT DISTINCT src AS ch FROM counts WHERE src <> 'START'
+  UNION
+  SELECT DISTINCT dst FROM counts WHERE dst NOT IN ('CONV', 'NULL')
+),
+variants AS (
+  SELECT '__full__' AS removed UNION ALL SELECT ch FROM channels
+),
+grid AS (
+  -- DISTINCT is load-bearing: under WITH RECURSIVE DuckDB inlines the
+  -- non-recursive CTEs into the recursive term, and the channels
+  -- UNION's dedup is lost in that inlining — without DISTINCT each
+  -- channel state doubles and the walk sums double-count (measured:
+  -- p blew past the 10^6 ceiling).
+  SELECT DISTINCT v.removed, s.st
+  FROM variants v,
+       (SELECT 'START' AS st UNION ALL SELECT ch FROM channels
+        UNION ALL SELECT 'CONV' UNION ALL SELECT 'NULL') s
+  WHERE s.st <> v.removed
+),
+walk AS (
+  SELECT 0 AS k, removed, st,
+         CAST(CASE WHEN st = 'CONV' THEN {S} ELSE 0 END AS BIGINT) AS p
+  FROM grid
+  UNION ALL
+  SELECT w.k + 1, w.removed, w.st,
+         CAST(CASE WHEN w.st IN ('CONV', 'NULL') THEN w.p
+              ELSE COALESCE((SELECT SUM(c.n * w2.p) // MAX(rt.total)
+                             FROM counts c
+                             JOIN walk w2 ON w2.removed = w.removed
+                                         AND w2.st = c.dst
+                                         AND w2.k = w.k
+                             JOIN rt ON rt.src = w.st
+                             WHERE c.src = w.st
+                               AND c.dst <> w.removed), 0) END AS BIGINT)
+           AS p
+  FROM walk w WHERE w.k < {K}
+),
+finals AS (
+  SELECT removed, p FROM walk WHERE k = {K} AND st = 'START'
+),
+full_p AS (SELECT p AS pf FROM finals WHERE removed = '__full__'),
+rem AS (
+  SELECT f.removed AS channel, fp2.pf AS p_full_start,
+         f.p AS p_removed_start,
+         fp2.pf - f.p AS removal
+  FROM finals f CROSS JOIN full_p fp2
+  WHERE f.removed <> '__full__'
+),
+tot AS (SELECT SUM(removal) AS t FROM rem)
+SELECT channel,
+       CAST(p_full_start AS BIGINT) AS p_full_start,
+       CAST(p_removed_start AS BIGINT) AS p_removed_start,
+       CAST(removal AS BIGINT) AS removal_millionths,
+       CAST(CASE WHEN tot.t > 0 THEN (removal * {S}) // tot.t
+                 ELSE 0 END AS BIGINT) AS share_millionths
+FROM rem CROSS JOIN tot
+"""
+
+
+QUERIES["markov_removal_attribution"] = _markov_removal_attribution
+ORACLES["markov_removal_attribution"] = _mra_oracle()
+TAGS["markov_removal_attribution"] = ("round17",)
+assert set(QUERIES) == set(ORACLES)

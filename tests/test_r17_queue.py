@@ -196,7 +196,7 @@ def test_round17_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q17.QUERIES) == 4
+    assert len(q17.QUERIES) == 5
     for name, fn in q17.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q17.ORACLES[name]).df()
@@ -206,3 +206,57 @@ def test_round17_module_entries_match_oracles(spark, sf):
         for c in got.columns:
             if got[c].dtype == bool:
                 assert got[c].all(), f"{name}.{c}: claim false on fixture"
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+
+def test_mra_handchecked_two_journeys(spark):
+    """User A: click → purchase; user B: view → (silence). The chain:
+    START splits 50/50; click converts surely, view dies surely. So
+    p_full(START) = 500000; removing click kills all conversion
+    (removal = 500000, share = 10^6); removing view changes nothing
+    (removal 0, share 0)."""
+    import datetime as dt
+    import unittest.mock as mock
+
+    from kinesis_stream_video_project_spark.plans import queries_round17 as r17
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0.replace(minute=1), 1, "purchase", 1.0, "{}"),
+        (2, t0, 2, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(r17.io, "load_table", lambda *_a: ev):
+        got = {
+            r["channel"]: r
+            for r in r17._markov_removal_attribution(spark, "unused").collect()
+        }
+    assert set(got) == {"click", "view"}
+    assert got["click"]["p_full_start"] == 500000
+    assert got["click"]["removal_millionths"] == 500000
+    assert got["click"]["share_millionths"] == 10**6
+    assert got["view"]["removal_millionths"] == 0
+    assert got["view"]["share_millionths"] == 0
+
+
+def test_mra_laws_on_fixture(spark, sf_dir):
+    """Removal effects are nonnegative (removing a node cannot raise
+    conversion), p_removed <= p_full, and truncating shares sum to at
+    most 10^6."""
+    from kinesis_stream_video_project_spark.plans import queries_round17 as r17
+
+    rows = r17._markov_removal_attribution(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r["removal_millionths"] >= 0
+        assert r["p_removed_start"] <= r["p_full_start"]
+    assert sum(r["share_millionths"] for r in rows) <= 10**6
