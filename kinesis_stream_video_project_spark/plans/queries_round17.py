@@ -34,6 +34,11 @@ are exact integers + booleans — no float crosses the hash boundary.
   two-stage truncating division's exact error envelope), plus the
   sign-vs-rational-comparison claim. The float tier and the integer
   tier certify each other row by row.
+* ``surprisal_bits_claims`` (X-226) — TRUE per-doc bigram
+  cross-entropy in bits certified against the integer surprisal
+  surrogate: nonnegativity, Jensen (AM-GM direction) vs the
+  surrogate's own term sum, strict-Jensen gap, and a measured band.
+  The X-103 caveat closed the way X-222 closed X-154's.
 * ``markov_removal_attribution`` (X-225) — Anderl et al. 2014
   removal-effect attribution: each channel's credit is the drop in
   absorbing-chain conversion probability when its node is removed —
@@ -634,4 +639,98 @@ FROM rem CROSS JOIN tot
 QUERIES["markov_removal_attribution"] = _markov_removal_attribution
 ORACLES["markov_removal_attribution"] = _mra_oracle()
 TAGS["markov_removal_attribution"] = ("round17",)
+assert set(QUERIES) == set(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# True bigram cross-entropy (bits) claims (X-226)
+# ---------------------------------------------------------------------------
+
+
+def _surprisal_bits_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE per-document bigram cross-entropy in bits, certified
+    against the r8-green integer surprisal surrogate (X-226 — the
+    X-103 caveat closed the same way X-222 closed X-154's): H(doc) =
+    mean log₂(c_prev/c_bigram) over the doc's adjacent pairs, the
+    actual bits-per-bigram of the self-corpus bigram model.
+
+    Claims per doc: H ≥ 0 (every ratio ≥ 1 since c_bigram ≤ c_prev);
+    Jensen — H ≤ log₂(mean ratio), the AM-GM direction, against the
+    surrogate's own integer term sum; strict-Jensen gap > 1e-4
+    (measured min 5.3e-4 at sf0.1, 5.0e-3/5.7e-3 at sf0.01/0.001 —
+    the fixture's ratio spread keeps the inequality strict); and the
+    measured band 4.5 ≤ H ≤ 6.0 bits (measured [4.68, 5.56] across
+    SFs). Emits (doc_id, n_bigrams) exact + 4 booleans; docs with < 2
+    tokens produce no row (the bigram_surprisal contract).
+
+    Scale: the registered surrogate's shape exactly — one bigram-count
+    aggregate, a prev marginal derived from it, joined back onto the
+    exploded pairs, one per-doc aggregate."""
+    from kinesis_stream_video_project_spark.operators.lm import doc_bigrams
+
+    scale = 10**6
+    docs = io.load_table(spark, sf_dir, "documents")
+    bgs = doc_bigrams(docs)
+    bc = bgs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    pc = bc.groupBy("prev").agg(F.sum("c_bg").alias("c_prev"))
+    joined = bgs.join(bc, ["prev", "cur"]).join(pc, "prev")
+    per = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(
+            F.log2(
+                F.col("c_prev").cast("double") / F.col("c_bg").cast("double")
+            )
+        ).alias("_lsum"),
+        F.sum(F.expr(f"(c_prev * {scale}) DIV c_bg").cast("long")).alias(
+            "_ssum"
+        ),
+    )
+    h = F.col("_lsum") / F.col("n_bigrams")
+    log_sur = F.log2(
+        F.col("_ssum").cast("double")
+        / F.col("n_bigrams").cast("double")
+        / F.lit(float(scale))
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        (h >= F.lit(0.0) - F.lit(_EPS)).alias("h_nonneg"),
+        (h <= log_sur + F.lit(_EPS)).alias("jensen_holds"),
+        (log_sur - h > F.lit(1e-4)).alias("jensen_strict"),
+        ((h >= F.lit(4.5)) & (h <= F.lit(6.0))).alias("h_band"),
+    )
+
+
+_SURPRISAL_BITS_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bgs AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+),
+bc AS (SELECT prev, cur, COUNT(*) AS c_bg FROM bgs GROUP BY 1, 2),
+pc AS (SELECT prev, CAST(SUM(c_bg) AS BIGINT) AS c_prev FROM bc GROUP BY 1),
+per AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(log2(pc.c_prev::DOUBLE / bc.c_bg::DOUBLE)) AS lsum,
+         CAST(SUM((pc.c_prev * 1000000) // bc.c_bg) AS BIGINT) AS ssum
+  FROM bgs b JOIN bc ON bc.prev = b.prev AND bc.cur = b.cur
+  JOIN pc ON pc.prev = b.prev
+  GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       (lsum / n_bigrams >= -1e-9) AS h_nonneg,
+       (lsum / n_bigrams
+        <= log2(ssum::DOUBLE / n_bigrams::DOUBLE / 1000000.0) + 1e-9)
+         AS jensen_holds,
+       (log2(ssum::DOUBLE / n_bigrams::DOUBLE / 1000000.0)
+        - lsum / n_bigrams > 1e-4) AS jensen_strict,
+       (lsum / n_bigrams >= 4.5 AND lsum / n_bigrams <= 6.0) AS h_band
+FROM per
+"""
+
+
+QUERIES["surprisal_bits_claims"] = _surprisal_bits_claims
+ORACLES["surprisal_bits_claims"] = _SURPRISAL_BITS_ORACLE
+TAGS["surprisal_bits_claims"] = ("round17",)
 assert set(QUERIES) == set(ORACLES)

@@ -196,7 +196,7 @@ def test_round17_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q17.QUERIES) == 5
+    assert len(q17.QUERIES) == 6
     for name, fn in q17.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q17.ORACLES[name]).df()
@@ -260,3 +260,38 @@ def test_mra_laws_on_fixture(spark, sf_dir):
         assert r["removal_millionths"] >= 0
         assert r["p_removed_start"] <= r["p_full_start"]
     assert sum(r["share_millionths"] for r in rows) <= 10**6
+
+
+# ---------------------------------------------------------------------------
+# surprisal bits claims
+# ---------------------------------------------------------------------------
+
+
+def test_surprisal_bits_short_docs_absent_and_formulaic_low(spark):
+    """The bigram_surprisal output contract carries over: a 1-token doc
+    emits NO row. A perfectly formulaic corpus (every doc the same
+    bigram chain) has H = 0 for every doc — h_nonneg holds, the
+    fixture band claim honestly FAILS (the band has teeth), and Jensen
+    collapses to equality so jensen_strict is FALSE."""
+    import unittest.mock as mock
+
+    from kinesis_stream_video_project_spark.plans import queries_round17 as r17
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b", "en", "s0", 7),
+            (1, "a b a b", "en", "s0", 7),
+            (2, "x", "en", "s0", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch.object(r17.io, "load_table", lambda *_a: docs):
+        rows = {
+            r["doc_id"]: r
+            for r in r17._surprisal_bits_claims(spark, "unused").collect()
+        }
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r["h_nonneg"] and r["jensen_holds"]
+        assert not r["h_band"]
+        assert not r["jensen_strict"]
