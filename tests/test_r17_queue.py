@@ -196,7 +196,7 @@ def test_round17_module_entries_match_oracles(spark, sf):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    assert len(q17.QUERIES) == 6
+    assert len(q17.QUERIES) == 7
     for name, fn in q17.QUERIES.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(q17.ORACLES[name]).df()
@@ -295,3 +295,56 @@ def test_surprisal_bits_short_docs_absent_and_formulaic_low(spark):
         assert r["h_nonneg"] and r["jensen_holds"]
         assert not r["h_band"]
         assert not r["jensen_strict"]
+
+
+# ---------------------------------------------------------------------------
+# Holt split-conformal coverage
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_laws_and_replay(spark, sf_dir):
+    """Structural laws per group: k <= n_cal, 0 <= coverage <= 1000,
+    n_cal + n_test = n - 1 (one residual per step from 2..n, split at
+    (7n) div 10), q >= 0 — plus a pure-Python replay of the whole
+    audit (Holt fold, rank quantile, coverage count) agreeing exactly
+    for one group."""
+    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
+    from kinesis_stream_video_project_spark.plans import queries_round17 as r17
+
+    rows = {r["grp"]: r for r in
+            r17._holt_conformal_coverage(spark, sf_dir).collect()}
+    series = {}
+    for r in r15._daily_series(spark, sf_dir).collect():
+        series.setdefault(r["grp"], []).append((r["step"], r["xs"]))
+    assert len(rows) == 5
+    for g, r in rows.items():
+        n = len(series[g])
+        assert r["k"] <= r["n_cal"]
+        assert 0 <= r["coverage_permille"] <= 1000
+        assert r["n_cal"] + r["n_test"] == n - 1
+        assert r["q_cents"] >= 0
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    g = sorted(rows)[0]
+    xs = [x for _, x in sorted(series[g])]
+    n = len(xs)
+    fc = {}
+    l = xs[0]; b = xs[1] - xs[0]; fc[2] = l + b
+    lv = tdiv(xs[1] + l + b, 2); tr = tdiv(lv - l + b, 2); fc[3] = lv + tr
+    for i in range(2, n):
+        lv2 = tdiv(xs[i] + lv + tr, 2); tr = tdiv(lv2 - lv + tr, 2)
+        lv = lv2; fc[i + 2] = lv + tr
+    resid = [(t, abs(xs[t - 1] - fc[t])) for t in range(2, n + 1) if t in fc]
+    cend = (n * 7) // 10
+    cal = sorted(r_ for t, r_ in resid if t <= cend)
+    test = [r_ for t, r_ in resid if t > cend]
+    k = min((9 * (len(cal) + 1) + 9) // 10, len(cal))
+    q = cal[k - 1]
+    cov = sum(1 for r_ in test if r_ <= q)
+    r = rows[g]
+    assert (r["n_cal"], r["n_test"], r["k"], r["q_cents"], r["n_covered"]) == (
+        len(cal), len(test), k, q, cov
+    )
