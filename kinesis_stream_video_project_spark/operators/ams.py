@@ -12,8 +12,14 @@ default R = 16; the per-estimator-md5 form measured 6× slower at sf0.1
 for no extra independence — md5's digits are the randomness either
 way). DuckDB derives bit-identical registers, so the sketch itself is
 driver-hash-checkable.
-E[Xᵣ²] = F₂ exactly; Var[Xᵣ²] ≤ 2·F₂², so the mean of R independent
-estimators has relative sd ≤ √(2/R) (R = 16 ⇒ ~35%).
+
+Plan form (r12, measured): the digits are extracted through 8-digit
+WORDS — two ``conv(substr(h, 8w+1, 8), 16, 10)`` BIGINTs per block —
+and each estimator's parity is one ``shiftright & 1`` on a long. The
+obvious per-digit forms are string-bound: 16 ``substring``/IN tests
+per row measured 2.3 s warm at sf0.1, the word+bit form ~1.1 s. The
+register then assembles post-aggregation as Xᵣ = n − 2·Σ bitᵣ (the
+±1 sum rewritten as a bit sum — identical integers, cheaper partials).
 
 100 TB story: the sketch pass is ONE aggregate with R sum expressions —
 map-side partial combine reduces every partition to R integers, the
@@ -21,8 +27,9 @@ shuffle moves R values total. The exact-F₂ companion (carried next to
 the estimate, the CMS measured-error discipline) needs the one groupBy
 shuffle on the key; at true scale you keep only the sketch and drop the
 exact pass — here both are emitted so the error is measured, not
-assumed. Registers ride as DECIMAL(38,0): |Xᵣ| is bounded by n_rows, so
-Xᵣ² needs headroom beyond BIGINT once n_rows passes ~3·10⁹.
+assumed. Registers are BIGINT (|Xᵣ| ≤ n_rows — the sum cannot wrap
+below ~9·10¹⁸ rows); only the SQUARE needs DECIMAL headroom, taken
+post-aggregation on R scalars.
 """
 
 from __future__ import annotations
@@ -36,24 +43,59 @@ from kinesis_stream_video_project_spark.functions.numeric import r4
 def ams_block_hash(key: Column, block: int) -> Column:
     """One md5 hex digest serving 32 estimators (block = r DIV 32):
     estimator r's sign is the parity of hex digit ``r MOD 32``. One
-    hash evaluation per row covers the default R = 16 — the r12 replan
-    that took the registered sketch from 6.0 to ~1 s warm at sf0.1 (16
-    per-row md5 calls collapsed into one; the digits of one md5 are as
-    independent as sixteen md5s for the √(2/R) bound, which is already
-    a randomness-of-md5 argument). Identical in DuckDB:
-    ``md5(block || ':' || CAST(k AS VARCHAR))``."""
+    hash evaluation per row covers the default R = 16. Identical in
+    DuckDB: ``md5(block || ':' || CAST(k AS VARCHAR))``."""
     return F.md5(F.concat(F.lit(f"{block}:"), key.cast("string")))
 
 
-def ams_sign_from_hash(h: Column, r: int) -> Column:
-    """Estimator ``r``'s ±1 sign from its block digest: parity of hex
-    digit ``r MOD 32`` (DuckDB:
-    ``CASE WHEN ('0x' || substr(h, (r % 32) + 1, 1))::BIGINT % 2 = 0
-    THEN 1 ELSE -1 END``)."""
-    parity = (
-        F.conv(F.substring(h, (r % 32) + 1, 1), 16, 10).cast("bigint") % 2
+def _word_shift(r: int) -> tuple[int, int, int]:
+    """Estimator ``r``'s (block, word, shift): digit ``r MOD 32`` of
+    block ``r DIV 32``'s digest lives in 8-digit word ``(r MOD 32) DIV
+    8`` at bit ``4·(7 − (r MOD 8))`` (hex digits are 4 bits, MSB
+    first, so word value = conv(substr(h, 8w+1, 8), 16, 10))."""
+    d = r % 32
+    return r // 32, d // 8, 4 * (7 - (d % 8))
+
+
+def _ams_words(df: DataFrame, key: str, n_estimators: int) -> DataFrame:
+    """Stage the digest WORDS needed by the first ``n_estimators``
+    estimators as BIGINT columns ``_b{block}w{word}`` — the digests are
+    projected once (the ``_hs`` multi-reference rule) and each word is
+    one 32-bit conv, so per-row hash/parse work is constant in R."""
+    k = F.col(key)
+    n_blocks = (n_estimators + 31) // 32
+    hashed = df.select(
+        *[ams_block_hash(k, b).alias(f"_h{b}") for b in range(n_blocks)]
     )
-    return F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1))
+    words = sorted({(b, w) for b, w, _ in map(_word_shift, range(n_estimators))})
+    return hashed.select(
+        *[
+            F.conv(F.substring(F.col(f"_h{b}"), 8 * w + 1, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"_b{b}w{w}")
+            for b, w in words
+        ]
+    )
+
+
+def _bit_sum_aggs(n_estimators: int) -> list[Column]:
+    """The R parity-bit sums: Σ rows of ((word >> shift) & 1) — long
+    arithmetic end to end, no per-row string work."""
+    aggs = []
+    for r in range(n_estimators):
+        b, w, shift = _word_shift(r)
+        aggs.append(
+            F.sum(F.expr(f"(shiftright(_b{b}w{w}, {shift}) & 1)"))
+            .cast("long")
+            .alias(f"_s{r}")
+        )
+    return aggs
+
+
+def _register(r: int) -> Column:
+    """Xᵣ = n − 2·Σ bitᵣ (sign +1 on even digit ⇔ bit 0; a row with
+    bit 1 contributes −1 = 1 − 2·1)."""
+    return (F.col("_n") - 2 * F.col(f"_s{r}")).cast("long")
 
 
 def ams_f2_report(df: DataFrame, key: str, n_estimators: int = 16) -> DataFrame:
@@ -66,38 +108,23 @@ def ams_f2_report(df: DataFrame, key: str, n_estimators: int = 16) -> DataFrame:
         raise ValueError(
             f"n_estimators must be in 1..64, got {n_estimators}"
         )
-    k = F.col(key)
-    n_blocks = (n_estimators + 31) // 32
-    # Block digests projected into their OWN columns before the
-    # aggregate (the _hs multi-reference rule): each digest feeds up to
-    # 32 sign expressions, and without the projection every sum term
-    # would re-evaluate the md5 per row.
-    hashed = df.select(
-        *[ams_block_hash(k, b).alias(f"_h{b}") for b in range(n_blocks)]
-    )
-    sketch = hashed.agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum(
-                ams_sign_from_hash(F.col(f"_h{r // 32}"), r).cast(
-                    "decimal(38,0)"
-                )
-            ).alias(f"_x{r}")
-            for r in range(n_estimators)
-        ],
+    sketch = _ams_words(df, key, n_estimators).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *_bit_sum_aggs(n_estimators),
     )
     sq_sum = None
     for r in range(n_estimators):
-        term = F.col(f"_x{r}") * F.col(f"_x{r}")
+        reg = _register(r).cast("decimal(38,0)")
+        term = reg * reg
         sq_sum = term if sq_sum is None else sq_sum + term
     est = sketch.select(
-        F.col("_n").cast("long").alias("n_rows"),
+        F.col("_n").alias("n_rows"),
         # floor == truncation here (squares are non-negative), matching
         # DuckDB's truncating // — a decimal CAST would HALF_UP-round.
         F.floor(sq_sum / F.lit(n_estimators)).cast("long").alias("f2_est"),
     )
     exact = (
-        df.groupBy(k.alias("_k"))
+        df.groupBy(F.col(key).alias("_k"))
         .agg(F.count(F.lit(1)).alias("_c"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_keys"),
@@ -115,28 +142,46 @@ def ams_f2_report(df: DataFrame, key: str, n_estimators: int = 16) -> DataFrame:
     )
 
 
-def ams_oracle_sql(table: str, key: str, n_estimators: int = 16) -> str:
-    """DuckDB replay of :func:`ams_f2_report` — generated from the same
-    constants as the Spark side (hash family, R, truncating mean)."""
+def _oracle_words_cte(table: str, key: str, n_estimators: int, p: str) -> str:
     n_blocks = (n_estimators + 31) // 32
-    digests = ",\n         ".join(
+    digests = ", ".join(
         f"md5('{b}:' || CAST({key} AS VARCHAR)) AS h{b}"
         for b in range(n_blocks)
     )
-    signs = ",\n         ".join(
-        f"SUM(CASE WHEN ('0x' || substr(h{r // 32}, {(r % 32) + 1}, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) AS x{r}"
-        for r in range(n_estimators)
+    words = sorted({(b, w) for b, w, _ in map(_word_shift, range(n_estimators))})
+    word_cols = ",\n         ".join(
+        f"('0x' || substr(h{b}, {8 * w + 1}, 8))::BIGINT AS b{b}w{w}"
+        for b, w in words
     )
-    sq = " + ".join(f"x{r} * x{r}" for r in range(n_estimators))
+    return (
+        f"hashed_{p} AS (SELECT {digests} FROM {table}),\n"
+        f"words_{p} AS (SELECT {word_cols} FROM hashed_{p})"
+    )
+
+
+def _oracle_bit_sums(n_estimators: int, p: str) -> str:
+    terms = []
+    for r in range(n_estimators):
+        b, w, shift = _word_shift(r)
+        terms.append(
+            f"CAST(SUM((b{b}w{w} >> {shift}) & 1) AS BIGINT) AS s{r}"
+        )
+    return ",\n         ".join(terms)
+
+
+def ams_oracle_sql(table: str, key: str, n_estimators: int = 16) -> str:
+    """DuckDB replay of :func:`ams_f2_report` — generated from the same
+    constants as the Spark side (hash family, word extraction, R,
+    truncating mean); Xᵣ = n − 2·sᵣ assembled in the final select."""
+    regs_sq = " + ".join(
+        f"(n - 2 * s{r}) * (n - 2 * s{r})" for r in range(n_estimators)
+    )
     return f"""
-WITH hashed AS (
-  SELECT {digests}
-  FROM {table}
-),
+WITH {_oracle_words_cte(table, key, n_estimators, 'x')},
 sketch AS (
   SELECT COUNT(*) AS n,
-         {signs}
-  FROM hashed
+         {_oracle_bit_sums(n_estimators, 'x')}
+  FROM words_x
 ),
 exact AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
@@ -146,8 +191,8 @@ exact AS (
 SELECT CAST(n AS BIGINT) AS n_rows,
        n_keys,
        f2_exact,
-       CAST(({sq}) // {n_estimators} AS BIGINT) AS f2_est,
-       (floor((CAST(({sq}) // {n_estimators} AS DOUBLE) / f2_exact)
+       CAST(({regs_sq}) // {n_estimators} AS BIGINT) AS f2_est,
+       (floor((CAST(({regs_sq}) // {n_estimators} AS DOUBLE) / f2_exact)
               * 10000.0 + 0.5) / 10000.0) AS est_over_exact
 FROM sketch, exact
 """
@@ -156,22 +201,22 @@ FROM sketch, exact
 def _ams_side_sketch(
     df: DataFrame, key: str, n_estimators: int, prefix: str
 ) -> DataFrame:
-    """One side's 1-row sketch frame: row count, F₂-exact companion
-    inputs, and the R tug-of-war registers (same block-digest family as
-    :func:`ams_f2_report`, so two sides sketched independently are
-    inner-product-compatible)."""
-    k = F.col(key)
-    n_blocks = (n_estimators + 31) // 32
-    hashed = df.select(
-        *[ams_block_hash(k, b).alias(f"_h{b}") for b in range(n_blocks)]
-    )
-    return hashed.agg(
+    """One side's 1-row sketch frame: row count and the R parity-bit
+    sums (same block-digest family as :func:`ams_f2_report`, so two
+    sides sketched independently are inner-product-compatible);
+    registers assemble downstream as n − 2·s."""
+    return _ams_words(df, key, n_estimators).agg(
         F.count(F.lit(1)).cast("long").alias(f"n_{prefix}"),
         *[
-            F.sum(
-                ams_sign_from_hash(F.col(f"_h{r // 32}"), r).cast("long")
-            ).alias(f"_{prefix}{r}")
-            for r in range(n_estimators)
+            agg.alias(f"_{prefix}{r}")
+            for r, agg in enumerate(
+                F.sum(
+                    F.expr(
+                        f"(shiftright(_b{b}w{w}, {shift}) & 1)"
+                    )
+                ).cast("long")
+                for b, w, shift in map(_word_shift, range(n_estimators))
+            )
         ],
     )
 
@@ -195,13 +240,14 @@ def ams_join_size(
     ratio, within_3sd)`` — the exact join size (the measured-error
     companion, one counts-join at oracle scale), the raw register
     inner product ``est_num`` (exact integer, hash-checkable), its
-    truncating mean ``est``, the r4 ratio, and the Chebyshev claim
-    ``within_3sd``: (est_num − R·J)² ≤ 9·(2·F₂(A)·F₂(B)·R), the
-    paper's own variance bound Var[est] ≤ 2·F₂(A)·F₂(B)/R at 3σ —
-    evaluated in EXACT integer arithmetic, no float anywhere. Measured
-    |err|/σ on the fixtures: 1.63 / 0.26 / 0.06 at sf0.001/0.01/0.1
-    (the estimator is honestly NOISY when J ≪ √(F₂F₂) — stated; at 3σ
-    the claim held at every SF).
+    truncating mean ``est``, the r4 ratio (NULL on an empty true
+    join), and the Chebyshev claim ``within_3sd``:
+    (est_num − R·J)² ≤ 9·(2·F₂(A)·F₂(B)·R), the paper's own variance
+    bound Var[est] ≤ 2·F₂(A)·F₂(B)/R at 3σ — evaluated in EXACT
+    integer arithmetic, no float anywhere. Measured |err|/σ on the
+    fixtures: 1.63 / 0.26 / 0.06 at sf0.001/0.01/0.1 (the estimator is
+    honestly NOISY when J ≪ √(F₂F₂) — stated; at 3σ the claim held at
+    every SF).
 
     Overflow envelope, ENFORCED IN-PLAN: the claim's right side is
     288·F₂(A)·F₂(B); a raise_error branch refuses F₂ > 10⁸ (the BIGINT
@@ -252,7 +298,9 @@ def ams_join_size(
             )
         )
     )
-    prod = " + ".join(f"_a{r} * _b{r}" for r in range(R))
+    prod = " + ".join(
+        f"(n_a - 2 * _a{r}) * (n_b - 2 * _b{r})" for r in range(R)
+    )
     claim = (
         f"CASE WHEN f2_a > 100000000 OR f2_b > 100000000 THEN "
         f"raise_error('ams_join_size: F2 beyond the BIGINT claim "
@@ -271,7 +319,6 @@ def ams_join_size(
             "f2_b",
             "join_size",
             F.expr(prod).cast("long").alias("est_num"),
-            *[],
         )
         .select(
             "n_a",
@@ -304,28 +351,22 @@ def ams_join_size_oracle_sql(
     n_estimators: int = 16,
 ) -> str:
     """DuckDB replay of :func:`ams_join_size` — same block-digest
-    family, same exact-integer Chebyshev claim (DuckDB's native BIGINT
-    overflow error plays the role of the Spark-side raise_error
-    envelope guard)."""
+    family and word extraction, same exact-integer Chebyshev claim
+    (DuckDB's native BIGINT overflow error plays the role of the
+    Spark-side raise_error envelope guard)."""
     R = n_estimators
-    n_blocks = (R + 31) // 32
 
     def side(table: str, key: str, p: str) -> str:
-        digests = ", ".join(
-            f"md5('{b}:' || CAST({key} AS VARCHAR)) AS h{b}"
-            for b in range(n_blocks)
-        )
-        signs = ",\n         ".join(
-            f"SUM(CASE WHEN ('0x' || substr(h{r // 32}, {(r % 32) + 1}, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END) AS {p}{r}"
-            for r in range(R)
-        )
         return (
-            f"hashed_{p} AS (SELECT {digests} FROM {table}),\n"
-            f"sk_{p} AS (SELECT COUNT(*) AS n_{p},\n         {signs}\n"
-            f"  FROM hashed_{p})"
+            _oracle_words_cte(table, key, R, p)
+            + f",\nsk_{p} AS (SELECT COUNT(*) AS n_{p},\n         "
+            + _oracle_bit_sums(R, p).replace("AS s", f"AS {p}")
+            + f"\n  FROM words_{p})"
         )
 
-    prod = " + ".join(f"a{r} * b{r}" for r in range(R))
+    prod = " + ".join(
+        f"(n_a - 2 * a{r}) * (n_b - 2 * b{r})" for r in range(R)
+    )
     return f"""
 WITH {side(table_a, key_a, 'a')},
 {side(table_b, key_b, 'b')},
