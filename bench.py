@@ -76,20 +76,28 @@ BENCH_QUERIES = [
 # iterative queries whose build step does real work — the pagerank/LPA/
 # k-core family localCheckpoints and probes during construction).
 #
-# r12 window policy: the rotation aligns with the r12 DRIVER_PRIORITY
+# r13 window policy: the rotation aligns with the r13 DRIVER_PRIORITY
 # correctness window (minus stable-set members, which the stable child
-# times every round), led by the 20 new round-12 registrations (the full
-# r14 queue + the eleven strongest r15 entries), followed by the
-# first-drift re-measures of the 20 round-11 registrations (warm figures
-# compare against BENCH_r11's rotation_warm — this is also where the
-# rare_shingle_neighbors ≤2 s target of VERDICT r11 item 2 is
-# evidenced), then the 22 non-stable members of the r12 refresh cohort
-# (the window's block (b); quality_score / session_windows /
-# stream_health_60s / consecutive_failures / token_stats /
-# tumbling_hourly / weekly_retention / window_running_agg are stable-set
-# members and already timed every round).
+# times every round), led by the 7 new round-13 registrations (the r15
+# deferral + the six queries_round16 entries — draining the pre-r17
+# queue to zero), followed by the first-drift re-measures of the 20
+# round-12 registrations (warm figures compare against BENCH_r12's
+# rotation_warm — this is also where the ams_f2_partkey word-form plan
+# and the ivfadc_topk one-time-index head of VERDICT r12 item 4 are
+# evidenced), then the 42 non-stable members of the r13 refresh cohort
+# (the window's block (b); q1_pricing_summary is the one stable-set
+# member, already timed every round).
 BENCH_ROTATION = [
-    # new round-12 registrations: r14 queue (9)
+    # new round-13 registrations: r15 deferral + r16 module (7)
+    "itemitem_cosine_recs",
+    "quality_dup_calibration",
+    "growth_accounting_daily",
+    "ltv_cohort_revenue",
+    "order_total_reconciliation",
+    "abc_part_classes",
+    "mmr_diverse_topk",
+    # the 20 round-12 registrations re-measured (first-drift check;
+    # warm figures compare against BENCH_r12 rotation_warm)
     "scd2_customer_history",
     "scd2_cdc_consistency",
     "scd2_snapshot_at",
@@ -99,7 +107,6 @@ BENCH_ROTATION = [
     "theilsen_weekly_trend",
     "bootstrap_weekly_ci",
     "ri_coverage_audit",
-    # new round-12 registrations: r15 strongest (11)
     "shapley_channel_attribution",
     "km_user_tenure_by_segment",
     "logrank_tenure_by_segment",
@@ -111,69 +118,65 @@ BENCH_ROTATION = [
     "hw_backtest_skill",
     "markov_transition_matrix",
     "markov_backtest_accuracy",
-    # the 20 round-11 registrations re-measured (first-drift check;
-    # warm figures compare against BENCH_r11 rotation_warm — this is
-    # where the rare_shingle_neighbors <=2 s target of VERDICT r11
-    # item 2 is evidenced)
-    "burn_rate_alerts",
-    "ivm_orders_by_custkey",
-    "allpairs_jaccard_ppjoin",
-    "heaps_law_curve",
-    "rare_shingle_neighbors",
-    "stratified_allocation",
-    "followup_outer_pairs",
-    "priority_sample_docs",
-    "compaction_bins",
-    "fastss_typo_pairs",
-    "nation_urgent_ztest",
-    "hrw_rebalance_audit",
-    "semdedup_keep_report",
-    "semdedup_docs_keep",
-    "mwu_purchase_click",
-    "bag_set_ops",
-    "curation_pipeline_v5",
-    "twa_user_values",
-    "ohlc_hourly_values",
-    "ndcg_tier_claims",
-    # the r12 window refresh cohort (block (b): r6-latest remainder +
-    # r7-latest head, minus the stable-set members timed every round)
-    "multimodal_resized",
-    "normalized_dedup_docs",
-    "pandas_udf_token_count",
-    "salted_join_orders",
-    "sliding_windows",
-    "small_quantity_revenue",
-    "stratified_sample_docs",
-    "streaming_dedup_twin",
-    "time_range_moving_window",
-    "train_test_split_counts",
-    "udtf_explode_tokens",
-    "window_distribution_funcs",
-    "error_followup_pairs",
-    "bigram_surprisal_score",
-    "seasonal_value_anomalies",
-    "simhash_bucket_pairs",
-    "copurchase_blast_radius",
-    "token_budget_waterfall",
-    "near_dup_candidates_horizon",
-    "ann_tier_claims",
-    "anti_join_customers",
-    "asof_forward_metric",
+    # the r13 window refresh cohort (block (b): r7-latest cohort +
+    # r8-latest head, minus the stable-set member timed every round)
+    "cohort_ltv_curve",
+    "customer_order_distribution",
+    "dedup_first_event",
+    "disjunctive_predicate_join",
+    "doc_length_histogram",
+    "domain_mixture_weights",
+    "exact_group_percentiles",
+    "fill_forward_last_purchase",
+    "forecast_revenue_change",
+    "heavy_hitters_claim",
+    "json_extract",
+    "market_share_by_year",
+    "nation_pair_trade",
+    "pii_scrub",
+    "pivot_priority_revenue",
+    "priority_late_shipment_counts",
+    "product_type_profit",
+    "promo_revenue_share",
+    "range_join_shipping",
+    "repetition_score",
+    "returned_item_customers",
+    "simhash_dup_consistency",
+    "split_leakage_check",
+    "table_profile",
+    "top_revenue_supplier",
+    "topn_orders_per_nation",
+    "trending_event_types",
+    "unpivot_part_metrics",
+    "unsupplied_parts",
+    "value_outliers",
+    "waiting_suppliers",
+    "window_rank_lag",
+    "bm25_lexical_topk",
+    "verbatim_spans",
+    "ra_linkpred_smallbasket",
+    "pmi_collocations_topk",
+    "vocab_oov_rate",
+    "funnel_conversion",
+    "embedding_gram_matrix",
+    "bpe_merge_topk",
+    "audio_energy_frames",
+    "sssp_bounded",
 ]
 
 # Entries that get a WARM re-execution figure in addition to the
-# construction+materialization span: the 20 new registrations (their
-# first timings are compile-heavy) and the 20 r11-window registrations
-# whose warm figures the first-drift check compares against BENCH_r11's
+# construction+materialization span: the 7 new registrations (their
+# first timings are compile-heavy) and the 20 r12-window registrations
+# whose warm figures the first-drift check compares against BENCH_r12's
 # rotation_warm.
-BENCH_ROTATION_HEAD = BENCH_ROTATION[:40]
+BENCH_ROTATION_HEAD = BENCH_ROTATION[:27]
 
 # The new registrations this round. Per-query rows no longer fit the
 # compact stdout artifact (the driver's ~2000-char tail capture —
 # VERDICT r8 item 3 requires the whole line to PARSE), so the line
 # carries cohort TOTALS for the new block plus the detail-file pointer;
 # every per-query first/warm figure lands in BENCH_DETAIL.json.
-BENCH_NEW = BENCH_ROTATION[:20]
+BENCH_NEW = BENCH_ROTATION[:7]
 
 # Full per-query payload (stable + rotation + warm maps) is written here
 # by main(); the stdout line stays compact and carries the path.

@@ -60,18 +60,16 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. Cross-round state entering r12: 270 registered, every query has a
-# green HASH row, latest-green distribution r11=50, r10=50, r9=50, r8=50,
-# r7=50, r6=20 (VERDICT r11). The r12 window is budgeted 20+30 per VERDICT
-# r11 item 1 + the PLANS final handoff:
-# (a) the full r14 queue (9 — the SCD2 consistency pair leads: two
-#     independent derivations of "current state" hashed equal; ivfadc_topk
-#     tops the quantization ladder) + the ELEVEN strongest r15 entries
-#     (Shapley/survival/forecast/inference families) — 20 NEW
-#     registrations total; itemitem_cosine_recs is the sole r15 deferral;
-# (b) the 30 stalest refreshes — the 20-query r6-latest remainder in its
-#     r6 verification order, then the first 10 of the r7-latest cohort
-#     (after CORRECTNESS_r12 nothing is staler than r7).
+# round. Cross-round state entering r13: 290 registered, every query has a
+# green HASH row, latest-green distribution r12=50, r11=50, r10=50, r9=50,
+# r8=50, r7=40 (VERDICT r12). The r13 window is budgeted 7+43 per VERDICT
+# r12 item 1 + the committed Round-13 registration handoff:
+# (a) the 7 remaining pre-r17 queue entries — the sole r15 deferral
+#     (itemitem_cosine_recs) plus the six queries_round16 entries — which
+#     drains the r15/r16 queue to ZERO;
+# (b) the 43 stalest refreshes — the 40-query r7-latest cohort in its
+#     r7 verification order, then the first 3 of the r8-latest cohort
+#     (after CORRECTNESS_r13 nothing is staler than r8).
 # This tuple is VALIDATED, not just documented: build_driver_priority()
 # below recomputes it from the CORRECTNESS_r*.json artifacts (new
 # registrations first, then max-staleness refreshes), and
@@ -88,63 +86,63 @@ def register(
 # per-round rotation. Rotation is now a FIVE-place rule, one commit:
 # register_all wiring + DRIVER_PRIORITY + DRIVER_PRIORITY_BUILT_FROM +
 # bench rotation + QUERIES.md regeneration.
-DRIVER_PRIORITY_BUILT_FROM: int = 11
+DRIVER_PRIORITY_BUILT_FROM: int = 12
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (a) 20 NEW registrations: r14 queue (9) + r15 strongest (11),
-    #         in registration order ---
-    "scd2_customer_history",
-    "scd2_cdc_consistency",
-    "scd2_snapshot_at",
-    "ivfadc_topk",
-    "holt_daily_revenue",
-    "holt_backtest_mae",
-    "theilsen_weekly_trend",
-    "bootstrap_weekly_ci",
-    "ri_coverage_audit",
-    "shapley_channel_attribution",
-    "km_user_tenure_by_segment",
-    "logrank_tenure_by_segment",
-    "hilbert_locality_audit",
-    "ams_f2_partkey",
-    "perm_test_weekly_revenue",
-    "welch_t2_weekly_revenue",
-    "hw_daily_revenue",
-    "hw_backtest_skill",
-    "markov_transition_matrix",
-    "markov_backtest_accuracy",
-    # --- (b) 30 stalest refreshes: the 20-query r6-latest remainder
-    #         (r6 order), then the first 10 of the r7-latest cohort ---
-    "multimodal_resized",
-    "normalized_dedup_docs",
-    "pandas_udf_token_count",
-    "quality_score",
-    "salted_join_orders",
-    "session_windows",
-    "sliding_windows",
-    "small_quantity_revenue",
-    "stratified_sample_docs",
-    "streaming_dedup_twin",
-    "time_range_moving_window",
-    "token_stats",
-    "train_test_split_counts",
-    "tumbling_hourly",
-    "udtf_explode_tokens",
-    "weekly_retention",
-    "window_distribution_funcs",
-    "window_running_agg",
-    "stream_health_60s",
-    "consecutive_failures",
-    "error_followup_pairs",
-    "bigram_surprisal_score",
-    "seasonal_value_anomalies",
-    "simhash_bucket_pairs",
-    "copurchase_blast_radius",
-    "token_budget_waterfall",
-    "near_dup_candidates_horizon",
-    "ann_tier_claims",
-    "anti_join_customers",
-    "asof_forward_metric",
+    # --- (a) 7 NEW registrations: the r15 deferral + the full r16
+    #         module, in registration order (drains the pre-r17 queue) ---
+    "itemitem_cosine_recs",
+    "quality_dup_calibration",
+    "growth_accounting_daily",
+    "ltv_cohort_revenue",
+    "order_total_reconciliation",
+    "abc_part_classes",
+    "mmr_diverse_topk",
+    # --- (b) 43 stalest refreshes: the 40-query r7-latest cohort
+    #         (r7 order), then the first 3 of the r8-latest cohort ---
+    "cohort_ltv_curve",
+    "customer_order_distribution",
+    "dedup_first_event",
+    "disjunctive_predicate_join",
+    "doc_length_histogram",
+    "domain_mixture_weights",
+    "exact_group_percentiles",
+    "fill_forward_last_purchase",
+    "forecast_revenue_change",
+    "heavy_hitters_claim",
+    "json_extract",
+    "market_share_by_year",
+    "nation_pair_trade",
+    "pii_scrub",
+    "pivot_priority_revenue",
+    "priority_late_shipment_counts",
+    "product_type_profit",
+    "promo_revenue_share",
+    "q1_pricing_summary",
+    "range_join_shipping",
+    "repetition_score",
+    "returned_item_customers",
+    "simhash_dup_consistency",
+    "split_leakage_check",
+    "table_profile",
+    "top_revenue_supplier",
+    "topn_orders_per_nation",
+    "trending_event_types",
+    "unpivot_part_metrics",
+    "unsupplied_parts",
+    "value_outliers",
+    "waiting_suppliers",
+    "window_rank_lag",
+    "bm25_lexical_topk",
+    "verbatim_spans",
+    "ra_linkpred_smallbasket",
+    "pmi_collocations_topk",
+    "vocab_oov_rate",
+    "funnel_conversion",
+    "embedding_gram_matrix",
+    "bpe_merge_topk",
+    "audio_energy_frames",
+    "sssp_bounded",
 )
 
 
@@ -341,6 +339,28 @@ def _load_all() -> None:
             "hw_backtest_skill",
             "markov_transition_matrix",
             "markov_backtest_accuracy",
+        )
+    )
+
+    # r13-window registrations (VERDICT r12 item 1 + the committed
+    # Round-13 registration handoff in PLANS.md): the sole r15 deferral
+    # (itemitem_cosine_recs) plus the full queries_round16 module — 7 new
+    # names, draining the pre-r17 queue to ZERO. Registration order IS the
+    # builder's new-block window order: itemitem leads (last r15 row),
+    # then the r16 entries in their module order (calibration first — the
+    # quality-score x dup-cluster join is the strongest cross-operator
+    # row of the block).
+    from kinesis_stream_video_project_spark.plans import queries_round16
+
+    queries_round15.register_all(("itemitem_cosine_recs",))
+    queries_round16.register_all(
+        (
+            "quality_dup_calibration",
+            "growth_accounting_daily",
+            "ltv_cohort_revenue",
+            "order_total_reconciliation",
+            "abc_part_classes",
+            "mmr_diverse_topk",
         )
     )
 
