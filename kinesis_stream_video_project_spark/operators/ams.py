@@ -142,7 +142,9 @@ def ams_f2_report(df: DataFrame, key: str, n_estimators: int = 16) -> DataFrame:
     )
 
 
-def _oracle_words_cte(table: str, key: str, n_estimators: int, p: str) -> str:
+def _oracle_words_cte(
+    table: str, key: str, n_estimators: int, p: str, where: str = ""
+) -> str:
     n_blocks = (n_estimators + 31) // 32
     digests = ", ".join(
         f"md5('{b}:' || CAST({key} AS VARCHAR)) AS h{b}"
@@ -154,7 +156,7 @@ def _oracle_words_cte(table: str, key: str, n_estimators: int, p: str) -> str:
         for b, w in words
     )
     return (
-        f"hashed_{p} AS (SELECT {digests} FROM {table}),\n"
+        f"hashed_{p} AS (SELECT {digests} FROM {table}{where}),\n"
         f"words_{p} AS (SELECT {word_cols} FROM hashed_{p})"
     )
 
@@ -256,6 +258,14 @@ def ams_join_size(
     guard). The |d| > 1.7·10⁹ case short-circuits to FALSE before
     squaring on BOTH engines for the same reason.
 
+    NULL keys are EXCLUDED on both sides before sketching AND from the
+    exact companion (both engines): a NULL key can never contribute to
+    the equi-join being estimated, but an unfiltered NULL row would
+    count into n while its parity bit is NULL (excluded from the bit
+    sums) — silently adding +1 to every register X_r = n − 2·s_r, a
+    bias the estimator's variance bound knows nothing about (ADVICE
+    r12 item 3). n_a/n_b therefore report NON-NULL-key row counts.
+
     Scale: two independent single-pass aggregates (R integers each),
     one broadcast-cross of three 1-row frames; the exact companion is
     the only key-shuffle and exists to measure the error."""
@@ -264,6 +274,8 @@ def ams_join_size(
             f"n_estimators must be in 1..64, got {n_estimators}"
         )
     R = n_estimators
+    dfa = dfa.filter(F.col(key_a).isNotNull())
+    dfb = dfb.filter(F.col(key_b).isNotNull())
     sk_a = _ams_side_sketch(dfa, key_a, R, "a")
     sk_b = _ams_side_sketch(dfb, key_b, R, "b")
     ca = dfa.groupBy(F.col(key_a).alias("_k")).agg(
@@ -353,12 +365,15 @@ def ams_join_size_oracle_sql(
     """DuckDB replay of :func:`ams_join_size` — same block-digest
     family and word extraction, same exact-integer Chebyshev claim
     (DuckDB's native BIGINT overflow error plays the role of the
-    Spark-side raise_error envelope guard)."""
+    Spark-side raise_error envelope guard), same NULL-key exclusion
+    before sketching and in the exact companion."""
     R = n_estimators
 
     def side(table: str, key: str, p: str) -> str:
         return (
-            _oracle_words_cte(table, key, R, p)
+            _oracle_words_cte(
+                table, key, R, p, where=f" WHERE {key} IS NOT NULL"
+            )
             + f",\nsk_{p} AS (SELECT COUNT(*) AS n_{p},\n         "
             + _oracle_bit_sums(R, p).replace("AS s", f"AS {p}")
             + f"\n  FROM words_{p})"
@@ -370,8 +385,10 @@ def ams_join_size_oracle_sql(
     return f"""
 WITH {side(table_a, key_a, 'a')},
 {side(table_b, key_b, 'b')},
-ca AS (SELECT {key_a} AS k, COUNT(*) AS c FROM {table_a} GROUP BY 1),
-cb AS (SELECT {key_b} AS k, COUNT(*) AS c FROM {table_b} GROUP BY 1),
+ca AS (SELECT {key_a} AS k, COUNT(*) AS c FROM {table_a}
+       WHERE {key_a} IS NOT NULL GROUP BY 1),
+cb AS (SELECT {key_b} AS k, COUNT(*) AS c FROM {table_b}
+       WHERE {key_b} IS NOT NULL GROUP BY 1),
 exact AS (
   SELECT COALESCE((SELECT CAST(SUM(ca.c * cb.c) AS BIGINT)
                    FROM ca JOIN cb USING (k)), 0) AS join_size,

@@ -4147,10 +4147,13 @@ _AMS_R = 16
 
 
 def _ams_stream_sign(r: int, key: str) -> int:
-    """Python twin of ``operators/ams.py::ams_sign_from_hash`` — the
-    SAME block-digest parity rule (one md5 per 32 estimators, sign r =
-    parity of hex digit r MOD 32), so the streaming registers are
-    bit-identical to the batch/DuckDB sketch."""
+    """Python twin of the batch hash family in ``operators/ams.py``
+    (``ams_block_hash`` + ``_word_shift``) — the SAME block-digest
+    parity rule (one md5 per 32 estimators, digest ``r DIV 32``, sign r
+    = parity of hex digit ``r MOD 32``; the batch side reads that digit
+    through a 32-bit conv() word, this side indexes the hex string
+    directly — same bit), so the streaming registers are bit-identical
+    to the batch/DuckDB sketch."""
     import hashlib
 
     h = hashlib.md5(f"{r // 32}:{key}".encode("utf-8")).hexdigest()
@@ -4285,11 +4288,26 @@ def _entropy_stream_fold(counts: list, hours: list) -> tuple:
     argument: margins ≥ 1e-3 dwarf any libm drift, so JVM/DuckDB/
     CPython agree on every boolean). Counters SUM, so the fold is
     fully COMMUTATIVE — the second shelf op (after online AMS) with no
-    ordering contract at all."""
+    ordering contract at all.
+
+    Domain contract (the km_survival in-plan refusal discipline): the
+    state is a FIXED 24-counter array, so only integral hours 0..23
+    are representable. The batch twin groups a NULL hour (NULL ts) as
+    its own row; the online form instead DECLARES NULL out of domain —
+    ``_entropy_staged`` drops NULL-ts rows before the shuffle, and
+    this fold REFUSES anything else (NaN from a NULL that slipped past
+    staging, or an out-of-range value which Python's negative indexing
+    would otherwise silently wrap onto hour 23) rather than corrupt a
+    counter."""
     import math
 
     counts = list(counts)
     for h in hours:
+        if h != h or not 0 <= h <= 23:  # NaN fails both comparisons
+            raise ValueError(
+                f"entropy_stream: hour {h!r} outside the 0..23 domain "
+                "(NULL ts rows are dropped at staging by contract)"
+            )
         counts[int(h)] += 1
     live = [c for c in counts if c > 0]
     n = sum(live)
@@ -4312,8 +4330,12 @@ def _entropy_stream_fold(counts: list, hours: list) -> tuple:
 def _entropy_staged(events: DataFrame) -> DataFrame:
     """Shared JVM staging: (key = event_type, h = hour-of-day) — the
     live uniformity/anomaly signal of each type's traffic shape (batch
-    twin: queries_round17._entropy_hourly_claims, X-220)."""
-    return events.select(
+    twin: queries_round17._entropy_hourly_claims, X-220). NULL-ts rows
+    are dropped HERE, before the shuffle — the fold's fixed 24-counter
+    state declares NULL-hour out of domain (stated contract; the batch
+    twin instead emits a NULL-hour group row), and the fold itself
+    refuses any hour that still arrives outside 0..23."""
+    return events.filter(F.col("ts").isNotNull()).select(
         F.col("event_type").cast("string").alias("key"),
         F.hour("ts").cast("long").alias("h"),
     )

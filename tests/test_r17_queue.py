@@ -171,6 +171,36 @@ def test_ams_join_size_disjoint_keys(spark):
     assert row["within_3sd"] is not None
 
 
+def test_ams_join_size_null_keys_excluded(spark):
+    """NULL keys are excluded BEFORE sketching (ADVICE r12 item 3): a
+    NULL key never joins, but unfiltered it would count into n while
+    its parity bit is NULL — +1 bias in every register X_r = n - 2*s_r.
+    The row with NULLs on both sides must equal the NULL-free row
+    field-for-field (registers included, via est_num), and the DuckDB
+    oracle replay must agree on the same frames."""
+    import duckdb as ddb
+
+    from kinesis_stream_video_project_spark.operators.ams import (
+        ams_join_size,
+        ams_join_size_oracle_sql,
+    )
+
+    dfa = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], "k string")
+    dfb = spark.createDataFrame([("a",), ("b",), ("b",), (None,)], "k string")
+    clean_a = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    clean_b = spark.createDataFrame([("a",), ("b",), ("b",)], "k string")
+    got = ams_join_size(dfa, "k", dfb, "k").toPandas()
+    clean = ams_join_size(clean_a, "k", clean_b, "k").toPandas()
+    assert _rendered(got).equals(_rendered(clean))
+    assert (got["n_a"][0], got["n_b"][0]) == (3, 3)
+
+    con = ddb.connect()
+    con.register("ta", pd.DataFrame({"k": ["a", "a", "b", None]}))
+    con.register("tb", pd.DataFrame({"k": ["a", "b", "b", None]}))
+    oracle = con.sql(ams_join_size_oracle_sql("ta", "k", "tb", "k")).df()
+    assert _rendered(oracle).equals(_rendered(got))
+
+
 def test_ams_join_size_refuses_bad_estimator_count(spark):
     from kinesis_stream_video_project_spark.operators.ams import ams_join_size
 

@@ -4781,6 +4781,39 @@ def test_entropy_stream_checkpoint_restart_resumes(spark, tmp_path):
     assert cumulative == (224, 24, 23 + 201 * 201, False)
 
 
+def test_entropy_stream_fold_refuses_out_of_domain_hours():
+    """Domain guard (ADVICE r12 item 2): a NaN hour (a NULL ts that
+    slipped past staging) or any value outside 0..23 must raise a CLEAR
+    error, not crash on indexing — and a negative hour must NOT wrap
+    onto counts[23] via Python's negative indexing. Valid folds on the
+    boundary hours still work."""
+    state, out = jobs._entropy_stream_fold([0] * 24, [0, 23])
+    assert state[0] == 1 and state[23] == 1 and out[0] == 2
+
+    for bad in (float("nan"), -1, 24, 23.5):
+        with pytest.raises(ValueError, match="0..23 domain"):
+            jobs._entropy_stream_fold([0] * 24, [bad])
+
+
+def test_entropy_staged_drops_null_ts(spark):
+    """The staging contract the fold guard relies on: NULL-ts rows are
+    dropped before the shuffle (the batch twin groups them as a NULL-
+    hour row; the online form's fixed 24-counter state declares them
+    out of domain — stated in both docstrings)."""
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 5, 0, 0), 1, "click", 1.0, "{}"),
+            (2, None, 1, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = jobs._entropy_staged(ev).collect()
+    assert [(r["key"], r["h"]) for r in got] == [("click", 5)]
+
+
 def test_entropy_stream_fold_commutes_hypothesis():
     """Hypothesis pin: ANY permutation and ANY chunking of any hour
     sequence folds to the same counters and claims row — the
