@@ -58,15 +58,69 @@ def semdedup_report(
     interpreted evaluation; the pq finding applies to SMALL fixed dims
     like its sub_d = 8, stated). The pair-volume lever is ``n_cells``
     — the paper's own scale knob: pairs fall quadratically with cells
-    (SemDeDup runs thousands of clusters at web scale)."""
+    (SemDeDup runs thousands of clusters at web scale).
+
+    Composition of :func:`semdedup_build_index` (the one-off k-means
+    stage — in production written out via :func:`semdedup_write_index`
+    and reused across threshold sweeps / incremental batches) and
+    :func:`semdedup_report_from_index`; identical output pinned in
+    tests, including through the parquet round-trip."""
+    staged = semdedup_build_index(
+        corpus, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
+    ).localCheckpoint()
+    return semdedup_report_from_index(
+        staged, threshold=threshold, corpus_id=corpus_id, vec=vec
+    )
+
+
+def semdedup_build_index(
+    corpus: DataFrame,
+    n_cells: int = 10,
+    n_iters: int = 2,
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """The one-off SemDeDup index: the (id, vec, cell) k-means
+    assignment frame every consumer of :func:`semdedup_report` joins
+    against — the stage whose unrolled 2-iteration Lloyd lineage is
+    what the in-memory form localCheckpoints (VERDICT r12 item 4: in
+    production this is a WRITTEN table, and a threshold sweep or an
+    incremental dedup batch re-reads it instead of re-running Lloyd).
+    Persist with :func:`semdedup_write_index`; reload with
+    :func:`semdedup_read_index`."""
     cells = kmeans_assign(
         corpus, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
     )
-    staged = (
-        corpus.select(F.col(corpus_id), F.col(vec))
-        .join(cells, corpus_id)
-        .localCheckpoint()
+    return corpus.select(F.col(corpus_id), F.col(vec)).join(cells, corpus_id)
+
+
+def semdedup_write_index(index: DataFrame, path: str) -> None:
+    """Persist a :func:`semdedup_build_index` frame partitioned by
+    cell — the pair join is cell-keyed, so each task of the verdict
+    stage reads exactly one cell's files (the on-disk form of the
+    cluster-local argument that makes SemDeDup tractable)."""
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def semdedup_read_index(spark, path: str) -> DataFrame:
+    """Reload a persisted SemDeDup index; the partition column comes
+    back as INT via partition-type inference — cast to the build-side
+    LONG so the round-trip is schema-identical."""
+    return spark.read.parquet(path).withColumn(
+        "cell", F.col("cell").cast("long")
     )
+
+
+def semdedup_report_from_index(
+    staged: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Verdict half of SemDeDup against a built (or reloaded) index:
+    the cell-local (smaller-id, larger-id) pair cosine with hoisted
+    norms, the r4-rounded threshold compare, and the left-join verdict
+    back to the ledger-sized (id, cell) frame."""
     a = staged.select(
         F.col("cell"),
         F.col(corpus_id).alias("_ida"),

@@ -899,47 +899,38 @@ def pq_adc_topk(
     )
 
 
-def ivfadc_topk(
-    queries: DataFrame,
+def ivfadc_build_index(
     corpus: DataFrame,
-    k: int = 10,
     n_cells: int = 8,
-    nprobe: int = 4,
     n_subspaces: int = 8,
     n_centroids: int = 256,
     n_iters: int = 2,
     dims: int = 64,
-    query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec: str = "embedding",
-) -> DataFrame:
-    """IVF-ADC — the FAISS IVFADC composition (Jégou/Douze/Schmid TPAMI
-    2011 §IV.C) and the top of the quantization ladder: the coarse
-    k-means quantizer prunes WHERE to scan (:func:`kmeans_assign` cells,
-    nprobe probed per query), product quantization on the RESIDUALS
-    (x − coarse centroid) shrinks what is scanned to sub-vector codes,
-    and the asymmetric-distance LUT scores it. Residual PQ is the whole
-    point of the composition: residuals have far less variance than raw
-    vectors, so the same code budget quantizes them with less error —
-    the reason FAISS defaults to encode-residuals for IVF+PQ indexes.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The one-off IVF-ADC index build (the stage :func:`ivfadc_topk`'s
+    docstring always described as "written out as a table in
+    production" — now an actual API, VERDICT r12 item 4): coarse
+    k-means cells, residuals against the coarse centroids, PQ codebooks
+    trained ON the residuals, and the per-vector codes.
 
-    Inner-product metric throughout (the pq_adc_topk contract):
-    score(q, x̃) = q·c_cell(x) + Σ_s q_s·codebook[s][code_s(x)] — the
-    LUT is the RAW query against the residual codebooks (for IP the
-    identity q·x̃ = q·c + q·r̃ makes the LUT cell-independent; L2 would
-    need a per-probed-cell LUT). Probing ranks cells by cosine(q, c)
-    with the smaller-cell tiebreak — the same probe rule as
-    :func:`ivf_topk_kmeans`. Output (query_id, vec_id, score_q, rank),
-    r4-rounded score, (score desc, id) rank; candidates restricted to
-    probed cells, self excluded; recall vs the exact tier measured in
-    pytest (the ann_tier_claims discipline).
+    Returns ``(coarse, pq_cents, coded)``:
 
-    Scale: the index build (coarse assign + residuals + PQ codes) is
-    the one-off localCheckpointed stage a production deployment writes
-    out as a table; query-time state is all broadcast-sized (coarse
-    centroids, the per-query LUT of |Q|·n_subspaces·n_centroids partial
-    dots) and the scan moves (cell, 4-byte codes) — never the f32
-    column. Eager at construction (the pq_train_codes collects)."""
+    * ``coarse`` — (cell, _coarse array<double>): the coarse centroids;
+      model-sized, broadcasts at query time.
+    * ``pq_cents`` — (s, cell, centroid array<double>): the residual
+      codebooks; model-sized (128 KB at 8×256×8), broadcasts into the
+      query LUT.
+    * ``coded`` — (corpus_id, s, code, cell): the corpus's entire
+      query-time footprint — n_subspaces rows of (code, cell) per
+      vector, never the f32 column.
+
+    Persist with :func:`ivfadc_write_index` / reload with
+    :func:`ivfadc_read_index`; query with :func:`ivfadc_query_index`
+    (``ivfadc_query_index(q, ivfadc_build_index(c)) ≡ ivfadc_topk(q,
+    c)`` — pinned bit-exact in tests, including through a parquet
+    round-trip)."""
     assigned = kmeans_assign(
         corpus, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
     )
@@ -983,6 +974,62 @@ def ivfadc_topk(
         corpus_id=corpus_id,
         vec="_rv",
     )
+    coded = codes.join(resid.select(corpus_id, "cell"), corpus_id)
+    return coarse, pq_cents, coded
+
+
+def ivfadc_write_index(
+    index: tuple[DataFrame, DataFrame, DataFrame], path: str
+) -> None:
+    """Persist an :func:`ivfadc_build_index` result as three parquet
+    tables under ``path`` — the production index shape. ``coded`` is
+    written ``partitionBy("cell")``: at query time only the probed
+    cells' files exist to be read, so nprobe/n_cells of the index is
+    scanned per query batch via ordinary partition pruning — the
+    on-disk twin of the in-plan cell-probe join (at 100 TB this is the
+    difference between scanning the full code table and 4/8 of it)."""
+    coarse, pq_cents, coded = index
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    pq_cents.write.mode("overwrite").parquet(f"{path}/pq_cents")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+
+
+def ivfadc_read_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Reload a persisted IVF-ADC index. The partition column ``cell``
+    comes back through partition-type inference as INT — cast to the
+    build-side LONG so the reloaded index is schema-identical to the
+    freshly-built one (the round-trip equality pin depends on it)."""
+    coarse = spark.read.parquet(f"{path}/coarse")
+    pq_cents = spark.read.parquet(f"{path}/pq_cents")
+    coded = spark.read.parquet(f"{path}/codes").withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+    return coarse, pq_cents, coded
+
+
+def ivfadc_query_index(
+    queries: DataFrame,
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    k: int = 10,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    dims: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Query-time half of IVF-ADC against a built (or reloaded) index:
+    rank cells by cosine(q, coarse centroid) with the smaller-cell
+    tiebreak, probe ``nprobe`` of them, score candidates via the
+    asymmetric LUT (q·c_cell + Σ_s LUT[s][code_s]), emit r4-rounded
+    (score desc, id)-ranked top-k. All query-time state broadcasts
+    (coarse centroids + the |Q|·n_subspaces·n_centroids LUT); the scan
+    side moves (cell, code) rows only."""
+    coarse, pq_cents, coded = index
     sub_d = dims // n_subspaces
     qsubs = queries.select(
         F.col(query_id),
@@ -1029,8 +1076,7 @@ def ivfadc_topk(
         .select(query_id, "cell", "_qc")
     )
     scored = (
-        codes.join(resid.select(corpus_id, "cell"), corpus_id)
-        .join(probed, "cell")
+        coded.join(probed, "cell")
         .join(lut, [query_id, "s", "code"])
         .filter(F.col(corpus_id) != F.col(query_id))
         .groupBy(query_id, corpus_id)
@@ -1048,6 +1094,71 @@ def ivfadc_topk(
             "score_q",
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def ivfadc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    n_subspaces: int = 8,
+    n_centroids: int = 256,
+    n_iters: int = 2,
+    dims: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC — the FAISS IVFADC composition (Jégou/Douze/Schmid TPAMI
+    2011 §IV.C) and the top of the quantization ladder: the coarse
+    k-means quantizer prunes WHERE to scan (:func:`kmeans_assign` cells,
+    nprobe probed per query), product quantization on the RESIDUALS
+    (x − coarse centroid) shrinks what is scanned to sub-vector codes,
+    and the asymmetric-distance LUT scores it. Residual PQ is the whole
+    point of the composition: residuals have far less variance than raw
+    vectors, so the same code budget quantizes them with less error —
+    the reason FAISS defaults to encode-residuals for IVF+PQ indexes.
+
+    Inner-product metric throughout (the pq_adc_topk contract):
+    score(q, x̃) = q·c_cell(x) + Σ_s q_s·codebook[s][code_s(x)] — the
+    LUT is the RAW query against the residual codebooks (for IP the
+    identity q·x̃ = q·c + q·r̃ makes the LUT cell-independent; L2 would
+    need a per-probed-cell LUT). Probing ranks cells by cosine(q, c)
+    with the smaller-cell tiebreak — the same probe rule as
+    :func:`ivf_topk_kmeans`. Output (query_id, vec_id, score_q, rank),
+    r4-rounded score, (score desc, id) rank; candidates restricted to
+    probed cells, self excluded; recall vs the exact tier measured in
+    pytest (the ann_tier_claims discipline).
+
+    Composition of :func:`ivfadc_build_index` (the one-off stage — in
+    production written out via :func:`ivfadc_write_index` and reloaded
+    per query batch, bit-exactness through the parquet round-trip
+    pinned in tests) and :func:`ivfadc_query_index` (all query-time
+    state broadcast-sized; the scan moves (cell, 4-byte codes) — never
+    the f32 column). Eager at construction (the pq_train_codes
+    collects)."""
+    index = ivfadc_build_index(
+        corpus,
+        n_cells=n_cells,
+        n_subspaces=n_subspaces,
+        n_centroids=n_centroids,
+        n_iters=n_iters,
+        dims=dims,
+        corpus_id=corpus_id,
+        vec=vec,
+    )
+    return ivfadc_query_index(
+        queries,
+        index,
+        k=k,
+        nprobe=nprobe,
+        n_subspaces=n_subspaces,
+        dims=dims,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec=vec,
     )
 
 
