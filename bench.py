@@ -291,6 +291,87 @@ def _run_rotation(spark, specs, sf_dir: str) -> tuple[dict, dict]:
     return rotation, warm
 
 
+def _run_indexed(spark, sf_dir: str) -> tuple[dict, dict]:
+    """VERDICT r12 item 4: the ivfadc_topk / semdedup_docs_keep rotation
+    heads are dominated by their one-time index builds (5.2 s / 10.0 s
+    measured vs 0.8 s / 1.9 s warm). These rows split that cost along
+    the production boundary the operators now expose:
+
+    * ``*_index_build`` — build + WRITE the persisted index (parquet,
+      code/assignment tables partitioned by cell), the amortized one-off;
+    * ``*_from_index`` — the query path against the RELOADED written
+      index (first = cold plan, warm = min-of-2 re-execution), the
+      steady state a deployment actually pays per query batch.
+
+    Registered-query rows above keep timing the from-scratch composition
+    so their figures stay comparable across rounds; these four rows are
+    the measured evidence for the recorded keep-the-row decision."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_video_project_spark import io as eio
+    from kinesis_stream_video_project_spark.functions.vectors import (
+        hashed_bow_table,
+    )
+    from kinesis_stream_video_project_spark.operators import (
+        semdedup as sd,
+        similarity as sim,
+    )
+
+    rotation: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="bench_index_")
+
+    def timed_query(name: str, df) -> None:
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if i == 0:
+                rotation[name] = round(dt, 3)
+            else:
+                best = min(best, dt)
+        warm[name] = round(best, 3)
+
+    try:
+        e = eio.load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = time.perf_counter()
+        sim.ivfadc_write_index(
+            sim.ivfadc_build_index(e, n_cells=8, n_centroids=256),
+            f"{root}/ivfadc",
+        )
+        rotation["ivfadc_index_build"] = round(time.perf_counter() - t0, 3)
+        idx = sim.ivfadc_read_index(spark, f"{root}/ivfadc")
+        timed_query(
+            "ivfadc_topk_from_index",
+            sim.ivfadc_query_index(q, idx, k=10, nprobe=4),
+        )
+
+        docs = eio.load_table(spark, sf_dir, "documents")
+        emb = hashed_bow_table(docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        t0 = time.perf_counter()
+        sd.semdedup_write_index(
+            sd.semdedup_build_index(emb, n_cells=40), f"{root}/semdedup"
+        )
+        rotation["semdedup_index_build"] = round(time.perf_counter() - t0, 3)
+        reloaded = sd.semdedup_read_index(spark, f"{root}/semdedup")
+        timed_query(
+            "semdedup_docs_keep_from_index",
+            sd.semdedup_report_from_index(reloaded, threshold=0.95),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return rotation, warm
+
+
 def _run_part(part: str) -> None:
     """Child-process entry: run one set in this (fresh) JVM, print one JSON
     line {"queries": {...}}."""
@@ -310,6 +391,9 @@ def _run_part(part: str) -> None:
         payload = {"queries": _run_stable(spark, specs, sf_dir)}
     else:
         rotation, warm = _run_rotation(spark, specs, sf_dir)
+        idx_rot, idx_warm = _run_indexed(spark, sf_dir)
+        rotation.update(idx_rot)
+        warm.update(idx_warm)
         payload = {"queries": rotation, "warm": warm}
     print(json.dumps(payload))
     spark.stop()

@@ -371,11 +371,16 @@ def test_round8_registration_plan_shapes(spark, sf_dir):
 # staged (localCheckpoint the shared subtree) or carry a recorded
 # decision below.
 #
-# Every allowlisted name was adjudicated in r12 (all <= 2 s warm at
-# sf0.1 in BENCH_DETAIL r11 where timed — none is a staging miss):
+# Every allowlisted name carries a DATED warm figure at sf0.1
+# (scripts/time_allowlist.py — re-run whenever the owning module
+# changes, VERDICT r12 item 5; latest sweep 2026-08-16, a wide-band
+# host day: same-code stable-set runs measured 18.4/23.0 s). None is a
+# staging miss:
 #   - tier-replay by design: evaluation/claims queries deliberately
 #     re-run several ANN/LSH tiers and compare them; the repeated cosine
-#     is one evaluation per tier, not a shared subtree.
+#     is one evaluation per tier, not a shared subtree. The >2 s
+#     members (ann_tier_claims 3.32, lsh_tier_consistency 3.49) pay for
+#     N DELIBERATE tier evaluations — staging removes none of them.
 #   - join-side corpus projection: near-dup pair joins evaluate the
 #     shingle/norm expression once per join SIDE x aggregate stage on a
 #     corpus-sized frame — the X-201 measured rule (itemitem r11):
@@ -385,17 +390,30 @@ def test_round8_registration_plan_shapes(spark, sf_dir):
 #     bounded loop into stages; each occurrence is a different
 #     iteration, not a recompute of one value.
 _EXPENSIVE_REPEAT_ALLOWLIST = {
-    # tier-replay by design
-    "ann_tier_claims", "ann_recall_eval", "lsh_tier_consistency",
-    "ndcg_tier_claims",
+    # tier-replay by design (warm @ sf0.1, 2026-08-16)
+    "ann_tier_claims",       # 3.32 s — 5 ANN tiers replayed + claims
+    "ann_recall_eval",       # 1.03 s
+    "lsh_tier_consistency",  # 3.49 s — LSH + exact tiers replayed
+    "ndcg_tier_claims",      # 2.14 s — 4 tiers + exact ideal ranking
     # join-side corpus projection (X-201 recompute-is-cheaper)
-    "simhash_bucket_pairs", "near_dup_shingle_jaccard",
-    "minhash_lsh_near_dup", "embedding_near_dup", "near_dup_split_leakage",
-    "verbatim_spans", "source_overlap_matrix", "bloom_decontaminate",
-    "truncated_rerank_topk", "semdedup_keep_report", "semdedup_docs_keep",
-    "pmi_collocations_topk",
-    # iterative unroll
-    "ivf_kmeans_topk", "ra_linkpred_smallbasket",
+    "simhash_bucket_pairs",     # 1.13 s
+    "near_dup_shingle_jaccard", # 0.81 s
+    "minhash_lsh_near_dup",     # 1.32 s
+    "embedding_near_dup",       # 1.32 s
+    "near_dup_split_leakage",   # 0.85 s
+    "verbatim_spans",           # 2.26 s — span explode per join side
+    "source_overlap_matrix",    # 1.46 s
+    "bloom_decontaminate",      # 1.88 s
+    "truncated_rerank_topk",    # 0.21 s
+    "semdedup_keep_report",     # 1.29 s
+    "semdedup_docs_keep",       # 2.08 s — hashed-BOW per pair side; the
+                                # one-time k-means head now also has a
+                                # written-index bench row (bench.py
+                                # _run_indexed: 0.92 s warm from index)
+    "pmi_collocations_topk",    # 0.41 s
+    # iterative unroll (warm @ sf0.1, 2026-08-16)
+    "ivf_kmeans_topk",          # 1.92 s — unrolled Lloyd iterations
+    "ra_linkpred_smallbasket",  # 1.05 s
 }
 
 _EXPENSIVE_MARKERS = (
