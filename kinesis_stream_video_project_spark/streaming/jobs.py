@@ -4425,3 +4425,211 @@ def entropy_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online Welch t² (two-sample monitor) — both stateful APIs
+# ---------------------------------------------------------------------------
+
+_WELCH_OUT_SCHEMA = (
+    "g_a string, g_b string, n_a bigint, n_b bigint, "
+    "t2 double, df_welch double"
+)
+_WELCH_STATE_SCHEMA = (
+    StructType()
+    .add("na", LongType())
+    .add("sa", LongType())
+    .add("qa", LongType())
+    .add("nb", LongType())
+    .add("sb", LongType())
+    .add("qb", LongType())
+)
+
+# Σy² envelope: the moments ride BIGINT state columns, and the fold
+# REFUSES (raise, the km_survival discipline) before a sum could wrap —
+# 2^62 leaves every downstream integer product of the emission exact.
+_WELCH_Q_ENVELOPE = 1 << 62
+
+
+def _welch_stream_fold(state: tuple, rows: list) -> tuple:
+    """Pure fold shared by BOTH stateful API forms: add each arrival's
+    exact cent value into its side's (n, Σy, Σy²) — six BIGINTs, the
+    THIRD fully COMMUTATIVE fold in the shelf (after online AMS and
+    entropy): integer sums, so late/reordered/resharded delivery cannot
+    change any drained emission.
+
+    ``rows`` is a list of (side, y_cents) with side ∈ {0, 1} assigned
+    at staging (0 = the lexicographically smaller group name — the
+    batch operator's g_a < g_b pair orientation). Returns
+    ``(new_state, (n_a, n_b, t2, df_welch) | None)``: None until both
+    sides have n ≥ 2 (the batch twin drops such pairs — variance
+    undefined); t2/df_welch None on a zero-variance pair. The float
+    tail replays ``operators/stats.py::welch_t2_pairs`` EXACTLY — the
+    same IEEE double ops in the same order on exact integer moments
+    (Python big-ints play the DECIMAL(38,0) role; int→double conversion
+    is correctly rounded in CPython, the JVM, and DuckDB — the r5
+    same-IEEE-fold discipline), r4 at emission."""
+    import math
+
+    na, sa, qa, nb, sb, qb = state
+    for side, y in rows:
+        y = int(y)
+        if side == 0:
+            na += 1
+            sa += y
+            qa += y * y
+        else:
+            nb += 1
+            sb += y
+            qb += y * y
+    if max(qa, qb) > _WELCH_Q_ENVELOPE:
+        raise ValueError(
+            "welch_stream: sum of squared cents beyond the BIGINT state "
+            "envelope (2^62) - rescale the metric before streaming it"
+        )
+    state = (na, sa, qa, nb, sb, qb)
+    if na < 2 or nb < 2:
+        return state, None
+
+    def var_over_n(s: int, q: int, n: int) -> float:
+        num = n * q - s * s  # exact (Python int = the DECIMAL role)
+        return (num / (n * (n - 1))) / n
+
+    va = var_over_n(sa, qa, na)
+    vb = var_over_n(sb, qb, nb)
+    se2 = va + vb
+    diff = sa / na - sb / nb
+    if se2 > 0:
+        t2 = (diff * diff) / se2
+        df_w = (se2 * se2) / (
+            (va * va) / (na - 1) + (vb * vb) / (nb - 1)
+        )
+        r4f = lambda x: math.floor(x * 10000.0 + 0.5) / 10000.0  # noqa: E731
+        return state, (na, nb, r4f(t2), r4f(df_w))
+    return state, (na, nb, None, None)
+
+
+def _welch_staged(
+    events: DataFrame, grp_a: str = "click", grp_b: str = "purchase"
+) -> DataFrame:
+    """Shared JVM staging: the two compared event types' values as exact
+    cents (numeric.scaled_long — scale once, stay integer), tagged with
+    the batch pair orientation (side 0 = lexicographically smaller
+    name). key = 'a|b' so one test is one state row; NULL values are
+    dropped (no cent value to accumulate — the batch twin's cast drops
+    them the same way)."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+
+    lo, hi = sorted((grp_a, grp_b))
+    return events.filter(
+        F.col("event_type").isin([lo, hi]) & F.col("value").isNotNull()
+    ).select(
+        F.lit(f"{lo}|{hi}").alias("key"),
+        F.when(F.col("event_type") == lo, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("side"),
+        scaled_long(F.col("value"), 100).alias("y"),
+    )
+
+
+def _welch_emit(key_val: str, out: tuple) -> pd.DataFrame:
+    lo, hi = str(key_val).split("|", 1)
+    n_a, n_b, t2, df_w = out
+    return pd.DataFrame(
+        {
+            "g_a": [lo],
+            "g_b": [hi],
+            "n_a": [n_a],
+            "n_b": [n_b],
+            "t2": [t2],
+            "df_welch": [df_w],
+        }
+    )
+
+
+def welch_stream(
+    events: DataFrame, grp_a: str = "click", grp_b: str = "purchase"
+) -> DataFrame:
+    """ONLINE Welch t² — the TWENTY-THIRD op on both stateful APIs and
+    the first LIVE two-sample monitor in the shelf: per micro-batch,
+    the unequal-variance test statistic between two event types' value
+    distributions (the A/B guardrail form: a treatment's metric
+    drifting from control drives t² up while the experiment is still
+    running, instead of at the end-of-day batch). State is SIX BIGINTs
+    (each side's exact n/Σ¢/Σ¢²) — bounded by construction; the fold is
+    fully commutative (integer sums), so there is NO ordering contract.
+    The drained final emission equals the oracle-validated batch
+    ``operators/stats.py::welch_t2_pairs`` row on the same rows exactly
+    (pinned — the ams/entropy certification pattern), including the
+    n < 2 drop and the zero-variance NULL.
+
+    Scale note (stated): one test = one state row, so one task owns the
+    pair's arrivals — correct for the O(1)-state monitor this is; a
+    deployment fanning one metric across thousands of experiments keys
+    by experiment id and gets the usual per-key parallelism."""
+    staged = _welch_staged(events, grp_a, grp_b)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        held = tuple(state.get) if state.exists else (0, 0, 0, 0, 0, 0)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        held, out = _welch_stream_fold(
+            held, list(zip(b["side"].tolist(), b["y"].tolist()))
+        )
+        state.update(held)
+        if out is not None:
+            yield _welch_emit(key_val, out)
+
+    return staged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_WELCH_OUT_SCHEMA,
+        stateStructType=_WELCH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def welch_stream_tws(
+    events: DataFrame, grp_a: str = "click", grp_b: str = "purchase"
+) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`welch_stream` — same shared fold, no timers. GS ≡ TWS pinned
+    on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _welch_staged(events, grp_a, grp_b)
+
+    class WelchProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("welch", _WELCH_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            got = self._state.get()
+            held = tuple(got) if got is not None else (0, 0, 0, 0, 0, 0)
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            held, out = _welch_stream_fold(
+                held, list(zip(b["side"].tolist(), b["y"].tolist()))
+            )
+            self._state.update(held)
+            if out is not None:
+                yield _welch_emit(key_val, out)
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=WelchProcessor(),
+        outputStructType=_WELCH_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

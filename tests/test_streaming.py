@@ -4847,3 +4847,206 @@ def test_entropy_stream_fold_commutes_hypothesis():
         assert state_a == state_b and out_a == out_b
 
     law()
+
+
+# ---------------------------------------------------------------------------
+# Online Welch t² (op twenty-three)
+# ---------------------------------------------------------------------------
+
+_WELCH_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double"
+)
+
+
+def _drain_welch(spark, tmp_path, fn, rows, tag, nfiles):
+    src = tmp_path / f"welch_src_{tag}"
+    step = -(-len(rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(rows[i * step : (i + 1) * step], _WELCH_SCHEMA),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(_WELCH_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"welch_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_welch_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows_out = spark.sql(f"SELECT * FROM welch_out_{tag}").collect()
+    final = None
+    for r in rows_out:
+        if final is None or r.n_a + r.n_b > final[2] + final[3]:
+            final = (r.g_a, r.g_b, r.n_a, r.n_b, r.t2, r.df_welch)
+    return final
+
+
+def _events_rows(spark, sf_dir, limit=3000):
+    return [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .limit(limit)
+        .collect()
+    ]
+
+
+def test_welch_stream_final_matches_batch_operator(spark, sf_dir, tmp_path):
+    """Drained final emission equals the oracle-validated batch
+    welch_t2_pairs row on the SAME staged rows — on one file AND three
+    arbitrarily-ordered files (the fold is commutative: integer sums),
+    op twenty-three certified against the X-200 batch operator."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+    from kinesis_stream_video_project_spark.operators.stats import welch_t2_pairs
+
+    base = _events_rows(spark, sf_dir)
+    df = spark.createDataFrame(base, _WELCH_SCHEMA)
+    staged = df.filter(
+        F.col("event_type").isin(["click", "purchase"])
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("grp"),
+        scaled_long(F.col("value"), 100).alias("y"),
+    )
+    want_row = welch_t2_pairs(staged, grp="grp", y="y").collect()[0]
+    want = (
+        want_row["g_a"], want_row["g_b"], want_row["n_a"], want_row["n_b"],
+        want_row["t2"], want_row["df_welch"],
+    )
+    got1 = _drain_welch(spark, tmp_path, jobs.welch_stream, base, "gs1", 1)
+    shuffled = sorted(base, key=lambda r: (r[0] * 2654435761) % 104729)
+    got3 = _drain_welch(spark, tmp_path, jobs.welch_stream, shuffled, "gs3", 3)
+    assert got1 == got3 == want
+    assert want[2] >= 2 and want[3] >= 2 and want[4] is not None
+
+
+def test_welch_stream_tws_matches_group_state_form(spark, sf_dir, tmp_path):
+    """GS ≡ TWS on the same drain (the dual-API law, op twenty-three)."""
+    base = _events_rows(spark, sf_dir, limit=1200)
+    gs = _drain_welch(spark, tmp_path, jobs.welch_stream, base, "eq_gs", 2)
+    tws = _drain_welch(spark, tmp_path, jobs.welch_stream_tws, base, "eq_tws", 2)
+    assert gs == tws and gs is not None
+
+
+def test_welch_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Restart against the SAME checkpoint resumes the six sums: batch 2
+    alone has n_a = n_b = 2 per side with different values than the
+    cumulative fold — the emitted counts prove the state survived."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    b0 = [
+        (1, t0, 1, "click", 1.0), (2, t0, 1, "click", 3.0),
+        (3, t0, 1, "purchase", 10.0), (4, t0, 1, "purchase", 14.0),
+    ]
+    b1 = [
+        (5, t0, 1, "click", 5.0), (6, t0, 1, "click", 7.0),
+        (7, t0, 1, "purchase", 18.0), (8, t0, 1, "purchase", 22.0),
+    ]
+    src = tmp_path / "welch_restart_src"
+    ckpt = str(tmp_path / "ckpt_welch_restart")
+    out = str(tmp_path / "welch_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(_WELCH_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.welch_stream_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.read.parquet(out).collect()
+        return max(
+            ((r.n_a, r.n_b, r.t2) for r in rows), default=None
+        )
+
+    _write_single_file(spark.createDataFrame(b0, _WELCH_SCHEMA), src, "b0.parquet")
+    first = drain()
+    assert first is not None and (first[0], first[1]) == (2, 2)
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b1, _WELCH_SCHEMA), src, "b1.parquet")
+    cumulative = drain()
+    assert cumulative is not None and (cumulative[0], cumulative[1]) == (4, 4)
+    # cross-check the cumulative t2 against a pure-Python full fold
+    rows = [(0, 100), (0, 300), (1, 1000), (1, 1400),
+            (0, 500), (0, 700), (1, 1800), (1, 2200)]
+    _, out_t = jobs._welch_stream_fold((0, 0, 0, 0, 0, 0), rows)
+    assert cumulative == (out_t[0], out_t[1], out_t[2])
+
+
+def test_welch_stream_fold_edges():
+    """n < 2 on either side -> no emission; zero-variance pair -> counts
+    with NULL t2/df; the Σ¢² BIGINT envelope refuses loudly."""
+    st0 = (0, 0, 0, 0, 0, 0)
+    st, out = jobs._welch_stream_fold(st0, [(0, 5), (1, 7)])
+    assert out is None
+    st, out = jobs._welch_stream_fold(st, [(0, 5), (1, 7)])
+    assert out == (2, 2, None, None)  # both sides constant: se2 = 0
+    st, out = jobs._welch_stream_fold(st, [(0, 9), (1, 11)])
+    assert out[0] == 3 and out[1] == 3 and out[2] is not None
+    with pytest.raises(ValueError, match="envelope"):
+        jobs._welch_stream_fold((2, 0, 1 << 63, 2, 0, 0, ), [])
+
+
+def test_welch_stream_fold_commutes_hypothesis():
+    """Hypothesis pin: ANY permutation and ANY chunking of any arrival
+    sequence folds to the same six sums and the same final emission —
+    the commutativity law (integer sums) that makes op twenty-three the
+    third order-free op in the shelf."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1),
+                st.integers(min_value=-10**6, max_value=10**6),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        seed=st.integers(min_value=0, max_value=2**31),
+        chunk=st.integers(min_value=1, max_value=7),
+    )
+    def law(rows, seed, chunk):
+        import random
+
+        state_a, out_a = jobs._welch_stream_fold(
+            (0, 0, 0, 0, 0, 0), rows
+        )
+        rng = random.Random(seed)
+        perm = rows[:]
+        rng.shuffle(perm)
+        state_b = (0, 0, 0, 0, 0, 0)
+        out_b = None
+        for i in range(0, len(perm), chunk):
+            state_b, ob = jobs._welch_stream_fold(
+                state_b, perm[i : i + chunk]
+            )
+            out_b = ob if ob is not None else out_b
+        assert state_a == state_b
+        if out_a is not None:
+            assert out_a == out_b
+
+    law()
