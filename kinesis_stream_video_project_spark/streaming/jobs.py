@@ -4633,3 +4633,196 @@ def welch_stream_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online SCD2 dimension maintenance — both stateful APIs
+# ---------------------------------------------------------------------------
+
+_SCD2DIM_OUT_SCHEMA = (
+    "k string, p string, valid_from bigint, valid_to bigint, "
+    "is_current boolean"
+)
+_SCD2DIM_STATE_SCHEMA = (
+    StructType()
+    .add("last_seq", LongType())
+    .add("last_op", StringType())
+    .add("last_p", StringType())
+    .add("open_seq", LongType())
+    .add("open_p", StringType())
+)
+
+
+def _scd2_stream_fold(state: tuple, rows: list) -> tuple:
+    """Pure fold shared by BOTH stateful API forms: apply a key's
+    seq-ASCENDING changelog slice to its Type-2 state, emitting version
+    rows under EXACTLY the batch ``operators/scd.py::scd2_history``
+    semantics — the same no-op collapse against the RAW previous change
+    (a,a,a keeps the first; a,D,a keeps both a's), the same loud
+    refusals (unknown op; duplicate (key, seq) — version order would be
+    ambiguous), and the half-open [valid_from, valid_to) intervals.
+
+    ORDER CONTRACT (stated, the X-181/X-190 family): the feed is
+    seq-ordered per key — callers sort within the micro-batch, and a
+    cross-batch regression (an arriving seq at or below the last seen)
+    REFUSES loudly rather than silently rewriting closed history (the
+    batch twin, seeing all rows at once, handles any file order; a live
+    dimension cannot reopen what downstream already consumed).
+
+    Emission contract (the OHLC/IVM dual-row reasoning): every
+    surviving version emits on OPEN (valid_to NULL, is_current true)
+    and again on CLOSE (valid_to = closing seq, is_current false) —
+    append mode cannot retract, so the materialized dimension keeps,
+    per (key, valid_from), the close row when both exist. State is five
+    scalars per key: the raw-lag triple + the open version."""
+    last_seq, last_op, last_p, open_seq, open_p = state
+    out = []
+    for op, seq, p in rows:
+        if op not in ("I", "U", "D"):
+            raise ValueError(
+                f"scd2_stream: unknown op {op!r} - expected I/U/D"
+            )
+        seq = int(seq)
+        if last_seq is not None and seq == last_seq:
+            raise ValueError(
+                f"scd2_stream: two changes at seq {seq} - version order "
+                "is ambiguous"
+            )
+        if last_seq is not None and seq < last_seq:
+            raise ValueError(
+                f"scd2_stream: seq {seq} arrived after {last_seq} - the "
+                "in-order feed contract is broken (the batch twin "
+                "handles any order; a live dimension refuses to rewrite "
+                "closed history)"
+            )
+        noop = (
+            op in ("I", "U")
+            and last_op in ("I", "U")
+            and p == last_p  # None == None is the null-safe equal
+        )
+        if not noop:
+            if open_seq is not None:
+                out.append((open_p, open_seq, seq, False))
+            if op == "D":
+                open_seq, open_p = None, None
+            else:
+                open_seq, open_p = seq, p
+                out.append((p, seq, None, True))
+        last_seq, last_op, last_p = seq, op, p
+    return (last_seq, last_op, last_p, open_seq, open_p), out
+
+
+def _scd2_emit(key_val, out: list) -> pd.DataFrame:
+    # valid_to is NULL on open rows: the nullable Int64 extension dtype
+    # keeps the column integral through Arrow (a plain list with None
+    # would land as object/float and corrupt the bigint output column).
+    return pd.DataFrame(
+        {
+            "k": [str(key_val)] * len(out),
+            "p": [p for p, *_ in out],
+            "valid_from": pd.array(
+                [vf for _, vf, *_ in out], dtype="Int64"
+            ),
+            "valid_to": pd.array(
+                [vt for _, _, vt, _ in out], dtype="Int64"
+            ),
+            "is_current": [ic for *_, ic in out],
+        }
+    )
+
+
+def _scd2_staged(changes: DataFrame) -> DataFrame:
+    """Shared JVM staging: normalize the changelog to (k, op, seq, p)
+    strings/longs. Op validation happens in the fold (the in-plan
+    raise_error of the batch twin, moved Python-side with the state)."""
+    return changes.select(
+        F.col("k").cast("string").alias("k"),
+        F.col("op").cast("string").alias("op"),
+        F.col("seq").cast("long").alias("seq"),
+        F.col("p").cast("string").alias("p"),
+    )
+
+
+def scd2_stream(changes: DataFrame) -> DataFrame:
+    """ONLINE SCD2 dimension maintenance — the TWENTY-FOURTH op on both
+    stateful APIs and the streaming half of the r12-green SCD2 family
+    (`scd2_customer_history` / `scd2_snapshot_at` / the SCD2⋈CDC
+    consistency claim): a live Type-2 versioned dimension maintained
+    directly from the change stream, closing and opening validity
+    intervals at micro-batch latency instead of a nightly history
+    rebuild. State is FIVE scalars per key (the raw-lag triple + the
+    open version) — bounded by construction. The drained emission set
+    reconstructs to EXACTLY the batch ``scd2_history`` rows on the same
+    changelog (pinned: closed rows ∪ never-closed opens), on one file
+    and on three seq-ordered files; in-order feed contract and the
+    open/close dual-emission contract stated in the fold docstring."""
+    staged = _scd2_staged(changes)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        held = (
+            tuple(state.get)
+            if state.exists
+            else (None, None, None, None, None)
+        )
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True).sort_values("seq")
+        rows = [
+            (r.op, r.seq, None if pd.isna(r.p) else r.p)
+            for r in b.itertuples()
+        ]
+        held, out = _scd2_stream_fold(held, rows)
+        state.update(held)
+        if out:
+            yield _scd2_emit(key_val, out)
+
+    return staged.groupBy("k").applyInPandasWithState(
+        update,
+        outputStructType=_SCD2DIM_OUT_SCHEMA,
+        stateStructType=_SCD2DIM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def scd2_stream_tws(changes: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`scd2_stream`
+    — same shared fold, no timers. GS ≡ TWS pinned on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _scd2_staged(changes)
+
+    class Scd2Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("scd2", _SCD2DIM_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            got = self._state.get()
+            held = tuple(got) if got is not None else (None, None, None, None, None)
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True).sort_values("seq")
+            out_rows = [
+                (r.op, r.seq, None if pd.isna(r.p) else r.p)
+                for r in b.itertuples()
+            ]
+            held, out = _scd2_stream_fold(held, out_rows)
+            self._state.update(held)
+            if out:
+                yield _scd2_emit(key_val, out)
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("k").transformWithStateInPandas(
+        statefulProcessor=Scd2Processor(),
+        outputStructType=_SCD2DIM_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -5050,3 +5050,223 @@ def test_welch_stream_fold_commutes_hypothesis():
             assert out_a == out_b
 
     law()
+
+
+# ---------------------------------------------------------------------------
+# Online SCD2 dimension maintenance (op twenty-four)
+# ---------------------------------------------------------------------------
+
+_SCD2_SCHEMA = "k long, op string, seq long, p string"
+
+
+def _drain_scd2(spark, tmp_path, fn, rows, tag, nfiles):
+    """Feed seq-ordered files, return the reconstructed history set:
+    closed rows, plus open emissions whose (k, valid_from) never closed
+    (the stated open/close dual-emission contract)."""
+    src = tmp_path / f"scd2_src_{tag}"
+    ordered = sorted(rows, key=lambda r: r[2])
+    step = -(-len(ordered) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(
+                ordered[i * step : (i + 1) * step], _SCD2_SCHEMA
+            ),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(_SCD2_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"scd2_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_scd2_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql(f"SELECT * FROM scd2_out_{tag}").collect()
+    closed = {
+        (r.k, r.valid_from): (r.k, r.p, r.valid_from, r.valid_to, False)
+        for r in emitted
+        if r.valid_to is not None
+    }
+    opens = {
+        (r.k, r.valid_from): (r.k, r.p, r.valid_from, None, True)
+        for r in emitted
+        if r.valid_to is None
+    }
+    return set(closed.values()) | {
+        v for kk, v in opens.items() if kk not in closed
+    }
+
+
+def _orders_changelog(spark, sf_dir, limit=4000):
+    """The registered scd2_customer_history derivation: orders as a
+    changelog (F->U, O->I, else D; seq = o_orderkey, p = priority)."""
+    return [
+        (r["k"], r["op"], r["seq"], r["p"])
+        for r in io.load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.expr(
+                "CASE o_orderstatus WHEN 'F' THEN 'U' WHEN 'O' THEN 'I' "
+                "ELSE 'D' END"
+            ).alias("op"),
+            F.col("o_orderkey").alias("seq"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .orderBy("seq")
+        .limit(limit)
+        .collect()
+    ]
+
+
+def test_scd2_stream_reconstructs_batch_history(spark, sf_dir, tmp_path):
+    """Drained reconstruction (closed ∪ never-closed opens) equals the
+    oracle-validated batch scd2_history on the SAME changelog — one
+    file AND three seq-ordered files (the in-order feed contract), op
+    twenty-four certified against the r12-green batch family."""
+    from kinesis_stream_video_project_spark.operators.scd import scd2_history
+
+    base = _orders_changelog(spark, sf_dir)
+    df = spark.createDataFrame(base, _SCD2_SCHEMA)
+    want = {
+        (str(r["k"]), r["p"], r["valid_from"], r["valid_to"],
+         bool(r["is_current"]))
+        for r in scd2_history(df, key="k", payload="p").collect()
+    }
+    got1 = _drain_scd2(spark, tmp_path, jobs.scd2_stream, base, "gs1", 1)
+    got3 = _drain_scd2(spark, tmp_path, jobs.scd2_stream, base, "gs3", 3)
+    assert got1 == got3 == want
+    n_open = sum(1 for r in want if r[4])
+    n_closed = len(want) - n_open
+    assert n_open >= 10 and n_closed >= 10  # both contracts exercised
+
+
+def test_scd2_stream_tws_matches_group_state_form(spark, sf_dir, tmp_path):
+    """GS ≡ TWS on the same drain (the dual-API law, op twenty-four)."""
+    base = _orders_changelog(spark, sf_dir, limit=1500)
+    gs = _drain_scd2(spark, tmp_path, jobs.scd2_stream, base, "eq_gs", 2)
+    tws = _drain_scd2(spark, tmp_path, jobs.scd2_stream_tws, base, "eq_tws", 2)
+    assert gs == tws and len(gs) >= 10
+
+
+def test_scd2_stream_checkpoint_restart_closes_held_version(spark, tmp_path):
+    """Restart against the SAME checkpoint: batch 1 opens a version;
+    batch 2 (after restart) deletes it — the close row's valid_from
+    comes from state restored across the restart."""
+    src = tmp_path / "scd2_restart_src"
+    ckpt = str(tmp_path / "ckpt_scd2_restart")
+    out = str(tmp_path / "scd2_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(_SCD2_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.scd2_stream_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r.k, r.p, r.valid_from, r.valid_to, r.is_current)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_single_file(
+        spark.createDataFrame([(1, "I", 10, "HIGH")], _SCD2_SCHEMA),
+        src, "b0.parquet",
+    )
+    first = drain()
+    assert first == {("1", "HIGH", 10, None, True)}
+    time.sleep(1.1)
+    _write_single_file(
+        spark.createDataFrame([(1, "D", 20, None)], _SCD2_SCHEMA),
+        src, "b1.parquet",
+    )
+    cumulative = drain()
+    assert ("1", "HIGH", 10, 20, False) in cumulative
+
+
+def test_scd2_stream_fold_laws():
+    """The batch twin's stated semantics, replayed on the fold: no-op
+    collapse chains (a,a,a -> one version), a,D,a keeps both a's, D
+    with no open version is harmless, duplicate seq refuses, an
+    out-of-order arrival refuses (the in-order feed contract), unknown
+    op refuses."""
+    fold = jobs._scd2_stream_fold
+    empty = (None, None, None, None, None)
+
+    st, out = fold(empty, [("I", 1, "a"), ("U", 2, "a"), ("U", 3, "a")])
+    assert out == [("a", 1, None, True)]  # a,a,a keeps only the first
+
+    st, out = fold(empty, [("I", 1, "a"), ("D", 2, None), ("I", 3, "a")])
+    assert out == [
+        ("a", 1, None, True), ("a", 1, 2, False), ("a", 3, None, True)
+    ]  # the delete makes the re-insert a real new version
+
+    st, out = fold(empty, [("D", 5, None)])
+    assert out == [] and st[0] == 5  # harmless, but raw-lag advances
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        fold(empty, [("I", 1, "a"), ("U", 1, "b")])
+    with pytest.raises(ValueError, match="in-order feed"):
+        fold((5, "I", "a", 5, "a"), [("U", 3, "b")])
+    with pytest.raises(ValueError, match="unknown op"):
+        fold(empty, [("X", 1, "a")])
+
+
+def test_scd2_stream_fold_chunking_hypothesis():
+    """Any CHUNKING of a seq-ordered changelog emits exactly the
+    one-shot fold's rows with the same final state (the in-order
+    chunking law, the Holt X-192 pattern — SCD2's fold is order-
+    DEPENDENT by nature, so the law is chunking-invariance under the
+    stated contract, not commutativity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["I", "U", "D"]),
+                st.sampled_from(["a", "b", None]),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        cuts=st.lists(st.integers(min_value=0, max_value=30), max_size=4),
+    )
+    def law(ops, cuts):
+        rows = [
+            (op, seq + 1, None if op == "D" else p)
+            for seq, (op, p) in enumerate(ops)
+        ]
+        state_a, out_a = jobs._scd2_stream_fold(
+            (None, None, None, None, None), rows
+        )
+        bounds = sorted(set(c for c in cuts if c <= len(rows)))
+        state_b = (None, None, None, None, None)
+        out_b = []
+        prev = 0
+        for bnd in bounds + [len(rows)]:
+            state_b, e = jobs._scd2_stream_fold(state_b, rows[prev:bnd])
+            out_b.extend(e)
+            prev = bnd
+        assert state_a == state_b and out_a == out_b
+
+    law()
