@@ -4826,3 +4826,192 @@ def scd2_stream_tws(changes: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online chi-square contingency monitor — both stateful APIs
+# ---------------------------------------------------------------------------
+
+_CHI2_OUT_SCHEMA = (
+    "key string, a string, b string, obs bigint, row_total bigint, "
+    "col_total bigint, n bigint, contrib_milli bigint"
+)
+_CHI2_STATE_SCHEMA = (
+    StructType()
+    .add("a_vals", ArrayType(StringType()))
+    .add("b_vals", ArrayType(StringType()))
+    .add("counts", ArrayType(LongType()))
+)
+_CHI2_MAX_CELLS = 10_000
+_CHI2_MAX_N = 100_000_000
+
+
+def _chi2_stream_fold(state: tuple, pairs: list) -> tuple:
+    """Pure fold shared by BOTH stateful API forms: bump the (a, b)
+    observed-cell counters, then emit EXACTLY the batch
+    ``operators/stats.py::chi_square_cells`` frame from them — the full
+    marginal cross INCLUDING zero-observation cells, each cell's
+    contrib_milli = (1000·(obs·n − rt·ct)²) div (rt·ct·n) in exact
+    integer arithmetic (Python big-ints play the DECIMAL(38,0) role),
+    and the SAME loud refusals (cells > max_cells: a high-cardinality
+    pair is a modeling error; n > 1e8: the batch side's DECIMAL
+    fourth-power envelope, kept for lockstep even though Python ints
+    cannot overflow — stated). Counters SUM, so the fold is fully
+    COMMUTATIVE — the FOURTH order-free op in the shelf (after online
+    AMS, entropy, Welch).
+
+    State is the observed-cell ledger as three parallel arrays — at
+    most max_cells entries by the refusal, typically |A|·|B| ≪ that
+    (the registered shape is a 6×7 event-type × day-of-week grid)."""
+    a_vals, b_vals, counts = state
+    ledger: dict = {
+        (a_vals[i], b_vals[i]): counts[i] for i in range(len(counts))
+    }
+    for a, b in pairs:
+        ledger[(a, b)] = ledger.get((a, b), 0) + 1
+    rows_m: dict = {}
+    cols_m: dict = {}
+    for (a, b), c in ledger.items():
+        rows_m[a] = rows_m.get(a, 0) + c
+        cols_m[b] = cols_m.get(b, 0) + c
+    n_cells = len(rows_m) * len(cols_m)
+    if n_cells > _CHI2_MAX_CELLS:
+        raise ValueError(
+            f"chi2_stream: {n_cells} cells exceeds max_cells="
+            f"{_CHI2_MAX_CELLS} - a high-cardinality pair is a modeling "
+            "error"
+        )
+    n = sum(ledger.values())
+    if n > _CHI2_MAX_N:
+        raise ValueError(
+            "chi2_stream: n > 1e8 would overflow the batch side's "
+            "DECIMAL(38,0) fourth power - shard the test"
+        )
+    out = []
+    key_str = lambda x: (x is not None, x if x is not None else "")  # noqa: E731
+    for a in sorted(rows_m, key=key_str):
+        for b in sorted(cols_m, key=key_str):
+            obs = ledger.get((a, b), 0)
+            rt, ct = rows_m[a], cols_m[b]
+            d = obs * n - rt * ct
+            contrib = (1000 * d * d) // (rt * ct * n)
+            out.append((a, b, obs, rt, ct, n, contrib))
+    keys = sorted(ledger, key=lambda kk: (key_str(kk[0]), key_str(kk[1])))
+    new_state = (
+        [k[0] for k in keys],
+        [k[1] for k in keys],
+        [ledger[k] for k in keys],
+    )
+    return new_state, out
+
+
+def _chi2_staged(events: DataFrame) -> DataFrame:
+    """Shared JVM staging: (key = the test's name, a = event_type,
+    b = day-of-week) — the live independence monitor of "does this
+    event type's traffic have its own weekly shape" (a batch twin of
+    the chi_square_cells family on the same pair is one groupBy)."""
+    return events.select(
+        F.lit("event_type|dow").alias("key"),
+        F.col("event_type").cast("string").alias("a"),
+        F.dayofweek("ts").cast("string").alias("b"),
+    )
+
+
+def _chi2_emit(key_val, out: list) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "key": [str(key_val)] * len(out),
+            "a": [r[0] for r in out],
+            "b": [r[1] for r in out],
+            "obs": [r[2] for r in out],
+            "row_total": [r[3] for r in out],
+            "col_total": [r[4] for r in out],
+            "n": [r[5] for r in out],
+            "contrib_milli": [r[6] for r in out],
+        }
+    )
+
+
+def chi2_stream(events: DataFrame) -> DataFrame:
+    """ONLINE chi-square contingency monitor — the TWENTY-FIFTH op on
+    both stateful APIs: per micro-batch, the full per-cell independence
+    frame between event type and day-of-week (the live form of the
+    chi_square_cells audit: a type whose traffic develops its own
+    weekly shape drives its cells' contrib_milli up while the shift is
+    HAPPENING). State is the observed-cell counter ledger — bounded by
+    the max_cells refusal, 6×7 at the staged pair; the fold is fully
+    commutative (counters sum), the FOURTH order-free op. The drained
+    max-n cell frame equals the oracle-validated batch
+    ``chi_square_cells`` on the same rows exactly (pinned — zero cells
+    from the marginal cross included)."""
+    staged = _chi2_staged(events)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        held = (
+            tuple(state.get) if state.exists else ([], [], [])
+        )
+        held = (list(held[0] or []), list(held[1] or []), list(held[2] or []))
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        pairs = [
+            (None if pd.isna(r.a) else r.a, None if pd.isna(r.b) else r.b)
+            for r in b.itertuples()
+        ]
+        held, out = _chi2_stream_fold(held, pairs)
+        state.update(held)
+        yield _chi2_emit(key_val, out)
+
+    return staged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_CHI2_OUT_SCHEMA,
+        stateStructType=_CHI2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def chi2_stream_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`chi2_stream`
+    — same shared fold, no timers. GS ≡ TWS pinned on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _chi2_staged(events)
+
+    class Chi2Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("chi2", _CHI2_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            got = self._state.get()
+            held = (
+                (list(got[0] or []), list(got[1] or []), list(got[2] or []))
+                if got is not None
+                else ([], [], [])
+            )
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            pairs = [
+                (None if pd.isna(r.a) else r.a, None if pd.isna(r.b) else r.b)
+                for r in b.itertuples()
+            ]
+            held, out = _chi2_stream_fold(held, pairs)
+            self._state.update(held)
+            yield _chi2_emit(key_val, out)
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=Chi2Processor(),
+        outputStructType=_CHI2_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -5270,3 +5270,150 @@ def test_scd2_stream_fold_chunking_hypothesis():
         assert state_a == state_b and out_a == out_b
 
     law()
+
+
+# ---------------------------------------------------------------------------
+# Online chi-square contingency monitor (op twenty-five)
+# ---------------------------------------------------------------------------
+
+_CHI2_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _drain_chi2(spark, tmp_path, fn, rows, tag, nfiles):
+    """Feed files, return the max-n cell frame as a set of tuples."""
+    src = tmp_path / f"chi2_src_{tag}"
+    step = -(-len(rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(rows[i * step : (i + 1) * step], _CHI2_SCHEMA),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(_CHI2_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"chi2_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_chi2_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql(f"SELECT * FROM chi2_out_{tag}").collect()
+    n_max = max(r.n for r in emitted)
+    return {
+        (r.a, r.b, r.obs, r.row_total, r.col_total, r.n, r.contrib_milli)
+        for r in emitted
+        if r.n == n_max
+    }
+
+
+def test_chi2_stream_final_matches_batch_cells(spark, sf_dir, tmp_path):
+    """Drained max-n cell frame equals the oracle-validated batch
+    chi_square_cells on the SAME rows — one file AND three arbitrarily-
+    ordered files (the fold is commutative: counters sum), zero cells
+    from the marginal cross included. Op twenty-five certified against
+    the batch operator."""
+    from kinesis_stream_video_project_spark.operators.stats import (
+        chi_square_cells,
+    )
+
+    base = [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(3000)
+        .collect()
+    ]
+    df = spark.createDataFrame(base, _CHI2_SCHEMA).select(
+        F.col("event_type").cast("string").alias("a"),
+        F.dayofweek("ts").cast("string").alias("b"),
+    )
+    want = {
+        (r["a"], r["b"], r["obs"], r["row_total"], r["col_total"], r["n"],
+         r["contrib_milli"])
+        for r in chi_square_cells(df, "a", "b").collect()
+    }
+    got1 = _drain_chi2(spark, tmp_path, jobs.chi2_stream, base, "gs1", 1)
+    shuffled = sorted(base, key=lambda r: (r[0] * 2654435761) % 104729)
+    got3 = _drain_chi2(spark, tmp_path, jobs.chi2_stream, shuffled, "gs3", 3)
+    assert got1 == got3 == want
+    assert any(r[2] == 0 for r in want) or len(want) >= 20
+
+
+def test_chi2_stream_tws_matches_group_state_form(spark, sf_dir, tmp_path):
+    """GS ≡ TWS on the same drain (the dual-API law, op twenty-five)."""
+    base = [
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(1200)
+        .collect()
+    ]
+    gs = _drain_chi2(spark, tmp_path, jobs.chi2_stream, base, "eq_gs", 2)
+    tws = _drain_chi2(spark, tmp_path, jobs.chi2_stream_tws, base, "eq_tws", 2)
+    assert gs == tws and len(gs) >= 20
+
+
+def test_chi2_stream_fold_laws():
+    """Hand-checked 2x2 + the batch twin's refusals + NULL categories
+    as real cells (the batch groupBy keeps NULL groups)."""
+    fold = jobs._chi2_stream_fold
+    st, out = fold(([], [], []), [("x", "1"), ("x", "2"), ("y", "1"), ("y", "1")])
+    # n=4; rows x:2 y:2; cols 1:3 2:1
+    cells = {(a, b): (obs, rt, ct, n, cm) for a, b, obs, rt, ct, n, cm in out}
+    assert cells[("x", "1")] == (1, 2, 3, 4, (1000 * (1 * 4 - 2 * 3) ** 2) // (2 * 3 * 4))
+    assert cells[("y", "2")][0] == 0  # zero cell materialized
+    assert len(out) == 4 and sum(c[0] for c in cells.values()) == 4
+
+    st2, out2 = fold(st, [(None, "1")])  # NULL category is a real row
+    assert any(a is None for a, *_ in out2)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_cells"):
+        fold(([], [], []), [(str(i), str(j)) for i in range(101) for j in range(101)])
+
+
+def test_chi2_stream_fold_commutes_hypothesis():
+    """Any permutation and chunking folds to the same ledger and the
+    same final cell frame — the fourth order-free op's law."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.sampled_from(["p", "q", "r"]),
+                st.sampled_from(["1", "2"]),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        seed=st.integers(min_value=0, max_value=2**31),
+        chunk=st.integers(min_value=1, max_value=7),
+    )
+    def law(pairs, seed, chunk):
+        import random
+
+        state_a, out_a = jobs._chi2_stream_fold(([], [], []), pairs)
+        rng = random.Random(seed)
+        perm = pairs[:]
+        rng.shuffle(perm)
+        state_b = ([], [], [])
+        out_b = None
+        for i in range(0, len(perm), chunk):
+            state_b, out_b = jobs._chi2_stream_fold(
+                state_b, perm[i : i + chunk]
+            )
+        assert state_a == state_b and out_a == out_b
+
+    law()
