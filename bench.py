@@ -76,19 +76,29 @@ BENCH_QUERIES = [
 # iterative queries whose build step does real work — the pagerank/LPA/
 # k-core family localCheckpoints and probes during construction).
 #
-# r13 window policy: the rotation aligns with the r13 DRIVER_PRIORITY
+# r14 window policy: the rotation aligns with the r14 DRIVER_PRIORITY
 # correctness window (minus stable-set members, which the stable child
-# times every round), led by the 7 new round-13 registrations (the r15
-# deferral + the six queries_round16 entries — draining the pre-r17
-# queue to zero), followed by the first-drift re-measures of the 20
-# round-12 registrations (warm figures compare against BENCH_r12's
-# rotation_warm — this is also where the ams_f2_partkey word-form plan
-# and the ivfadc_topk one-time-index head of VERDICT r12 item 4 are
-# evidenced), then the 42 non-stable members of the r13 refresh cohort
-# (the window's block (b); q1_pricing_summary is the one stable-set
-# member, already timed every round).
+# times every round), led by the 7 new round-14 registrations (the
+# ENTIRE r17 claims queue — the log/entropy family reaching driver
+# evidence), followed by the first-drift re-measures of the 7 round-13
+# registrations (warm figures compare against BENCH_r13's
+# rotation_warm), then the 35 non-stable members of the r14 refresh
+# cohort (the window's block (b); asof_probe_metric,
+# decontaminate_ngram_overlap, ivf_topk, join_left_outer,
+# join_star_revenue, local_supplier_volume, shipping_priority_top10 and
+# tfidf_topk are the cohort's eight stable-set members, already timed
+# every round).
 BENCH_ROTATION = [
-    # new round-13 registrations: r15 deferral + r16 module (7)
+    # new round-14 registrations: the full r17 claims queue (7)
+    "entropy_hourly_claims",
+    "kl_source_unigrams",
+    "pmi_log_bracket_claims",
+    "ams_join_size_events_orders",
+    "markov_removal_attribution",
+    "surprisal_bits_claims",
+    "holt_conformal_coverage",
+    # the 7 round-13 registrations re-measured (first-drift check;
+    # warm figures compare against BENCH_r13 rotation_warm)
     "itemitem_cosine_recs",
     "quality_dup_calibration",
     "growth_accounting_daily",
@@ -96,80 +106,51 @@ BENCH_ROTATION = [
     "order_total_reconciliation",
     "abc_part_classes",
     "mmr_diverse_topk",
-    # the 20 round-12 registrations re-measured (first-drift check;
-    # warm figures compare against BENCH_r12 rotation_warm)
-    "scd2_customer_history",
-    "scd2_cdc_consistency",
-    "scd2_snapshot_at",
-    "ivfadc_topk",
-    "holt_daily_revenue",
-    "holt_backtest_mae",
-    "theilsen_weekly_trend",
-    "bootstrap_weekly_ci",
-    "ri_coverage_audit",
-    "shapley_channel_attribution",
-    "km_user_tenure_by_segment",
-    "logrank_tenure_by_segment",
-    "hilbert_locality_audit",
-    "ams_f2_partkey",
-    "perm_test_weekly_revenue",
-    "welch_t2_weekly_revenue",
-    "hw_daily_revenue",
-    "hw_backtest_skill",
-    "markov_transition_matrix",
-    "markov_backtest_accuracy",
-    # the r13 window refresh cohort (block (b): r7-latest cohort +
-    # r8-latest head, minus the stable-set member timed every round)
-    "cohort_ltv_curve",
-    "customer_order_distribution",
-    "dedup_first_event",
-    "disjunctive_predicate_join",
-    "doc_length_histogram",
-    "domain_mixture_weights",
-    "exact_group_percentiles",
-    "fill_forward_last_purchase",
-    "forecast_revenue_change",
-    "heavy_hitters_claim",
-    "json_extract",
-    "market_share_by_year",
-    "nation_pair_trade",
-    "pii_scrub",
-    "pivot_priority_revenue",
-    "priority_late_shipment_counts",
-    "product_type_profit",
-    "promo_revenue_share",
-    "range_join_shipping",
-    "repetition_score",
-    "returned_item_customers",
-    "simhash_dup_consistency",
-    "split_leakage_check",
-    "table_profile",
-    "top_revenue_supplier",
-    "topn_orders_per_nation",
-    "trending_event_types",
-    "unpivot_part_metrics",
-    "unsupplied_parts",
-    "value_outliers",
-    "waiting_suppliers",
-    "window_rank_lag",
-    "bm25_lexical_topk",
-    "verbatim_spans",
-    "ra_linkpred_smallbasket",
-    "pmi_collocations_topk",
-    "vocab_oov_rate",
-    "funnel_conversion",
-    "embedding_gram_matrix",
-    "bpe_merge_topk",
-    "audio_energy_frames",
-    "sssp_bounded",
+    # the r14 window refresh cohort (block (b): the first 43 of the
+    # r8-latest cohort, minus its eight stable-set members)
+    "session_paths",
+    "source_overlap_matrix",
+    "rank_normalize",
+    "sliding_chunks",
+    "image_dhash",
+    "funnel_user_advances",
+    "heavy_hitters_certificate",
+    "bloom_decontaminate",
+    "stupid_backoff_score",
+    "ngram_novelty",
+    "sq8_rerank_topk",
+    "rate_limit_decisions",
+    "audio_silence_runs",
+    "curation_pipeline_v4",
+    "argmax_order_per_customer",
+    "boilerplate_prefixes",
+    "catalog_filter_project",
+    "catalog_json_roundtrip",
+    "corpus_shuffle",
+    "corpus_vocab_topk",
+    "escalation_actions",
+    "filter_predicates",
+    "gap_filled_windows",
+    "multimodal_decoded",
+    "null_funcs",
+    "percentiles_by_status",
+    "rare_token_ratio",
+    "salted_agg_events",
+    "scd2_user_status",
+    "seq_pack_docs",
+    "set_ops_nations",
+    "simhash_sketch",
+    "struct_map_funcs",
+    "surprisal_score",
+    "top_terms_per_lang",
 ]
 
 # Entries that get a WARM re-execution figure in addition to the
 # construction+materialization span: the 7 new registrations (their
-# first timings are compile-heavy) and the 20 r12-window registrations
-# whose warm figures the first-drift check compares against BENCH_r12's
+# first timings are compile-heavy) and the 7 r13-window registrations
+# whose warm figures the first-drift check compares against BENCH_r13's
 # rotation_warm.
-BENCH_ROTATION_HEAD = BENCH_ROTATION[:27]
+BENCH_ROTATION_HEAD = BENCH_ROTATION[:14]
 
 # The new registrations this round. Per-query rows no longer fit the
 # compact stdout artifact (the driver's ~2000-char tail capture —

@@ -60,16 +60,17 @@ def register(
 
 # The driver verifies a PREFIX of exactly 50 queries() entries (r1/r2
 # evidence). Export order is therefore a verification budget, rotated every
-# round. Cross-round state entering r13: 290 registered, every query has a
-# green HASH row, latest-green distribution r12=50, r11=50, r10=50, r9=50,
-# r8=50, r7=40 (VERDICT r12). The r13 window is budgeted 7+43 per VERDICT
-# r12 item 1 + the committed Round-13 registration handoff:
-# (a) the 7 remaining pre-r17 queue entries — the sole r15 deferral
-#     (itemitem_cosine_recs) plus the six queries_round16 entries — which
-#     drains the r15/r16 queue to ZERO;
-# (b) the 43 stalest refreshes — the 40-query r7-latest cohort in its
-#     r7 verification order, then the first 3 of the r8-latest cohort
-#     (after CORRECTNESS_r13 nothing is staler than r8).
+# round. Cross-round state entering r14: 297 registered, every query has a
+# green HASH row, latest-green distribution r13=50, r12=50, r11=50,
+# r10=50, r9=50, r8=47 (CORRECTNESS_r13: 50/50 green). The r14 window is
+# budgeted 7+43 per VERDICT r12 items 2+6 + the committed Round-14
+# registration handoff:
+# (a) the ENTIRE r17 claims queue — 7 new names in queries_round17
+#     module order — which drains the oracle-validated queue to ZERO
+#     and gives the log/entropy family driver evidence;
+# (b) the 43 stalest refreshes — the first 43 of the 47-query r8-latest
+#     cohort in its r8 verification order (the remaining 4 lead r15's
+#     refresh block).
 # This tuple is VALIDATED, not just documented: build_driver_priority()
 # below recomputes it from the CORRECTNESS_r*.json artifacts (new
 # registrations first, then max-staleness refreshes), and
@@ -86,63 +87,63 @@ def register(
 # per-round rotation. Rotation is now a FIVE-place rule, one commit:
 # register_all wiring + DRIVER_PRIORITY + DRIVER_PRIORITY_BUILT_FROM +
 # bench rotation + QUERIES.md regeneration.
-DRIVER_PRIORITY_BUILT_FROM: int = 12
+DRIVER_PRIORITY_BUILT_FROM: int = 13
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- (a) 7 NEW registrations: the r15 deferral + the full r16
-    #         module, in registration order (drains the pre-r17 queue) ---
-    "itemitem_cosine_recs",
-    "quality_dup_calibration",
-    "growth_accounting_daily",
-    "ltv_cohort_revenue",
-    "order_total_reconciliation",
-    "abc_part_classes",
-    "mmr_diverse_topk",
-    # --- (b) 43 stalest refreshes: the 40-query r7-latest cohort
-    #         (r7 order), then the first 3 of the r8-latest cohort ---
-    "cohort_ltv_curve",
-    "customer_order_distribution",
-    "dedup_first_event",
-    "disjunctive_predicate_join",
-    "doc_length_histogram",
-    "domain_mixture_weights",
-    "exact_group_percentiles",
-    "fill_forward_last_purchase",
-    "forecast_revenue_change",
-    "heavy_hitters_claim",
-    "json_extract",
-    "market_share_by_year",
-    "nation_pair_trade",
-    "pii_scrub",
-    "pivot_priority_revenue",
-    "priority_late_shipment_counts",
-    "product_type_profit",
-    "promo_revenue_share",
-    "q1_pricing_summary",
-    "range_join_shipping",
-    "repetition_score",
-    "returned_item_customers",
-    "simhash_dup_consistency",
-    "split_leakage_check",
-    "table_profile",
-    "top_revenue_supplier",
-    "topn_orders_per_nation",
-    "trending_event_types",
-    "unpivot_part_metrics",
-    "unsupplied_parts",
-    "value_outliers",
-    "waiting_suppliers",
-    "window_rank_lag",
-    "bm25_lexical_topk",
-    "verbatim_spans",
-    "ra_linkpred_smallbasket",
-    "pmi_collocations_topk",
-    "vocab_oov_rate",
-    "funnel_conversion",
-    "embedding_gram_matrix",
-    "bpe_merge_topk",
-    "audio_energy_frames",
-    "sssp_bounded",
+    # --- (a) 7 NEW registrations: the ENTIRE r17 claims queue in
+    #         queries_round17 module order (drains the queue to zero) ---
+    "entropy_hourly_claims",
+    "kl_source_unigrams",
+    "pmi_log_bracket_claims",
+    "ams_join_size_events_orders",
+    "markov_removal_attribution",
+    "surprisal_bits_claims",
+    "holt_conformal_coverage",
+    # --- (b) 43 stalest refreshes: the first 43 of the 47-query
+    #         r8-latest cohort, in its r8 verification order ---
+    "session_paths",
+    "source_overlap_matrix",
+    "rank_normalize",
+    "sliding_chunks",
+    "image_dhash",
+    "funnel_user_advances",
+    "heavy_hitters_certificate",
+    "bloom_decontaminate",
+    "stupid_backoff_score",
+    "ngram_novelty",
+    "sq8_rerank_topk",
+    "rate_limit_decisions",
+    "audio_silence_runs",
+    "curation_pipeline_v4",
+    "argmax_order_per_customer",
+    "asof_probe_metric",
+    "boilerplate_prefixes",
+    "catalog_filter_project",
+    "catalog_json_roundtrip",
+    "corpus_shuffle",
+    "corpus_vocab_topk",
+    "decontaminate_ngram_overlap",
+    "escalation_actions",
+    "filter_predicates",
+    "gap_filled_windows",
+    "ivf_topk",
+    "join_left_outer",
+    "join_star_revenue",
+    "local_supplier_volume",
+    "multimodal_decoded",
+    "null_funcs",
+    "percentiles_by_status",
+    "rare_token_ratio",
+    "salted_agg_events",
+    "scd2_user_status",
+    "seq_pack_docs",
+    "set_ops_nations",
+    "shipping_priority_top10",
+    "simhash_sketch",
+    "struct_map_funcs",
+    "surprisal_score",
+    "tfidf_topk",
+    "top_terms_per_lang",
 )
 
 
@@ -363,5 +364,15 @@ def _load_all() -> None:
             "mmr_diverse_topk",
         )
     )
+
+    # r14-window registrations (VERDICT r12 item 2 + the committed
+    # Round-14 registration handoff in PLANS.md): the ENTIRE r17 claims
+    # queue — 7 new names in module order (entropy leads: true Shannon
+    # entropy under the claims pattern is the family's template row).
+    # This converts the log/entropy family from oracle-validated queue
+    # to driver evidence and drains the queue to ZERO.
+    from kinesis_stream_video_project_spark.plans import queries_round17
+
+    queries_round17.register_all()
 
     _LOADED = True
