@@ -4493,16 +4493,22 @@ def _welch_stream_fold(state: tuple, rows: list) -> tuple:
 
     def var_over_n(s: int, q: int, n: int) -> float:
         num = n * q - s * s  # exact (Python int = the DECIMAL role)
-        return (num / (n * (n - 1))) / n
+        # Round each exact integer to double BEFORE dividing — the batch
+        # operator casts num and denom to double separately, then divides
+        # doubles. Below 2^53 int/int and float/float agree, but the 2^62
+        # state envelope admits moments where one big-int division differs
+        # in the last ulp from the JVM/DuckDB cast-then-divide (ADVICE r13
+        # item 1) — mirror the operand order exactly.
+        return (float(num) / float(n * (n - 1))) / float(n)
 
     va = var_over_n(sa, qa, na)
     vb = var_over_n(sb, qb, nb)
     se2 = va + vb
-    diff = sa / na - sb / nb
+    diff = float(sa) / float(na) - float(sb) / float(nb)
     if se2 > 0:
         t2 = (diff * diff) / se2
         df_w = (se2 * se2) / (
-            (va * va) / (na - 1) + (vb * vb) / (nb - 1)
+            (va * va) / float(na - 1) + (vb * vb) / float(nb - 1)
         )
         r4f = lambda x: math.floor(x * 10000.0 + 0.5) / 10000.0  # noqa: E731
         return state, (na, nb, r4f(t2), r4f(df_w))

@@ -23,26 +23,28 @@ sys.path.insert(0, ".")
 from kinesis_stream_video_project_spark.plans import registry  # noqa: E402
 from kinesis_stream_video_project_spark.session import get_spark  # noqa: E402
 
-ALLOWLIST = [
-    "ann_tier_claims",
-    "ann_recall_eval",
-    "lsh_tier_consistency",
-    "ndcg_tier_claims",
-    "simhash_bucket_pairs",
-    "near_dup_shingle_jaccard",
-    "minhash_lsh_near_dup",
-    "embedding_near_dup",
-    "near_dup_split_leakage",
-    "verbatim_spans",
-    "source_overlap_matrix",
-    "bloom_decontaminate",
-    "truncated_rerank_topk",
-    "semdedup_keep_report",
-    "semdedup_docs_keep",
-    "pmi_collocations_topk",
-    "ivf_kmeans_topk",
-    "ra_linkpred_smallbasket",
-]
+
+def _load_allowlist() -> list[str]:
+    """Single source of truth (ADVICE r13 item 2): import the guard's
+    own ``_EXPENSIVE_REPEAT_ALLOWLIST`` from tests/test_plan_properties.py
+    so this sweep always times exactly the entries the guard exempts —
+    a hard-coded copy here would silently drift when an entry is added
+    or removed."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "tests",
+        "test_plan_properties.py",
+    )
+    spec = importlib.util.spec_from_file_location("_plan_props", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return sorted(mod._EXPENSIVE_REPEAT_ALLOWLIST)
+
+
+ALLOWLIST = _load_allowlist()
 
 
 def main() -> None:
