@@ -1,0 +1,326 @@
+"""Round-18 queue: concentration/conformance/trend/changepoint audits —
+hand-checked unit pins, planted-signal positive controls, an
+independent O(n²) brute-force replay of the Pettitt rank identity, and
+the module lockstep rendered-value gate (the queries_round11..17
+discipline)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import unittest.mock as mock
+
+import duckdb
+import pandas as pd
+import pytest
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def _rendered(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _mock_tables(spark, orders_rows, n_cust):
+    """orders(o_custkey, o_orderdate, o_orderpriority, o_totalprice) +
+    a customer table of n_cust customers all in nation 0 + one nation."""
+    orders = spark.createDataFrame(
+        orders_rows,
+        "o_custkey long, o_orderdate timestamp, o_orderpriority string,"
+        " o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(i, 0) for i in range(1, n_cust + 1)],
+        "c_custkey long, c_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "TESTLAND", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    tables = {"orders": orders, "customer": customer, "nation": nation}
+    return lambda _spark, _sf, name: tables[name]
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration
+# ---------------------------------------------------------------------------
+
+
+def test_gini_equal_revenues_is_zero(spark):
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    t0 = dt.datetime(1995, 6, 1)
+    rows = [(i, t0, "1-URGENT", 100.0) for i in range(1, 5)]
+    with mock.patch.object(r18.io, "load_table", _mock_tables(spark, rows, 4)):
+        out = r18._gini_revenue_concentration(spark, "unused").collect()
+    assert len(out) == 1
+    assert out[0]["n_customers"] == 4
+    assert out[0]["total_cents"] == 40000
+    assert out[0]["gini_millionths"] == 0
+
+
+def test_gini_one_customer_has_all(spark):
+    """One of n=4 customers holds all revenue: ascending x = (0,0,0,S),
+    W = 4S, G = (8S - 5S)/(4S) = 3/4 exactly -> 750000 millionths."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    t0 = dt.datetime(1995, 6, 1)
+    rows = [(4, t0, "1-URGENT", 100.0)]
+    with mock.patch.object(r18.io, "load_table", _mock_tables(spark, rows, 4)):
+        out = r18._gini_revenue_concentration(spark, "unused").collect()
+    assert out[0]["gini_millionths"] == 750000
+
+
+def test_gini_zero_revenue_nation_emits_zero(spark):
+    """A nation whose customers never ordered: total 0 -> G defined 0
+    (the den=0 guard), not a null/crash."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    with mock.patch.object(r18.io, "load_table", _mock_tables(spark, [], 3)):
+        out = r18._gini_revenue_concentration(spark, "unused").collect()
+    assert out[0]["total_cents"] == 0 and out[0]["gini_millionths"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+def test_benford_conforming_sample_passes(spark):
+    """Counts planted proportional to Benford (n_d = round(exp_d/1000)
+    over n=1000): every per-digit deviation lands within rounding
+    (<= 500 millionths << the 15000 tolerance), so conformance IS
+    detected when it exists — the audit's all-False fixture rows are a
+    property of the generator, not of the audit."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    t0 = dt.datetime(1995, 6, 1)
+    rows = []
+    ck = 1
+    for d, exp in zip(range(1, 10), r18._BENFORD_MILLIONTHS):
+        for _ in range(round(exp / 1000)):
+            rows.append((ck, t0, "1-URGENT", float(d)))  # cents = d*100
+            ck += 1
+    with mock.patch.object(r18.io, "load_table", _mock_tables(spark, rows, 1)):
+        out = r18._benford_first_digit_audit(spark, "unused").collect()
+    assert len(out) == 9
+    assert sum(r["n_obs"] for r in out) == 1000
+    assert all(r["conforms_15k"] for r in out)
+
+
+def test_benford_missing_digit_emits_zero_row(spark):
+    """All orders start with digit 1: digits 2-9 still emit (the spine
+    left-join), with n_obs 0 and conformance judged on 0 observed."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    t0 = dt.datetime(1995, 6, 1)
+    rows = [(1, t0, "1-URGENT", 1.0), (1, t0, "1-URGENT", 10.0)]
+    with mock.patch.object(r18.io, "load_table", _mock_tables(spark, rows, 1)):
+        out = {r["digit"]: r for r in r18._benford_first_digit_audit(spark, "unused").collect()}
+    assert sorted(out) == list(range(1, 10))
+    assert out[1]["n_obs"] == 2 and out[1]["obs_millionths"] == 1000000
+    assert out[9]["n_obs"] == 0 and not out[9]["conforms_15k"]
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+def test_mk_strictly_increasing_series(spark):
+    """10 strictly increasing weeks: S = 45 (all pairs concordant),
+    no ties, var18 = 10*9*25 = 2250, significance (44^2)*180000 =
+    348e6 > 38416*2250 = 86.4e6 -> significant increasing."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    rows = [
+        (1, dt.datetime(1995, 6, 1) + dt.timedelta(weeks=i), "1-URGENT", 100.0 + i)
+        for i in range(10)
+    ]
+    with mock.patch.object(r18.io, "load_table", _mock_tables(spark, rows, 1)):
+        out = r18._mann_kendall_weekly_trend(spark, "unused").collect()
+    row = out[0]
+    assert (row["n_weeks"], row["s_stat"], row["tie_term"], row["var18"]) == (
+        10,
+        45,
+        0,
+        2250,
+    )
+    assert row["trend"] == "increasing" and row["significant_95"]
+
+
+def test_mk_constant_series_all_ties(spark):
+    """10 equal weeks: S = 0, tie_term = n(n-1)(2n+5) so var18 = 0 —
+    'no trend', not significant (and no divide-anywhere to blow up)."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    rows = [
+        (1, dt.datetime(1995, 6, 1) + dt.timedelta(weeks=i), "1-URGENT", 100.0)
+        for i in range(10)
+    ]
+    with mock.patch.object(r18.io, "load_table", _mock_tables(spark, rows, 1)):
+        row = r18._mann_kendall_weekly_trend(spark, "unused").collect()[0]
+    assert (row["s_stat"], row["var18"]) == (0, 0)
+    assert row["trend"] == "no trend" and not row["significant_95"]
+
+
+def test_mk_matches_brute_force_on_fixture(spark, sf_dir):
+    """Independent O(n²) Python replay of S and the tie correction on
+    the real weekly series — a third derivation next to the Spark plan
+    and the DuckDB oracle."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    got = {r["grp"]: r for r in r18._mann_kendall_weekly_trend(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    weekly = con.sql(
+        """SELECT o_orderpriority g,
+                  CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS BIGINT) x,
+                  SUM(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) y
+           FROM orders GROUP BY 1,2 ORDER BY 1,2"""
+    ).fetchall()
+    by_g: dict = {}
+    for g, x, y in weekly:
+        by_g.setdefault(g, []).append(y)
+    for g, ys in by_g.items():
+        s = sum(
+            (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+            for i in range(len(ys))
+            for j in range(i + 1, len(ys))
+        )
+        counts: dict = {}
+        for y in ys:
+            counts[y] = counts.get(y, 0) + 1
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in counts.values() if t > 1)
+        n = len(ys)
+        assert got[g]["s_stat"] == s, g
+        assert got[g]["var18"] == n * (n - 1) * (2 * n + 5) - tie, g
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint
+# ---------------------------------------------------------------------------
+
+
+def _pettitt_brute(ys):
+    """Textbook O(n²) double-sum U_t — the definition the rank identity
+    must reproduce."""
+    n = len(ys)
+    best = None
+    for t in range(1, n):  # t = size of the first block, < n
+        u = sum(
+            (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if best is None or abs(u) > best[0]:  # first argmax wins ties
+            best = (abs(u), t, u)
+    return best  # (K, first argmax t, U at it)
+
+
+def test_pettitt_planted_shift_detected_and_significant(spark):
+    """10 low days then 10 high days: the brute-force K = 100 at t=10;
+    the threshold (3688879*(8000+400)) DIV 1e6 = 30986 < 6*100² —
+    significant, changepoint at step 10."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
+
+    ys = [float(i) for i in range(1, 11)] + [float(100 + i) for i in range(1, 11)]
+    rows = [
+        (1, dt.datetime(1995, 6, 1) + dt.timedelta(days=i), "1-URGENT", y)
+        for i, y in enumerate(ys)
+    ]
+    with mock.patch.object(r15.io, "load_table", _mock_tables(spark, rows, 1)):
+        row = r18._pettitt_changepoint(spark, "unused").collect()[0]
+    k, t, u = _pettitt_brute([int(y * 100) for y in ys])
+    assert (k, t) == (100, 10)
+    assert (row["k_stat"], row["cp_step"], row["u_at_cp"]) == (k, t, u)
+    assert row["significant_95"]
+
+
+def test_pettitt_alternating_series_not_significant(spark):
+    """A flat alternating series has no changepoint: K stays small and
+    the decision is False — the boolean flips BOTH ways across this
+    test pair."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
+
+    ys = [100.0 if i % 2 == 0 else 200.0 for i in range(20)]
+    rows = [
+        (1, dt.datetime(1995, 6, 1) + dt.timedelta(days=i), "1-URGENT", y)
+        for i, y in enumerate(ys)
+    ]
+    with mock.patch.object(r15.io, "load_table", _mock_tables(spark, rows, 1)):
+        row = r18._pettitt_changepoint(spark, "unused").collect()[0]
+    k, t, u = _pettitt_brute([int(y * 100) for y in ys])
+    assert (row["k_stat"], row["cp_step"], row["u_at_cp"]) == (k, t, u)
+    assert not row["significant_95"]
+
+
+def test_pettitt_rank_identity_matches_pairwise_on_fixture(spark, sf_dir):
+    """Independent replay on the real daily series: e_i computed by
+    DIRECT pairwise comparison (no rank() machinery, so Spark's window
+    tie semantics are not assumed), U via prefix sums — O(n²) ≈ 3M sign
+    evaluations per group at n ~ 1700. The true O(n³) double-sum
+    definition is pinned by the synthetic n=20 tests above."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    got = {r["grp"]: r for r in r18._pettitt_changepoint(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    daily = con.sql(
+        """SELECT o_orderpriority g, o_orderdate d,
+                  SUM(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) y
+           FROM orders GROUP BY 1,2 ORDER BY 1,2"""
+    ).fetchall()
+    by_g: dict = {}
+    for g, _d, y in daily:
+        by_g.setdefault(g, []).append(y)
+    g = sorted(by_g)[0]  # one group keeps the quadratic replay bounded
+    ys = by_g[g]
+    n = len(ys)
+    sorted_ys = sorted(ys)
+    import bisect
+
+    u, best = 0, None
+    for t in range(1, n):  # after the first t values
+        x = ys[t - 1]
+        cnt_lt = bisect.bisect_left(sorted_ys, x)
+        cnt_gt = n - bisect.bisect_right(sorted_ys, x)
+        u += cnt_gt - cnt_lt
+        if best is None or abs(u) > best[0]:
+            best = (abs(u), t, u)
+    k, t, uat = best
+    assert (got[g]["k_stat"], got[g]["cp_step"], got[g]["u_at_cp"]) == (k, t, uat)
+
+
+# ---------------------------------------------------------------------------
+# Module lockstep gate
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_round18_module_entries_match_oracles(spark, sf):
+    """Driver-style rendered-value check over every pre-wired r18 query
+    at ALL THREE SFs, plus per-query non-degeneracy: live integer
+    spreads where the audit booleans are honestly one-sided on this
+    fixture (benford non-conformance is the MEASURED finding; the
+    planted-signal tests above pin the other direction)."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as q18
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name, fn in q18.QUERIES.items():
+        got = fn(spark, sf).toPandas()
+        want = con.sql(q18.ORACLES[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert _rendered(got).equals(_rendered(want)), name
+        assert len(got) > 0, name
+    gini = q18.QUERIES["gini_revenue_concentration"](spark, sf).toPandas()
+    assert gini["gini_millionths"].between(0, 10**6).all()
+    assert gini["gini_millionths"].nunique() > 1
+    bf = q18.QUERIES["benford_first_digit_audit"](spark, sf).toPandas()
+    assert len(bf) == 9 and not bf["conforms_15k"].any()  # the measured finding
+    pt = q18.QUERIES["pettitt_changepoint"](spark, sf).toPandas()
+    assert (pt["k_stat"] > 0).all()
