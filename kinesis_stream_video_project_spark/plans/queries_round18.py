@@ -518,3 +518,299 @@ def register_all(names: "tuple[str, ...] | None" = None) -> None:
 
     for name in names if names is not None else tuple(QUERIES):
         register(name, oracle=ORACLES[name], tags=TAGS[name])(QUERIES[name])
+
+
+# ---------------------------------------------------------------------------
+# Association rules with lift (X-236)
+# ---------------------------------------------------------------------------
+
+
+def _assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (X-236; Agrawal et al. 1993) over
+    order baskets: 2-itemsets of distinct parts co-purchased in one
+    order, with support / both confidences / lift as exact millionths
+    (integer cross-multiplication throughout — lift = c_ab·n·10^6 DIV
+    (c_a·c_b) peaks at ~7.5e11, comfortably BIGINT). Min pair support 2
+    (probed non-empty at all 3 SFs: 2324/3445/3573 qualifying pairs);
+    top-20 by (lift DESC, part_a, part_b) — a total order before the
+    limit, per the registry discipline.
+
+    Scale: the pair generation is the within-basket self-join — bounded
+    by basket size (≤ 13 lines per order on this fixture), never
+    corpus×corpus; item counts and the 1-row basket total are
+    model-sized broadcasts back onto the qualifying pairs."""
+    b = (
+        io.load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("_k"), F.col("l_partkey").alias("_p")
+        )
+        .distinct()
+    )
+    nb = b.agg(F.countDistinct("_k").cast("long").alias("n_baskets"))
+    items = b.groupBy(F.col("_p")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b2"),
+            (F.col("a._k") == F.col("b2._k"))
+            & (F.col("a._p") < F.col("b2._p")),
+        )
+        .groupBy(
+            F.col("a._p").alias("part_a"), F.col("b2._p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(items.select(F.col("_p").alias("part_a"),
+                                     F.col("_c").alias("c_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(items.select(F.col("_p").alias("part_b"),
+                                     F.col("_c").alias("c_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    out = enriched.selectExpr(
+        "part_a",
+        "part_b",
+        "n_baskets",
+        "c_a",
+        "c_b",
+        "c_ab",
+        "CAST((c_ab * 1000000) div n_baskets AS BIGINT) AS support_millionths",
+        "CAST((c_ab * 1000000) div c_a AS BIGINT) AS conf_ab_millionths",
+        "CAST((c_ab * 1000000) div c_b AS BIGINT) AS conf_ba_millionths",
+        "CAST((c_ab * n_baskets * 1000000) div (c_a * c_b) AS BIGINT)"
+        " AS lift_millionths",
+    )
+    return out.orderBy(
+        F.desc("lift_millionths"), "part_a", "part_b"
+    ).limit(20)
+
+
+_ASSOC_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_baskets FROM b),
+items AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.p AS part_a, b2.p AS part_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM b a JOIN b b2 ON a.k = b2.k AND a.p < b2.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT part_a, part_b, nb.n_baskets, ia.c AS c_a, ib.c AS c_b, c_ab,
+       CAST((c_ab * 1000000) // nb.n_baskets AS BIGINT)
+         AS support_millionths,
+       CAST((c_ab * 1000000) // ia.c AS BIGINT) AS conf_ab_millionths,
+       CAST((c_ab * 1000000) // ib.c AS BIGINT) AS conf_ba_millionths,
+       CAST((c_ab * nb.n_baskets * 1000000) // (ia.c * ib.c) AS BIGINT)
+         AS lift_millionths
+FROM pairs
+JOIN items ia ON ia.p = part_a
+JOIN items ib ON ib.p = part_b
+CROSS JOIN nb
+ORDER BY lift_millionths DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (X-237)
+# ---------------------------------------------------------------------------
+
+
+def _acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (X-237) of the daily revenue series per priority
+    at lags 1-7 — the seasonality/memory diagnostic a forecaster reads
+    before picking its model (the r14 Holt / r15 Holt-Winters shelf's
+    missing EDA tier). Sample ACF convention: Pearson correlation of
+    (x_t, x_{t+k}) pairs. Exact DECIMAL(38,0) moment sums, then ONE
+    double evaluation of (n·Σxy − ΣxΣy)/√((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
+    in the same op order both engines (the corr_acctbal discipline —
+    sqrt is correctly rounded under IEEE 754, so the expression is
+    deterministic), r4 at emission; NULL on a zero-variance side.
+    MEASURED FINDING (probed at 3 SFs): this generator's daily revenue
+    is white noise — |ACF| ≤ 0.05 at every lag — so the diagnostic
+    honestly reports "no memory" on the fixture; the linear-series
+    pytest pins ACF = 1.0 exactly when structure exists.
+
+    Scale: the corpus aggregates to the |days|-per-priority ledger
+    first; the lag pairing is a grp-equi self-join with a step range
+    predicate over that ledger (~1700·7 pairs per group, calendar-
+    bounded and SF-independent)."""
+    from kinesis_stream_video_project_spark.functions.numeric import r4
+    from kinesis_stream_video_project_spark.plans.queries_round15 import (
+        _daily_series,
+    )
+
+    series = _daily_series(spark, sf_dir)
+    pairs = (
+        series.alias("a")
+        .join(
+            series.alias("b"),
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("b.step") > F.col("a.step"))
+            & (F.col("b.step") <= F.col("a.step") + 7),
+        )
+        .select(
+            F.col("a.grp").alias("grp"),
+            (F.col("b.step") - F.col("a.step")).cast("long").alias("lag"),
+            F.col("a.xs").alias("_x"),
+            F.col("b.xs").alias("_y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pairs.groupBy("grp", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(dec("_x")).alias("_sx"),
+        F.sum(dec("_y")).alias("_sy"),
+        F.sum(dec("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(dec("_y") * F.col("_y")).alias("_syy"),
+        F.sum(dec("_x") * F.col("_y")).alias("_sxy"),
+    )
+    num = F.col("n_pairs") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("n_pairs") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("n_pairs") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return s.select(
+        "grp",
+        "lag",
+        "n_pairs",
+        r4(
+            F.when(
+                (dx > 0) & (dy > 0),
+                num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double")),
+            )
+        ).alias("acf"),
+    )
+
+
+def _acf_oracle() -> str:
+    from kinesis_stream_video_project_spark.functions.numeric import sql_r4
+    from kinesis_stream_video_project_spark.plans.queries_round15 import (
+        _DAILY_SERIES_CTE,
+    )
+
+    return (
+        "WITH "
+        + _DAILY_SERIES_CTE.strip().lstrip(",")
+        + """,
+pairs AS (
+  SELECT a.grp, CAST(b.step - a.step AS BIGINT) AS lag,
+         a.xs AS x, b.xs AS y
+  FROM series a JOIN series b
+    ON a.grp = b.grp AND b.step > a.step AND b.step <= a.step + 7
+),
+s AS (
+  SELECT grp, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT grp, lag, n_pairs,
+       CASE WHEN n_pairs*sxx - sx*sx > 0 AND n_pairs*syy - sy*sy > 0
+            THEN """
+        + sql_r4(
+            "CAST(n_pairs*sxy - sx*sy AS DOUBLE)"
+            " / sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE)"
+            " * CAST(n_pairs*syy - sy*sy AS DOUBLE))"
+        )
+        + """
+            ELSE NULL END AS acf
+FROM s
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown (X-238)
+# ---------------------------------------------------------------------------
+
+
+def _max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown (X-238) of the daily revenue level per priority
+    — the worst peak-to-trough decline (the finance risk classic,
+    Magdon-Ismail et al. 2004, applied to the revenue level series the
+    forecast shelf already maintains). running_peak_t = max(x_1..x_t),
+    drawdown_t = running_peak_t − x_t, K = max over t, first step wins
+    ties. All exact integer cents: one grp-partitioned running-max
+    window + one pick window over the same ledger partitioning (no
+    extra exchange)."""
+    from kinesis_stream_video_project_spark.plans.queries_round15 import (
+        _daily_series,
+    )
+
+    series = _daily_series(spark, sf_dir)
+    g = Window.partitionBy("grp")
+    w = g.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
+    dd = series.select(
+        "grp",
+        "step",
+        "xs",
+        F.max("xs").over(w).cast("long").alias("_peak"),
+        F.count(F.lit(1)).over(g).cast("long").alias("n_days"),
+    ).withColumn("_dd", (F.col("_peak") - F.col("xs")).cast("long"))
+    pick = Window.partitionBy("grp").orderBy(F.desc("_dd"), "step")
+    return (
+        dd.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "grp",
+            "n_days",
+            F.col("_peak").alias("peak_cents"),
+            F.col("xs").alias("trough_cents"),
+            F.col("_dd").alias("max_drawdown_cents"),
+            F.col("step").cast("long").alias("dd_step"),
+        )
+    )
+
+
+def _drawdown_oracle() -> str:
+    from kinesis_stream_video_project_spark.plans.queries_round15 import (
+        _DAILY_SERIES_CTE,
+    )
+
+    return (
+        "WITH "
+        + _DAILY_SERIES_CTE.strip().lstrip(",")
+        + """,
+dd AS (
+  SELECT grp, step, xs,
+         CAST(MAX(xs) OVER (PARTITION BY grp ORDER BY step
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS peak,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_days
+  FROM series
+),
+pick AS (
+  SELECT grp, n_days, peak, xs, peak - xs AS ddv, step,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY peak - xs DESC, step) AS rn
+  FROM dd
+)
+SELECT grp, n_days, peak AS peak_cents, xs AS trough_cents,
+       CAST(ddv AS BIGINT) AS max_drawdown_cents,
+       CAST(step AS BIGINT) AS dd_step
+FROM pick WHERE rn = 1
+"""
+    )
+
+
+QUERIES["assoc_rules_lift"] = _assoc_rules_lift
+ORACLES["assoc_rules_lift"] = _ASSOC_ORACLE
+TAGS["assoc_rules_lift"] = ("round18",)
+QUERIES["acf_daily_revenue"] = _acf_daily_revenue
+ORACLES["acf_daily_revenue"] = _acf_oracle()
+TAGS["acf_daily_revenue"] = ("round18",)
+QUERIES["max_drawdown_daily"] = _max_drawdown_daily
+ORACLES["max_drawdown_daily"] = _drawdown_oracle()
+TAGS["max_drawdown_daily"] = ("round18",)
+assert set(QUERIES) == set(ORACLES)

@@ -324,3 +324,125 @@ def test_round18_module_entries_match_oracles(spark, sf):
     assert len(bf) == 9 and not bf["conforms_15k"].any()  # the measured finding
     pt = q18.QUERIES["pettitt_changepoint"](spark, sf).toPandas()
     assert (pt["k_stat"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Association rules with lift
+# ---------------------------------------------------------------------------
+
+
+def test_assoc_rules_handchecked(spark):
+    """Baskets {A,B}, {A,B}, {A,C}, {B}: n=4, c_A=3, c_B=3, c_AB=2
+    (survives min support 2), c_AC=1 (dropped). support = 500000,
+    conf A->B = 2e6 DIV 3 = 666666, lift = 2*4*1e6 DIV 9 = 888888
+    (< 1e6: A and B co-occur LESS than independence predicts here)."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30), (4, 20)],
+        "l_orderkey long, l_partkey long",
+    )
+    with mock.patch.object(r18.io, "load_table", lambda *_a: li):
+        out = r18._assoc_rules_lift(spark, "unused").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["part_a"], row["part_b"], row["c_ab"]) == (10, 20, 2)
+    assert (row["n_baskets"], row["c_a"], row["c_b"]) == (4, 3, 3)
+    assert row["support_millionths"] == 500000
+    assert row["conf_ab_millionths"] == 666666
+    assert row["conf_ba_millionths"] == 666666
+    assert row["lift_millionths"] == 888888
+
+
+def test_assoc_rules_duplicate_lines_one_vote(spark):
+    """Two lineitem rows of the SAME part in one order are one basket
+    membership (the DISTINCT stage), not a self-pair."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20)],
+        "l_orderkey long, l_partkey long",
+    )
+    with mock.patch.object(r18.io, "load_table", lambda *_a: li):
+        out = r18._assoc_rules_lift(spark, "unused").collect()
+    assert len(out) == 1 and out[0]["c_ab"] == 2 and out[0]["c_a"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def test_acf_linear_series_is_exactly_one(spark):
+    """A strictly linear series: every (x_t, x_{t+k}) pair set is
+    perfectly linearly related, so ACF = 1.0 at every lag — and with
+    small integers the double evaluation is exact (products < 2^53)."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
+
+    rows = [
+        (1, dt.datetime(1995, 6, 1) + dt.timedelta(days=i), "1-URGENT",
+         1.0 + i)
+        for i in range(10)
+    ]
+    with mock.patch.object(r15.io, "load_table", _mock_tables(spark, rows, 1)):
+        out = r18._acf_daily_revenue(spark, "unused").collect()
+    assert len(out) == 7
+    assert all(r["acf"] == 1.0 for r in out)
+    assert {r["lag"] for r in out} == set(range(1, 8))
+    assert {r["n_pairs"] for r in out} == {10 - k for k in range(1, 8)}
+
+
+def test_acf_constant_series_is_null(spark):
+    """Zero variance on both sides: the correlation is undefined and
+    emits NULL (the pearson_corr_exact degenerate contract), not a
+    divide-by-zero."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
+
+    rows = [
+        (1, dt.datetime(1995, 6, 1) + dt.timedelta(days=i), "1-URGENT", 5.0)
+        for i in range(10)
+    ]
+    with mock.patch.object(r15.io, "load_table", _mock_tables(spark, rows, 1)):
+        out = r18._acf_daily_revenue(spark, "unused").collect()
+    assert len(out) == 7 and all(r["acf"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown
+# ---------------------------------------------------------------------------
+
+
+def test_drawdown_handchecked(spark):
+    """Series 10, 20, 15, 5, 25 (dollars): running peaks 10,20,20,20,25;
+    drawdowns 0,0,5,15,0 -> max 15.00 at step 4, peak 20.00, trough
+    5.00."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
+
+    ys = [10.0, 20.0, 15.0, 5.0, 25.0]
+    rows = [
+        (1, dt.datetime(1995, 6, 1) + dt.timedelta(days=i), "1-URGENT", y)
+        for i, y in enumerate(ys)
+    ]
+    with mock.patch.object(r15.io, "load_table", _mock_tables(spark, rows, 1)):
+        row = r18._max_drawdown_daily(spark, "unused").collect()[0]
+    assert (row["peak_cents"], row["trough_cents"]) == (2000, 500)
+    assert (row["max_drawdown_cents"], row["dd_step"]) == (1500, 4)
+
+
+def test_drawdown_monotone_rising_is_zero_at_first_step(spark):
+    """A monotone rising series never draws down: max dd = 0, and the
+    FIRST step wins the all-zero tie (deterministic pick)."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
+
+    rows = [
+        (1, dt.datetime(1995, 6, 1) + dt.timedelta(days=i), "1-URGENT",
+         10.0 + i)
+        for i in range(5)
+    ]
+    with mock.patch.object(r15.io, "load_table", _mock_tables(spark, rows, 1)):
+        row = r18._max_drawdown_daily(spark, "unused").collect()[0]
+    assert (row["max_drawdown_cents"], row["dd_step"]) == (0, 1)
