@@ -40,11 +40,35 @@ r18-family production resumed per VERDICT r12 item 3's arithmetic):
   6K² ≥ (3688879·(n³+n²)) DIV 10^6 (3688879 = ⌊ln(40)·10^6⌋, stated —
   both engines evaluate the same integers, so the convention hashes).
 
+* ``assoc_rules_lift`` — market-basket 2-itemset association rules
+  (Agrawal et al. 1993) with support/confidence/lift as exact
+  millionths; min pair support 2 (probed non-empty at all 3 SFs:
+  2324/3445/3573 qualifying pairs), top-20 under a total order.
+* ``acf_daily_revenue`` — sample autocorrelation of daily revenue at
+  lags 1-7 (the forecaster's EDA tier); exact DECIMAL(38,0) moments,
+  one fixed-order double expression (sqrt is IEEE-exact). MEASURED:
+  the fixture is white noise (|ACF| ≤ 0.05 everywhere).
+* ``max_drawdown_daily`` — worst peak-to-trough decline of the daily
+  revenue level (Magdon-Ismail et al. 2004), all-integer.
+* ``hhi_supplier_concentration`` — Herfindahl-Hirschman index of
+  supplier revenue per nation in exact millionths (the antitrust
+  measure next to the Gini).
+* ``fano_burstiness_hourly`` — Fano factor of hourly event counts per
+  type over the FULL hour spine (overdispersion vs Poisson). MEASURED:
+  the fixture is Poisson-like (F ∈ [0.90, 1.06]) and the boolean is
+  live (click/view > 1 > purchase/signup at sf0.01).
+
+A positional-phrase-search entry was considered and DROPPED as a
+duplicate: ``phrase_search_docs`` (r5e) already covers phrase search
+over the documents corpus.
+
 Scale notes (the 100 TB grade): every query aggregates the corpus to a
 model/ledger-sized frame FIRST (customers-per-nation, 9 digits, weeks
-per priority, days per priority) and only then runs windows or pair
-joins on that ledger; the MK pair join is |weeks|² per group with
-|weeks| bounded by the calendar (SF-independent), never corpus-shaped.
+per priority, days per priority, suppliers-per-nation, |types|×|hours|
+grids) and only then runs windows or pair joins on that ledger; the MK
+pair join is |weeks|² per group with |weeks| bounded by the calendar
+(SF-independent), and the basket pair join is bounded by basket size —
+never corpus-shaped.
 """
 
 from __future__ import annotations
@@ -813,4 +837,194 @@ TAGS["acf_daily_revenue"] = ("round18",)
 QUERIES["max_drawdown_daily"] = _max_drawdown_daily
 ORACLES["max_drawdown_daily"] = _drawdown_oracle()
 TAGS["max_drawdown_daily"] = ("round18",)
+assert set(QUERIES) == set(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index (X-239)
+# ---------------------------------------------------------------------------
+
+
+def _hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index (X-239; Herfindahl 1950, Hirschman
+    1945 — the antitrust market-concentration standard) of supplier
+    revenue per supplier nation: HHI = Σ share² emitted as exact
+    millionths via (Σ rev²)·10^6 DIV (Σ rev)² on DECIMAL(38,0)/HUGEINT
+    (rev² reaches ~10^18 per supplier and the squared total ~10^26 —
+    both far past BIGINT, both comfortably inside 38 digits). 10^6 =
+    monopoly, 10^6/n = perfectly even. The companion of the X-232 Gini
+    (inequality of the tail vs weight of the head). One corpus
+    aggregate to the |suppliers| ledger, one broadcast dim join, one
+    nation re-aggregate — no window at all."""
+    rev = (
+        io.load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("_sk"),
+            scaled_long(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                100,
+            ).alias("_cents"),
+        )
+        .groupBy("_sk")
+        .agg(F.sum("_cents").alias("_rev"))
+    )
+    supp = io.load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("_sk"), F.col("s_nationkey").alias("_nk")
+    )
+    nation = io.load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation")
+    )
+    agg = (
+        rev.join(F.broadcast(supp), "_sk")
+        .join(F.broadcast(nation), "_nk")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("_rev").cast("long").alias("total_cents"),
+            F.sum(
+                F.col("_rev").cast("decimal(38,0)") * F.col("_rev")
+            ).alias("_ss"),
+        )
+    )
+    return agg.withColumn(
+        "_tot", F.col("total_cents").cast("decimal(38,0)")
+    ).selectExpr(
+        "nation",
+        "n_suppliers",
+        "total_cents",
+        "CAST(CASE WHEN total_cents = 0 THEN 0 "
+        "ELSE (_ss * 1000000) div (_tot * _tot) END AS BIGINT)"
+        " AS hhi_millionths",
+    )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey AS sk,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS r
+  FROM lineitem GROUP BY 1
+),
+agg AS (
+  SELECT n.n_name AS nation,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(rev.r) AS BIGINT) AS total_cents,
+         SUM(CAST(rev.r AS HUGEINT) * rev.r) AS ss
+  FROM rev
+  JOIN supplier s ON s.s_suppkey = rev.sk
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1
+)
+SELECT nation, n_suppliers, total_cents,
+       CAST(CASE WHEN total_cents = 0 THEN 0
+                 ELSE (ss * 1000000)
+                      // (CAST(total_cents AS HUGEINT) * total_cents)
+            END AS BIGINT) AS hhi_millionths
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness (X-240)
+# ---------------------------------------------------------------------------
+
+
+def _fano_burstiness_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (X-240; Fano 1947) of hourly event counts per type —
+    the overdispersion diagnostic for arrival processes (F = 1 under
+    Poisson; F > 1 = bursty, F < 1 = regular). Counts live on the FULL
+    observed hour spine (global min..max hour, zero hours included via
+    the calendar gap-fill pattern — dropping empty hours would bias F
+    down), and F = Var/Mean emits as exact millionths:
+    ((n·Σc² − S²)·10^6) DIV (n·S), population variance, all BIGINT
+    (hourly counts are small; no wide decimals needed). MEASURED
+    (3 SFs): this generator is Poisson-like — F ∈ [0.90, 1.06] — and
+    the `overdispersed` boolean is LIVE on the fixture (click/view
+    sit just above 1, purchase/signup just below at sf0.01). Scale:
+    one (type, hour) corpus aggregate, a 1-row clock aggregate, a
+    |types|×|hours| broadcast grid, one per-type re-aggregate."""
+    ev = io.load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("_h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    clock = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("_h0"),
+        F.date_trunc("hour", F.max("ts")).alias("_h1"),
+    )
+    spine = clock.select(
+        F.explode(
+            F.sequence(
+                F.col("_h0"), F.col("_h1"), F.expr("INTERVAL 1 HOUR")
+            )
+        ).alias("_h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(c, ["event_type", "_h"], "left")
+        .na.fill({"_c": 0})
+    )
+    agg = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("_c").cast("long").alias("n_events"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_ss"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n_hours",
+        "n_events",
+        "CAST(CASE WHEN n_events = 0 THEN NULL "
+        "ELSE ((n_hours * _ss - n_events * n_events) * 1000000) "
+        "div (n_hours * n_events) END AS BIGINT) AS fano_millionths",
+    ).withColumn(
+        "overdispersed", F.col("fano_millionths") > F.lit(1000000)
+    )
+
+
+_FANO_ORACLE = """
+WITH clock AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM clock
+),
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT t.event_type, s.h, COALESCE(c.c, 0) AS c
+  FROM types t CROSS JOIN spine s
+  LEFT JOIN c ON c.event_type = t.event_type AND c.h = s.h
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM grid GROUP BY 1
+)
+SELECT event_type, n_hours, n_events,
+       CAST(CASE WHEN n_events = 0 THEN NULL
+                 ELSE ((n_hours * ss - n_events * n_events) * 1000000)
+                      // (n_hours * n_events)
+            END AS BIGINT) AS fano_millionths,
+       (CASE WHEN n_events = 0 THEN NULL
+             ELSE ((n_hours * ss - n_events * n_events) * 1000000)
+                  // (n_hours * n_events)
+        END > 1000000) AS overdispersed
+FROM agg
+"""
+
+
+QUERIES["hhi_supplier_concentration"] = _hhi_supplier_concentration
+ORACLES["hhi_supplier_concentration"] = _HHI_ORACLE
+TAGS["hhi_supplier_concentration"] = ("round18",)
+QUERIES["fano_burstiness_hourly"] = _fano_burstiness_hourly
+ORACLES["fano_burstiness_hourly"] = _FANO_ORACLE
+TAGS["fano_burstiness_hourly"] = ("round18",)
 assert set(QUERIES) == set(ORACLES)

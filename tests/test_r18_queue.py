@@ -446,3 +446,115 @@ def test_drawdown_monotone_rising_is_zero_at_first_step(spark):
     with mock.patch.object(r15.io, "load_table", _mock_tables(spark, rows, 1)):
         row = r18._max_drawdown_daily(spark, "unused").collect()[0]
     assert (row["max_drawdown_cents"], row["dd_step"]) == (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman index
+# ---------------------------------------------------------------------------
+
+
+def _mock_supply(spark, line_rows, n_supp):
+    li = spark.createDataFrame(
+        line_rows,
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    supplier = spark.createDataFrame(
+        [(i, 0) for i in range(1, n_supp + 1)],
+        "s_suppkey long, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "TESTLAND", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    tables = {"lineitem": li, "supplier": supplier, "nation": nation}
+    return lambda _spark, _sf, name: tables[name]
+
+
+def test_hhi_monopoly_is_one_million(spark):
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    rows = [(1, 100.0, 0.0), (1, 50.0, 0.0)]
+    with mock.patch.object(r18.io, "load_table", _mock_supply(spark, rows, 3)):
+        row = r18._hhi_supplier_concentration(spark, "unused").collect()[0]
+    # suppliers 2 and 3 never ship a line: HHI is over REVENUE-BEARING
+    # suppliers (n_suppliers counts them), so one seller == monopoly.
+    assert (row["n_suppliers"], row["hhi_millionths"]) == (1, 1000000)
+
+
+def test_hhi_two_equal_sellers_is_half(spark):
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    rows = [(1, 100.0, 0.0), (2, 100.0, 0.0)]
+    with mock.patch.object(r18.io, "load_table", _mock_supply(spark, rows, 2)):
+        row = r18._hhi_supplier_concentration(spark, "unused").collect()[0]
+    assert (row["n_suppliers"], row["total_cents"]) == (2, 20000)
+    assert row["hhi_millionths"] == 500000
+
+
+def test_hhi_discount_enters_exactly(spark):
+    """One 100.00 line at 10% + one 90.00 line at 0%: equal 9000-cent
+    shares -> 500000, pinning the per-line scaled_long discipline."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    rows = [(1, 100.0, 0.1), (2, 90.0, 0.0)]
+    with mock.patch.object(r18.io, "load_table", _mock_supply(spark, rows, 2)):
+        row = r18._hhi_supplier_concentration(spark, "unused").collect()[0]
+    assert row["total_cents"] == 18000 and row["hhi_millionths"] == 500000
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness
+# ---------------------------------------------------------------------------
+
+
+def _mock_events_ts(spark, rows):
+    """rows = (event_type, hour_offset) -> events(ts, event_type)."""
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=h), t) for t, h in rows],
+        "ts timestamp, event_type string",
+    )
+    return lambda _spark, _sf, name: ev
+
+
+def test_fano_perfectly_regular_is_zero(spark):
+    """Exactly one event per hour for 6 hours: Var = 0 -> F = 0 (maximal
+    regularity, far under-dispersed vs Poisson)."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    rows = [("click", h) for h in range(6)]
+    with mock.patch.object(r18.io, "load_table", _mock_events_ts(spark, rows)):
+        row = r18._fano_burstiness_hourly(spark, "unused").collect()[0]
+    assert (row["n_hours"], row["n_events"]) == (6, 6)
+    assert row["fano_millionths"] == 0 and not row["overdispersed"]
+
+
+def test_fano_single_burst_hand_checked(spark):
+    """6 events all in hour 0 of a 6-hour span (pinned open by a lone
+    event in hour 5): counts (6,0,0,0,0,1) for the burst type... use
+    two types so the spine is 6 hours: burst type = 6 events at hour 0,
+    F = (6*36 - 36)*1e6 DIV (6*6) = 5000000 -> overdispersed; the
+    clock type (1 per hour at 0 and 5) shares the spine."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    rows = [("burst", 0)] * 6 + [("clock", 0), ("clock", 5)]
+    with mock.patch.object(r18.io, "load_table", _mock_events_ts(spark, rows)):
+        out = {r["event_type"]: r for r in r18._fano_burstiness_hourly(spark, "unused").collect()}
+    b = out["burst"]
+    assert (b["n_hours"], b["n_events"]) == (6, 6)
+    # n*ss - s^2 = 6*36 - 36 = 180; 180*1e6 // 36 = 5000000
+    assert b["fano_millionths"] == 5000000 and b["overdispersed"]
+    c = out["clock"]
+    # counts (1,0,0,0,0,1): ss=2, s=2 -> (12-4)*1e6 // 12 = 666666
+    assert c["fano_millionths"] == 666666 and not c["overdispersed"]
+
+
+def test_fano_zero_hours_counted_via_spine(spark):
+    """A type active only at the span's edges still divides by the FULL
+    spine (n_hours = 6, not 2) — dropping empty hours would bias F
+    down; the spine is the point of the gap-fill."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    rows = [("a", 0), ("a", 5), ("b", 2), ("b", 3)]
+    with mock.patch.object(r18.io, "load_table", _mock_events_ts(spark, rows)):
+        out = {r["event_type"]: r for r in r18._fano_burstiness_hourly(spark, "unused").collect()}
+    assert out["a"]["n_hours"] == 6 and out["b"]["n_hours"] == 6
