@@ -5021,3 +5021,174 @@ def chi2_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online Benford first-digit monitor — both stateful APIs
+# ---------------------------------------------------------------------------
+
+_BENFORDM_OUT_SCHEMA = (
+    "key string, digit bigint, n_obs bigint, n_total bigint, "
+    "obs_millionths bigint, expected_millionths bigint, "
+    "dev_millionths bigint, conforms_15k boolean"
+)
+_BENFORDM_STATE_SCHEMA = StructType().add("counts", ArrayType(LongType()))
+
+# Millionths of log10(1 + 1/d), d = 1..9 — the SAME fixed literals as the
+# batch twin (queries_round18._BENFORD_MILLIONTHS; equality pinned in
+# tests so the two copies cannot drift). Literals, not libm: the whole
+# emission is exact integer arithmetic.
+_BENFORDM_EXPECTED = (
+    301030,
+    176091,
+    124939,
+    96910,
+    79181,
+    66947,
+    57992,
+    51153,
+    45757,
+)
+
+
+def _benford_stream_fold(counts: list, cents: list) -> tuple:
+    """Pure fold shared by BOTH stateful API forms: bump the 9
+    first-digit counters, then emit exactly the batch
+    ``benford_first_digit_audit`` frame — per digit the observed count,
+    observed share in millionths (integer division — Python ``//`` on
+    positive ints is the same truncation as Spark ``div`` / DuckDB
+    ``//``), the fixed Benford expectation, the absolute deviation, and
+    the ±1.5pp conformance boolean. Counters SUM, so the fold is fully
+    COMMUTATIVE — the FIFTH order-free op (after online AMS, entropy,
+    Welch, chi²): late/reordered/resharded delivery cannot change any
+    drained emission.
+
+    Domain contract (the km_survival refusal discipline): only positive
+    cent amounts have a first significant digit — staging drops
+    NULL/non-positive values before the shuffle, and the fold REFUSES
+    anything else (a NaN that slipped past staging, zero, a negative)
+    rather than corrupt a counter."""
+    counts = list(counts)
+    for c in cents:
+        if c != c or c <= 0:  # NaN fails the self-compare
+            raise ValueError(
+                f"benford_stream: cent amount {c!r} outside the positive "
+                "domain (NULL/non-positive values are dropped at staging "
+                "by contract)"
+            )
+        counts[int(str(int(c))[0]) - 1] += 1
+    n = sum(counts)
+    out = []
+    for d in range(1, 10):
+        obs = (counts[d - 1] * 1000000) // n
+        exp = _BENFORDM_EXPECTED[d - 1]
+        dev = abs(obs - exp)
+        out.append((d, counts[d - 1], n, obs, exp, dev, dev <= 15000))
+    return counts, out
+
+
+def _benford_staged(events: DataFrame) -> DataFrame:
+    """Shared JVM staging: (key = event_type, c = exact positive cents
+    of the metric value) — the live first-digit conformance frame per
+    type (batch twin: queries_round18._benford_first_digit_audit,
+    X-233, which audits order totals; the stream form audits the
+    metric column of whatever it is fed, keyed so each type carries
+    its own audit). NULL and non-positive values are dropped HERE,
+    before the shuffle — the fold refuses any that still arrive
+    (stated contract on both sides)."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").cast("string").alias("key"),
+            scaled_long(F.col("value"), 100).alias("c"),
+        )
+        .filter(F.col("c") > 0)
+    )
+
+
+def _benford_emit(key_val, out) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "key": [str(key_val)] * 9,
+            "digit": [r[0] for r in out],
+            "n_obs": [r[1] for r in out],
+            "n_total": [r[2] for r in out],
+            "obs_millionths": [r[3] for r in out],
+            "expected_millionths": [r[4] for r in out],
+            "dev_millionths": [r[5] for r in out],
+            "conforms_15k": [r[6] for r in out],
+        }
+    )
+
+
+def benford_stream(events: DataFrame) -> DataFrame:
+    """ONLINE Benford first-digit monitor — the TWENTY-SIXTH op on both
+    stateful APIs: per event type, the live 9-row first-digit
+    conformance frame of the metric value (a fraud pattern or a
+    generator bug injecting uniform amounts drives the affected
+    digits' conformance FALSE while it happens, not at the nightly
+    audit). State is a FIXED 9-long counter array per key — bounded by
+    construction; the fold is commutative (counters sum), so
+    late/reordered/resharded delivery cannot change any drained
+    emission. The drained final frame per key equals the
+    oracle-validated batch ``benford_first_digit_audit`` arithmetic on
+    the same rows exactly (pinned against the r18 batch twin)."""
+    staged = _benford_staged(events)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        held = list(state.get[0]) if state.exists else [0] * 9
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        held, out = _benford_stream_fold(held, b["c"].tolist())
+        state.update((held,))
+        yield _benford_emit(key_val, out)
+
+    return staged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_BENFORDM_OUT_SCHEMA,
+        stateStructType=_BENFORDM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def benford_stream_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of
+    :func:`benford_stream` — same shared fold, no timers. GS ≡ TWS
+    pinned on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _benford_staged(events)
+
+    class BenfordProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("bfd", _BENFORDM_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            got = self._state.get()
+            held = list(got[0]) if got is not None else [0] * 9
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            held, out = _benford_stream_fold(held, b["c"].tolist())
+            self._state.update((held,))
+            yield _benford_emit(key_val, out)
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=BenfordProcessor(),
+        outputStructType=_BENFORDM_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

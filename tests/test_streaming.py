@@ -5417,3 +5417,237 @@ def test_chi2_stream_fold_commutes_hypothesis():
         assert state_a == state_b and out_a == out_b
 
     law()
+
+
+# ---------------------------------------------------------------------------
+# Online Benford first-digit monitor (op twenty-six)
+# ---------------------------------------------------------------------------
+
+
+def _drain_benford(spark, tmp_path, fn, rows, tag, nfiles, schema):
+    src = tmp_path / f"bfd_src_{tag}"
+    step = -(-len(rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(rows[i * step : (i + 1) * step], schema),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"bfd_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_bfd_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows_out = spark.sql(f"SELECT * FROM bfd_out_{tag}").collect()
+    # group by key, keep the frame with the max n_total (last emission)
+    by_key = {}
+    for r in rows_out:
+        by_key.setdefault(r.key, {}).setdefault(r.n_total, {})[r.digit] = (
+            r.n_obs, r.obs_millionths, r.expected_millionths,
+            r.dev_millionths, r.conforms_15k,
+        )
+    return {
+        k: frames[max(frames)] for k, frames in by_key.items()
+    }
+
+
+def test_benford_stream_literals_match_batch_twin():
+    """The fold's expected-share literals are a COPY of the batch
+    twin's — pinned equal so the two cannot drift."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    assert jobs._BENFORDM_EXPECTED == r18._BENFORD_MILLIONTHS
+
+
+def test_benford_stream_final_matches_batch_audit(spark, sf_dir, tmp_path):
+    """Drained final frame per event type equals the oracle-validated
+    batch benford_first_digit_audit arithmetic on the same rows — on
+    one file AND three ARBITRARILY-ORDERED files (the fold is
+    commutative: counters sum), op twenty-six certified against the
+    X-233 batch twin."""
+    import unittest.mock as mock
+
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    schema = "event_id long, event_type string, value double"
+    base = [
+        (r["event_id"], r["event_type"], r["value"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .limit(3000)
+        .collect()
+    ]
+    want = {}
+    for key in sorted({t for _i, t, _v in base}):
+        vals = [v for _i, t, v in base if t == key and v is not None]
+        orders = spark.createDataFrame(
+            [(float(v),) for v in vals], "o_totalprice double"
+        )
+        with mock.patch.object(r18.io, "load_table", lambda *_a: orders):
+            rows = r18._benford_first_digit_audit(spark, "unused").collect()
+        want[key] = {
+            r["digit"]: (
+                r["n_obs"], r["obs_millionths"], r["expected_millionths"],
+                r["dev_millionths"], r["conforms_15k"],
+            )
+            for r in rows
+        }
+    got1 = _drain_benford(
+        spark, tmp_path, jobs.benford_stream, base, "gs1", 1, schema
+    )
+    shuffled = sorted(base, key=lambda r: (r[0] * 2654435761) % 104729)
+    got3 = _drain_benford(
+        spark, tmp_path, jobs.benford_stream, shuffled, "gs3", 3, schema
+    )
+    assert got1 == got3 == want and len(want) >= 4
+
+
+def test_benford_stream_tws_matches_group_state_form(spark, sf_dir, tmp_path):
+    """GS ≡ TWS on the same drain (the dual-API law, op twenty-six)."""
+    schema = "event_id long, event_type string, value double"
+    base = [
+        (r["event_id"], r["event_type"], r["value"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .limit(1200)
+        .collect()
+    ]
+    gs = _drain_benford(
+        spark, tmp_path, jobs.benford_stream, base, "eq_gs", 2, schema
+    )
+    tws = _drain_benford(
+        spark, tmp_path, jobs.benford_stream_tws, base, "eq_tws", 2, schema
+    )
+    assert gs == tws and len(gs) >= 4
+
+
+def test_benford_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Restart against the SAME checkpoint resumes the 9 counters: a
+    Benford-proportional first batch certifies every digit conforming;
+    a second batch slamming digit 9 flips conformance FALSE on the
+    RESUMED 2000-row mix (n_total proves the state survived — digit 1
+    still counts its 301 batch-1 rows)."""
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    schema = "event_id long, event_type string, value double"
+    b0, i = [], 0
+    for d, exp in zip(range(1, 10), r18._BENFORD_MILLIONTHS):
+        for _ in range(round(exp / 1000)):
+            b0.append((i, "m", float(d)))
+            i += 1
+    assert len(b0) == 1000
+    b1 = [(10000 + j, "m", 9.0) for j in range(1000)]
+    src = tmp_path / "bfd_restart_src"
+    ckpt = str(tmp_path / "ckpt_bfd_restart")
+    out = str(tmp_path / "bfd_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.benford_stream_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.read.parquet(out).collect()
+        frames = {}
+        for r in rows:
+            frames.setdefault(r.n_total, {})[r.digit] = (
+                r.n_obs, r.conforms_15k
+            )
+        return frames[max(frames)], max(frames)
+
+    _write_single_file(spark.createDataFrame(b0, schema), src, "b0.parquet")
+    first, n0 = drain()
+    assert n0 == 1000 and all(c for _n, c in first.values())
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b1, schema), src, "b1.parquet")
+    cumulative, n1 = drain()
+    assert n1 == 2000  # resumed, not restarted
+    assert cumulative[1] == (301, False)  # batch-1 rows still counted
+    assert cumulative[9] == (1046, False)
+
+
+def test_benford_stream_fold_refuses_out_of_domain():
+    """Domain guard: NaN (a NULL that slipped past staging), zero, or a
+    negative cent amount must raise a CLEAR error, not index-corrupt a
+    counter. Valid boundary digits still fold."""
+    counts, out = jobs._benford_stream_fold([0] * 9, [100, 999999])
+    assert counts == [1, 0, 0, 0, 0, 0, 0, 0, 1]
+    assert out[0][1] == 1 and out[8][1] == 1
+
+    for bad in (float("nan"), 0, -100):
+        with pytest.raises(ValueError, match="positive domain"):
+            jobs._benford_stream_fold([0] * 9, [bad])
+
+
+def test_benford_staged_drops_null_and_nonpositive(spark):
+    """The staging contract the fold guard relies on: NULL and
+    non-positive values (including one that scales to 0 cents) are
+    dropped before the shuffle."""
+    ev = spark.createDataFrame(
+        [
+            (1, "click", 1.23),
+            (2, "click", None),
+            (3, "click", -5.0),
+            (4, "click", 0.001),  # floor(0.1 + 0.5) = 0 cents
+        ],
+        "event_id long, event_type string, value double",
+    )
+    got = jobs._benford_staged(ev).collect()
+    assert [(r["key"], r["c"]) for r in got] == [("click", 123)]
+
+
+def test_benford_stream_fold_commutes_hypothesis():
+    """Hypothesis pin: ANY permutation and ANY chunking of any positive
+    cent sequence folds to the same counters and frame — the
+    commutativity law (counters sum) that makes op twenty-six the
+    FIFTH order-free op."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=10**12),
+            min_size=1,
+            max_size=60,
+        ),
+        st.randoms(),
+    )
+    def law(cents, rnd):
+        base_counts, base_out = jobs._benford_stream_fold([0] * 9, cents)
+        perm = list(cents)
+        rnd.shuffle(perm)
+        cuts = sorted(rnd.sample(range(len(perm)), rnd.randint(0, min(3, len(perm) - 1))) or [])
+        state = [0] * 9
+        prev = 0
+        out = None
+        for cut in cuts + [len(perm)]:
+            chunk = perm[prev:cut]
+            prev = cut
+            if chunk:
+                state, out = jobs._benford_stream_fold(state, chunk)
+        assert state == base_counts and out == base_out
+
+    law()
