@@ -219,6 +219,9 @@ def _benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        # ≤ 9 rows, TWO consumers (the total and the spine join) —
+        # staged once so the corpus aggregates in one scan.
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("n_obs").cast("long").alias("_n"))
     spine = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
@@ -699,7 +702,9 @@ def _acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _daily_series,
     )
 
-    series = _daily_series(spark, sf_dir)
+    # Ledger-sized (|days|·|priorities| at any SF) and consumed by both
+    # self-join sides — staged once so the corpus aggregates in one scan.
+    series = _daily_series(spark, sf_dir).localCheckpoint(eager=False)
     pairs = (
         series.alias("a")
         .join(
