@@ -5192,3 +5192,191 @@ def benford_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Online HHI concentration monitor — both stateful APIs
+# ---------------------------------------------------------------------------
+
+_HHIM_OUT_SCHEMA = (
+    "key string, n_sellers bigint, total_cents bigint, "
+    "hhi_millionths bigint, top_share_millionths bigint"
+)
+_HHIM_STATE_SCHEMA = (
+    StructType()
+    .add("sellers", ArrayType(LongType()))
+    .add("cents", ArrayType(LongType()))
+)
+
+# A per-key seller ledger past this is a modeling error (the chi²
+# max_cells discipline): the op monitors concentration among a bounded
+# population (suppliers of a nation, users of a metric), not an
+# unbounded id stream — key finer or pre-aggregate.
+_HHIM_MAX_SELLERS = 10_000
+# Per-seller Σcents rides a BIGINT state column; refuse before a sum
+# could wrap (the Welch envelope discipline).
+_HHIM_ENVELOPE = 1 << 62
+
+
+def _hhi_stream_fold(state: tuple, rows: list) -> tuple:
+    """Pure fold shared by BOTH stateful API forms: add each arrival's
+    exact positive cents into its seller's ledger entry, then emit the
+    batch ``hhi_supplier_concentration`` arithmetic EXACTLY — HHI =
+    (Σ s²)·10^6 // (Σ s)² with Python big-ints in the DECIMAL(38,0)/
+    HUGEINT role (same truncation as Spark ``div`` / DuckDB ``//`` on
+    positives) — plus the live whale signal top_share = (max s)·10^6 //
+    total. Ledger entries SUM, so the fold is fully COMMUTATIVE — the
+    SIXTH order-free op (after online AMS, entropy, Welch, chi²,
+    Benford).
+
+    Refusals (the km_survival discipline): non-positive/NaN cents
+    (staging drops them by contract), a seller ledger past
+    ``_HHIM_MAX_SELLERS``, or any per-seller sum past the 2^62 BIGINT
+    state envelope."""
+    sellers, cents = state
+    ledger: dict = dict(zip(sellers, cents))
+    for s, c in rows:
+        if c != c or c <= 0:  # NaN fails the self-compare
+            raise ValueError(
+                f"hhi_stream: cent amount {c!r} outside the positive "
+                "domain (NULL/non-positive values are dropped at staging "
+                "by contract)"
+            )
+        ledger[s] = ledger.get(s, 0) + int(c)
+        if ledger[s] > _HHIM_ENVELOPE:
+            raise ValueError(
+                "hhi_stream: per-seller cents beyond the BIGINT state "
+                "envelope (2^62) - rescale the metric before streaming it"
+            )
+    if len(ledger) > _HHIM_MAX_SELLERS:
+        raise ValueError(
+            f"hhi_stream: {len(ledger)} sellers exceeds max_sellers="
+            f"{_HHIM_MAX_SELLERS} - an unbounded id stream is a modeling "
+            "error; key finer or pre-aggregate"
+        )
+    total = sum(ledger.values())
+    ss = sum(v * v for v in ledger.values())
+    out = (
+        len(ledger),
+        total,
+        (ss * 1000000) // (total * total),
+        (max(ledger.values()) * 1000000) // total,
+    )
+    new_sellers = list(ledger.keys())
+    return (new_sellers, [ledger[s] for s in new_sellers]), out
+
+
+def _hhi_staged(events: DataFrame) -> DataFrame:
+    """Shared JVM staging: (key = event_type, s = user_id, c = exact
+    positive cents of the metric value) — per type, the live
+    concentration of the metric across users (batch twin:
+    queries_round18._hhi_supplier_concentration, X-239, which measures
+    supplier revenue per nation; the stream form answers 'is one user
+    becoming this metric' — the whale/abuse signal). NULL and
+    non-positive values are dropped HERE, before the shuffle; the fold
+    refuses any that still arrive (stated contract on both sides)."""
+    from kinesis_stream_video_project_spark.functions.numeric import scaled_long
+
+    return (
+        events.filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.col("event_type").cast("string").alias("key"),
+            F.col("user_id").cast("long").alias("s"),
+            scaled_long(F.col("value"), 100).alias("c"),
+        )
+        .filter(F.col("c") > 0)
+    )
+
+
+def _hhi_emit(key_val, out) -> pd.DataFrame:
+    n, total, hhi, top = out
+    return pd.DataFrame(
+        {
+            "key": [str(key_val)],
+            "n_sellers": [n],
+            "total_cents": [total],
+            "hhi_millionths": [hhi],
+            "top_share_millionths": [top],
+        }
+    )
+
+
+def hhi_stream(events: DataFrame) -> DataFrame:
+    """ONLINE HHI concentration monitor — the TWENTY-SEVENTH op on both
+    stateful APIs: per event type, the live Herfindahl-Hirschman index
+    of the metric value across users (one user swallowing a metric —
+    a whale, a runaway bot, a stuck retry loop — drives HHI and
+    top_share up in the next micro-batch, long before a daily batch
+    audit). State is the per-seller cents ledger as two parallel
+    arrays, bounded by the max_sellers refusal; the fold is commutative
+    (ledger entries sum), so late/reordered/resharded delivery cannot
+    change any drained emission. The drained final row per key equals
+    the oracle-validated batch ``hhi_supplier_concentration``
+    arithmetic on the same rows exactly (pinned against the r18 batch
+    twin)."""
+    staged = _hhi_staged(events)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        if state.exists:
+            got = state.get
+            held = (list(got[0]), list(got[1]))
+        else:
+            held = ([], [])
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        b = pd.concat(frames, ignore_index=True)
+        held, out = _hhi_stream_fold(
+            held, list(zip(b["s"].tolist(), b["c"].tolist()))
+        )
+        state.update(held)
+        yield _hhi_emit(key_val, out)
+
+    return staged.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_HHIM_OUT_SCHEMA,
+        stateStructType=_HHIM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hhi_stream_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of :func:`hhi_stream`
+    — same shared fold, no timers. GS ≡ TWS pinned on the same drain."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    staged = _hhi_staged(events)
+
+    class HHIProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("hhi", _HHIM_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (key_val,) = key
+            got = self._state.get()
+            held = (list(got[0]), list(got[1])) if got is not None else ([], [])
+            frames = [p for p in rows if len(p)]
+            if not frames:
+                return
+            b = pd.concat(frames, ignore_index=True)
+            held, out = _hhi_stream_fold(
+                held, list(zip(b["s"].tolist(), b["c"].tolist()))
+            )
+            self._state.update(held)
+            yield _hhi_emit(key_val, out)
+
+        def close(self) -> None:
+            pass
+
+    return staged.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=HHIProcessor(),
+        outputStructType=_HHIM_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

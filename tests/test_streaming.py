@@ -5651,3 +5651,242 @@ def test_benford_stream_fold_commutes_hypothesis():
         assert state == base_counts and out == base_out
 
     law()
+
+
+# ---------------------------------------------------------------------------
+# Online HHI concentration monitor (op twenty-seven)
+# ---------------------------------------------------------------------------
+
+
+def _drain_hhi(spark, tmp_path, fn, rows, tag, nfiles, schema):
+    src = tmp_path / f"hhi_src_{tag}"
+    step = -(-len(rows) // nfiles)
+    for i in range(nfiles):
+        if i:
+            time.sleep(1.1)
+        _write_single_file(
+            spark.createDataFrame(rows[i * step : (i + 1) * step], schema),
+            src,
+            f"b{i}.parquet",
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(f"hhi_out_{tag}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_hhi_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows_out = spark.sql(f"SELECT * FROM hhi_out_{tag}").collect()
+    final = {}
+    for r in rows_out:
+        if r.key not in final or r.total_cents > final[r.key][1]:
+            final[r.key] = (
+                r.n_sellers, r.total_cents, r.hhi_millionths,
+                r.top_share_millionths,
+            )
+    return final
+
+
+def test_hhi_stream_final_matches_batch_arithmetic(spark, sf_dir, tmp_path):
+    """Drained final row per event type equals the oracle-validated
+    batch hhi_supplier_concentration arithmetic on the same rows — on
+    one file AND three ARBITRARILY-ORDERED files (the fold is
+    commutative: ledger entries sum), op twenty-seven certified against
+    the X-239 batch twin."""
+    import unittest.mock as mock
+
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+
+    schema = "event_id long, event_type string, user_id long, value double"
+    base = [
+        (r["event_id"], r["event_type"], r["user_id"], r["value"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "user_id", "value")
+        .limit(3000)
+        .collect()
+    ]
+    want = {}
+    for key in sorted({t for _i, t, _u, _v in base}):
+        rows = [
+            (u, float(v), 0.0)
+            for _i, t, u, v in base
+            if t == key and v is not None and u is not None
+        ]
+        li = spark.createDataFrame(
+            rows, "l_suppkey long, l_extendedprice double, l_discount double"
+        )
+        supplier = spark.createDataFrame(
+            [(u,) for u in sorted({r[0] for r in rows})], "s_suppkey long"
+        ).withColumn("s_nationkey", F.lit(0).cast("int"))
+        nation = spark.createDataFrame(
+            [(0, "T", 0)], "n_nationkey int, n_name string, n_regionkey int"
+        )
+        tables = {"lineitem": li, "supplier": supplier, "nation": nation}
+        with mock.patch.object(
+            r18.io, "load_table", lambda _s, _d, name: tables[name]
+        ):
+            row = r18._hhi_supplier_concentration(spark, "unused").collect()[0]
+        want[key] = (
+            row["n_suppliers"], row["total_cents"], row["hhi_millionths"]
+        )
+    got1 = _drain_hhi(
+        spark, tmp_path, jobs.hhi_stream, base, "gs1", 1, schema
+    )
+    shuffled = sorted(base, key=lambda r: (r[0] * 2654435761) % 104729)
+    got3 = _drain_hhi(
+        spark, tmp_path, jobs.hhi_stream, shuffled, "gs3", 3, schema
+    )
+    assert {k: v[:3] for k, v in got1.items()} == want
+    assert got1 == got3 and len(want) >= 4
+
+
+def test_hhi_stream_tws_matches_group_state_form(spark, sf_dir, tmp_path):
+    """GS ≡ TWS on the same drain (the dual-API law, op twenty-seven)."""
+    schema = "event_id long, event_type string, user_id long, value double"
+    base = [
+        (r["event_id"], r["event_type"], r["user_id"], r["value"])
+        for r in io.load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "user_id", "value")
+        .limit(1200)
+        .collect()
+    ]
+    gs = _drain_hhi(
+        spark, tmp_path, jobs.hhi_stream, base, "eq_gs", 2, schema
+    )
+    tws = _drain_hhi(
+        spark, tmp_path, jobs.hhi_stream_tws, base, "eq_tws", 2, schema
+    )
+    assert gs == tws and len(gs) >= 4
+
+
+def test_hhi_stream_checkpoint_restart_resumes(spark, tmp_path):
+    """Restart against the SAME checkpoint resumes the seller ledger:
+    batch 1 = four equal sellers (HHI 250000); batch 2 = a whale
+    matching their combined total — on the RESUMED ledger HHI jumps to
+    (4·1 + 16)·1e6 // 64 = 312500 with top_share 500000 (a fresh fold
+    over batch 2 alone would read a 10^6 monopoly)."""
+    schema = "event_id long, event_type string, user_id long, value double"
+    b0 = [(i, "m", i, 10.0) for i in range(1, 5)]
+    b1 = [(100, "m", 99, 40.0)]
+    src = tmp_path / "hhi_restart_src"
+    ckpt = str(tmp_path / "ckpt_hhi_restart")
+    out = str(tmp_path / "hhi_restart_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            jobs.hhi_stream_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.read.parquet(out).collect()
+        return max(
+            (
+                (r.total_cents, r.n_sellers, r.hhi_millionths,
+                 r.top_share_millionths)
+                for r in rows
+            ),
+            default=None,
+        )
+
+    _write_single_file(spark.createDataFrame(b0, schema), src, "b0.parquet")
+    first = drain()
+    assert first == (4000, 4, 250000, 250000)
+    time.sleep(1.1)
+    _write_single_file(spark.createDataFrame(b1, schema), src, "b1.parquet")
+    cumulative = drain()
+    assert cumulative == (8000, 5, 312500, 500000)
+
+
+def test_hhi_stream_fold_refusals():
+    """Domain guards: non-positive/NaN cents, a seller ledger past
+    max_sellers, and a per-seller sum past the 2^62 envelope all raise
+    CLEAR errors."""
+    for bad in (float("nan"), 0, -100):
+        with pytest.raises(ValueError, match="positive domain"):
+            jobs._hhi_stream_fold(([], []), [(1, bad)])
+    with pytest.raises(ValueError, match="max_sellers"):
+        jobs._hhi_stream_fold(
+            ([], []), [(i, 1) for i in range(jobs._HHIM_MAX_SELLERS + 1)]
+        )
+    with pytest.raises(ValueError, match="envelope"):
+        jobs._hhi_stream_fold(([1], [1 << 62]), [(1, 1)])
+
+
+def test_hhi_staged_drops_null_and_nonpositive(spark):
+    """The staging contract the fold guard relies on: NULL user, NULL
+    value, non-positive value, and a value scaling to 0 cents are all
+    dropped before the shuffle."""
+    ev = spark.createDataFrame(
+        [
+            (1, "click", 7, 1.23),
+            (2, "click", None, 5.0),
+            (3, "click", 7, None),
+            (4, "click", 7, -5.0),
+            (5, "click", 7, 0.001),
+        ],
+        "event_id long, event_type string, user_id long, value double",
+    )
+    got = jobs._hhi_staged(ev).collect()
+    assert [(r["key"], r["s"], r["c"]) for r in got] == [("click", 7, 123)]
+
+
+def test_hhi_stream_fold_commutes_hypothesis():
+    """Hypothesis pin: ANY permutation and ANY chunking of any
+    (seller, cents) sequence folds to the same ledger and emission —
+    the commutativity law (ledger entries sum) that makes op
+    twenty-seven the SIXTH order-free op."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=8),
+                st.integers(min_value=1, max_value=10**9),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.randoms(),
+    )
+    def law(rows, rnd):
+        base_state, base_out = jobs._hhi_stream_fold(([], []), rows)
+        base_ledger = dict(zip(*base_state))
+        perm = list(rows)
+        rnd.shuffle(perm)
+        cuts = sorted(
+            rnd.sample(
+                range(len(perm)), rnd.randint(0, min(3, len(perm) - 1))
+            )
+            or []
+        )
+        state = ([], [])
+        prev = 0
+        out = None
+        for cut in cuts + [len(perm)]:
+            chunk = perm[prev:cut]
+            prev = cut
+            if chunk:
+                state, out = jobs._hhi_stream_fold(state, chunk)
+        assert dict(zip(*state)) == base_ledger and out == base_out
+
+    law()
