@@ -7,22 +7,15 @@ Queries built in round 14 (the queue drained to zero this round, so
 r18-family production resumed per VERDICT r12 item 3's arithmetic):
 
 * ``gini_revenue_concentration`` — per-nation Gini coefficient of
-  customer revenue (Gini 1912; the Lorenz-curve concentration measure
-  every marketplace-health dashboard carries). ALL-INTEGER: exact
-  cents, the rank-weighted sum rides as DECIMAL(38,0)/HUGEINT, and the
-  coefficient emits as exact millionths via integer division — no
-  float anywhere.
-* ``benford_first_digit_audit`` — first-significant-digit conformance
-  audit of order totals against Benford's law (Newcomb 1881, Benford
-  1938 — the fraud/data-quality screen). Expected shares are FIXED
-  integer literals (millionths of log10(1+1/d), summing to exactly
-  10^6), so no libm is involved on either engine. MEASURED FINDING
-  (probed at sf0.01): this generator draws o_totalprice near-uniformly
-  over a bounded range — digits 1-4 each hold ~22% and 5-9 ~2% — so
-  the audit honestly reports NON-conformance (max deviation ≈ 196k
-  millionths vs the 15k tolerance); the synthetic log-uniform case in
-  pytest pins that conformance is detected when it exists (the X-213
-  reconciliation-audit discipline: a failing invariant is a result).
+  customer revenue (Gini 1912). The GROUPED extension of the
+  registered X-151 ``gini_supplier_revenue`` (operators/stats.py::
+  gini_concentration, a single global coefficient over one entity
+  ledger via an audit-tier unpartitioned window): this form partitions
+  by nation — the window scales with groups — counts zero-revenue
+  customers (X-151 only sees revenue-bearing entities), and emits
+  millionths instead of permille. The grouped//1000 ≡ global-permille
+  nested-division identity is pinned in pytest. ALL-INTEGER: exact
+  cents, the rank-weighted sum rides as DECIMAL(38,0)/HUGEINT.
 * ``mann_kendall_weekly_trend`` — Mann-Kendall trend test (Mann 1945,
   Kendall 1975) on weekly revenue per order priority: the
   significance companion of the r12-green ``theilsen_weekly_trend``
@@ -40,27 +33,43 @@ r18-family production resumed per VERDICT r12 item 3's arithmetic):
   6K² ≥ (3688879·(n³+n²)) DIV 10^6 (3688879 = ⌊ln(40)·10^6⌋, stated —
   both engines evaluate the same integers, so the convention hashes).
 
-* ``assoc_rules_lift`` — market-basket 2-itemset association rules
+* ``assoc_rules_lift`` — market-basket 2-itemset association RULES
   (Agrawal et al. 1993) with support/confidence/lift as exact
-  millionths; min pair support 2 (probed non-empty at all 3 SFs:
-  2324/3445/3573 qualifying pairs), top-20 under a total order.
-* ``acf_daily_revenue`` — sample autocorrelation of daily revenue at
-  lags 1-7 (the forecaster's EDA tier); exact DECIMAL(38,0) moments,
-  one fixed-order double expression (sqrt is IEEE-exact). MEASURED:
-  the fixture is white noise (|ACF| ≤ 0.05 everywhere).
+  millionths. The rules extension of the registered
+  ``copurchase_lift_pairs`` (r5d), which emits the top-20 pairs BY
+  SUPPORT with lift as an integer rational: this form adds exactly
+  what that query's docstring deferred — a min-support floor (2,
+  probed non-empty at all 3 SFs: 2324/3445/3573 qualifying pairs),
+  both directed confidences, and a LIFT-ranked top-20 — plus the
+  single-pass basket-array plan (1 lineitem scan vs 2).
 * ``max_drawdown_daily`` — worst peak-to-trough decline of the daily
   revenue level (Magdon-Ismail et al. 2004), all-integer.
 * ``hhi_supplier_concentration`` — Herfindahl-Hirschman index of
   supplier revenue per nation in exact millionths (the antitrust
-  measure next to the Gini).
+  measure; the squared-shares sibling of X-151's Gini on the same
+  supplier-revenue ledger — different statistic, no HHI existed).
 * ``fano_burstiness_hourly`` — Fano factor of hourly event counts per
   type over the FULL hour spine (overdispersion vs Poisson). MEASURED:
   the fixture is Poisson-like (F ∈ [0.90, 1.06]) and the boolean is
   live (click/view > 1 > purchase/signup at sf0.01).
 
-A positional-phrase-search entry was considered and DROPPED as a
-duplicate: ``phrase_search_docs`` (r5e) already covers phrase search
-over the documents corpus.
+THREE entries were built (or scoped) and DROPPED as duplicates — the
+duplication audit now greps the FULL registry (operators/ included)
+before an entry survives, after this round caught two late:
+
+* positional phrase search — ``phrase_search_docs`` (r5e) already
+  covers phrase search over the documents corpus (caught at scoping).
+* ``benford_first_digit_audit`` — built, 3-SF-validated, then found to
+  duplicate the REGISTERED ``benford_totalprice`` (X-150,
+  operators/stats.py::benford_deviation — same table, same per-digit
+  frame, milli instead of millionths). Dropped; the ONLINE Benford
+  monitor (X-241) keeps its finer millionths contract and is pinned
+  against the X-150 operator via the nested-division identity.
+* ``acf_daily_revenue`` — built, 3-SF-validated, then found to
+  duplicate the REGISTERED ``acf_daily_orders`` (X-153,
+  operators/stats.py::acf_exact — same lags, gap-filled counts where
+  this one read revenue). Dropped; a grouped acf_exact extension is
+  the right future form if a window ever wants it.
 
 Scale notes (the 100 TB grade): every query aggregates the corpus to a
 model/ledger-sized frame FIRST (customers-per-nation, 9 digits, weeks
@@ -174,106 +183,6 @@ SELECT nation,
                  ELSE ((2 * w - (n + 1) * s) * 1000000) // (n * s)
             END AS BIGINT) AS gini_millionths
 FROM agg
-"""
-
-
-# ---------------------------------------------------------------------------
-# Benford first-digit audit (X-233)
-# ---------------------------------------------------------------------------
-
-# Millionths of log10(1 + 1/d) for d = 1..9 — fixed literals (they sum
-# to exactly 10^6), so neither engine touches libm.
-_BENFORD_MILLIONTHS = (
-    301030,
-    176091,
-    124939,
-    96910,
-    79181,
-    66947,
-    57992,
-    51153,
-    45757,
-)
-assert sum(_BENFORD_MILLIONTHS) == 10**6
-
-
-def _benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit audit (X-233) of o_totalprice in exact cents
-    (the leading significant digit is shift-invariant, so cents ==
-    dollars here): per digit 1-9, the observed count, observed share in
-    millionths (integer division), the Benford expectation (fixed
-    literal), the absolute deviation, and a ±1.5pp conformance boolean.
-    A digit spine (sequence 1..9) left-joins the counts so zero-count
-    digits still emit (the calendar-gap-fill discipline); the 1-row
-    total rides a broadcast crossJoin (the established clock/total
-    pattern). MEASURED: this fixture fails conformance by design of
-    its generator — see the module docstring."""
-    counts = (
-        io.load_table(spark, sf_dir, "orders")
-        .select(scaled_long(F.col("o_totalprice"), 100).alias("_c"))
-        .filter(F.col("_c") > 0)
-        .select(
-            F.substring(F.col("_c").cast("string"), 1, 1)
-            .cast("long")
-            .alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-        # ≤ 9 rows, TWO consumers (the total and the spine join) —
-        # staged once so the corpus aggregates in one scan.
-        .localCheckpoint(eager=False)
-    )
-    total = counts.agg(F.sum("n_obs").cast("long").alias("_n"))
-    spine = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
-    expected = F.element_at(
-        F.array(*[F.lit(v).cast("long") for v in _BENFORD_MILLIONTHS]),
-        F.col("digit").cast("int"),
-    )
-    full = (
-        spine.join(counts, "digit", "left")
-        .na.fill({"n_obs": 0})
-        .crossJoin(F.broadcast(total))
-    )
-    obs = F.expr("(n_obs * 1000000) div _n")
-    dev = F.abs(obs - expected)
-    return full.select(
-        "digit",
-        "n_obs",
-        F.col("_n").alias("n_total"),
-        obs.cast("long").alias("obs_millionths"),
-        expected.alias("expected_millionths"),
-        dev.cast("long").alias("dev_millionths"),
-        (dev <= F.lit(15000)).alias("conforms_15k"),
-    )
-
-
-_BENFORD_ORACLE = """
-WITH counts AS (
-  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-         CAST(COUNT(*) AS BIGINT) AS n_obs
-  FROM orders
-  WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0
-  GROUP BY 1
-),
-total AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts),
-spine AS (
-  SELECT * FROM (VALUES
-    (CAST(1 AS BIGINT), CAST(301030 AS BIGINT)), (2, 176091),
-    (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
-    (8, 51153), (9, 45757)) AS t(digit, expected_millionths)
-)
-SELECT s.digit,
-       CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
-       t.n AS n_total,
-       CAST((COALESCE(c.n_obs, 0) * 1000000) // t.n AS BIGINT)
-         AS obs_millionths,
-       s.expected_millionths,
-       CAST(ABS((COALESCE(c.n_obs, 0) * 1000000) // t.n
-                - s.expected_millionths) AS BIGINT) AS dev_millionths,
-       (ABS((COALESCE(c.n_obs, 0) * 1000000) // t.n
-            - s.expected_millionths) <= 15000) AS conforms_15k
-FROM spine s LEFT JOIN counts c ON c.digit = s.digit CROSS JOIN total t
 """
 
 
@@ -528,14 +437,12 @@ FROM best WHERE rn = 1
 
 QUERIES = {
     "gini_revenue_concentration": _gini_revenue_concentration,
-    "benford_first_digit_audit": _benford_first_digit_audit,
     "mann_kendall_weekly_trend": _mann_kendall_weekly_trend,
     "pettitt_changepoint": _pettitt_changepoint,
 }
 
 ORACLES = {
     "gini_revenue_concentration": _GINI_ORACLE,
-    "benford_first_digit_audit": _BENFORD_ORACLE,
     "mann_kendall_weekly_trend": _MK_ORACLE,
     "pettitt_changepoint": _pettitt_oracle(),
 }
@@ -674,119 +581,6 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
-# Autocorrelation function (X-237)
-# ---------------------------------------------------------------------------
-
-
-def _acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation (X-237) of the daily revenue series per priority
-    at lags 1-7 — the seasonality/memory diagnostic a forecaster reads
-    before picking its model (the r14 Holt / r15 Holt-Winters shelf's
-    missing EDA tier). Sample ACF convention: Pearson correlation of
-    (x_t, x_{t+k}) pairs. Exact DECIMAL(38,0) moment sums, then ONE
-    double evaluation of (n·Σxy − ΣxΣy)/√((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
-    in the same op order both engines (the corr_acctbal discipline —
-    sqrt is correctly rounded under IEEE 754, so the expression is
-    deterministic), r4 at emission; NULL on a zero-variance side.
-    MEASURED FINDING (probed at 3 SFs): this generator's daily revenue
-    is white noise — |ACF| ≤ 0.05 at every lag — so the diagnostic
-    honestly reports "no memory" on the fixture; the linear-series
-    pytest pins ACF = 1.0 exactly when structure exists.
-
-    Scale: the corpus aggregates to the |days|-per-priority ledger
-    first; the lag pairing is a grp-equi self-join with a step range
-    predicate over that ledger (~1700·7 pairs per group, calendar-
-    bounded and SF-independent)."""
-    from kinesis_stream_video_project_spark.functions.numeric import r4
-    from kinesis_stream_video_project_spark.plans.queries_round15 import (
-        _daily_series,
-    )
-
-    # Ledger-sized (|days|·|priorities| at any SF) and consumed by both
-    # self-join sides — staged once so the corpus aggregates in one scan.
-    series = _daily_series(spark, sf_dir).localCheckpoint(eager=False)
-    pairs = (
-        series.alias("a")
-        .join(
-            series.alias("b"),
-            (F.col("a.grp") == F.col("b.grp"))
-            & (F.col("b.step") > F.col("a.step"))
-            & (F.col("b.step") <= F.col("a.step") + 7),
-        )
-        .select(
-            F.col("a.grp").alias("grp"),
-            (F.col("b.step") - F.col("a.step")).cast("long").alias("lag"),
-            F.col("a.xs").alias("_x"),
-            F.col("b.xs").alias("_y"),
-        )
-    )
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    s = pairs.groupBy("grp", "lag").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(dec("_x")).alias("_sx"),
-        F.sum(dec("_y")).alias("_sy"),
-        F.sum(dec("_x") * F.col("_x")).alias("_sxx"),
-        F.sum(dec("_y") * F.col("_y")).alias("_syy"),
-        F.sum(dec("_x") * F.col("_y")).alias("_sxy"),
-    )
-    num = F.col("n_pairs") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
-    dx = F.col("n_pairs") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    dy = F.col("n_pairs") * F.col("_syy") - F.col("_sy") * F.col("_sy")
-    return s.select(
-        "grp",
-        "lag",
-        "n_pairs",
-        r4(
-            F.when(
-                (dx > 0) & (dy > 0),
-                num.cast("double")
-                / F.sqrt(dx.cast("double") * dy.cast("double")),
-            )
-        ).alias("acf"),
-    )
-
-
-def _acf_oracle() -> str:
-    from kinesis_stream_video_project_spark.functions.numeric import sql_r4
-    from kinesis_stream_video_project_spark.plans.queries_round15 import (
-        _DAILY_SERIES_CTE,
-    )
-
-    return (
-        "WITH "
-        + _DAILY_SERIES_CTE.strip().lstrip(",")
-        + """,
-pairs AS (
-  SELECT a.grp, CAST(b.step - a.step AS BIGINT) AS lag,
-         a.xs AS x, b.xs AS y
-  FROM series a JOIN series b
-    ON a.grp = b.grp AND b.step > a.step AND b.step <= a.step + 7
-),
-s AS (
-  SELECT grp, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
-         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
-         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
-         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
-  FROM pairs GROUP BY 1, 2
-)
-SELECT grp, lag, n_pairs,
-       CASE WHEN n_pairs*sxx - sx*sx > 0 AND n_pairs*syy - sy*sy > 0
-            THEN """
-        + sql_r4(
-            "CAST(n_pairs*sxy - sx*sy AS DOUBLE)"
-            " / sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE)"
-            " * CAST(n_pairs*syy - sy*sy AS DOUBLE))"
-        )
-        + """
-            ELSE NULL END AS acf
-FROM s
-"""
-    )
-
-
-# ---------------------------------------------------------------------------
 # Maximum drawdown (X-238)
 # ---------------------------------------------------------------------------
 
@@ -863,9 +657,6 @@ FROM pick WHERE rn = 1
 QUERIES["assoc_rules_lift"] = _assoc_rules_lift
 ORACLES["assoc_rules_lift"] = _ASSOC_ORACLE
 TAGS["assoc_rules_lift"] = ("round18",)
-QUERIES["acf_daily_revenue"] = _acf_daily_revenue
-ORACLES["acf_daily_revenue"] = _acf_oracle()
-TAGS["acf_daily_revenue"] = ("round18",)
 QUERIES["max_drawdown_daily"] = _max_drawdown_daily
 ORACLES["max_drawdown_daily"] = _drawdown_oracle()
 TAGS["max_drawdown_daily"] = ("round18",)

@@ -5034,10 +5034,13 @@ _BENFORDM_OUT_SCHEMA = (
 )
 _BENFORDM_STATE_SCHEMA = StructType().add("counts", ArrayType(LongType()))
 
-# Millionths of log10(1 + 1/d), d = 1..9 — the SAME fixed literals as the
-# batch twin (queries_round18._BENFORD_MILLIONTHS; equality pinned in
-# tests so the two copies cannot drift). Literals, not libm: the whole
-# emission is exact integer arithmetic.
+# Millionths of log10(1 + 1/d), d = 1..9 — fixed literals summing to
+# exactly 10^6 (pinned in tests), not libm: the whole emission is exact
+# integer arithmetic. The batch twin is the REGISTERED X-150
+# `benford_totalprice` (operators/stats.py::benford_deviation), which
+# carries the same constants at milli precision; the observed shares
+# agree across the scales via the nested-division identity
+# floor(floor(n·10^6/N)/1000) == floor(n·10^3/N) (pinned).
 _BENFORDM_EXPECTED = (
     301030,
     176091,
@@ -5054,7 +5057,8 @@ _BENFORDM_EXPECTED = (
 def _benford_stream_fold(counts: list, cents: list) -> tuple:
     """Pure fold shared by BOTH stateful API forms: bump the 9
     first-digit counters, then emit exactly the batch
-    ``benford_first_digit_audit`` frame — per digit the observed count,
+    Benford audit frame (the X-150 benford_deviation shape at
+    millionths precision) — per digit the observed count,
     observed share in millionths (integer division — Python ``//`` on
     positive ints is the same truncation as Spark ``div`` / DuckDB
     ``//``), the fixed Benford expectation, the absolute deviation, and
@@ -5090,10 +5094,11 @@ def _benford_stream_fold(counts: list, cents: list) -> tuple:
 def _benford_staged(events: DataFrame) -> DataFrame:
     """Shared JVM staging: (key = event_type, c = exact positive cents
     of the metric value) — the live first-digit conformance frame per
-    type (batch twin: queries_round18._benford_first_digit_audit,
-    X-233, which audits order totals; the stream form audits the
-    metric column of whatever it is fed, keyed so each type carries
-    its own audit). NULL and non-positive values are dropped HERE,
+    type (batch twin: the REGISTERED X-150 ``benford_totalprice`` /
+    operators/stats.py::benford_deviation, which audits order totals
+    at milli precision; the stream form audits the metric column of
+    whatever it is fed at millionths, keyed so each type carries its
+    own audit). NULL and non-positive values are dropped HERE,
     before the shuffle — the fold refuses any that still arrive
     (stated contract on both sides)."""
     from kinesis_stream_video_project_spark.functions.numeric import scaled_long
@@ -5133,8 +5138,10 @@ def benford_stream(events: DataFrame) -> DataFrame:
     construction; the fold is commutative (counters sum), so
     late/reordered/resharded delivery cannot change any drained
     emission. The drained final frame per key equals the
-    oracle-validated batch ``benford_first_digit_audit`` arithmetic on
-    the same rows exactly (pinned against the r18 batch twin)."""
+    oracle-validated batch X-150 ``benford_deviation`` arithmetic on
+    the same rows exactly — counts equal, observed shares equal across
+    the milli/millionths scales via the nested-division identity
+    (pinned)."""
     staged = _benford_staged(events)
 
     def update(

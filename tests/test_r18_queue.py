@@ -81,47 +81,6 @@ def test_gini_zero_revenue_nation_emits_zero(spark):
 
 
 # ---------------------------------------------------------------------------
-# Benford first-digit audit
-# ---------------------------------------------------------------------------
-
-
-def test_benford_conforming_sample_passes(spark):
-    """Counts planted proportional to Benford (n_d = round(exp_d/1000)
-    over n=1000): every per-digit deviation lands within rounding
-    (<= 500 millionths << the 15000 tolerance), so conformance IS
-    detected when it exists — the audit's all-False fixture rows are a
-    property of the generator, not of the audit."""
-    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
-
-    t0 = dt.datetime(1995, 6, 1)
-    rows = []
-    ck = 1
-    for d, exp in zip(range(1, 10), r18._BENFORD_MILLIONTHS):
-        for _ in range(round(exp / 1000)):
-            rows.append((ck, t0, "1-URGENT", float(d)))  # cents = d*100
-            ck += 1
-    with mock.patch.object(r18.io, "load_table", _mock_tables(spark, rows, 1)):
-        out = r18._benford_first_digit_audit(spark, "unused").collect()
-    assert len(out) == 9
-    assert sum(r["n_obs"] for r in out) == 1000
-    assert all(r["conforms_15k"] for r in out)
-
-
-def test_benford_missing_digit_emits_zero_row(spark):
-    """All orders start with digit 1: digits 2-9 still emit (the spine
-    left-join), with n_obs 0 and conformance judged on 0 observed."""
-    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
-
-    t0 = dt.datetime(1995, 6, 1)
-    rows = [(1, t0, "1-URGENT", 1.0), (1, t0, "1-URGENT", 10.0)]
-    with mock.patch.object(r18.io, "load_table", _mock_tables(spark, rows, 1)):
-        out = {r["digit"]: r for r in r18._benford_first_digit_audit(spark, "unused").collect()}
-    assert sorted(out) == list(range(1, 10))
-    assert out[1]["n_obs"] == 2 and out[1]["obs_millionths"] == 1000000
-    assert out[9]["n_obs"] == 0 and not out[9]["conforms_15k"]
-
-
-# ---------------------------------------------------------------------------
 # Mann-Kendall trend test
 # ---------------------------------------------------------------------------
 
@@ -301,10 +260,9 @@ def test_pettitt_rank_identity_matches_pairwise_on_fixture(spark, sf_dir):
 @pytest.mark.parametrize("sf", SFS)
 def test_round18_module_entries_match_oracles(spark, sf):
     """Driver-style rendered-value check over every pre-wired r18 query
-    at ALL THREE SFs, plus per-query non-degeneracy: live integer
-    spreads where the audit booleans are honestly one-sided on this
-    fixture (benford non-conformance is the MEASURED finding; the
-    planted-signal tests above pin the other direction)."""
+    at ALL THREE SFs, plus per-query non-degeneracy (the planted-signal
+    tests above pin the boolean directions the fixture doesn't
+    exercise)."""
     from kinesis_stream_video_project_spark.plans import queries_round18 as q18
 
     con = duckdb.connect()
@@ -320,8 +278,6 @@ def test_round18_module_entries_match_oracles(spark, sf):
     gini = q18.QUERIES["gini_revenue_concentration"](spark, sf).toPandas()
     assert gini["gini_millionths"].between(0, 10**6).all()
     assert gini["gini_millionths"].nunique() > 1
-    bf = q18.QUERIES["benford_first_digit_audit"](spark, sf).toPandas()
-    assert len(bf) == 9 and not bf["conforms_15k"].any()  # the measured finding
     pt = q18.QUERIES["pettitt_changepoint"](spark, sf).toPandas()
     assert (pt["k_stat"] > 0).all()
 
@@ -366,47 +322,6 @@ def test_assoc_rules_duplicate_lines_one_vote(spark):
     with mock.patch.object(r18.io, "load_table", lambda *_a: li):
         out = r18._assoc_rules_lift(spark, "unused").collect()
     assert len(out) == 1 and out[0]["c_ab"] == 2 and out[0]["c_a"] == 2
-
-
-# ---------------------------------------------------------------------------
-# Autocorrelation
-# ---------------------------------------------------------------------------
-
-
-def test_acf_linear_series_is_exactly_one(spark):
-    """A strictly linear series: every (x_t, x_{t+k}) pair set is
-    perfectly linearly related, so ACF = 1.0 at every lag — and with
-    small integers the double evaluation is exact (products < 2^53)."""
-    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
-    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
-
-    rows = [
-        (1, dt.datetime(1995, 6, 1) + dt.timedelta(days=i), "1-URGENT",
-         1.0 + i)
-        for i in range(10)
-    ]
-    with mock.patch.object(r15.io, "load_table", _mock_tables(spark, rows, 1)):
-        out = r18._acf_daily_revenue(spark, "unused").collect()
-    assert len(out) == 7
-    assert all(r["acf"] == 1.0 for r in out)
-    assert {r["lag"] for r in out} == set(range(1, 8))
-    assert {r["n_pairs"] for r in out} == {10 - k for k in range(1, 8)}
-
-
-def test_acf_constant_series_is_null(spark):
-    """Zero variance on both sides: the correlation is undefined and
-    emits NULL (the pearson_corr_exact degenerate contract), not a
-    divide-by-zero."""
-    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
-    from kinesis_stream_video_project_spark.plans import queries_round15 as r15
-
-    rows = [
-        (1, dt.datetime(1995, 6, 1) + dt.timedelta(days=i), "1-URGENT", 5.0)
-        for i in range(10)
-    ]
-    with mock.patch.object(r15.io, "load_table", _mock_tables(spark, rows, 1)):
-        out = r18._acf_daily_revenue(spark, "unused").collect()
-    assert len(out) == 7 and all(r["acf"] is None for r in out)
 
 
 # ---------------------------------------------------------------------------
@@ -558,3 +473,38 @@ def test_fano_zero_hours_counted_via_spine(spark):
     with mock.patch.object(r18.io, "load_table", _mock_events_ts(spark, rows)):
         out = {r["event_type"]: r for r in r18._fano_burstiness_hourly(spark, "unused").collect()}
     assert out["a"]["n_hours"] == 6 and out["b"]["n_hours"] == 6
+
+
+def test_gini_grouped_form_agrees_with_global_operator(spark, sf_dir):
+    """Cross-pin vs the REGISTERED X-151 form: restricted to
+    revenue-bearing entities (X-151 never sees zero-revenue ones) and
+    one group, the grouped millionths coefficient integer-divides down
+    to exactly the global operator's permille — the nested-division
+    identity floor(floor(a/d)/1000) == floor(a/(1000d)) makes the two
+    scales comparable without re-deriving either."""
+    import unittest.mock as mock
+
+    from kinesis_stream_video_project_spark.operators.stats import (
+        gini_concentration,
+    )
+    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+    from kinesis_stream_video_project_spark import io as eio
+
+    orders = eio.load_table(spark, sf_dir, "orders")
+    want = gini_concentration(orders, "o_totalprice", "o_custkey").collect()[0]
+
+    active = orders.select("o_custkey").distinct()
+    customer = active.selectExpr(
+        "o_custkey AS c_custkey", "CAST(0 AS INT) AS c_nationkey"
+    )
+    nation = spark.createDataFrame(
+        [(0, "ALL", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    tables = {"orders": orders, "customer": customer, "nation": nation}
+    with mock.patch.object(
+        r18.io, "load_table", lambda _s, _d, name: tables[name]
+    ):
+        got = r18._gini_revenue_concentration(spark, "unused").collect()[0]
+    assert got["n_customers"] == want["n_entities"]
+    assert got["total_cents"] == want["total"]
+    assert got["gini_millionths"] // 1000 == want["gini_permille"]

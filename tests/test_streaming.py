@@ -5463,23 +5463,30 @@ def _drain_benford(spark, tmp_path, fn, rows, tag, nfiles, schema):
     }
 
 
-def test_benford_stream_literals_match_batch_twin():
-    """The fold's expected-share literals are a COPY of the batch
-    twin's — pinned equal so the two cannot drift."""
-    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+def test_benford_stream_literals_are_the_x150_constants_refined():
+    """The fold's millionths literals sum to exactly 10^6 and ROUND to
+    the registered X-150 operator's milli constants (BENFORD_MILLI is
+    round-to-nearest of the same published values) — the two scales
+    describe one distribution."""
+    from kinesis_stream_video_project_spark.operators.stats import BENFORD_MILLI
 
-    assert jobs._BENFORDM_EXPECTED == r18._BENFORD_MILLIONTHS
+    assert sum(jobs._BENFORDM_EXPECTED) == 10**6
+    assert tuple(
+        (v + 500) // 1000 for v in jobs._BENFORDM_EXPECTED
+    ) == BENFORD_MILLI
 
 
-def test_benford_stream_final_matches_batch_audit(spark, sf_dir, tmp_path):
-    """Drained final frame per event type equals the oracle-validated
-    batch benford_first_digit_audit arithmetic on the same rows — on
-    one file AND three ARBITRARILY-ORDERED files (the fold is
-    commutative: counters sum), op twenty-six certified against the
-    X-233 batch twin."""
-    import unittest.mock as mock
-
-    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
+def test_benford_stream_final_matches_x150_operator(spark, sf_dir, tmp_path):
+    """Drained final frame per event type equals the REGISTERED X-150
+    ``benford_deviation`` operator on the same rows — counts equal,
+    and the millionths observed shares integer-divide down to the
+    operator's milli shares exactly (the nested-division identity
+    floor(floor(n·10^6/N)/1000) == floor(n·10^3/N)) — on one file AND
+    three ARBITRARILY-ORDERED files (the fold is commutative: counters
+    sum), op twenty-six certified against its batch twin."""
+    from kinesis_stream_video_project_spark.operators.stats import (
+        benford_deviation,
+    )
 
     schema = "event_id long, event_type string, value double"
     base = [
@@ -5491,18 +5498,17 @@ def test_benford_stream_final_matches_batch_audit(spark, sf_dir, tmp_path):
     ]
     want = {}
     for key in sorted({t for _i, t, _v in base}):
-        vals = [v for _i, t, v in base if t == key and v is not None]
-        orders = spark.createDataFrame(
-            [(float(v),) for v in vals], "o_totalprice double"
-        )
-        with mock.patch.object(r18.io, "load_table", lambda *_a: orders):
-            rows = r18._benford_first_digit_audit(spark, "unused").collect()
+        # the operator REFUSES values scaling below 1 cent; the stream
+        # staging DROPS them (stated contract) — align the feed.
+        vals = [
+            v
+            for _i, t, v in base
+            if t == key and v is not None and int(v * 100 + 0.5) >= 1
+        ]
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
         want[key] = {
-            r["digit"]: (
-                r["n_obs"], r["obs_millionths"], r["expected_millionths"],
-                r["dev_millionths"], r["conforms_15k"],
-            )
-            for r in rows
+            r["digit"]: (r["n_d"], r["observed_milli"])
+            for r in benford_deviation(df, "v").collect()
         }
     got1 = _drain_benford(
         spark, tmp_path, jobs.benford_stream, base, "gs1", 1, schema
@@ -5511,7 +5517,12 @@ def test_benford_stream_final_matches_batch_audit(spark, sf_dir, tmp_path):
     got3 = _drain_benford(
         spark, tmp_path, jobs.benford_stream, shuffled, "gs3", 3, schema
     )
-    assert got1 == got3 == want and len(want) >= 4
+    assert got1 == got3 and len(want) >= 4
+    for key, frame in got1.items():
+        milli = {
+            d: (row[0], row[1] // 1000) for d, row in frame.items()
+        }  # (n_obs, obs_millionths // 1000)
+        assert milli == want[key], key
 
 
 def test_benford_stream_tws_matches_group_state_form(spark, sf_dir, tmp_path):
@@ -5539,11 +5550,9 @@ def test_benford_stream_checkpoint_restart_resumes(spark, tmp_path):
     a second batch slamming digit 9 flips conformance FALSE on the
     RESUMED 2000-row mix (n_total proves the state survived — digit 1
     still counts its 301 batch-1 rows)."""
-    from kinesis_stream_video_project_spark.plans import queries_round18 as r18
-
     schema = "event_id long, event_type string, value double"
     b0, i = [], 0
-    for d, exp in zip(range(1, 10), r18._BENFORD_MILLIONTHS):
+    for d, exp in zip(range(1, 10), jobs._BENFORDM_EXPECTED):
         for _ in range(round(exp / 1000)):
             b0.append((i, "m", float(d)))
             i += 1
