@@ -780,8 +780,16 @@ def _holt_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("xs") - F.col("forecast_next")).alias("_r"),
     )
     nper = series.groupBy("grp").agg(F.max("step").alias("_n"))
-    resid = resid.join(F.broadcast(nper), "grp").withColumn(
-        "_cend", F.expr("(_n * 7) DIV 10")
+    # Ledger-sized (one row per (grp, day)) with a PYTHON stage (the
+    # holt_fold Arrow group) upstream and TWO consumers (cal, test)
+    # downstream — the r8 rule: staging with a Python stage
+    # localCheckpoints the smallest projection once. Without it each
+    # consumer re-ran the fold (the plan guard measured the
+    # FlatMapGroupsInPandas subtree 3x in one plan).
+    resid = (
+        resid.join(F.broadcast(nper), "grp")
+        .withColumn("_cend", F.expr("(_n * 7) DIV 10"))
+        .localCheckpoint(eager=False)
     )
     cal = resid.filter(F.col("step") <= F.col("_cend"))
     test = resid.filter(F.col("step") > F.col("_cend"))

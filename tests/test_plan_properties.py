@@ -411,9 +411,21 @@ _EXPENSIVE_REPEAT_ALLOWLIST = {
                                 # written-index bench row (bench.py
                                 # _run_indexed: 0.92 s warm from index)
     "pmi_collocations_topk",    # 0.41 s
+    "pmi_log_bracket_claims",   # 0.79 s warm @ sf0.1 2026-08-16 — the
+                                # doc_bigrams zip_with re-derives on the
+                                # bgs probe side and the bc build side
+                                # (the pmi_collocations category: a
+                                # scan-cheap corpus projection recomputes
+                                # cheaper than it stages, X-201)
     # iterative unroll (warm @ sf0.1, 2026-08-16)
     "ivf_kmeans_topk",          # 1.92 s — unrolled Lloyd iterations
     "ra_linkpred_smallbasket",  # 1.05 s
+    # model-sized tier replay (warm @ sf0.1, 2026-08-16)
+    "mmr_diverse_topk",         # 0.61 s — the quadratic stage is the
+                                # 50-candidate tier only: the repeated
+                                # cosine aggregates score the broadcast
+                                # candidate matrix per greedy step, not
+                                # a corpus subtree (X-216's design)
 }
 
 _EXPENSIVE_MARKERS = (
