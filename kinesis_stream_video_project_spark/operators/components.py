@@ -26,6 +26,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iters: int = 20,
     reliable_checkpoint: bool = False,
+    pairs_deduped: bool = False,
 ) -> DataFrame:
     """Min-label connected components of the undirected graph given by
     (a_col, b_col) pairs. Returns (node, component) where component is the
@@ -38,12 +39,20 @@ def connected_components(
     ``reliable_checkpoint=True`` and a configured
     ``spark.sparkContext.setCheckpointDir`` (HDFS/S3): each round's labels
     are written to the checkpoint dir, so a lost executor replays from the
-    last round, not from round 0."""
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .distinct()
+    last round, not from round 0.
+
+    ``pairs_deduped=True`` declares the input already DISTINCT with one
+    fixed orientation (a < b for every row, no duplicates) — then the two
+    unioned orientations cannot collide and the edge-dedup shuffle is
+    skipped (duplicate edges would not change any min-label result, the
+    distinct exists purely to shrink the edge list; when the caller has
+    just paid a distinct on the pairs, re-deduping the edges is a pure
+    extra shuffle — r14 optimization round)."""
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).union(
+        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
     )
+    if not pairs_deduped:
+        edges = edges.distinct()
     # Materialize the edge list ONCE before iterating: `pairs` is typically
     # the output of an expensive dedup pipeline (LSH + exact verification),
     # and every round joins edges against labels — without this, round k
@@ -86,7 +95,13 @@ def connected_components(
         if reliable_checkpoint:
             new_labels = new_labels.checkpoint(eager=True)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # LAZY localCheckpoint: the convergence probe right below is the
+            # first action over it, so ONE job both materializes the round's
+            # label blocks and reduces the signature — the eager form paid a
+            # second (scheduling-only) job per round for the same work
+            # (r14 optimization round; the probe is a narrow aggregate over
+            # the just-persisted blocks either way).
+            new_labels = new_labels.localCheckpoint(eager=False)
         sig = new_labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).first()[0]

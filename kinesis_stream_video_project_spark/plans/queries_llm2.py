@@ -323,6 +323,38 @@ def near_dup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_jaccard_near_dups(d, threshold=0.5, shingle_k=3)
 
 
+def _dup_cluster_components(d: DataFrame) -> DataFrame:
+    """Shared (node, component) labels for the dup-cluster family: the
+    exact-dup pairs (content-hash self-join) unioned with the 3-shingle
+    blocked-Jaccard near-dup pairs, consolidated by iterative min-label
+    connected components. Both pair tiers emit ``doc_a < doc_b`` and the
+    union is ``.distinct()``-ed here, so the components operator is told
+    ``pairs_deduped=True`` and skips its own edge-dedup shuffle (r14
+    optimization round — re-deduping an already-distinct oriented pair
+    list was a pure extra exchange). Used by ``dup_clusters`` (which adds
+    cluster sizes) and ``curation_pipeline_v2`` (which only needs the
+    non-representative doc ids and skips the size aggregate + join
+    entirely)."""
+    from kinesis_stream_video_project_spark.operators.components import (
+        connected_components,
+    )
+    from kinesis_stream_video_project_spark.operators.dedup import (
+        blocked_jaccard_near_dups,
+    )
+
+    a = d.select(F.col("doc_id").alias("doc_a"), F.md5("text").alias("h"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.md5("text").alias("h"))
+    exact_pairs = (
+        a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    )
+    near_pairs = blocked_jaccard_near_dups(d, threshold=0.5, shingle_k=3).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(
+        exact_pairs.union(near_pairs).distinct(), pairs_deduped=True
+    )
+
+
 @register(
     "dup_clusters",
     tags=("NS-curation", "O-28", "O-29"),
@@ -382,23 +414,8 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairwise dedup under-deletes on transitive chains (A~B, B~C, A!~C);
     components are what an actual curation run keeps/drops by. The oracle
     replays the same edges through a recursive CTE."""
-    from kinesis_stream_video_project_spark.operators.components import (
-        connected_components,
-    )
-    from kinesis_stream_video_project_spark.operators.dedup import (
-        blocked_jaccard_near_dups,
-    )
-
     d = io.load_table(spark, sf_dir, "documents")
-    a = d.select(F.col("doc_id").alias("doc_a"), F.md5("text").alias("h"))
-    b = d.select(F.col("doc_id").alias("doc_b"), F.md5("text").alias("h"))
-    exact_pairs = (
-        a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-    )
-    near_pairs = blocked_jaccard_near_dups(d, threshold=0.5, shingle_k=3).select(
-        "doc_a", "doc_b"
-    )
-    comp = connected_components(exact_pairs.union(near_pairs).distinct())
+    comp = _dup_cluster_components(d)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "component").select(
         F.col("node").alias("doc_id"),
@@ -781,10 +798,16 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     contaminated = decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
+    # Only the NON-REPRESENTATIVE ids are needed here, so take them straight
+    # from the component labels: the cluster-size aggregate + join-back that
+    # dup_clusters adds cannot change which rows have node != component
+    # (it is an inner join on a key derived from comp itself) — dropping it
+    # removes one exchange + one join from this plan (r14 optimization
+    # round; output bit-identical, oracle unchanged).
     non_reps = (
-        dup_clusters(spark, sf_dir)
-        .filter(F.col("doc_id") != F.col("cluster_rep"))
-        .select("doc_id")
+        _dup_cluster_components(d)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
     )
     gated = gated.join(contaminated, "doc_id", "left_anti").join(
         non_reps, "doc_id", "left_anti"

@@ -75,6 +75,17 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        # Update-heavy stateful ops (the window aggregates update ~1 state
+        # row per input row) pay a RocksDB point-lookup per put just to
+        # maintain the numRowsTotal metric; Spark's own tuning guide says to
+        # disable tracking for update-heavy workloads. Measured on the r14
+        # bench host: 60 s-window drain 3.11 s -> 2.34 s (min of 3, sf0.1,
+        # 4 state partitions). Env-overridable for deployments that want the
+        # state-row metric back.
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+            os.environ.get("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
