@@ -48,12 +48,19 @@ def bm25_topk(
     aggregate broadcast back onto the postings; top-k rides
     TakeOrderedAndProject. At 100 TB the postings table is the
     materialized inverted index and avgdl a stored corpus statistic."""
-    toks = tokens(F.col("text"))
-    tok = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        F.explode_outer(toks).alias("term"),
-    ).filter(F.col("term").isNotNull())
+    # Token array staged in its own projection: size() and the Generate are
+    # different operators, so an inlined tokens(text) is split() twice per
+    # row (no cross-operator subexpression elimination — the r14-measured
+    # 4x on the tfidf tf stage).
+    tok = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode_outer("_toks").alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+    )
     tf = tok.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
     )

@@ -478,14 +478,22 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the postings; top-20 rides TakeOrderedAndProject. At 100 TB
     the postings table is the materialized inverted index."""
     d = io.load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # Stage the token array in its own projection: size() and the Generate
+    # live in DIFFERENT operators, so an inlined tokens(text) is split()
+    # twice per row — codegen's subexpression elimination only works within
+    # one Project (r14 optimization round: tf stage 1.74 s -> 0.43 s
+    # min-of-6 interleaved at sf0.1, identical output).
     # explode_outer + isNotNull: avoids the inferred size(tokens(text))>0
     # filter re-tokenizing every row (operators/dedup.py rationale).
-    tok = d.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        F.explode_outer(toks).alias("term"),
-    ).filter(F.col("term").isNotNull())
+    tok = (
+        d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode_outer("_toks").alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+    )
     tf = tok.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
     )
@@ -846,17 +854,20 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens / stride, no shuffle; the chunk boundary math is identical
     integer arithmetic in both engines."""
     d = io.load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # Token array staged first: the sequence bound (inside the Generate) and
+    # the projected `toks` column are different operators, so inlining
+    # tokens(text) in both re-splits every row (the r14-measured 4x rule).
+    staged = d.select("doc_id", tokens(F.col("text")).alias("toks"))
     starts = F.sequence(
         F.lit(1),
-        F.greatest(F.size(toks) - 63, F.lit(1)) + 47,
+        F.greatest(F.size("toks") - 63, F.lit(1)) + 47,
         F.lit(48),
     )
     # explode_outer: `starts` is structurally non-empty (sequence from 1),
     # but a non-outer explode still gets a size()>0 filter inferred and
     # pushed down with the token expression inlined (dedup.py rationale).
     return (
-        d.select("doc_id", toks.alias("toks"), F.explode_outer(starts).alias("s"))
+        staged.select("doc_id", "toks", F.explode_outer(starts).alias("s"))
         .select(
             "doc_id",
             ((F.col("s") - 1) / 48).cast("long").alias("chunk_idx"),
