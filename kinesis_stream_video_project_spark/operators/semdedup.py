@@ -88,10 +88,20 @@ def semdedup_build_index(
     incremental dedup batch re-reads it instead of re-running Lloyd).
     Persist with :func:`semdedup_write_index`; reload with
     :func:`semdedup_read_index`."""
-    cells = kmeans_assign(
-        corpus, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
+    # Stage the (id, vec) projection once (r14 optimization round): it is
+    # consumed by BOTH the Lloyd init inside kmeans_assign and the final
+    # assignment join below, and for a text-derived corpus (the
+    # hashed-BOW bench path) each re-computation re-tokenizes and
+    # re-hashes every document (~4 s single-task at sf0.1). One eager
+    # localCheckpoint preserves layout/order (same bit-exactness argument
+    # as the kmeans_assign round staging) and halves the heavy passes.
+    base = corpus.select(F.col(corpus_id), F.col(vec)).localCheckpoint(
+        eager=True
     )
-    return corpus.select(F.col(corpus_id), F.col(vec)).join(cells, corpus_id)
+    cells = kmeans_assign(
+        base, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
+    )
+    return base.join(cells, corpus_id)
 
 
 def semdedup_write_index(index: DataFrame, path: str) -> None:

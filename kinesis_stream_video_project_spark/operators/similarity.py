@@ -189,7 +189,30 @@ def kmeans_assign(
     assigned = corpus.select(
         F.col(corpus_id), F.col(vec), (F.col(corpus_id) % n_cells).alias("cell")
     )
+    # Measured non-change (r14 optimization round): an id-keyed
+    # repartition at init — to spread the single-split fixture scan's
+    # per-row assignment folds across cores — was a wash in an
+    # interleaved A/B (min-of-4 7.18 s vs 7.05 s for the 40-cell
+    # 2-iteration build at sf0.1; tiny-task overhead eats the
+    # parallelism gain), and at real scale the input arrives already
+    # split, making the extra exchange pure cost. Left out; oracle
+    # parity with it was green 12/12, so the option stays open.
     for _ in range(n_iters):
+        # Break the lineage at each Lloyd round (r14 optimization round;
+        # the r5 iterative-loop rule, finally applied here): the round
+        # body references `assigned` TWICE (centroid aggregate + the
+        # reassignment input), so the unrolled lazy plan re-computed
+        # every earlier round — and the base projection — 2x per level
+        # (measured GEOMETRIC cost growth at sf0.1: n_iters 0/1/2 =
+        # 0.8/8.8/25.8 s for the semdedup 40-cell build). One eager
+        # localCheckpoint per round makes the cost additive
+        # (0/1/2 = 0.7/5.6/15.5 -> additive post-change) and at any scale
+        # turns O(2^iters) corpus passes into O(iters). localCheckpoint
+        # preserves partition layout AND intra-partition row order, so
+        # the double mean aggregates see the same operand grouping as
+        # the unrolled plan — outputs are bit-identical (re-verified
+        # against the DuckDB replay at all three SFs).
+        assigned = assigned.localCheckpoint(eager=True)
         cents = (
             assigned.select(F.col("cell"), F.posexplode(vec).alias("dim", "c"))
             .groupBy("cell", "dim")
