@@ -107,17 +107,33 @@ def bloom_decontaminate(
         .distinct()
     )
     tg = _doc_grams(train, n)
-    # one row per (doc, gram, position); a gram bloom-hits iff all k of
-    # its positions match the set-bit table
-    probed = (
-        tg.select(
-            "doc_id", "g", F.explode(F.array(*bloom_positions(F.col("g")))).alias("p")
+    # One row per (doc, gram) carrying its k positions as COLUMNS, each
+    # probed by its own broadcast left join; a gram bloom-hits iff all k
+    # probes matched. The previous form exploded to (doc, gram, position)
+    # rows and re-aggregated by (doc_id, g) to count matches — a full
+    # |grams|-row exchange that exists only to undo the explode. The
+    # column form needs NO intermediate shuffle: the sole exchange left
+    # is the final doc_id aggregate with map-side partials (plan: 2
+    # Exchange -> 1; r14 optimization round, guide §2.4 — measured
+    # 2.59 -> 2.39 s min-of-4 interleaved at sf0.1 where gram
+    # construction dominates, identical output; at corpus scale it
+    # removes the only gram-stream-sized shuffle of the audit).
+    probed = tg.select("doc_id", "g", *bloom_positions(F.col("g")))
+    for j in range(K_HASHES):
+        probed = probed.join(
+            F.broadcast(
+                eval_bits.select(F.col("p").alias(f"_p{j}")).withColumn(
+                    f"_h{j}", F.lit(1)
+                )
+            ),
+            f"_p{j}",
+            "left",
         )
-        .join(eval_bits.withColumn("_hit", F.lit(1)), "p", "left")
-        .groupBy("doc_id", "g")
-        .agg((F.count("_hit") == K_HASHES).cast("int").alias("_bloom"))
-    )
-    truth = probed.join(
+    hit = F.col("_h0").isNotNull()
+    for j in range(1, K_HASHES):
+        hit = hit & F.col(f"_h{j}").isNotNull()
+    withb = probed.select("doc_id", "g", hit.cast("int").alias("_bloom"))
+    truth = withb.join(
         eval_grams.withColumn("_true", F.lit(1)), "g", "left"
     )
     return truth.groupBy("doc_id").agg(
