@@ -107,9 +107,16 @@ def bigram_surprisal(docs: DataFrame, scale: int = _SCALE) -> DataFrame:
         f"size it from the corpus'' hottest prev count')) "
         f"AS DECIMAL(38,0)) END"
     )
+    # Join the prev marginal onto the MODEL TABLE, not the pair stream
+    # (r14 optimization round, guide §2.3/§3): bg_counts is
+    # vocab²-bounded while bgs is corpus-sized, so enriching the counts
+    # first costs a model-side join and the pair stream crosses ONE join
+    # instead of two (measured 1.24 -> 1.06 s min-of-4 interleaved at
+    # sf0.1, identical output; at stopword-skew scale it halves the
+    # pair-stream shuffle passes).
+    model = bg_counts.join(prev_counts, "prev")
     scored = (
-        bgs.join(bg_counts, ["prev", "cur"])
-        .join(prev_counts, "prev")
+        bgs.join(model, ["prev", "cur"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

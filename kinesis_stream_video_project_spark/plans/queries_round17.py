@@ -677,7 +677,10 @@ def _surprisal_bits_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgs = doc_bigrams(docs)
     bc = bgs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
     pc = bc.groupBy("prev").agg(F.sum("c_bg").alias("c_prev"))
-    joined = bgs.join(bc, ["prev", "cur"]).join(pc, "prev")
+    # prev marginal joined onto the vocab²-bounded count table first, so
+    # the corpus-sized pair stream crosses one join instead of two (the
+    # bigram_surprisal r14 reorder; identical output, oracle-swept).
+    joined = bgs.join(bc.join(pc, "prev"), ["prev", "cur"])
     per = joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum(
