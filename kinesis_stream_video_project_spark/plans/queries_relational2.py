@@ -96,10 +96,21 @@ def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The 100 TB variant is approx_percentile — a t-digest sketch that avoids
     the per-group sort; exact here so the oracle can agree bit-for-bit.)"""
     o = io.load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        r4(F.expr("percentile(o_totalprice, 0.25)")).alias("p25"),
-        r4(F.expr("percentile(o_totalprice, 0.50)")).alias("p50"),
-        r4(F.expr("percentile(o_totalprice, 0.75)")).alias("p75"),
+    # ONE array-percentile aggregate instead of three scalar ones (r14
+    # optimization round, guide §1.2 per-task work): each percentile()
+    # aggregate buffers and sorts the whole group independently, so the
+    # scalar form paid 3x the buffer memory and 3x the per-group sort.
+    # Same function, same interpolation, identical output (verified);
+    # measured 2.09 -> 0.97 s min-of-5 interleaved at sf0.1, B faster in
+    # every round.
+    g = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("_p")
+    )
+    return g.select(
+        "o_orderstatus",
+        r4(F.element_at("_p", 1)).alias("p25"),
+        r4(F.element_at("_p", 2)).alias("p50"),
+        r4(F.element_at("_p", 3)).alias("p75"),
     )
 
 

@@ -404,10 +404,20 @@ def exact_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles sort within each group — affordable per group; the 100 TB
     default remains the approx sketch, this is the audit path."""
     l = io.load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        r4(F.percentile(F.col("l_extendedprice"), F.lit(0.25))).alias("p25"),
-        r4(F.percentile(F.col("l_extendedprice"), F.lit(0.5))).alias("p50"),
-        r4(F.percentile(F.col("l_extendedprice"), F.lit(0.75))).alias("p75"),
+    # One array-percentile aggregate: three scalar percentile() aggs each
+    # buffered and sorted the group independently (the r14
+    # percentiles_by_status measurement: 2.09 -> 0.97 s min-of-5 on the
+    # same shape; identical output — same function, same interpolation).
+    g = l.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+        ).alias("_p")
+    )
+    return g.select(
+        "l_returnflag",
+        r4(F.element_at("_p", 1)).alias("p25"),
+        r4(F.element_at("_p", 2)).alias("p50"),
+        r4(F.element_at("_p", 3)).alias("p75"),
     )
 
 
