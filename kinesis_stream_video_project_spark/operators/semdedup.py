@@ -88,20 +88,24 @@ def semdedup_build_index(
     incremental dedup batch re-reads it instead of re-running Lloyd).
     Persist with :func:`semdedup_write_index`; reload with
     :func:`semdedup_read_index`."""
-    # Stage the (id, vec) projection once (r14 optimization round): it is
-    # consumed by BOTH the Lloyd init inside kmeans_assign and the final
-    # assignment join below, and for a text-derived corpus (the
-    # hashed-BOW bench path) each re-computation re-tokenizes and
-    # re-hashes every document (~4 s single-task at sf0.1). One eager
-    # localCheckpoint preserves layout/order (same bit-exactness argument
-    # as the kmeans_assign round staging) and halves the heavy passes.
-    base = corpus.select(F.col(corpus_id), F.col(vec)).localCheckpoint(
-        eager=True
+    # keep_vec: the assignment frame carries the vector through the Arrow
+    # batches already, so the former base ⋈ cells join-back (one corpus-
+    # sized exchange) is pure cost — and with that join gone the (id, vec)
+    # projection has a SINGLE consumer (the Lloyd init, whose first-round
+    # eager localCheckpoint materializes it — one pass over a text-derived
+    # corpus' tokenize+hash pipeline), so the former standalone base
+    # staging is a redundant extra corpus materialization (r14
+    # optimization round; consumers of THIS function's output stage it
+    # themselves: semdedup_report localCheckpoints the composition,
+    # semdedup_write_index writes it).
+    return kmeans_assign(
+        corpus.select(F.col(corpus_id), F.col(vec)),
+        n_cells=n_cells,
+        n_iters=n_iters,
+        corpus_id=corpus_id,
+        vec=vec,
+        keep_vec=True,
     )
-    cells = kmeans_assign(
-        base, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
-    )
-    return base.join(cells, corpus_id)
 
 
 def semdedup_write_index(index: DataFrame, path: str) -> None:

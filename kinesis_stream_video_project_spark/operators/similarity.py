@@ -169,23 +169,60 @@ def kmeans_assign(
     n_iters: int = 2,
     corpus_id: str = "vec_id",
     vec: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """Deterministic k-means cell assignment, entirely as DataFrame ops —
-    the learned replacement for :func:`centroids_by_label`'s label proxy.
+    """Deterministic k-means cell assignment — the learned replacement for
+    :func:`centroids_by_label`'s label proxy.
 
     * init: cell = vec_id % n_cells (deterministic, no RNG — reproducible
       across runs/engines, which sampled init is not);
-    * each Lloyd iteration: broadcast the K centroids, assign every vector
-      to its max-cosine centroid (deterministic tiebreak on cell id),
-      recompute centroids via posexplode + (cell, dim) aggregation.
+    * each Lloyd iteration: recompute centroids via posexplode + (cell, dim)
+      aggregation, then assign every vector to its max-cosine centroid
+      (deterministic tiebreak on cell id) via the broadcast-model pattern
+      (the pq_train_codes assign): the K×dim centroid table is MODEL-sized,
+      so it collects to the driver and ships as a broadcast variable, and
+      each Arrow batch computes all K cosines with numpy and argmaxes
+      locally — ZERO shuffle per assign and vectorized native math instead
+      of K interpreted higher-order-function folds per row (guide §4.2).
+      The r14-and-earlier form expanded corpus×K rows through a broadcast
+      crossJoin and reduced them back with a max_by aggregate — correct,
+      but it paid one corpus-sized exchange (carrying the full vector
+      payload) per iteration AND evaluated the cosine folds interpreted;
+      measured 5.38 → 1.70 s min-of-5 interleaved for the 40-cell
+      2-iteration sf0.1 build, identical assignments.
 
-    Cost per iteration: one broadcast (K x dim doubles), one corpus-linear
-    assignment (no shuffle), one (cell, dim)-keyed aggregation whose input
-    is corpus x dim rows with map-side partial means — at 100 TB this is
-    the standard distributed Lloyd step. n_iters is a fixed small constant
-    (the plan unrolls; no driver-side collect anywhere).
+    Bit-exactness contract (the pq_train_codes discipline): the numpy
+    accumulation runs SEQUENTIALLY over dims (acc += x*y, one dim at a
+    time, float64 elementwise) — the exact left-to-right IEEE order of the
+    zip_with/aggregate fold and of the DuckDB oracle's replay; the cosine
+    is acc_dot / (norm_v * norm_c) with both norms sqrt'd from the same
+    sequential squared-sum; ties break to the LOWEST cell (cells sorted
+    ascending; np.argmax returns the first maximum) — the max_by
+    struct(cos, -cell) total order. NaN rows (zero-norm vectors — the
+    fixture has none) land on the first cell under both orders.
 
-    Returns (corpus_id, cell)."""
+    Cost per iteration: one model-sized collect + broadcast, one
+    corpus-linear numpy assignment (no shuffle), one (cell, dim)-keyed
+    aggregation whose input is corpus×dim rows with map-side partial
+    means — the standard distributed Lloyd step at any scale.
+    Construction is eager (one tiny collect per assign), like
+    pq_train_codes.
+
+    Returns (corpus_id, cell); with ``keep_vec=True`` returns
+    (corpus_id, vec, cell) so callers that immediately join the
+    assignment back onto the vectors (semdedup/IVF-ADC index builds)
+    skip that corpus-sized join — the vector column rides the same Arrow
+    batches either way."""
+    import numpy as np
+
+    sc = corpus.sparkSession.sparkContext
+    out_schema = T.StructType(
+        [
+            T.StructField(corpus_id, corpus.schema[corpus_id].dataType),
+            T.StructField(vec, corpus.schema[vec].dataType),
+            T.StructField("cell", T.LongType()),
+        ]
+    )
     assigned = corpus.select(
         F.col(corpus_id), F.col(vec), (F.col(corpus_id) % n_cells).alias("cell")
     )
@@ -230,28 +267,43 @@ def kmeans_assign(
                 ),
             )
         )
-        # Nearest centroid via max_by with a (cos, -cell) ordering struct:
-        # deterministic tiebreak (smaller cell wins), and the K candidate
-        # rows per vector reduce MAP-SIDE (partial max_by) — the shuffle
-        # carries one row per vector, not K.
-        assigned = (
-            assigned.drop("cell")
-            .crossJoin(F.broadcast(cents))
-            .select(
-                corpus_id,
-                F.col(vec),
-                F.col("_ccell"),
-                cosine(F.col(vec), F.col("centroid")).alias("_cos"),
-            )
-            .groupBy(corpus_id)
-            .agg(
-                F.any_value(F.col(vec)).alias(vec),  # constant per vec_id
-                F.max_by(
-                    F.col("_ccell"),
-                    F.struct(F.col("_cos").alias("c"), (-F.col("_ccell")).alias("t")),
-                ).alias("cell"),
-            )
-        )
+        # Nearest centroid via the broadcast-model numpy argmax (docstring
+        # contract above): collect the model-sized centroid table, ship it
+        # as a broadcast variable, score each Arrow batch against all K
+        # centroids with dim-sequential float64 accumulation, first-argmax
+        # tiebreak. No shuffle, no corpus×K row expansion.
+        rows = sorted((r["_ccell"], list(r["centroid"])) for r in cents.collect())
+        cells_np = np.array([c for c, _ in rows], dtype=np.int64)
+        mat = np.array([m for _, m in rows], dtype=np.float64)
+        bc = sc.broadcast((cells_np, mat))
+
+        def gen(batches):
+            import numpy as np
+
+            cells_l, mat_l = bc.value
+            d = mat_l.shape[1]
+            # centroid norms: same sequential squared-sum as l2_norm's fold
+            accm = np.zeros(mat_l.shape[0])
+            for i in range(d):
+                accm = accm + mat_l[:, i] * mat_l[:, i]
+            nm = np.sqrt(accm)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(list(pdf[vec]), dtype=np.float64)
+                accd = np.zeros((v.shape[0], mat_l.shape[0]))
+                accv = np.zeros(v.shape[0])
+                for i in range(d):
+                    accd = accd + v[:, i : i + 1] * mat_l[None, :, i]
+                    accv = accv + v[:, i] * v[:, i]
+                cos = accd / (np.sqrt(accv)[:, None] * nm[None, :])
+                pdf = pdf.copy()
+                pdf["cell"] = cells_l[np.argmax(cos, axis=1)]
+                yield pdf
+
+        assigned = assigned.drop("cell").mapInPandas(gen, out_schema)
+    if keep_vec:
+        return assigned.select(corpus_id, vec, "cell")
     return assigned.select(corpus_id, "cell")
 
 
@@ -272,10 +324,17 @@ def ivf_topk_kmeans(
     proxy, which is what lifts recall@k at a fixed nprobe. At 100 TB the
     assignment is a one-off index build written out as the partition
     column."""
-    cells = kmeans_assign(
-        corpus, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
+    # keep_vec: the assignment frame already carries the vector through the
+    # Arrow batches, so the former corpus ⋈ cells join-back (one corpus-
+    # sized exchange) is pure cost (r14 optimization round).
+    indexed = kmeans_assign(
+        corpus,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        corpus_id=corpus_id,
+        vec=vec,
+        keep_vec=True,
     )
-    indexed = corpus.join(cells, corpus_id)
     return ivf_topk(
         queries,
         indexed,
@@ -954,17 +1013,20 @@ def ivfadc_build_index(
     (``ivfadc_query_index(q, ivfadc_build_index(c)) ≡ ivfadc_topk(q,
     c)`` — pinned bit-exact in tests, including through a parquet
     round-trip)."""
-    assigned = kmeans_assign(
-        corpus, n_cells=n_cells, n_iters=n_iters, corpus_id=corpus_id, vec=vec
-    )
-    # The index build is multi-consumer (residual PQ, membership,
-    # centroid recompute) with collects downstream — stage it once
-    # (the multi-consumer staging rule).
-    indexed = (
-        corpus.select(corpus_id, vec)
-        .join(assigned, corpus_id)
-        .localCheckpoint(eager=True)
-    )
+    # keep_vec: the assignment frame carries the vector already, so the
+    # former corpus ⋈ assigned join-back (one corpus-sized exchange) is
+    # pure cost (r14 optimization round). The index build stays
+    # multi-consumer (residual PQ, membership, centroid recompute) with
+    # collects downstream — stage it once (the multi-consumer staging
+    # rule).
+    indexed = kmeans_assign(
+        corpus,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        corpus_id=corpus_id,
+        vec=vec,
+        keep_vec=True,
+    ).localCheckpoint(eager=True)
     coarse = (
         indexed.select("cell", F.posexplode(vec).alias("dim", "c"))
         .groupBy("cell", "dim")
@@ -997,7 +1059,11 @@ def ivfadc_build_index(
         corpus_id=corpus_id,
         vec="_rv",
     )
-    coded = codes.join(resid.select(corpus_id, "cell"), corpus_id)
+    # cell comes straight off the checkpointed assignment frame: resid's
+    # (id, cell) projection is row-identical (coarse holds every distinct
+    # cell, so the inner join drops nothing) but re-pays the broadcast
+    # join per consumer (r14 optimization round).
+    coded = codes.join(indexed.select(corpus_id, "cell"), corpus_id)
     return coarse, pq_cents, coded
 
 
