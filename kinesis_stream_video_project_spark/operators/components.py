@@ -63,9 +63,25 @@ def connected_components(
         edges = edges.checkpoint(eager=True)
     else:
         edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("component")
+    # Fused first round (r14 optimization round): round 1 of min-label
+    # propagation from the identity labeling is, per node, exactly
+    # min(u, min{v : (u,v) ∈ edges}) — computable as ONE aggregate over
+    # the edge list. The former identity init paid the same u-keyed
+    # exchange for its distinct() and then a full join+union+agg round to
+    # reach this labeling; fusing them removes one complete round (join +
+    # union + min-aggregate) from every invocation at any scale.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("component"))
+        .select(F.col("u").alias("node"), "component")
     )
+    # Lazy checkpoint: round 2 references this frame twice (join + union);
+    # the blocks materialize inside round 2's first job and both
+    # references read them (same rationale as the in-loop checkpoints).
+    if reliable_checkpoint:
+        labels = labels.checkpoint(eager=False)
+    else:
+        labels = labels.localCheckpoint(eager=False)
     # Round shape (r4): TWO exchanges per round — (edges ⋈ labels on v) then
     # (union ∪ own-label → min-by-node) — instead of the former three
     # (join, aggregate, left-join-back). Convergence is detected WITHOUT a
