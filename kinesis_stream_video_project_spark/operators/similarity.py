@@ -18,12 +18,64 @@ the DuckDB oracle agree even when float summation differs at 1e-12.
 
 from __future__ import annotations
 
+# Module-level so pandas_udf can resolve the stringified (PEP 563)
+# ``pd.Series`` type hints of the Arrow UDFs against module globals.
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kinesis_stream_video_project_spark.functions.numeric import r4, scaled_long
 from kinesis_stream_video_project_spark.functions.vectors import cosine, dot, l2_norm
+
+
+def _seq_cosine(a: Column, b: Column, nondeterministic: bool = False) -> Column:
+    """Vectorized cosine of two fixed-dims array columns via an Arrow
+    pandas UDF — the r15 replacement for the per-pair interpreted
+    ``dot/(l2·l2)`` higher-order-function folds (guide §4.2): the JVM
+    keeps the join/shuffle shape, whole batches cross the boundary as
+    Arrow, and numpy does the math.
+
+    Bit-exactness contract (the kmeans_assign/pq_train_codes discipline,
+    re-verified against the DuckDB replay at all three SFs): accumulation
+    is DIM-SEQUENTIAL float64 (acc = acc + x·y, one dim at a time) — the
+    exact left-to-right IEEE order of the zip_with/aggregate fold — and
+    the quotient is dot / (norm_a · norm_b) with both norms sqrt'd from
+    the same sequential squared-sums, so every double is bit-identical
+    to the fold it replaces (float inputs widen exactly either way;
+    IEEE multiplication is commutative, so the norm-product order is
+    immaterial). Inputs must be non-ragged (the engine-wide fixed-dims
+    embedding contract); a zero-norm side yields NaN here where the old
+    fold's ANSI ``floor`` on NaN errored — the fixture has neither.
+
+    ``nondeterministic=True`` marks the UDF non-deterministic for call
+    sites whose result feeds a FILTER (the near-dup thresholds): the
+    optimizer otherwise pushes the filter below the projection and
+    evaluates the UDF twice per row (guide §4.4). The function is in
+    fact deterministic — the flag only blocks the duplicating rewrite."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        xa = np.array(list(x), dtype=np.float64)
+        ya = np.array(list(y), dtype=np.float64)
+        accd = np.zeros(len(xa))
+        accx = np.zeros(len(xa))
+        accy = np.zeros(len(xa))
+        for i in range(xa.shape[1]):
+            accd = accd + xa[:, i] * ya[:, i]
+            accx = accx + xa[:, i] * xa[:, i]
+            accy = accy + ya[:, i] * ya[:, i]
+        return pd.Series(accd / (np.sqrt(accx) * np.sqrt(accy)))
+
+    if nondeterministic:
+        cos_udf = cos_udf.asNondeterministic()
+    return cos_udf(a, b)
 
 
 def cosine_topk(
@@ -36,36 +88,108 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (self excluded upstream).
 
-    Same norm-hoisting as embedding_near_dups: each side's l2 norm is
-    projected once per ROW (corpus norm once per corpus vector, query norm
-    once per broadcast query) so each (query, corpus) pair pays one dot
-    fold instead of three — bit-identical to the naive per-pair cosine
-    (dot / (qnorm * cnorm) is the oracle's association)."""
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id),
-            F.col(vec).alias("_qvec"),
-            l2_norm(F.col(vec)).alias("_qnorm"),
-        )
+    r15 shape — the broadcast-model numpy recipe (the kmeans_assign
+    ``9646e74`` pattern, guide §4.2/§2.3): the query set is MODEL-sized by
+    this operator's contract ("the query set fits in a broadcast"), so it
+    collects to the driver once at construction (one tiny pushed-filter
+    job — the same eager-model trade kmeans_assign/pq_train_codes already
+    make) and ships to workers as a broadcast variable; each Arrow batch
+    of the corpus then scores ALL queries in numpy and emits only its
+    per-(query, batch) top-k candidate rows. The corpus crosses the
+    Python boundary ONCE (not once per query as a pair-join would ship
+    it), and the exchange feeding the global window carries ≤ k·|Q| skinny
+    rows per batch instead of |batch|·|Q| — the map-side top-k the JVM
+    plan previously got from WindowGroupLimit, now fused into the same
+    vectorized pass (§2.3 aggregate-before-you-shuffle).
+
+    Bit-exactness contract (the _seq_cosine discipline): dim-sequential
+    float64 accumulation (the zip_with/aggregate fold order), cosine =
+    dot / (qnorm · cnorm) from per-side sequential squared-sums, and the
+    4-dp rounding is applied IN PYTHON as floor(cos·10000.0 + 0.5)/10000.0
+    — the literally identical IEEE op sequence of functions.numeric.r4, so
+    the emitted double equals the JVM/DuckDB r4 bit-for-bit. Batch-local
+    pruning is safe because the final (rounded cos desc, corpus_id asc)
+    order restricted to one batch IS the batch's pruning order, so every
+    global top-k row survives its batch's top-k (NaN cos — zero-norm rows,
+    absent from the fixture — keys as +inf to match Spark's NaN-largest
+    desc ordering). Duplicate corpus ids are emitted per ROW, exactly as
+    the old pair join did."""
+    import numpy as np
+
+    sc = corpus.sparkSession.sparkContext
+    q_rows = queries.select(query_id, vec).collect()
+    order = sorted(range(len(q_rows)), key=lambda i: q_rows[i][0])
+    qids = [q_rows[i][0] for i in order]
+    qmat = (
+        np.array([list(q_rows[i][1]) for i in order], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, 0))
     )
-    c = corpus.select(
-        F.col(corpus_id),
-        F.col(vec).alias("_cvec"),
-        l2_norm(F.col(vec)).alias("_cnorm"),
+    # query norms: the same dim-sequential squared-sum the hoisted
+    # per-row l2_norm projection computed (once per query either way)
+    qn = np.zeros(len(qids))
+    for i in range(qmat.shape[1]):
+        qn = qn + qmat[:, i] * qmat[:, i]
+    qn = np.sqrt(qn)
+    bc = sc.broadcast((qids, qmat, qn))
+    pair_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType),
+            T.StructField(corpus_id, corpus.schema[corpus_id].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
-    cos = dot(F.col("_qvec"), F.col("_cvec")) / (
-        F.col("_qnorm") * F.col("_cnorm")
-    )
-    scored = c.join(q, c[corpus_id] != q[query_id]).select(
-        query_id,
-        corpus_id,
-        r4(cos).alias("cos_sim"),
-    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids_l, qmat_l, qn_l = bc.value
+        nq = len(qids_l)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            v = np.array(list(pdf[vec]), dtype=np.float64)
+            accd = np.zeros((n, nq))
+            accv = np.zeros(n)
+            for i in range(qmat_l.shape[1]):
+                accd = accd + v[:, i : i + 1] * qmat_l[None, :, i]
+                accv = accv + v[:, i] * v[:, i]
+            cos = accd / (qn_l[None, :] * np.sqrt(accv)[:, None])
+            # r4, verbatim: floor(x*10000.0 + 0.5)/10000.0 in float64
+            cos_r = np.floor(cos * 10000.0 + 0.5) / 10000.0
+            cid = pdf[corpus_id].to_numpy()
+            outs = []
+            for j in range(nq):
+                m = cid != qids_l[j]
+                ids = cid[m]
+                c = cos_r[m, j]
+                if len(ids) == 0:
+                    continue
+                if len(ids) > k:
+                    key = np.where(np.isnan(c), np.inf, c)
+                    sel = np.lexsort((ids, -key))[:k]
+                    ids = ids[sel]
+                    c = c[sel]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            query_id: np.full(len(ids), qids_l[j]),
+                            corpus_id: ids,
+                            "cos_sim": c,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    pairs = corpus.select(corpus_id, vec).mapInPandas(gen, pair_schema)
     w = Window.partitionBy(query_id).orderBy(
         F.col("cos_sim").desc(), F.col(corpus_id).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
@@ -111,9 +235,23 @@ def ivf_topk(
     """IVF-bucketed approximate top-k: probe the nprobe closest cells only.
 
     The member-scoring cosine hoists both norms into per-row projections
-    (cosine_topk's move): each (query, member) pair pays one dot fold.
-    The tiny query×cells centroid ranking keeps the plain cosine — its
-    pair count is |queries|·|cells|, not worth a projection."""
+    (the pre-r15 cosine_topk move): each (query, member) pair pays one dot
+    fold instead of three. The tiny query×cells centroid ranking keeps the
+    plain cosine — its pair count is |queries|·|cells|, not worth a
+    projection.
+
+    Measured non-change (r15 optimization round): replacing the per-pair
+    fold with the Arrow pandas-UDF cosine (:func:`_seq_cosine`) was an
+    interleaved A/B REGRESSION at sf0.1 — warm min-of-5 0.628 → 0.748 s
+    (every round slower) — because the probed pair count here
+    (|corpus|·|Q|·nprobe/cells ≈ 2 000) is too small to amortize the
+    per-stage Python-runner constant, and the broadcast-model mapInPandas
+    form that cosine_topk ships cannot apply lazily: the probe set depends
+    on a corpus-sized centroid pass, and collecting it at construction
+    would move that pass OUT of the stable bench row's timed span (the
+    dup_clusters eager-construction caveat in bench.py). Kept the JVM
+    fold; the learned-cell tier (kmeans_assign) and the production index
+    path (ivfadc) already score via broadcast-model numpy."""
     cents = centroids_by_label(corpus, vec=vec, label=label)
     q = queries.select(
         F.col(query_id),
@@ -198,8 +336,18 @@ def kmeans_assign(
     is acc_dot / (norm_v * norm_c) with both norms sqrt'd from the same
     sequential squared-sum; ties break to the LOWEST cell (cells sorted
     ascending; np.argmax returns the first maximum) — the max_by
-    struct(cos, -cell) total order. NaN rows (zero-norm vectors — the
-    fixture has none) land on the first cell under both orders.
+    struct(cos, -cell) total order. Zero-norm vectors (the fixture has
+    none) DIVERGE from the pre-r14 form: the old max_by path raised
+    DIVIDE_BY_ZERO under the session's ANSI config, while the numpy path
+    silently lands such rows on the first cell (NaN cosine, argmax 0) —
+    callers needing the loud failure must pre-validate norms (r15 ADVICE
+    correction; the r14 docstring wrongly claimed parity here).
+
+    Caller contract: one row per ``corpus_id``. The pre-r14 groupBy
+    aggregate collapsed duplicate ids to one output row; the mapInPandas
+    form emits one row PER INPUT ROW, so duplicate ids would flow into
+    downstream joins multiplied. Every in-repo caller feeds unique ids
+    (fixture vec_id / doc_id keys).
 
     Cost per iteration: one model-sized collect + broadcast, one
     corpus-linear numpy assignment (no shuffle), one (cell, dim)-keyed
@@ -234,6 +382,7 @@ def kmeans_assign(
     # parallelism gain), and at real scale the input arrives already
     # split, making the extra exchange pure cost. Left out; oracle
     # parity with it was green 12/12, so the option stays open.
+    prev_bc = None
     for _ in range(n_iters):
         # Break the lineage at each Lloyd round (r14 optimization round;
         # the r5 iterative-loop rule, finally applied here): the round
@@ -250,6 +399,15 @@ def kmeans_assign(
         # the unrolled plan — outputs are bit-identical (re-verified
         # against the DuckDB replay at all three SFs).
         assigned = assigned.localCheckpoint(eager=True)
+        # The eager checkpoint just materialized the previous round's
+        # mapInPandas, so that round's broadcast has no consumer left —
+        # release it (r15 ADVICE: one leaked broadcast per iteration per
+        # build otherwise accumulates on driver and executors in a
+        # long-lived session). The FINAL round's broadcast must outlive
+        # the returned lazy frame and is left alive.
+        if prev_bc is not None:
+            prev_bc.unpersist(blocking=False)
+            prev_bc = None
         cents = (
             assigned.select(F.col("cell"), F.posexplode(vec).alias("dim", "c"))
             .groupBy("cell", "dim")
@@ -273,9 +431,16 @@ def kmeans_assign(
         # centroids with dim-sequential float64 accumulation, first-argmax
         # tiebreak. No shuffle, no corpus×K row expansion.
         rows = sorted((r["_ccell"], list(r["centroid"])) for r in cents.collect())
+        if not rows:
+            # Empty corpus: no centroids to score against — mat would be
+            # 0-d and every mapInPandas task would IndexError (r15 ADVICE
+            # fix). The checkpointed init assignment of an empty corpus
+            # is already the correct (empty) result.
+            break
         cells_np = np.array([c for c, _ in rows], dtype=np.int64)
         mat = np.array([m for _, m in rows], dtype=np.float64)
         bc = sc.broadcast((cells_np, mat))
+        prev_bc = bc
 
         def gen(batches):
             import numpy as np
@@ -358,31 +523,36 @@ def embedding_near_dups(
     embedding tier): the self-join is bounded per block, mirroring the
     LSH/IVF bucketing strategy at scale.
 
-    Norms are hoisted into the per-ROW projections before the join, so each
-    pair pays one dot-product fold instead of three (dot + two norms whose
-    inputs don't depend on the pair): measured 2.34 s → 1.14 s at sf0.1
-    (r5). Bit-identical to the naive form — ``sqrt(sum(x²))`` is the same
-    double whether computed per row or per pair, and the final
-    ``dot / (norm_a * norm_b)`` is the oracle's exact association."""
+    r15: the per-pair interpreted dot fold (plus the per-row interpreted
+    norm folds it hoisted) is the Arrow pandas-UDF cosine
+    (:func:`_seq_cosine`, guide §4.2) — per-pair norms re-derived in
+    numpy are the same doubles (``sqrt(sum(x²))`` is the same double
+    whether computed per row or per pair), and the final
+    ``dot / (norm_a * norm_b)`` stays the oracle's exact association.
+    The UDF is marked non-deterministic so the threshold filter is not
+    pushed below it and evaluated twice (§4.4)."""
     a = corpus.select(
         F.col(block),
         F.col(corpus_id).alias("vec_a"),
         F.col(vec).alias("emb_a"),
-        l2_norm(F.col(vec)).alias("_norm_a"),
     )
     b = corpus.select(
         F.col(block),
         F.col(corpus_id).alias("vec_b"),
         F.col(vec).alias("emb_b"),
-        l2_norm(F.col(vec)).alias("_norm_b"),
-    )
-    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("_norm_a") * F.col("_norm_b")
     )
     return (
         a.join(b, block)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", r4(cos).alias("cos_sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            r4(
+                _seq_cosine(
+                    F.col("emb_a"), F.col("emb_b"), nondeterministic=True
+                )
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -514,7 +684,14 @@ def _pair_cosine_verify(
     triple its join count for no semantic gain — instead it inlines the
     textually identical expression, and the tier-agreement test
     (test_simhash_embedding.py: same cos_sim on every shared pair) is
-    the drift guard."""
+    the drift guard.
+
+    Measured non-change (r15): the Arrow pandas-UDF cosine here was an
+    interleaved A/B regression (simhash_bucket_pairs warm min-of-5
+    0.888 → 1.028 s) — LSH delivers only ~1k verified-candidate pairs at
+    sf0.1, far too few to amortize the Python-runner constant. The JVM
+    fold stays; embedding_near_dups (~200k block pairs) is the tier
+    where the Arrow form measurably wins."""
     a = corpus.select(
         F.col(corpus_id).alias("vec_a"),
         F.col(vec).alias("emb_a"),
@@ -658,6 +835,14 @@ def sq8_topk(
         F.col(corpus_id),
         _sq8_quantize(F.col(vec), F.col("mins"), F.col("maxs")).alias("_cq"),
     )
+
+    # Measured non-change (r15 optimization round): an Arrow pandas-UDF
+    # int64 dot for this fold was an interleaved A/B regression (warm
+    # min-of-5 0.608 -> 0.704 s; sq8_rerank_topk 0.627 -> 0.814) — the
+    # fixture's |corpus|·|Q| pair count is too small to amortize the
+    # Python-runner constant, and an eager broadcast-model form would
+    # need the corpus-derived codebook collected at construction. Kept
+    # the integer fold (exact in any order; ≤ 64·127² per summand).
     score = F.aggregate(
         F.zip_with(F.col("_qq"), F.col("_cq"), lambda a, b2: a * b2),
         F.lit(0).cast("long"),
@@ -752,6 +937,7 @@ def pq_train_codes(
     dims: int = 64,
     corpus_id: str = "vec_id",
     vec: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization training + encoding (Jégou/Douze/Schmid,
     TPAMI 2011): split each vector into ``n_subspaces`` contiguous
@@ -762,6 +948,16 @@ def pq_train_codes(
     per-subspace nearest-centroid ids. Returns ``(codebooks, codes)``:
     codebooks = (s, cell, centroid array), codes = (corpus_id, s,
     code).
+
+    ``carry`` names extra corpus columns to ride along unchanged onto
+    the ``codes`` frame (corpus_id, *carry, s, code) — they travel the
+    same projections/Arrow batches the ids already travel, so a caller
+    that would otherwise join an attribute back onto the codes by
+    corpus_id (one corpus-sized join per consumer; the r14 carry-item
+    for ivfadc_build_index's coded table) gets it for the cost of the
+    extra column's bytes. Purely additive: the training math never
+    reads the carried columns. Carried names must not collide with the
+    internal ``s``/``_sv``/``cell``/``code`` columns (refused loudly).
 
     Memory story: at 8×16 the code is 8 nibbles = 4 BYTES per vector
     against 256 bytes of f32 — the 64× compression tier below SQ8's
@@ -775,9 +971,17 @@ def pq_train_codes(
     workers, and each Arrow batch argmins with numpy — the standard
     broadcast-model Lloyd step. Construction is therefore EAGER (one
     tiny collect per assign), like the other iterative operators."""
+    reserved = {"s", "_sv", "cell", "code", corpus_id}
+    bad = [c for c in carry if c in reserved]
+    if bad:
+        raise ValueError(
+            f"pq_train_codes: carry column(s) {bad} collide with the "
+            "operator's internal column names — rename before carrying"
+        )
     sub_d = dims // n_subspaces
     subs = corpus.select(
         F.col(corpus_id),
+        *[F.col(c) for c in carry],
         F.posexplode(
             F.array(
                 *[
@@ -788,6 +992,7 @@ def pq_train_codes(
         ).alias("s", "_sv"),
     ).select(
         corpus_id,
+        *carry,
         "s",
         F.transform("_sv", lambda x: x.cast("double")).alias("_sv"),
     )
@@ -849,6 +1054,7 @@ def pq_train_codes(
         }
         sc = a.sparkSession.sparkContext
         bc = sc.broadcast(books)
+        made_bcs.append(bc)
         stripped = a.drop("cell")
         out_schema = T.StructType(
             list(stripped.schema.fields)
@@ -876,7 +1082,7 @@ def pq_train_codes(
                 yield pdf
 
         return stripped.mapInPandas(gen, out_schema).select(
-            corpus_id, "s", "_sv", "cell"
+            corpus_id, *carry, "s", "_sv", "cell"
         )
 
     # the loop below re-reads subs once per assign (3x at n_iters=1),
@@ -884,6 +1090,7 @@ def pq_train_codes(
     # time — stage it once (the iterative-loop staging rule; corpus × 8
     # rows of 8-double arrays, tiny at any corpus the codebook fits)
     subs = subs.localCheckpoint(eager=True)
+    made_bcs: list = []
     assigned = subs.withColumn(
         "cell", (F.col(corpus_id) % n_centroids).cast("int")
     )
@@ -891,9 +1098,26 @@ def pq_train_codes(
     for _ in range(n_iters):
         assigned = assign(subs, cents)
         cents = centroids_of(assigned)
+    # The returned codebook is MODEL-sized (n_subspaces·n_centroids rows)
+    # but its lazy lineage hangs off the last training assign — without a
+    # checkpoint every downstream execution of the codebook (the ADC LUT
+    # join, the index write) re-runs a corpus-sized mapInPandas + explode
+    # aggregate to re-derive a 4 KB table (r15; §5 don't-recompute). The
+    # eager checkpoint materializes it ONCE, and the final encode below
+    # then collects from the pinned rows (same deterministic values).
+    cents = cents.localCheckpoint(eager=True)
     codes = assign(subs, cents).select(
-        corpus_id, "s", F.col("cell").alias("code")
+        corpus_id, *carry, "s", F.col("cell").alias("code")
     )
+    # Every assign frame hangs off the CHECKPOINTED subs plus its own
+    # broadcast codebook, and each training round's frame was fully
+    # consumed by the next round's cents.collect() — so once the final
+    # assign's collect has run, only the LAST broadcast has a live
+    # consumer (the returned lazy codes frame). Release the others (r15
+    # ADVICE: the per-assign broadcasts otherwise accumulate across
+    # builds in a long-lived session).
+    for old_bc in made_bcs[:-1]:
+        old_bc.unpersist(blocking=False)
     return cents, codes
 
 
@@ -1046,11 +1270,18 @@ def ivfadc_build_index(
     )
     resid = indexed.join(F.broadcast(coarse), "cell").select(
         corpus_id,
-        "cell",
+        F.col("cell").alias("_ivf_cell"),
         F.zip_with(
             F.col(vec), F.col("_coarse"), lambda a, b: a.cast("double") - b
         ).alias("_rv"),
     )
+    # carry the coarse cell (renamed: "cell" is PQ-internal) through the
+    # PQ training projections onto the codes frame, so the coded table
+    # needs NO join-back at all — neither onto the checkpointed
+    # assignment frame (the r14 form: one broadcast join re-paid per
+    # consumer) nor onto resid (r15, the VERDICT r14 carry item). Column
+    # order and name pinned to the r14 output (corpus_id, s, code, cell)
+    # so the written index is schema-identical.
     pq_cents, codes = pq_train_codes(
         resid,
         n_subspaces=n_subspaces,
@@ -1058,12 +1289,11 @@ def ivfadc_build_index(
         dims=dims,
         corpus_id=corpus_id,
         vec="_rv",
+        carry=("_ivf_cell",),
     )
-    # cell comes straight off the checkpointed assignment frame: resid's
-    # (id, cell) projection is row-identical (coarse holds every distinct
-    # cell, so the inner join drops nothing) but re-pays the broadcast
-    # join per consumer (r14 optimization round).
-    coded = codes.join(indexed.select(corpus_id, "cell"), corpus_id)
+    coded = codes.select(
+        corpus_id, "s", "code", F.col("_ivf_cell").alias("cell")
+    )
     return coarse, pq_cents, coded
 
 

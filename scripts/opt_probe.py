@@ -41,7 +41,12 @@ def main() -> None:
     spark = get_spark(app_name="opt-probe")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry.all_queries()
-    plans_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r14")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"),
+    )
     if tag:
         os.makedirs(plans_dir, exist_ok=True)
     for name in names:

@@ -65,7 +65,10 @@ def test_filters_reach_parquet_scan(spark, sf_dir):
 
 def test_relational_paths_stay_jvm_side(spark, sf_dir):
     # No Python eval in relational/window/dedup hot paths (pandas UDF ops
-    # are exercised elsewhere by design).
+    # are exercised elsewhere by design). cosine_topk left this list in
+    # r15: its scoring moved to the broadcast-model Arrow form ON PURPOSE
+    # (guide §4.2; measured 1.59x warm) — its plan contract is pinned by
+    # test_cosine_topk_is_single_arrow_pass below.
     for name in (
         "q1_pricing_summary",
         "join_star_revenue",
@@ -73,7 +76,6 @@ def test_relational_paths_stay_jvm_side(spark, sf_dir):
         "consecutive_failures",
         "exact_dedup_docs",
         "normalized_dedup_docs",
-        "cosine_topk",
         "deterministic_sample_docs",
         "decontaminate_ngram_overlap",
         "split_leakage_check",
@@ -84,6 +86,17 @@ def test_relational_paths_stay_jvm_side(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             assert node not in plan, f"{name}: Python boundary in hot path ({node})"
+
+
+def test_cosine_topk_is_single_arrow_pass(spark, sf_dir):
+    # r15 contract for the exact tier: ONE MapInPandas over the corpus
+    # scan (the broadcast-model numpy recipe), never the row-pickling
+    # BatchEvalPython, and no broadcast pair join left in the plan (the
+    # corpus must cross the Python boundary once, not once per query).
+    plan = plan_of(spark, sf_dir, "cosine_topk")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_exists_decorrelates_to_semi_join(spark, sf_dir):
